@@ -1,10 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.core.{Joins, Ranges}
+import graft.core.{Joins, Ranges, Upsert}
+import graft.functions.GraftFunctions
 
 /** Plane-A relational operators (SURVEY §2.A) expressed over the
   * driver's TPC-H-ish tables, each with a DuckDB oracle.
@@ -62,11 +64,14 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // A9 NOT-IN as LEFT ANTI join (the reference's unprocessed-work idiom).
+    // A9 NOT-IN as LEFT ANTI join (the reference's unprocessed-work idiom):
+    // customers with no completed ('F') order.
     "q04_anti_join" -> ((s, dir) => {
-      val custWithOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val custWithF = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
       t(s, dir, "customer")
-        .join(custWithOrders, Seq("c_custkey"), "left_anti")
+        .join(custWithF, Seq("c_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))
@@ -115,6 +120,131 @@ object RelationalQueries {
           countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))
         .orderBy(col("user_bucket"))
+    }),
+
+    // A17 exact quantiles + group-by (the gas-price-estimation shape:
+    // quantile(0.2/0.5)(gasPrice) GROUP BY block bucket).
+    "q09_quantiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          percentile(col("value"), lit(0.2)).as("q20"),
+          percentile(col("value"), lit(0.5)).as("q50"),
+          percentile(col("value"), lit(0.9)).as("q90"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A2 FINAL dedup-on-read: events as an upsert log keyed by user_id,
+    // latest version wins (version = ts then event_id).
+    "q10_dedup_final" -> ((s, dir) => {
+      Upsert.latestById(
+        t(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A13 flag anti-join idiom: work items (users with purchases) minus
+    // already-flagged ones (users with signups).
+    "q11_flag_antijoin" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val work = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val flagged = ev.filter(col("event_type") === "signup" && col("value") > 250)
+        .select(col("user_id"))
+      work.join(flagged, Seq("user_id"), "left_anti").orderBy(col("user_id"))
+    }),
+
+    // A12 multi-key join: each event vs its (user_id, event_type) mean.
+    "q12_multikey_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy(col("user_id"), col("event_type"))
+        .agg((sum(col("value").cast("decimal(18,2)")) / count(lit(1)))
+          .cast("double").as("avg_v"))
+      ev.join(stats, Seq("user_id", "event_type"))
+        .filter(col("value") > col("avg_v"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // B10 trailing moving average (token_prices shape): 5-row window,
+    // emitting the raw value until the window fills
+    // (/root/reference/operations/token_prices.py:79-102).
+    "q13_moving_avg" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ma5 = avg(col("value")).over(byUser.rowsBetween(-4, 0))
+      val rn = row_number().over(byUser)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(when(rn >= 5, ma5).otherwise(col("value")), 6).as("ma5"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // A22/A28 time-series: daily grouping + ORDER BY date.
+    "q14_daily_series" -> ((s, dir) => {
+      // day kept as 'yyyy-MM-dd' STRING: parquet date32 vs DuckDB DATE
+      // dtype-compare unreliably across readers.
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_v"))
+        .orderBy(col("day"))
+    }),
+
+    // A24 string scalars: substring (1-based), concat, length, lower.
+    "q15_string_scalars" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          substring(col("text"), 1, 12).as("prefix"),
+          length(col("text")).as("len"),
+          lower(col("source")).as("src"),
+          concat(lit("0x"), col("lang")).as("tagged"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // A25/A26/A27 hex kernel end-to-end: synthesize a 32-byte word from
+    // o_orderkey, decode with uint256_lo128 under COALESCE(decimals,18),
+    // and round-trip the low-64 bits through hex_be_to_long.
+    "q16_uint256_decode" -> ((s, dir) => {
+      val decRaw = when(col("o_orderkey") % 5 === 0, lit(null))
+        .otherwise((col("o_orderkey") % 4).cast("int"))
+      val word = concat(lit("0x"), lpad(lower(hex(col("o_orderkey"))), 64, "0"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          GraftFunctions.uint256_lo128(word, coalesce(decRaw, lit(18))).as("decoded"),
+          GraftFunctions.hex_be_to_long(
+            lpad(lower(hex(col("o_orderkey"))), 16, "0")).as("roundtrip"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A23/B21 flagship: the balances formula. Five role-aggregates over
+    // one scan (conditional aggregation — the Spark-first shape for the
+    // reference's five separate SQL requests,
+    // /root/reference/examples/balances_api/actions/balances.py:3-83),
+    // clamped at zero: max(income - outcome + reward - fee + fee_reward, 0).
+    "q17_balances" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def role(tpe: String) =
+        sum(when(col("event_type") === tpe, col("value").cast("decimal(18,2)"))
+          .otherwise(lit(null))).cast("double")
+      ev.groupBy(col("user_id"))
+        .agg(
+          coalesce(role("purchase"), lit(0.0)).as("income"),
+          coalesce(role("click"), lit(0.0)).as("outcome"),
+          coalesce(role("signup"), lit(0.0)).as("reward"),
+          coalesce(role("error"), lit(0.0)).as("fee"),
+          coalesce(role("view"), lit(0.0)).as("fee_reward"))
+        .select(
+          col("user_id"),
+          greatest(lit(0.0),
+            col("income") - col("outcome") + col("reward")
+              - col("fee") + col("fee_reward")).as("balance"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -139,7 +269,7 @@ object RelationalQueries {
          GROUP BY 1 ORDER BY 1""",
     "q04_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
          GROUP BY 1 ORDER BY 1""",
     "q05_any_left_join" ->
       """SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity, l_partkey
@@ -164,6 +294,66 @@ object RelationalQueries {
          count(DISTINCT event_type) AS n_types,
          count(DISTINCT user_id) AS n_users,
          count(*) AS n
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q09_quantiles" ->
+      """SELECT event_type,
+         quantile_cont(value, 0.2) AS q20,
+         quantile_cont(value, 0.5) AS q50,
+         quantile_cont(value, 0.9) AS q90
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q10_dedup_final" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id""",
+    "q11_flag_antijoin" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'signup' AND value > 250)
+         ORDER BY user_id""",
+    "q12_multikey_join" ->
+      """SELECT e.user_id, e.event_type, count(*) AS n_above
+         FROM events e JOIN (
+           SELECT user_id, event_type,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) / count(*) AS DOUBLE) AS avg_v
+           FROM events GROUP BY 1, 2) s
+         ON e.user_id = s.user_id AND e.event_type = s.event_type
+         WHERE e.value > s.avg_v
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q13_moving_avg" ->
+      """SELECT user_id, event_id, value,
+         round(CASE WHEN rn >= 5 THEN ma ELSE value END, 6) AS ma5
+         FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER w AS rn,
+                  avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma
+           FROM events WHERE user_id < 20
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         ORDER BY user_id, event_id""",
+    "q14_daily_series" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q15_string_scalars" ->
+      """SELECT doc_id, substring(text, 1, 12) AS prefix, length(text) AS len,
+         lower(source) AS src, concat('0x', lang) AS tagged
+         FROM documents ORDER BY doc_id""",
+    "q16_uint256_decode" ->
+      """SELECT o_orderkey,
+         o_orderkey / power(10, CASE WHEN o_orderkey % 5 = 0 THEN 18
+                                     ELSE o_orderkey % 4 END) AS decoded,
+         o_orderkey AS roundtrip
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
+    "q17_balances" ->
+      """SELECT user_id,
+         greatest(0.0, income - outcome + reward - fee + fee_reward) AS balance
+         FROM (
+           SELECT user_id,
+             coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS income,
+             coalesce(CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS outcome,
+             coalesce(CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS reward,
+             coalesce(CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS fee,
+             coalesce(CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS fee_reward
+           FROM events GROUP BY 1)
+         ORDER BY user_id"""
   )
 }
