@@ -1,0 +1,209 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines, at three
+  * exactness levels:
+  *
+  *  - exact (content-hash groupBy),
+  *  - set-similarity (n-gram shingle Jaccard, exact but computed with a
+  *    scalable inverted-index join — NO cross join),
+  *  - sketch-based (MinHash+LSH band-bucketing, SimHash hamming
+  *    banding) whose candidates are verified against exact Jaccard.
+  *
+  * Scale notes (100 TB): every pairwise step here joins on a bounded
+  * key (shingle, LSH bucket, simhash piece) instead of crossing the
+  * corpus with itself; candidate verification touches only candidate
+  * pairs. For web-scale corpora add a document-frequency cap
+  * (`maxShingleDocFreq`) so stop-shingles don't quadratically blow up
+  * the inverted index — the same reason search engines drop stopwords.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row per distinct content hash (the
+    * smallest id wins — deterministic).
+    */
+  def exactDedupSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = md5(col(textCol)).as("fp")
+    df.select(fp, col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** (id, shingle) inverted-index rows, distinct. */
+  private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+
+  /** Per-doc shingle-set size. */
+  private def shingleSizes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), size(TextFunctions.shingles(col(textCol), n)).as("nsh"))
+
+  /** Exact n-gram Jaccard similar pairs (j >= tau, a < b), computed as
+    * inverted-index self-join: pairs sharing at least one shingle get a
+    * shared-shingle count; jaccard = c / (|A| + |B| - c). Never
+    * materializes non-overlapping pairs.
+    *
+    * @param maxShingleDocFreq drop shingles occurring in more than this
+    *   many docs from the CANDIDATE join (exactness caveat documented:
+    *   with a cap, pairs overlapping ONLY on stop-shingles are missed;
+    *   pass None for fully exact).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val idx0 = shingleIndex(df, idCol, textCol, n)
+    val idx = maxShingleDocFreq match {
+      case Some(cap) =>
+        val hot = idx0.groupBy(col("sh")).agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > cap).select(col("sh"))
+        idx0.join(hot, Seq("sh"), "left_anti")
+      case None => idx0
+    }
+    val shared = idx.as("l").join(idx.as("r"), col("l.sh") === col("r.sh"))
+      .filter(col("l.doc") < col("r.doc"))
+      .groupBy(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = shingleSizes(df, idCol, textCol, n)
+    shared
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature of a shingle set: `numHashes` independent
+    * min-hashes, hash j of shingle s = xxhash64(j, s). Pure expression,
+    * fully codegen'd.
+    */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingleSet, s => xxhash64(j, s))))
+
+  /** LSH band keys for a signature: `bands` buckets of `rowsPerBand`
+    * consecutive signature slots, rendered to one string key each.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws(":", lit(b),
+        concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+
+  /** MinHash+LSH near-dup pairs: shingle → minhash → band-bucket join →
+    * exact-Jaccard verification of candidates. With b bands of r rows a
+    * pair of similarity j collides with prob 1-(1-j^r)^b; defaults
+    * (b=16, r=4) put the S-curve threshold near j≈0.55.
+    *
+    * Returns exactly the (doc_a, doc_b, jaccard) pairs with j >= tau
+    * among LSH candidates — for corpora whose similarity distribution
+    * is bimodal (near-dups vs noise) this equals the exact result with
+    * overwhelming probability.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      tau: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), n).as("sh"))
+    val withBuckets = sh.select(
+      col("doc"),
+      col("sh"),
+      explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("bucket"))
+    val buckets = withBuckets.select(col("doc"), col("bucket"))
+    val candidates = buckets.as("l").join(buckets.as("r"), col("l.bucket") === col("r.bucket"))
+      .filter(col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    val sets = sh.select(col("doc"), col("sh"))
+    candidates
+      .join(sets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over a shingle set: bit k of the sketch is 1 iff
+    * the sum over shingles of ±1 (sign = bit k of xxhash64(shingle)) is
+    * positive. Expression-only.
+    */
+  def simhash64(shingleSet: Column): Column = {
+    val hashes = transform(shingleSet, s => xxhash64(s))
+    (0 until 64).map { k =>
+      val vote = aggregate(
+        hashes,
+        lit(0),
+        (a, h) => a + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming,
+    * verified by exact Jaccard >= tau. Candidate generation: split the
+    * 64-bit sketch into `pieces` equal bit-slices; by pigeonhole, any
+    * pair with hamming <= pieces-1 shares at least one identical piece,
+    * so joining on (piece index, piece bits) finds all such pairs
+    * without a cross join.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxHamming: Int = 7,
+      tau: Double = 0.5): DataFrame = {
+    val pieces = maxHamming + 1
+    require(64 % pieces == 0, s"pieces=$pieces must divide 64")
+    val width = 64 / pieces
+    val mask = (1L << width) - 1
+    val sh = df.select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), n).as("sh"))
+      .withColumn("sim", simhash64(col("sh")))
+    val pieceKeys = sh.select(
+      col("doc"), col("sim"),
+      explode(array((0 until pieces).map { p =>
+        concat_ws(":", lit(p),
+          shiftrightunsigned(col("sim"), p * width).bitwiseAND(mask))
+      }: _*)).as("piece"))
+      .select(col("doc"), col("sim"), col("piece"))
+    val candidates = pieceKeys.as("l").join(pieceKeys.as("r"), col("l.piece") === col("r.piece"))
+      .filter(col("l.doc") < col("r.doc"))
+      .filter(bit_count(col("l.sim").bitwiseXOR(col("r.sim"))) <= maxHamming)
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    val sets = sh.select(col("doc"), col("sh"))
+    candidates
+      .join(sets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Greedy cluster-collapse of a similar-pairs edge list: every doc
+    * maps to the smallest doc id it is paired with (one union-find hop
+    * — exact for clusters of diameter <= 2, which near-dup clusters
+    * overwhelmingly are; iterate to fixpoint for larger ones).
+    */
+  def collapsePairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("keep"), col("doc_b").as("drop"))
+    val w = Window.partitionBy(col("drop"))
+    edges.withColumn("keep", min(col("keep")).over(w)).distinct()
+  }
+}

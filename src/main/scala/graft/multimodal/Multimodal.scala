@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata travelling alongside. The
+  * Spark-side mechanics — schema, batched per-partition processing,
+  * deterministic partitioning of large blobs — are real; the actual
+  * media decode is STUBBED (this environment ships no image/audio
+  * codecs) behind `FakeCodec`, a deterministic byte-level stand-in with
+  * the same signature a real decoder would have.
+  *
+  * Scale notes: blobs never pass through a shuffle wider than needed —
+  * metadata extraction is a narrow map; `withMediaMeta` batches rows
+  * per partition (the `mapPartitions` shape a vectorized decoder
+  * needs: amortize codec init across a partition, process in order,
+  * emit one row per input).
+  */
+object Multimodal {
+
+  /** Decoded-media metadata a real codec would produce. */
+  case class MediaMeta(
+      kind: String, // "image" | "audio" | "video"
+      nBytes: Long,
+      width: Int, // fake: derived from leading bytes
+      height: Int,
+      nFrames: Int, // fake: nBytes / 1024 + 1
+      sha: String)
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class DecodedRow(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+
+  /** STUB decoder: deterministic metadata from raw bytes. A production
+    * build replaces exactly this object with codec-backed decode; all
+    * the Spark plumbing around it stays untouched.
+    */
+  object FakeCodec {
+    def decode(kind: String, payload: Array[Byte]): MediaMeta = {
+      def b(i: Int): Int = if (payload.length > i) payload(i) & 0xff else 0
+      MediaMeta(
+        kind = kind,
+        nBytes = payload.length.toLong,
+        width = 16 + (b(0) << 4) + b(1),
+        height = 16 + (b(2) << 4) + b(3),
+        nFrames = payload.length / 1024 + 1,
+        sha = java.security.MessageDigest.getInstance("MD5")
+          .digest(payload).map("%02x".format(_)).mkString)
+    }
+
+    /** STUB resize: a real impl re-encodes; the fake truncates/pads the
+      * payload to a deterministic size proportional to the target box.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, (w * h) / 64)
+      java.util.Arrays.copyOf(payload, target)
+    }
+
+    /** STUB frame sampling: every `stride`-th 1 KiB slice. */
+    def sampleFrames(payload: Array[Byte], stride: Int): Seq[Array[Byte]] =
+      payload.grouped(1024).zipWithIndex.collect {
+        case (frame, i) if i % stride == 0 => frame
+      }.toSeq
+  }
+
+  /** Batched per-partition decode: the canonical shape for vectorized
+    * media processing (codec initialized once per partition, rows
+    * processed in partition order, one output row per input row).
+    */
+  def withMediaMeta(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition init point (real codec handle would live here)
+      val codec = FakeCodec
+      rows.map(r => DecodedRow(r.media_id, r.kind, r.payload, codec.decode(r.kind, r.payload)))
+    }
+  }
+
+  /** Synthesize a media table from any (id, text) corpus — payload =
+    * UTF-8 bytes. Lets the plumbing be exercised (and oracle-checked on
+    * byte lengths / hashes) without real media files.
+    */
+  def synthesizeFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col(idCol) % 3 + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** DataFrame-level metadata projection of the decoded dataset. */
+  def mediaMetaTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ds = media.as[MediaRow]
+    withMediaMeta(ds).toDF().select(
+      col("media_id"), col("kind"),
+      col("meta.nBytes").as("n_bytes"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      col("meta.nFrames").as("n_frames"),
+      col("meta.sha").as("sha"))
+  }
+}

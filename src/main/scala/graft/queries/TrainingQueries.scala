@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+
+/** Training-data pipeline operators (dedup, similarity search,
+  * text analysis, multimodal plumbing) over the `documents` /
+  * `embeddings` tables, each with a DuckDB oracle where the semantics
+  * are SQL-expressible (hash-seeded sketches get rows-only checks; their
+  * exactness is covered by ScalaTest specs instead).
+  *
+  * Oracle-determinism ground rules: all similarity scores are computed
+  * from exact integer set sizes or exact float32→double products, with
+  * a single rounding to 6 decimals at the end; ranking always breaks
+  * ties on a unique id.
+  */
+object TrainingQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The 3-word-shingle DuckDB fragment shared by the jaccard oracles. */
+  private val shingleCte =
+    """WITH d AS (
+         SELECT doc_id,
+           CASE WHEN len(t) < 3 THEN [text]
+                ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS sh
+         FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))"""
+
+  private val jaccardPairsSql =
+    s"""$shingleCte
+       SELECT doc_a, doc_b, jaccard FROM (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
+  /** DuckDB cosine matching Similarity.cosine (double products, list
+    * fold, round 6).
+    */
+  private def duckCos(a: String, b: String) =
+    s"""round(
+         list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(1, 65), i -> $b.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)))), 6)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groupBy, smallest id survives.
+    "q18_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedupSurvivors(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex + exact char sums + TTR.
+    "q19_token_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCountWs(txt).cast("long").as("n_ws"),
+        TextFunctions.tokenCountBpe(txt).cast("long").as("n_bpe"),
+        TextFunctions.sumTokenLen(txt).cast("long").as("sum_len"),
+        round(TextFunctions.typeTokenRatio(txt), 6).as("ttr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/diversity/word-shape/stopword composite.
+    "q20_quality_score" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCountWs(txt).cast("long").as("wc"),
+        round(TextFunctions.stopwordRatio(txt), 6).as("stop_ratio"),
+        TextFunctions.qualityScore(txt).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic (marker-token argmax).
+    "q21_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: exact md5 + winnowing min-hash.
+    "q22_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp_md5"),
+        TextFunctions.winnowFingerprint(col("text"), 3).as("fp_winnow"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join
+    // (no cross join — scales as sum of shingle postings, not |D|^2).
+    "q23_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MinHash+LSH near-dup pairs, candidates verified by exact Jaccard.
+    // Same oracle as q23: with 16 bands x 4 rows, recall at j>=0.9 is
+    // 1-4e-8 and j=1.0 pairs (identical shingle sets) are found with
+    // certainty, so LSH output == exact output on this corpus.
+    "q24_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5, numHashes = 64, bands = 16)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup pairs (hamming banding), verified by exact
+    // Jaccard — rows-only check (hash-seeded sketch; exactness covered
+    // by DedupSpec against the q23 result).
+    "q25_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxHamming = 7, tau = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Embedding cosine near-dup pairs (exact, deterministic rounding).
+    "q26_embedding_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.cosinePairs(emb, "vec_id", "emb", tau = 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force cosine top-k: queries vec_id<10 vs corpus vec_id>=10,
+    // top-5 each, corpus scanned once with broadcast queries.
+    "q27_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // LSH-bucketed approximate top-k (the scale path: bucket equi-join
+    // instead of cross join) — rows-only check; recall measured in
+    // SimilaritySpec against q27.
+    "q28_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      Similarity.lshTopK(queries, corpus, k = 5, planes = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Multimodal plumbing: binary payload synthesized from text, STUB
+    // decode in batched mapPartitions, metadata projected out.
+    "q29_media_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesizeFromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.mediaMetaTable(s, media).orderBy(col("media_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q18_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS survivor_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q19_token_stats" ->
+      """SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_ws,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe,
+         list_sum(list_transform(string_split(text, ' '), x -> len(x)))::BIGINT AS sum_len,
+         round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')), 6) AS ttr
+         FROM documents ORDER BY doc_id""",
+    "q20_quality_score" ->
+      """SELECT doc_id, wc,
+         round(stop_ratio, 6) AS stop_ratio,
+         floor((0.3 * least(1.0, wc / 50)
+              + 0.3 * ttr
+              + 0.2 * least(1.0, mean_len / 8)
+              + 0.2 * stop_ratio) * 1e6) / 1e6 AS quality
+         FROM (
+           SELECT doc_id,
+             len(t)::BIGINT AS wc,
+             len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t) AS stop_ratio,
+             len(list_distinct(t))::DOUBLE / len(t) AS ttr,
+             list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) AS mean_len
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+         ORDER BY doc_id""",
+    "q21_langid" ->
+      """SELECT doc_id, lang,
+         CASE WHEN gmax = 0 THEN 'und'
+              WHEN s_en = gmax THEN 'en'
+              WHEN s_de = gmax THEN 'de'
+              WHEN s_fr = gmax THEN 'fr'
+              WHEN s_es = gmax THEN 'es'
+              ELSE 'zh' END AS lang_pred
+         FROM (
+           SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+             greatest(s_en, s_de, s_fr, s_es, s_zh) AS gmax
+           FROM (
+             SELECT doc_id, lang,
+               len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x))) AS s_en,
+               len(list_filter(t, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+               len(list_filter(t, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+               len(list_filter(t, x -> list_contains(['el','los','las','es','una'], x))) AS s_es,
+               len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+             FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)))
+         ORDER BY doc_id""",
+    "q22_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+         CASE WHEN len(t) < 3 THEN md5(text)
+              ELSE list_min(list_transform(
+                     list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))),
+                     s -> md5(s))) END AS fp_winnow
+         FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+         ORDER BY doc_id""",
+    "q23_jaccard_pairs" -> jaccardPairsSql,
+    "q24_minhash_lsh" -> jaccardPairsSql,
+    "q26_embedding_neardup" ->
+      s"""SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a", "b")} AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.45 ORDER BY id_a, id_b""",
+    "q27_ann_topk" ->
+      s"""SELECT q_id, c_id, cos, rank FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${duckCos("q", "c")} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    "q29_media_meta" ->
+      """SELECT doc_id AS media_id,
+         (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+         strlen(text)::BIGINT AS n_bytes,
+         16 + ascii(substr(text,1,1)) * 16 + ascii(substr(text,2,1)) AS width,
+         16 + ascii(substr(text,3,1)) * 16 + ascii(substr(text,4,1)) AS height,
+         (strlen(text) // 1024 + 1)::INT AS n_frames,
+         md5(text) AS sha
+         FROM documents ORDER BY media_id"""
+  )
+}

@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID
+  * heuristics, and document fingerprinting.
+  *
+  * Everything here is pure `Column` expression composition — no UDFs —
+  * so the whole module stays inside whole-stage codegen and is
+  * pushdown/prune-friendly at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set (the unit for set-similarity dedup). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles, distinct. Documents shorter than `n` words
+    * collapse to a single shingle = the whole text, so every doc has a
+    * non-empty shingle set.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val count = size(t) - lit(n - 1)
+    val grams = transform(
+      sequence(lit(1), count),
+      i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
+    when(size(t) < n, array(text)).otherwise(array_distinct(grams))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — a cheap,
+    * deterministic stand-in for a real subword tokenizer's token count.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Sum of token lengths (exact integer arithmetic). */
+  def sumTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
+
+  /** Type-token ratio: distinct / total tokens. */
+  def typeTokenRatio(text: Column): Column =
+    size(tokenSet(text)).cast("double") / size(tokens(text))
+
+  /** Default English-ish stopword markers used by quality + lang-ID. */
+  val EnStop: Seq[String] = Seq("the", "a", "of", "in", "to", "and")
+
+  def stopwordRatio(text: Column, stop: Seq[String] = EnStop): Column = {
+    val stopArr = array(stop.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stopArr, t))).cast("double") /
+      size(tokens(text))
+  }
+
+  /** Composite quality score in [0,1]: word count (saturating at 50),
+    * lexical diversity, mean word length (saturating at 8), stopword
+    * presence. Weights are fixed; result truncated (not rounded) to 6
+    * decimals — `floor(x*1e6)/1e6` is engine-exact, while round-half
+    * differs between BigDecimal HALF_UP (Spark) and float rounding
+    * (DuckDB) at boundary values.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val wc = size(t).cast("double")
+    val meanLen = sumTokenLen(text).cast("double") / wc
+    val score =
+      lit(0.3) * least(lit(1.0), wc / 50) +
+        lit(0.3) * typeTokenRatio(text) +
+        lit(0.2) * least(lit(1.0), meanLen / 8) +
+        lit(0.2) * stopwordRatio(text)
+    floor(score * 1e6) / 1e6
+  }
+
+  /** Marker lists for the n-gram-free language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "in", "to", "and"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "una"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Language-ID heuristic: count marker-token hits per language; the
+    * highest-scoring language wins (ties broken alphabetically, which
+    * the fold order encodes: a later language must STRICTLY beat the
+    * best-so-far). Returns "und" when no marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    def hits(markers: Seq[String]): Column = {
+      val arr = array(markers.map(lit): _*)
+      size(filter(t, x => array_contains(arr, x)))
+    }
+    val scored = LangMarkers.map { case (lang, m) => (lang, hits(m)) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 === 0, lit("und")).otherwise(best._1)
+  }
+
+  /** Exact content fingerprint. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** Winnowing-style fingerprint: the minimum md5 over all word
+    * `n`-gram windows — robust to local edits outside the minimizing
+    * window, equal for documents sharing their minimizing shingle.
+    * (Rolling-hash document fingerprinting, one hash per doc.)
+    */
+  def winnowFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+}
