@@ -14,6 +14,20 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (args.lift(1).contains("simstats")) {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, dir, "documents")
+      val sk = docs.select(col("doc_id"),
+        graft.dedup.Dedup.simhash64(graft.text.TextFunctions.shingles(col("text"), 3)).as("sim"))
+      sk.cache().count()
+      println("distinct sims: " + sk.select(col("sim")).distinct().count())
+      sk.groupBy(col("sim")).count().orderBy(col("count").desc).show(10)
+      // piece bucket sizes at width 16
+      val pieces = sk.select(explode(array((0 until 4).map(p =>
+        concat_ws(":", lit(p), shiftrightunsigned(col("sim"), p * 16).bitwiseAND(0xffffL))): _*)).as("piece"))
+      pieces.groupBy(col("piece")).count().orderBy(col("count").desc).show(10)
+      spark.stop(); return
+    }
     val names = args.drop(1)
     val qs = if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
     qs.foreach { q =>

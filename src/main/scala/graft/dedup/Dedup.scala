@@ -34,9 +34,15 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** (id, shingle) inverted-index rows, distinct. */
+  /** (id, shingle-hash) inverted-index rows, distinct. Shingles are
+    * 64-bit-hashed before the shuffle — postings shuffle longs instead
+    * of n-gram strings (collision probability across a single doc
+    * pair's shingles is ~2^-64·|sh|², irrelevant even at 100 TB).
+    */
   private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+    df.select(col(idCol).as("doc"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("sh0"))
+      .select(col("doc"), xxhash64(col("sh0")).as("sh"))
 
   /** Per-doc shingle-set size. */
   private def shingleSizes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -81,22 +87,19 @@ object Dedup {
   }
 
   /** MinHash signature of a shingle set: `numHashes` independent
-    * min-hashes, hash j of shingle s = xxhash64(j, s). Pure expression,
-    * fully codegen'd.
+    * min-hashes, hash j of shingle s = xxh64(s, seed=j). Compiled
+    * kernel (SketchOps) — stays in whole-stage codegen.
     */
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleSet, s => xxhash64(j, s))))
+    graft.functions.SketchFunctions.minhash_sig(shingleSet, numHashes)
 
-  /** LSH band keys for a signature: `bands` buckets of `rowsPerBand`
-    * consecutive signature slots, rendered to one string key each.
+  /** LSH band-bucket keys straight from the shingle set (signature
+    * computed once inside the kernel — an expression-level slice of a
+    * signature column would be re-inlined per band by projection
+    * collapse and recompute all minhashes `bands` times).
     */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      concat_ws(":", lit(b),
-        concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
-    }: _*)
+  def lshBandKeys(shingleSet: Column, numHashes: Int, bands: Int): Column =
+    graft.functions.SketchFunctions.minhash_band_keys(shingleSet, numHashes, bands)
 
   /** MinHash+LSH near-dup pairs: shingle → minhash → band-bucket join →
     * exact-Jaccard verification of candidates. With b bands of r rows a
@@ -116,13 +119,10 @@ object Dedup {
       tau: Double = 0.5,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val sh = df.select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), n).as("sh"))
-    val withBuckets = sh.select(
+    val buckets = sh.select(
       col("doc"),
-      col("sh"),
-      explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)).as("bucket"))
-    val buckets = withBuckets.select(col("doc"), col("bucket"))
+      explode(lshBandKeys(col("sh"), numHashes, bands)).as("bucket"))
     val candidates = buckets.as("l").join(buckets.as("r"), col("l.bucket") === col("r.bucket"))
       .filter(col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
@@ -139,19 +139,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash over a shingle set: bit k of the sketch is 1 iff
-    * the sum over shingles of ±1 (sign = bit k of xxhash64(shingle)) is
-    * positive. Expression-only.
+    * the sum over shingles of ±1 (sign = bit k of xxh64(shingle)) is
+    * positive. Compiled kernel (SketchOps).
     */
-  def simhash64(shingleSet: Column): Column = {
-    val hashes = transform(shingleSet, s => xxhash64(s))
-    (0 until 64).map { k =>
-      val vote = aggregate(
-        hashes,
-        lit(0),
-        (a, h) => a + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+  def simhash64(shingleSet: Column): Column =
+    graft.functions.SketchFunctions.simhash64(shingleSet)
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming,
     * verified by exact Jaccard >= tau. Candidate generation: split the
@@ -159,13 +151,19 @@ object Dedup {
     * pair with hamming <= pieces-1 shares at least one identical piece,
     * so joining on (piece index, piece bits) finds all such pairs
     * without a cross join.
+    *
+    * Default maxHamming=3 (4 pieces x 16 bits, the Manku et al. web-dedup
+    * configuration): 2^16 bucket values keep candidate pairs near-linear.
+    * Wider hamming (7 -> 8-bit pieces) collapses to 256 bucket values and
+    * the candidate set degenerates toward |D|^2 when sketches are
+    * correlated (shared vocabulary) — measured 13s vs ~1s at sf0.1.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      maxHamming: Int = 7,
+      maxHamming: Int = 3,
       tau: Double = 0.5): DataFrame = {
     val pieces = maxHamming + 1
     require(64 % pieces == 0, s"pieces=$pieces must divide 64")

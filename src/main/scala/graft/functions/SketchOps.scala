@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled kernels for the sketching/similarity hot paths. The
+  * equivalent `transform`/`aggregate` higher-order-function pipelines
+  * are interpreted per-element (lambda functions don't participate in
+  * whole-stage codegen), which made MinHash/SimHash/cosine the three
+  * slowest operators at sf0.1 — these static methods are called
+  * directly from generated code instead.
+  */
+object SketchOps {
+
+  @inline private def hash(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** MinHash signature: sig(j) = min over elements of xxh64(elem, seed=j). */
+  def minhashSig(arr: ArrayData, numHashes: Int): Array[Long] = {
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = hash(s, j.toLong)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys "b:sig_{rb}..sig_{rb+r-1}" for b in [0, bands). */
+  def minhashBandKeys(arr: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSig(arr, numHashes)
+    val keys = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(24)
+      sb.append(b).append(':')
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(sig(b * rowsPerBand + r))
+        r += 1
+      }
+      keys(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  /** 64-bit SimHash: bit k set iff the ±1 vote sum over element-hash
+    * bit k is positive.
+    */
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hash(arr.getUTF8String(i), 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+
+  /** Distinct word n-gram shingles of a single-space-separated text;
+    * texts shorter than n words collapse to [text] (same semantics as
+    * the Column-level TextFunctions.shingles — only the SET matters to
+    * every consumer, so iteration order is free). Compiled because the
+    * transform/concat_ws equivalent was the dominant cost of every
+    * sketch pipeline at sf0.1 (interpreted lambda per shingle, times
+    * projection-collapse re-inlining).
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.split(UTF8String.fromString(" "), -1)
+    if (toks.length < n) return new GenericArrayData(Array[Any](text))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= toks.length - n) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = toks(i + j)
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Dot product of two double arrays, strict left-to-right fold —
+    * bit-identical to `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and to
+    * DuckDB's `list_sum(list_transform(...))`, which the oracle
+    * comparisons rely on.
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}

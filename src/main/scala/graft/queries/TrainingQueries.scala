@@ -121,7 +121,7 @@ object TrainingQueries {
     // by DedupSpec against the q23 result).
     "q25_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, maxHamming = 7, tau = 0.5)
+        n = 3, maxHamming = 3, tau = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

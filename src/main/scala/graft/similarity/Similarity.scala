@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays (left fold, deterministic). */
+  /** Dot product of two double arrays — compiled kernel, strict left
+    * fold (bit-identical to the `aggregate(zip_with(...))` HOF chain
+    * and to DuckDB's list_sum/list_transform, but codegen'd).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.SketchFunctions.array_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

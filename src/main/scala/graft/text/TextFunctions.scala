@@ -21,16 +21,12 @@ object TextFunctions {
 
   /** Word n-gram shingles, distinct. Documents shorter than `n` words
     * collapse to a single shingle = the whole text, so every doc has a
-    * non-empty shingle set.
+    * non-empty shingle set. Compiled kernel (SketchOps.shingles) — the
+    * pure-Column transform/concat_ws version is interpreted per shingle
+    * and dominated every sketch pipeline's runtime.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    val count = size(t) - lit(n - 1)
-    val grams = transform(
-      sequence(lit(1), count),
-      i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
-    when(size(t) < n, array(text)).otherwise(array_distinct(grams))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.SketchFunctions.shingles(text, n)
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
