@@ -1,0 +1,93 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+
+/** Dedup-family semantics on a hand-built corpus with planted exact
+  * dups, near-dups (local edits), and unrelated noise.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 0
+      (3L, "a completely different document about spark query engines and shuffles here"),
+      (4L, "yet another unrelated text mentioning parquet files and column pruning"),
+      (5L, "short doc")) // < 3 words => single whole-text shingle
+      .toDF("doc_id", "text")
+  }
+
+  test("exactDedupSurvivors groups identical content, min id survives") {
+    val got = Dedup.exactDedupSurvivors(corpus, "doc_id", "text")
+      .orderBy(col("survivor_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // doc 0+1 collapse (survivor 0, 2 copies); others singletons
+    assert(got.toSeq === Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("jaccardPairs finds exact+near dup pairs and nothing else") {
+    val got = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, tau = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(got.head._3 === 1.0) // exact dup pair
+    assert(got(1)._3 > 0.5 && got(1)._3 < 1.0) // edited pair
+  }
+
+  test("minhashLshPairs output equals exact jaccardPairs on this corpus") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, tau = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", n = 3, tau = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    assert(lsh === exact)
+  }
+
+  test("simhashPairs is a subset of exact pairs, catches identical sets") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(corpus, "doc_id", "text", n = 3, maxHamming = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.subsetOf(exact))
+    assert(sim.contains((0L, 1L))) // identical shingle sets => hamming 0
+  }
+
+  test("jaccardPairs maxShingleDocFreq cap drops only stop-shingle overlap") {
+    // with a cap of 1, shingles shared by 2+ docs are dropped from the
+    // candidate index, so even the exact-dup pair disappears
+    val capped = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, tau = 0.5,
+      maxShingleDocFreq = Some(1))
+    assert(capped.count() === 0)
+  }
+
+  test("collapsePairs maps every dropped doc to its smallest keeper") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((0L, 1L, 1.0), (0L, 2L, 0.9), (1L, 2L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.collapsePairs(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L), (0L, 2L)))
+  }
+
+  test("shingles kernel: distinct, short-doc collapse, set semantics") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a b c d", 3), ("x y", 3), ("a b a b a b", 2)).toDF("t", "n")
+    val sh3 = df.filter(col("n") === 3)
+      .select(TextFunctions.shingles(col("t"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(sh3(0) === Set("a b c", "b c d"))
+    assert(sh3(1) === Set("x y")) // shorter than n => whole text
+    val sh2 = df.filter(col("n") === 2)
+      .select(TextFunctions.shingles(col("t"), 2).as("sh"))
+      .head().getSeq[String](0).toSet
+    assert(sh2 === Set("a b", "b a")) // duplicates removed
+  }
+}

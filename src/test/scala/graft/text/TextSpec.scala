@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text")
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val got = one("hello world42 x")
+      .select(
+        TextFunctions.tokenCountWs(col("text")).as("ws"),
+        TextFunctions.tokenCountBpe(col("text")).as("bpe"))
+      .head()
+    assert(got.getInt(0) === 3)
+    assert(got.getInt(1) === 4) // hello | world | 42 | x
+  }
+
+  test("quality score is in [0,1] and rewards diversity") {
+    val lo = one("spam spam spam spam spam spam spam spam")
+    val hi = one("the quick brown fox jumps over a lazy dog in the misty morning light today")
+    val ql = lo.select(TextFunctions.qualityScore(col("text"))).head().getDouble(0)
+    val qh = hi.select(TextFunctions.qualityScore(col("text"))).head().getDouble(0)
+    assert(ql >= 0.0 && ql <= 1.0 && qh >= 0.0 && qh <= 1.0)
+    assert(qh > ql)
+  }
+
+  test("langId picks the language with most marker hits, und on none") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("the cat sat on the mat", "en"),
+      ("der hund und die katze ist da", "de"),
+      ("le chat et la souris est la", "fr"),
+      ("xyzzy plugh quux", "und"))
+      .toDF("text", "want")
+    df.select(TextFunctions.langId(col("text")).as("got"), col("want"))
+      .collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("fingerprints: md5 exactness, winnow stable under far edits") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    // same minimizing window iff the min-md5 3-gram survives the edit
+    val fpA = one(a).select(TextFunctions.winnowFingerprint(col("text"), 3)).head().getString(0)
+    val fpA2 = one(a).select(TextFunctions.winnowFingerprint(col("text"), 3)).head().getString(0)
+    assert(fpA === fpA2) // deterministic
+    val md = one(a).select(TextFunctions.fingerprintMd5(col("text"))).head().getString(0)
+    assert(md.length === 32)
+    // winnow fp is the md5 of SOME 3-gram window of the doc
+    val windows = a.split(" ").sliding(3).map(_.mkString(" ")).toSeq
+    val md5s = windows.map { w =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(md5s.contains(fpA) && fpA === md5s.min)
+  }
+}
