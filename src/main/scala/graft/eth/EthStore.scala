@@ -1,0 +1,105 @@
+package graft.eth
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.Upsert
+
+/** Parquet-backed table store modelling the reference's ClickHouse
+  * layout: every table is an append log with an `_seq` ingest-version
+  * column; reads go through the FINAL dedup view (`tableFinal`) exactly
+  * like the reference injects FINAL into every SELECT
+  * (/root/reference/clients/custom_clickhouse.py:34-35).
+  *
+  * Scale notes: tables are written partitioned by a blockNumber bucket
+  * (`_block_bucket = blockNumber div 100000`) when the column exists, so
+  * range predicates prune parquet partitions; the dedup window shuffles
+  * on the primary key only. A periodic `compact` rewrite keeps the
+  * per-read dedup cheap.
+  */
+class EthStore(val spark: SparkSession, val root: String) {
+
+  private val schemas: Map[String, StructType] = Map(
+    "block" -> Schemas.block,
+    "internal_transaction" -> Schemas.internalTransaction,
+    "block_flag" -> Schemas.blockFlag,
+    "contract_abi" -> Schemas.contractAbi,
+    "contract_block" -> Schemas.contractBlock,
+    "event" -> Schemas.event,
+    "transaction_input" -> Schemas.decodedInput,
+    "event_input" -> Schemas.decodedInput,
+    "price" -> Schemas.price,
+    "contract_description" -> Schemas.contractDescription,
+    "contract" -> Schemas.contract,
+    "token_transaction" -> Schemas.tokenTransaction)
+
+  /** Composite primary keys (operations/indices.py:7-10); everything
+    * else dedups on `id`.
+    */
+  private val primaryKeys: Map[String, Seq[String]] = Map(
+    "block_flag" -> Seq("id", "name"),
+    "contract_block" -> Seq("id", "name"))
+
+  def keysOf(table: String): Seq[String] =
+    primaryKeys.getOrElse(table, Seq("id"))
+
+  def path(table: String): String = s"$root/$table"
+
+  private def emptyWithSeq(table: String): DataFrame = {
+    val schema = schemas(table).add("_seq", org.apache.spark.sql.types.LongType)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def existsOnDisk(table: String): Boolean = {
+    val dir = new java.io.File(path(table))
+    dir.isDirectory && dir.listFiles().exists(f =>
+      f.getName.endsWith(".parquet") || f.getName.startsWith("_block_bucket="))
+  }
+
+  /** Raw append log (with `_seq`). Missing table reads as empty. */
+  def read(table: String): DataFrame =
+    if (existsOnDisk(table)) spark.read.parquet(path(table))
+    else emptyWithSeq(table)
+
+  /** FINAL view: one (latest-_seq) row per primary key. */
+  def tableFinal(table: String): DataFrame =
+    Upsert.latestById(read(table), keysOf(table), Seq(col("_seq")))
+
+  /** Schema-policed append (ingestion drops extra columns, fills
+    * missing with NULL — custom_clickhouse._filter_schema analog).
+    */
+  def append(table: String, df: DataFrame, seq: Long): Unit = {
+    val conformed = Schemas.conform(df, schemas(table))
+      .withColumn("_seq", lit(seq))
+    val writer =
+      if (conformed.columns.contains("blockNumber"))
+        conformed
+          .withColumn("_block_bucket", (col("blockNumber") / 100000).cast("long"))
+          .write.partitionBy("_block_bucket")
+      else conformed.write
+    writer.mode("append").parquet(path(table))
+  }
+
+  /** Derived-table overwrite (MV recompute). */
+  def overwrite(table: String, df: DataFrame, seq: Long): Unit = {
+    val conformed = Schemas.conform(df, schemas(table)).withColumn("_seq", lit(seq))
+    conformed.write.mode("overwrite").parquet(path(table))
+  }
+
+  /** Compaction: rewrite a table to one row per key (keeps FINAL reads
+    * cheap; run periodically at scale).
+    */
+  def compact(table: String): Unit = {
+    val compacted = tableFinal(table)
+    val tmp = path(table) + "__compact"
+    compacted.write.mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(path(table))
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(delete)
+      f.delete()
+    }
+    delete(dir)
+    new java.io.File(tmp).renameTo(dir)
+  }
+}

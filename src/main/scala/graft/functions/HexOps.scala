@@ -67,4 +67,15 @@ object HexOps {
 
   def uint256FromHex(partial: UTF8String, decimals: Int): Double =
     uint256FromHex(partial.toString, decimals)
+
+  /** Full-precision unsigned hex ("0x..." or bare) → Double, no 128-bit
+    * truncation — the trace-flatten path (`int(value_string, 0)` in
+    * /root/reference/operations/internal_transactions.py:297-301, which
+    * is arbitrary-precision then float-divided). Empty/0x → 0.
+    */
+  def hexToDouble(u: UTF8String): Double = {
+    val s0 = u.toString
+    val s = if (s0.startsWith("0x") || s0.startsWith("0X")) s0.substring(2) else s0
+    if (s.isEmpty) 0d else new BigInteger(s, 16).doubleValue()
+  }
 }

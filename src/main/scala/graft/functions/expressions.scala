@@ -65,6 +65,21 @@ case class HexBeToLong(child: Expression)
   override def prettyName: String = "hex_be_to_long"
 }
 
+/** `hex_to_double(s)` — full-precision unsigned hex (optional 0x) to
+  * Double, for trace value/gas fields (no low-128 truncation).
+  */
+case class HexToDouble(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(s: Any): Any =
+    HexOps.hexToDouble(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HexOps.hexToDouble($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "hex_to_double"
+}
+
 /** Column-API entry points (the library's public scalar surface). */
 object GraftFunctions {
   import GraftBridge.{column => toCol, expression => toExpr}
@@ -75,4 +90,6 @@ object GraftFunctions {
     toCol(Uint256FromHex(toExpr(fragment), toExpr(decimals)))
   def hex_be_to_long(s: Column): Column =
     toCol(HexBeToLong(toExpr(s)))
+  def hex_to_double(s: Column): Column =
+    toCol(HexToDouble(toExpr(s)))
 }

@@ -1,0 +1,65 @@
+package graft.eth
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Balance formulas with the exact fixture + expectations of the
+  * reference's API tests
+  * (examples/balances_api/tests/test_balances.py:34-178).
+  */
+class BalancesSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("from", StringType),
+    StructField("to", StringType),
+    StructField("author", StringType),
+    StructField("type", StringType),
+    StructField("rewardType", StringType),
+    StructField("gasUsed", LongType),
+    StructField("gasPrice", DoubleType),
+    StructField("blockNumber", LongType),
+    StructField("value", DoubleType)))
+
+  private def itx = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row("1", "0x1", "0x2", null, "call", null, 10000L, 0.01, 1L, 100.0),
+      Row("2", "0x2", "0x1", null, "call", null, 20000L, 0.02, 1L, 50.0),
+      Row("3", "0x4", "0x3", null, "call", null, 30000L, 0.03, 1L, 10.0),
+      Row("4", null, null, "0x1", "reward", "block", 0L, 0.0, 1L, 1.0),
+      Row("5", null, null, "0x2", "reward", "uncle", 0L, 0.0, 1L, 0.1))),
+    schema)
+
+  test("ethBalances reproduces the reference's API expectations") {
+    // per the reference fixtures: income(0x1)=50, outcome(0x1)=100,
+    // reward(0x1)=1, fee(0x1)=100, fee_reward(0x1)=100+400+900=1400
+    // -> balance(0x1) = max(50-100+1-100+1400, 0) = 1251
+    // 0x2: 100-50+0.1-400+0 -> clamped to 0
+    val got = Balances.ethBalances(spark, itx, Seq("0x1", "0x2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("0x1") === 1251.0)
+    assert(got("0x2") === 0.0)
+  }
+
+  test("addressUniverse = to ∪ from ∪ author, distinct, no nulls") {
+    val got = Balances.addressUniverse(itx)
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("0x1", "0x2", "0x3", "0x4"))
+  }
+
+  test("tokenBalances: max(income - outcome, 0) per token") {
+    val s = spark
+    import s.implicits._
+    val tt = Seq(
+      ("0xa", "0xb", 10.0, "0xtok"),
+      ("0xb", "0xa", 4.0, "0xtok"),
+      ("0xa", "0xb", 100.0, "0xother")) // other token ignored
+      .toDF("from", "to", "value", "token")
+    val got = Balances.tokenBalances(spark, tt, Seq("0xa", "0xb"), "0xtok")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("0xb") === 6.0) // 10 in, 4 out
+    assert(got("0xa") === 0.0) // 4 in, 10 out -> clamped
+  }
+}
