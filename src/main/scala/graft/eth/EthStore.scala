@@ -81,16 +81,43 @@ class EthStore(val spark: SparkSession, val root: String) {
     writer.mode("append").parquet(path(table))
   }
 
-  /** Derived-table overwrite (MV recompute). */
+  /** Derived-table overwrite (MV recompute). Refused for
+    * stream-watched tables for the same reason as [[compact]].
+    */
   def overwrite(table: String, df: DataFrame, seq: Long): Unit = {
+    require(!isStreamWatched(table),
+      s"table '$table' is watched by a file stream; overwriting it would " +
+        "replay every row through the stream checkpoint.")
     val conformed = Schemas.conform(df, schemas(table)).withColumn("_seq", lit(seq))
     conformed.write.mode("overwrite").parquet(path(table))
   }
 
+  /** Marker dropped by DerivedStreams.eventStream: the parquet file
+    * stream checkpoints files by name, so rewriting a watched table
+    * (compact/overwrite) would make every rewritten file look new and
+    * replay the whole table into the derived outputs.
+    */
+  private def streamMarker(table: String) =
+    new java.io.File(path(table), "_stream_watched")
+
+  def markStreamWatched(table: String): Unit = {
+    val dir = new java.io.File(path(table))
+    if (!dir.exists()) dir.mkdirs()
+    streamMarker(table).createNewFile()
+  }
+
+  def isStreamWatched(table: String): Boolean = streamMarker(table).exists()
+
   /** Compaction: rewrite a table to one row per key (keeps FINAL reads
-    * cheap; run periodically at scale).
+    * cheap; run periodically at scale). Refused for stream-watched
+    * tables — a rewrite would replay the entire table through any
+    * file-stream checkpoint watching it.
     */
   def compact(table: String): Unit = {
+    require(!isStreamWatched(table),
+      s"table '$table' is watched by a file stream; compacting it would " +
+        "replay every row through the stream checkpoint. Stream from a " +
+        "separate immutable landing path if compaction is needed.")
     val compacted = tableFinal(table)
     val tmp = path(table) + "__compact"
     compacted.write.mode("overwrite").parquet(tmp)
