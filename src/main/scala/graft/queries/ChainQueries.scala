@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.Joins
+import graft.eth.{Abi, Events, Grafana, Traces}
+
+/** SURVEY §2 rows not yet exercised by RelationalQueries /
+  * TrainingQueries, each over the driver's tables with chain-shaped
+  * columns synthesized from integer keys (the q16 pattern): the
+  * operator under test is the real library code (Traces / Events /
+  * Abi / Joins / Grafana), only the fixture data is synthetic.
+  *
+  * Determinism rules as in RelationalQueries (total ORDER BY,
+  * decimal-cast money sums, unique-key tiebreaks).
+  */
+object ChainQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Binary-heap path of linenumber k (1..7): the traceAddress fixture
+    * for B6/B7 — ancestors of k are k/2, k/4, giving real branching
+    * trees (not just chains) out of lineitem rows.
+    */
+  private val heapPaths = array(
+    typedLit(Seq.empty[Int]), typedLit(Seq(0)), typedLit(Seq(1)),
+    typedLit(Seq(0, 0)), typedLit(Seq(0, 1)), typedLit(Seq(1, 0)),
+    typedLit(Seq(1, 1)))
+
+  /** Synthetic trace table: tx = orderkey, traceAddress = heap path of
+    * linenumber, error where quantity < 5. (l_orderkey, l_linenumber)
+    * is NOT unique in this data, and a trace tree needs one node per
+    * address — dedup to the first row per (orderkey, linenumber) by a
+    * full-tuple tiebreak.
+    */
+  private def syntheticTraces(s: SparkSession, dir: String): DataFrame =
+    Joins.firstByKey(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"),
+      Seq(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice")))
+      .select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_orderkey").cast("string").as("transactionHash"),
+      lit(null).cast("string").as("blockHash"),
+      when(col("l_quantity") < 5, lit("err")).otherwise(lit(null).cast("string"))
+        .as("error"),
+      element_at(heapPaths, col("l_linenumber")).as("traceAddress"))
+
+  /** The transfer(address,uint256) ABI used by the decode queries. */
+  private val transferAbi =
+    """[{"type":"function","name":"transfer","inputs":[
+         {"name":"dst","type":"address"},{"name":"wad","type":"uint256"}]}]"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A11 ANY INNER JOIN: at most one lineitem per order, inner — the
+    // token_holders decimals-join shape (reference token_holders.py:36-41).
+    "q30_any_inner_join" -> ((s, dir) => {
+      val right = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+          col("l_linenumber"), col("l_quantity"))
+      Joins.anyJoin(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        right, Seq("o_orderkey"), "inner",
+        tiebreak = Seq(col("l_linenumber"), col("l_partkey"), col("l_quantity")))
+        .select(col("o_orderkey"), col("o_totalprice"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A7 filter on array element (1-based), the topics[1]=TRANSFER idiom
+    // (token_holders.py:42), over split-text token arrays.
+    "q31_array_filter" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(element_at(col("toks"), 1) === "the")
+        .select(col("doc_id"), element_at(col("toks"), 2).as("second_tok"),
+          size(col("toks")).as("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // A14 dictionary join: small dims (region ⋈ nation) broadcast into
+    // the fact scan — the block_timestamp hashed-dictionary pattern
+    // (clickhouse-config/block_timestamp_dictionary.xml). No shuffle of
+    // the customer side for the join itself.
+    "q32_broadcast_dict" -> ((s, dir) => {
+      val dim = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nationkey"), col("r_name"))
+      t(s, dir, "customer")
+        .join(broadcast(dim), Seq("c_nationkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), moneySum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // A23/A10/A20 the true balances.sql composition (4-deep nesting,
+    // examples/sql_balances/balances.sql:1-61): address universe from a
+    // UNION of roles, then five ANY LEFT JOINed aggregate subqueries,
+    // then the clamped arithmetic. Same formula as q17 but exercising
+    // the join-composition path instead of conditional aggregation.
+    "q33_balances_nested" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def roleSum(tpe: String, as: String) =
+        ev.filter(col("event_type") === tpe)
+          .groupBy(col("user_id"))
+          .agg(moneySum(col("value")).as(as))
+      val universe = ev
+        .filter(col("event_type").isin("purchase", "click", "signup"))
+        .select(col("user_id")).distinct()
+      val joined = Seq(
+        roleSum("purchase", "income"), roleSum("click", "outcome"),
+        roleSum("signup", "reward"), roleSum("error", "fee"),
+        roleSum("view", "fee_reward"))
+        .foldLeft(universe)((acc, r) => Joins.anyJoin(acc, r, Seq("user_id"), "left"))
+      joined.select(
+        col("user_id"),
+        greatest(lit(0.0),
+          coalesce(col("income"), lit(0.0)) - coalesce(col("outcome"), lit(0.0))
+            + coalesce(col("reward"), lit(0.0)) - coalesce(col("fee"), lit(0.0))
+            + coalesce(col("fee_reward"), lit(0.0))).as("balance"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A17+A18 the gas-price-estimation notebook query: quantiles of a
+    // value grouped by a computed 1000-wide bucket key
+    // (examples/gas_price_estimation/gas_price_estimation.ipynb).
+    "q34_gas_stats" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy((floor(col("event_id") / 1000) * 1000).cast("long").as("bucket"))
+        .agg(
+          percentile(col("value"), lit(0.2)).as("q20"),
+          percentile(col("value"), lit(0.5)).as("q50"),
+          count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // B15 ABI input decode: synthesized transfer() calldata decoded by
+    // the Scala ABI codec UDF against a real ABI JSON
+    // (reference operations/inputs.py:15-53).
+    "q35_abi_decode" -> ((s, dir) => {
+      val input = concat(
+        lit("0xa9059cbb"),
+        lpad(lower(hex(col("o_custkey"))), 64, "0"),
+        lpad(lower(hex(col("o_orderkey"))), 64, "0"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"),
+          Abi.decode_input(lit(transferAbi), input).as("d"))
+        .select(
+          col("o_orderkey"),
+          col("d.name").as("method"),
+          element_at(col("d.params"), 1).getField("value").as("p_to"),
+          element_at(col("d.params"), 2).getField("value").as("p_value"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // B7 parent-error propagation over branching trace trees: a row is
+    // flagged iff some errored traceAddress is a strict-prefix ancestor
+    // and the row itself is not an error node
+    // (internal_transactions.py:253-274).
+    "q36_parent_error" -> ((s, dir) => {
+      Traces.propagateParentErrors(syntheticTraces(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("parent_error").cast("int").as("parent_error"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // B6 trace-position id assignment: per-tx row_number in
+    // traceAddress depth-first (lexicographic) order → "{tx}.{pos}"
+    // (internal_transactions.py:235-251).
+    "q37_trace_ids" -> ((s, dir) => {
+      Traces.assignIds(syntheticTraces(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"), col("id"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // B16 event → pseudo-input reconstruction:
+    // topics[0][0:10] ++ topics[1:] stripped of 0x ++ data[2:]
+    // (inputs.py:223-242), over synthesized topic words.
+    "q38_event_input" -> ((s, dir) => {
+      val word = (c: org.apache.spark.sql.Column) =>
+        concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          array(word(col("o_orderkey")), word(col("o_custkey"))).as("topics"),
+          concat(lit("0x"),
+            lpad(lower(hex(floor(col("o_totalprice")).cast("long"))), 8, "0")).as("data"))
+        .select(col("o_orderkey"), Events.reconstructedInput.as("pseudo_input"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // A36 Grafana $timeFilter/$timeSeries macros: hourly series over a
+    // parameterized [from, to) range (grafana/dashboards/ethereum.json:520).
+    "q39_time_filter" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(Grafana.timeFilter(col("ts"), "2024-01-10", "2024-01-12"))
+        .groupBy(Grafana.timeSeries(col("ts"), "hour").as("t"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_v"))
+        .orderBy(col("t"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_any_inner_join" ->
+      """SELECT o_orderkey, o_totalprice, l_linenumber, l_partkey, l_quantity
+         FROM orders JOIN (
+           SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+             SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+                    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+             FROM lineitem) WHERE rn = 1) li
+         ON o_orderkey = li.l_orderkey
+         ORDER BY o_orderkey""",
+    "q31_array_filter" ->
+      """SELECT doc_id, t[2] AS second_tok, len(t) AS n_toks
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         WHERE t[1] = 'the' ORDER BY doc_id""",
+    "q32_broadcast_dict" ->
+      """SELECT r_name, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q33_balances_nested" ->
+      """SELECT u.user_id,
+         greatest(0.0,
+           coalesce(i.v, 0.0) - coalesce(c.v, 0.0) + coalesce(s.v, 0.0)
+           - coalesce(e.v, 0.0) + coalesce(w.v, 0.0)) AS balance
+         FROM (SELECT DISTINCT user_id FROM events
+               WHERE event_type IN ('purchase','click','signup')) u
+         LEFT JOIN (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1) i ON u.user_id = i.user_id
+         LEFT JOIN (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                    FROM events WHERE event_type = 'click' GROUP BY 1) c ON u.user_id = c.user_id
+         LEFT JOIN (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                    FROM events WHERE event_type = 'signup' GROUP BY 1) s ON u.user_id = s.user_id
+         LEFT JOIN (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                    FROM events WHERE event_type = 'error' GROUP BY 1) e ON u.user_id = e.user_id
+         LEFT JOIN (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                    FROM events WHERE event_type = 'view' GROUP BY 1) w ON u.user_id = w.user_id
+         ORDER BY u.user_id""",
+    "q34_gas_stats" ->
+      """SELECT CAST(floor(event_id / 1000) * 1000 AS BIGINT) AS bucket,
+         quantile_cont(value, 0.2) AS q20,
+         quantile_cont(value, 0.5) AS q50,
+         count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q35_abi_decode" ->
+      """SELECT o_orderkey, 'transfer' AS method,
+         '0x' || lpad(lower(hex(o_custkey)), 40, '0') AS p_to,
+         CAST(o_orderkey AS VARCHAR) AS p_value
+         FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""",
+    "q36_parent_error" ->
+      """WITH d AS (
+           SELECT l_orderkey, l_linenumber, l_quantity FROM (
+             SELECT l_orderkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                 ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+             FROM lineitem) WHERE rn = 1)
+         SELECT a.l_orderkey, a.l_linenumber,
+         CASE WHEN a.l_quantity < 5 THEN NULL
+              WHEN EXISTS (SELECT 1 FROM d b
+                           WHERE b.l_orderkey = a.l_orderkey
+                             AND b.l_quantity < 5
+                             AND b.l_linenumber >= 1
+                             AND b.l_linenumber IN (a.l_linenumber // 2, a.l_linenumber // 4))
+              THEN 1 END AS parent_error
+         FROM d a ORDER BY a.l_orderkey, a.l_linenumber""",
+    "q37_trace_ids" ->
+      """WITH d AS (
+           SELECT l_orderkey, l_linenumber FROM (
+             SELECT l_orderkey, l_linenumber,
+               row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                 ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+             FROM lineitem) WHERE rn = 1)
+         SELECT l_orderkey, l_linenumber,
+         CAST(l_orderkey AS VARCHAR) || '.' ||
+           CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY path) - 1 AS VARCHAR) AS id
+         FROM (SELECT l_orderkey, l_linenumber,
+                 CASE l_linenumber
+                   WHEN 1 THEN []::INT[] WHEN 2 THEN [0] WHEN 3 THEN [1]
+                   WHEN 4 THEN [0,0] WHEN 5 THEN [0,1] WHEN 6 THEN [1,0]
+                   WHEN 7 THEN [1,1] END AS path
+               FROM d)
+         ORDER BY l_orderkey, l_linenumber""",
+    "q38_event_input" ->
+      """SELECT o_orderkey,
+         '0x' || substr(lpad(lower(hex(o_orderkey)), 64, '0'), 1, 8)
+              || lpad(lower(hex(o_custkey)), 64, '0')
+              || lpad(lower(hex(CAST(floor(o_totalprice) AS BIGINT))), 8, '0') AS pseudo_input
+         FROM orders ORDER BY o_orderkey""",
+    "q39_time_filter" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS t,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+         GROUP BY 1 ORDER BY 1"""
+  )
+}
