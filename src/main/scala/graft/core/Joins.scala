@@ -1,7 +1,6 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ClickHouse ANY JOIN semantics (reference:
@@ -18,14 +17,34 @@ import org.apache.spark.sql.functions._
 object Joins {
 
   /** Keep the first row per key ordered by `order` ascending —
-    * deterministic dedup. One hash shuffle on `keys`; Spark's window
-    * exec sorts within partitions only, no global sort.
+    * deterministic dedup.
+    *
+    * Implemented as `min(struct(order..., row))`, NOT a row_number
+    * window: a hash aggregate combines partially map-side (one
+    * candidate row per key per partition crosses the shuffle) and
+    * needs no sort, where the window shuffles EVERY row and sorts each
+    * partition — the difference between O(rows) shuffle and O(keys) at
+    * 100 TB. Struct comparison is field-lexicographic with null
+    * smallest, matching the window's asc-nulls-first; ties on `order`
+    * fall through to the full row, so the pick is always deterministic.
     */
-  def firstByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+  def firstByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    pickByKey(df, keys, order, min)
+
+  /** Same single-pass shape, greatest `order` wins (desc-nulls-last
+    * analog: null order fields compare smallest, so max prefers
+    * non-null versions).
+    */
+  def lastByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    pickByKey(df, keys, order, max)
+
+  private def pickByKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      pick: Column => Column): DataFrame = {
+    val row = struct(df.columns.map(col): _*).as("__row")
+    val packed = struct(order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+ row: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(pick(packed).as("__m"))
+      .select(col("__m.__row.*"))
   }
 
   /** `left ANY [joinType] JOIN right USING keys`.

@@ -1,8 +1,6 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
 /** ReplacingMergeTree/FINAL semantics (reference: ClickHouse
   * `ReplacingMergeTree() ORDER BY (id)` tables read with `FINAL`,
@@ -20,14 +18,14 @@ object Upsert {
   /** Keep the latest row per key set, "latest" = max by `version`
     * columns (compared in order). Deterministic, unlike
     * `dropDuplicates`, which keeps an arbitrary row.
+    *
+    * Single-pass `max(struct(version..., row))` aggregate: partial
+    * (map-side) combine means one candidate row per key per partition
+    * crosses the shuffle and nothing is sorted — the FINAL dedup view
+    * stays cheap however long the append log grows.
     */
-  def latestById(df: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(version.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  def latestById(df: DataFrame, keys: Seq[String], version: Seq[Column]): DataFrame =
+    graft.core.Joins.lastByKey(df, keys, version)
 
   /** Version-free variant for when any row per id is acceptable
     * (matches ClickHouse ANY semantics, not deterministic row choice).
