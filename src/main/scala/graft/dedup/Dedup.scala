@@ -34,19 +34,17 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** (id, shingle-hash) inverted-index rows, distinct. Shingles are
-    * 64-bit-hashed before the shuffle — postings shuffle longs instead
-    * of n-gram strings (collision probability across a single doc
-    * pair's shingles is ~2^-64·|sh|², irrelevant even at 100 TB).
+  /** (doc, set-size, shingle-hash) inverted-index rows, distinct.
+    * Shingles are 64-bit-hashed before the shuffle — postings shuffle
+    * longs instead of n-gram strings (collision probability across a
+    * single doc pair's shingles is ~2^-64·|sh|², irrelevant even at
+    * 100 TB). The set size rides along so the Jaccard denominator
+    * needs no separate sizes table (and no join to fetch it).
     */
   private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"),
-      explode(TextFunctions.shingles(col(textCol), n)).as("sh0"))
-      .select(col("doc"), xxhash64(col("sh0")).as("sh"))
-
-  /** Per-doc shingle-set size. */
-  private def shingleSizes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), size(TextFunctions.shingles(col(textCol), n)).as("nsh"))
+    df.select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), n).as("arr"))
+      .select(col("doc"), size(col("arr")).as("nsh"), explode(col("arr")).as("sh0"))
+      .select(col("doc"), col("nsh"), xxhash64(col("sh0")).as("sh"))
 
   /** Exact n-gram Jaccard similar pairs (j >= tau, a < b), computed as
     * inverted-index self-join: pairs sharing at least one shingle get a
@@ -73,14 +71,20 @@ object Dedup {
         idx0.join(hot, Seq("sh"), "left_anti")
       case None => idx0
     }
-    val shared = idx.as("l").join(idx.as("r"), col("l.sh") === col("r.sh"))
+    // na/nb are functionally dependent on doc_a/doc_b, so carrying them
+    // in the grouping key is free — and the sizes arrive with the
+    // postings, so the Jaccard is computed straight out of the
+    // aggregate: no sizes table, no extra joins, one shuffle less.
+    // SHUFFLE_HASH: both sides are the same full postings index — at
+    // any real scale neither fits a broadcast, and the hash-join build
+    // must happen per-partition, not on the driver. (Without the hint
+    // AQE broadcasts the 10 MB index at bench scale: a serial driver
+    // build that's slower than the 32-way shuffle it avoids.)
+    idx.as("l").join(idx.as("r").hint("shuffle_hash"), col("l.sh") === col("r.sh"))
       .filter(col("l.doc") < col("r.doc"))
-      .groupBy(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .groupBy(col("l.doc").as("doc_a"), col("l.nsh").as("na"),
+        col("r.doc").as("doc_b"), col("r.nsh").as("nb"))
       .agg(count(lit(1)).as("c"))
-    val sizes = shingleSizes(df, idCol, textCol, n)
-    shared
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
       .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -123,7 +127,8 @@ object Dedup {
     val buckets = sh.select(
       col("doc"),
       explode(lshBandKeys(col("sh"), numHashes, bands)).as("bucket"))
-    val candidates = buckets.as("l").join(buckets.as("r"), col("l.bucket") === col("r.bucket"))
+    val candidates = buckets.as("l")
+      .join(buckets.as("r").hint("shuffle_hash"), col("l.bucket") === col("r.bucket"))
       .filter(col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
@@ -178,7 +183,8 @@ object Dedup {
           shiftrightunsigned(col("sim"), p * width).bitwiseAND(mask))
       }: _*)).as("piece"))
       .select(col("doc"), col("sim"), col("piece"))
-    val candidates = pieceKeys.as("l").join(pieceKeys.as("r"), col("l.piece") === col("r.piece"))
+    val candidates = pieceKeys.as("l")
+      .join(pieceKeys.as("r").hint("shuffle_hash"), col("l.piece") === col("r.piece"))
       .filter(col("l.doc") < col("r.doc"))
       .filter(bit_count(col("l.sim").bitwiseXOR(col("r.sim"))) <= maxHamming)
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
