@@ -1,0 +1,177 @@
+package graft.eth
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** B12/B13/B14 contract-metadata adapters and the B3/B20 JSON-RPC
+  * source, fixture-backed (zero-egress environment — same pattern as
+  * the reference's tests against a local parity).
+  */
+class AdaptersSpec extends SparkSpec {
+
+  private def word(v: BigInt): String = "%064x".format(v)
+  private def strReturn(s: String): String = {
+    val b = s.getBytes("UTF-8")
+    val padded = b.map("%02x".format(_)).mkString.padTo(
+      ((b.length + 31) / 32) * 64, '0')
+    "0x" + word(32) + word(b.length) + padded
+  }
+  private def bytes32Return(s: String): String =
+    "0x" + s.getBytes("UTF-8").map("%02x".format(_)).mkString.padTo(64, '0')
+
+  test("B12 probe: string/bytes32 fallback, defaults, totalSupply scale+cap") {
+    val sel = (m: String) => "0x" + Abi.methodId(m, Seq.empty)
+    val token = "0xc0ffee"
+    val plain = "0xdead" // everything reverts -> defaults
+    val whale = "0xbigbag" // supply over the cap
+
+    // responses prebuilt on the driver: the source closure captures
+    // only this serializable map, not the spec instance
+    val responses: Map[(String, String), String] = Map(
+      (token, sel("name")) -> strReturn("Cool Token"),
+      (token, sel("symbol")) -> bytes32Return("COOL"),
+      (token, sel("decimals")) -> ("0x" + word(17)),
+      (token, sel("totalSupply")) ->
+        ("0x" + word(BigInt(5) * BigInt(10).pow(20))), // 5000 at 17 decimals
+      (token, sel("owner")) ->
+        ("0x" + word(BigInt("d11b80088ce2623a9c017b93008405511cd951d2", 16))),
+      (whale, sel("decimals")) -> ("0x" + word(0)),
+      (whale, sel("totalSupply")) -> ("0x" + word(BigInt(2).pow(80)))) // >> 2^62 cap
+    val source = new EthCallSource {
+      override def ethCall(to: String, data: String): Option[String] =
+        responses.get((to, data))
+    }
+
+    val s = spark
+    import s.implicits._
+    val out = ContractMethods.describeContracts(
+      spark, Seq(token, plain, whale).toDF("address"), source)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val t = out(token)
+    assert(t.getString(1) === "Cool Token")
+    assert(t.getString(2) === "COOL")
+    assert(t.getShort(3) === 17.toShort)
+    assert(t.getLong(4) === 5000L)
+    assert(t.getString(5) === "0xd11b80088ce2623a9c017b93008405511cd951d2")
+
+    val p = out(plain) // reference defaults ('', '', 18, 0, None)
+    assert(p.getString(1) === "")
+    assert(p.getString(2) === "")
+    assert(p.getShort(3) === 18.toShort)
+    assert(p.getLong(4) === 0L)
+    assert(p.isNullAt(5))
+
+    // the reference's 1<<63-1 parses as 2^62 — preserved
+    assert(out(whale).getLong(4) === (1L << 62))
+  }
+
+  test("B13 token metadata broadcast join; B14 abi fetch with failure flag") {
+    val s = spark
+    import s.implicits._
+    val desc = Seq(("0xc0ffee", "Cool"), ("0xdead", "Dead"))
+      .toDF("id", "token_name")
+    val tokens = Seq(("0xc0ffee", "cool-token", "42"))
+      .toDF("address", "website_slug", "cmc_id")
+    val joined = ContractMethods.withTokenMetadata(desc, tokens)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(joined("0xc0ffee").getString(2) === "cool-token")
+    assert(joined("0xc0ffee").getString(3) === "42")
+    assert(joined("0xdead").isNullAt(2))
+
+    val abiSource = new AbiSource {
+      override def fetchAbi(a: String): Option[String] =
+        if (a == "0xc0ffee") Some("""[{"type":"function","name":"transfer"}]""")
+        else None
+    }
+    val abis = ContractMethods.fetchAbis(
+      spark, Seq("0xc0ffee", "0xdead").toDF("address"), abiSource)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(abis("0xc0ffee").getString(1).contains("transfer"))
+    assert(abis("0xdead").isNullAt(1))
+    assert(abis("0xdead").getBoolean(2) === true) // never retried
+  }
+
+  test("B3 JSON-RPC source: batched fetch, host routing, retry; pipeline-compatible rows") {
+    // canned node: blocks 0..4, one tx + one trace in block 2, one log.
+    // Call recording goes through the JVM-global FakeNodeState (local
+    // mode shares the JVM, but serialized task closures get COPIES of
+    // captured objects — a captured queue would only see driver calls).
+    FakeNodeState.calls.clear()
+    FakeNodeState.failures.set(2)
+    val transport = new RpcTransport {
+      override def post(url: String, body: String): String = {
+        FakeNodeState.calls.add(url)
+        // first two calls fail -> B20 retry path
+        if (FakeNodeState.failures.getAndDecrement() > 0) throw new RuntimeException("flaky node")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val reqs = mapper.readTree(body)
+        (0 until reqs.size()).map { i =>
+          val req = reqs.get(i)
+          val id = req.get("id").asInt()
+          val method = req.get("method").asText()
+          val result = method match {
+            case "eth_blockNumber" => "\"0x4\""
+            case "eth_getBlockByNumber" =>
+              val n = java.lang.Long.decode(req.get("params").get(0).asText())
+              val txs =
+                if (req.get("params").get(1).asBoolean() && n == 2L)
+                  """[{"hash":"0xt3","blockHash":"0xb2","gasPrice":"0x3b9aca00"}]"""
+                else "[]"
+              s"""{"number":"0x${java.lang.Long.toHexString(n)}","timestamp":"0x5e0be100","transactions":$txs}"""
+            case "trace_block" =>
+              val n = java.lang.Long.decode(req.get("params").get(0).asText())
+              if (n == 2L)
+                """[{"transactionHash":"0xt3","blockHash":"0xb2","type":"call",
+                    "traceAddress":[],"action":{"from":"0xa","to":"0xb","value":"0xde0b6b3a7640000"},
+                    "result":{"gasUsed":"0x5208"}}]""".replaceAll("\n\\s*", "")
+              else "[]"
+            case "eth_getLogs" =>
+              """[{"blockNumber":"0x2","transactionHash":"0xt3","blockHash":"0xb2",
+                  "address":"0xC0FFEE","logIndex":"0x0",
+                  "topics":["0xtopic0"],"data":"0xdata"}]""".replaceAll("\n\\s*", "")
+            case _ => "null"
+          }
+          s"""{"jsonrpc":"2.0","id":$id,"result":$result}"""
+        }.mkString("[", ",", "]")
+      }
+    }
+
+    val hosts = Seq(
+      HostRange("http://old-node", 0L, Some(1L)),
+      HostRange("http://new-node", 2L, None))
+    val src = new JsonRpcChainSource(spark, transport, hosts, batchSize = 2,
+      fetchPartitions = 2, retrySleepMs = 10)
+
+    assert(src.headBlock === 4L)
+
+    val blocks = src.blocks(Seq(0L, 1L, 2L, 3L)).collect()
+    assert(blocks.length === 4)
+    assert(blocks.forall(!_.isNullAt(1)))
+
+    val traces = src.traces(Seq(1L, 2L)).collect()
+    assert(traces.length === 1)
+    assert(traces.head.getAs[String]("transactionHash") === "0xt3")
+    val norm = Traces.normalize(src.traces(Seq(2L)), src.transactions(Seq(2L)))
+    val row = norm.head()
+    assert(row.getAs[String]("id") === "0xt3.0")
+    assert(row.getAs[Double]("value") === 1.0)
+    assert(row.getAs[Double]("gasPrice") === 1e-9)
+
+    val events = Events.normalize(src.events(Seq((0L, 4L)))).head()
+    assert(events.getAs[String]("address") === "0xc0ffee")
+    assert(events.getAs[String]("id") === "0xt3.0")
+
+    // host routing honored block ranges
+    import scala.jdk.CollectionConverters._
+    val urls = FakeNodeState.calls.asScala.toSet
+    assert(urls.contains("http://old-node") && urls.contains("http://new-node"))
+  }
+}
+
+/** JVM-global state for the fake node (see routing test). */
+object FakeNodeState {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+}
