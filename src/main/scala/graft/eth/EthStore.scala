@@ -68,16 +68,23 @@ class EthStore(val spark: SparkSession, val root: String) {
 
   /** Schema-policed append (ingestion drops extra columns, fills
     * missing with NULL — custom_clickhouse._filter_schema analog).
+    * A32 bulk upsert sink; `maxRecordsPerFile` is the insert chunk
+    * sizing (MAX_CHUNK_SIZE, config.py:42) analog.
     */
-  def append(table: String, df: DataFrame, seq: Long): Unit = {
+  def append(table: String, df: DataFrame, seq: Long,
+      maxRecordsPerFile: Long = 0L): Unit = {
     val conformed = Schemas.conform(df, schemas(table))
       .withColumn("_seq", lit(seq))
-    val writer =
+    val writer0 =
       if (conformed.columns.contains("blockNumber"))
         conformed
           .withColumn("_block_bucket", (col("blockNumber") / 100000).cast("long"))
           .write.partitionBy("_block_bucket")
       else conformed.write
+    val writer =
+      if (maxRecordsPerFile > 0)
+        writer0.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer0
     writer.mode("append").parquet(path(table))
   }
 

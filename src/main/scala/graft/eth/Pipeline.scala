@@ -35,7 +35,8 @@ trait ChainSource {
   * exactly as idempotent here.
   */
 class Pipeline(store: EthStore, source: ChainSource,
-    maxBlocksPerPass: Int = 10000) {
+    maxBlocksPerPass: Int = 10000,
+    genesis: Option[DataFrame] = None) {
 
   private def spark: SparkSession = store.spark
   private def now(): Long = System.currentTimeMillis()
@@ -83,6 +84,12 @@ class Pipeline(store: EthStore, source: ChainSource,
     if (work.isEmpty) return 0L
     val normalized = Traces.normalize(source.traces(work), source.transactions(work))
     store.append("internal_transaction", normalized, now())
+    // B9: processing block 0 also loads the genesis allocations as
+    // pseudo-transactions (internal_transactions.py:342-361) — flag-
+    // gated by block 0's traces_extracted flag, so it happens once.
+    if (work.contains(0L))
+      genesis.foreach(g =>
+        store.append("internal_transaction", Traces.genesisTransactions(g), now()))
     writeBlockFlags(work, "traces_extracted")
     work.size.toLong
   }

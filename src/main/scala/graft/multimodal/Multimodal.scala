@@ -56,12 +56,17 @@ object Multimodal {
       java.util.Arrays.copyOf(payload, target)
     }
 
-    /** STUB frame sampling: every `stride`-th 1 KiB slice. */
-    def sampleFrames(payload: Array[Byte], stride: Int): Seq[Array[Byte]] =
-      payload.grouped(1024).zipWithIndex.collect {
+    /** STUB frame sampling: every `stride`-th `frameBytes` slice. */
+    def sampleFrames(payload: Array[Byte], stride: Int,
+        frameBytes: Int = 1024): Seq[Array[Byte]] =
+      payload.grouped(frameBytes).zipWithIndex.collect {
         case (frame, i) if i % stride == 0 => frame
       }.toSeq
   }
+
+  case class TransformedRow(
+      media_id: Long, resized_bytes: Int, resized_md5: String,
+      n_frames_sampled: Int)
 
   /** Batched per-partition decode: the canonical shape for vectorized
     * media processing (codec initialized once per partition, rows
@@ -86,6 +91,28 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col(idCol) % 3 + 1).cast("int")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
+
+  /** Resize + frame-sample in one batched per-partition pass — the
+    * transform (not just inspect) side of the media pipeline. Same
+    * contract as [[withMediaMeta]]: codec init once per partition,
+    * narrow map, one output row per input row.
+    */
+  def mediaTransformTable(spark: SparkSession, media: DataFrame,
+      width: Int, height: Int, stride: Int, frameBytes: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val codec = FakeCodec
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val resized = codec.resize(r.payload, width, height)
+        md.reset()
+        TransformedRow(
+          r.media_id, resized.length,
+          md.digest(resized).map("%02x".format(_)).mkString,
+          codec.sampleFrames(r.payload, stride, frameBytes).length)
+      }
+    }.toDF()
+  }
 
   /** DataFrame-level metadata projection of the decoded dataset. */
   def mediaMetaTable(spark: SparkSession, media: DataFrame): DataFrame = {

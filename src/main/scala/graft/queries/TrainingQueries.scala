@@ -165,6 +165,30 @@ object TrainingQueries {
     "q29_media_meta" -> ((s, dir) => {
       val media = Multimodal.synthesizeFromText(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.mediaMetaTable(s, media).orderBy(col("media_id"))
+    }),
+
+    // IVF-Flat ANN (the second scale path beside q28's LSH): inverted
+    // lists by nearest centroid, nprobe-list probing — rows-only check;
+    // recall vs q27's exact top-k measured in SimilaritySpec.
+    "q40_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      Similarity.ivfTopK(queries, corpus, k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Media transform ops: STUB resize + frame sampling through the
+    // batched mapPartitions plumbing (byte-level deterministic, so the
+    // truncation length / digest / frame count oracle-check exactly).
+    "q41_media_ops" -> ((s, dir) => {
+      val media = Multimodal.synthesizeFromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.mediaTransformTable(s, media,
+        width = 32, height = 64, stride = 2, frameBytes = 64)
+        .orderBy(col("media_id"))
     })
   )
 
@@ -246,6 +270,15 @@ object TrainingQueries {
          16 + ascii(substr(text,3,1)) * 16 + ascii(substr(text,4,1)) AS height,
          (strlen(text) // 1024 + 1)::INT AS n_frames,
          md5(text) AS sha
+         FROM documents ORDER BY media_id""",
+    // q41: resize target = 32*64/64 = 32 bytes (< min doc length, so
+    // truncation-only and md5 matches a substring digest); frames of 64
+    // bytes sampled at stride 2 -> ceil(ceil(len/64)/2).
+    "q41_media_ops" ->
+      """SELECT doc_id AS media_id,
+         32 AS resized_bytes,
+         md5(substr(text, 1, 32)) AS resized_md5,
+         ((((strlen(text) + 63) // 64) + 1) // 2)::INT AS n_frames_sampled
          FROM documents ORDER BY media_id"""
   )
 }

@@ -101,6 +101,51 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
+  /** IVF-Flat approximate top-k — the second scale path next to
+    * [[lshTopK]]: a coarse quantizer assigns every corpus vector to its
+    * nearest centroid (inverted lists), and each query scores only the
+    * `nprobe` lists nearest to it. The partition-pruning analog for
+    * vector search: candidate work drops by ~nlist/nprobe.
+    *
+    * The quantizer here is deterministic — the `nlist` lowest-id corpus
+    * vectors serve as centroids (a sampled quantizer; production IVF
+    * k-means-refines them, which changes WHICH vectors the lists hold
+    * but none of the dataflow below). Centroids are a small dimension:
+    * broadcast to both assignment joins, so the corpus never shuffles
+    * for assignment — the only wide exchange is the per-query top-k.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (q_id, q_emb: array<double>)
+      corpus: DataFrame, // (c_id, c_emb: array<double>)
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val cent = corpus.orderBy(col("c_id")).limit(nlist)
+      .select(col("c_id").as("cent_id"), col("c_emb").as("cent_emb"))
+      .withColumn("cent_norm", norm(col("cent_emb")))
+    val c = corpus.withColumn("c_norm", norm(col("c_emb")))
+    val assigned = graft.core.Joins.lastByKey(
+      c.crossJoin(broadcast(cent))
+        .withColumn("a_score",
+          cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
+      Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+      .select(col("cent_id").as("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
+    val q = queries.withColumn("q_norm", norm(col("q_emb")))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("p_score",
+        cosineWithNorms(col("q_emb"), col("cent_emb"), col("q_norm"), col("cent_norm")))
+      .withColumn("p_rank", row_number().over(probeW))
+      .filter(col("p_rank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("cent_id").as("list_id"))
+    val scored = assigned.join(probes, Seq("list_id"))
+      .withColumn("cos", cosineWithNorms(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine >=
     * tau. Exact variant (self cross join) — use only when one side fits
     * in broadcast; the LSH-prefiltered variant joins on bucket instead.

@@ -103,7 +103,8 @@ class PipelineSpec extends SparkSpec {
     import s.implicits._
     val root = Files.createTempDirectory("ethstore").toString
     val store = new EthStore(spark, root)
-    val pipeline = new Pipeline(store, fixtureSource)
+    val genesisAllocs = Seq(("0xgenesis", 100.0)).toDF("address", "value")
+    val pipeline = new Pipeline(store, fixtureSource, genesis = Some(genesisAllocs))
 
     // seed contract metadata + ABI (normally from the prober/etherscan
     // adapters — fixture-fed here, like the reference tests do)
@@ -126,8 +127,12 @@ class PipelineSpec extends SparkSpec {
     assert(pipeline.unprocessedBlocks("events_extracted").count() === 0)
 
     val itx = store.tableFinal("internal_transaction")
-    // 6 traces; ids assigned per tx; child of the failed call flagged
-    assert(itx.count() === 6)
+    // 6 traces + 1 genesis pseudo-transaction; ids assigned per tx;
+    // child of the failed call flagged
+    assert(itx.count() === 7)
+    val gen = itx.filter(col("id") === "GENESIS_0xgenesis").head()
+    assert(gen.getAs[Double]("value") === 100.0)
+    assert(gen.getAs[Long]("blockNumber") === 0L)
     assert(itx.filter(col("id") === "0xt4.1").head().getAs[Boolean]("parent_error") === true)
     assert(itx.filter(col("id") === "0xb4.0").head().getAs[String]("author") === "0xminer")
     // value/gasPrice converted to ETH doubles

@@ -57,6 +57,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks === (1 to lsh.length))
   }
 
+  test("ivfTopK: correct scores, well-formed ranks, full recall at nprobe=nlist") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing EVERY list must equal exact brute force (IVF is lossless
+    // when nprobe = nlist)
+    val full = Similarity.ivfTopK(queries, corpus, k = 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === bf)
+    // the approximate setting keeps usable recall and exact scores
+    val approx = Similarity.ivfTopK(queries, corpus, k = 5, nlist = 16, nprobe = 4)
+      .collect()
+    // uniform-random embeddings are IVF's worst case: no cluster
+    // structure, so expected recall ~ nprobe/nlist (= 0.25 here).
+    // Assert it at least matches that floor; clustered real data (what
+    // IVF is for) sits far above it.
+    val recall = approx.map(r => (r.getLong(0), r.getLong(1)))
+      .count(bf.contains).toDouble / bf.size
+    assert(recall >= 0.25, s"IVF recall $recall below the random-data floor")
+    approx.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.sortBy(_.getInt(3)).map(_.getInt(3)).toSeq === (1 to rows.length))
+    }
+  }
+
   test("cosinePairs finds mutually-close vectors above tau only") {
     val s = spark
     import s.implicits._
