@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSpec
+
+/** Physical-plan quality gates: the properties that make these plans
+  * survive a 100×–1000× scale-up are asserted, not assumed —
+  * predicate pushdown reaching the parquet scan, column pruning,
+  * dimension broadcasts, and the absence of cartesian products in the
+  * pair-generation pipelines.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: range + LIKE predicates push down to the parquet scan") {
+    val p = plan("q02_filter_ranges")
+    assert(p.contains("PushedFilters:"), "no pushdown section")
+    assert(p.contains("Or(And(GreaterThanOrEqual(o_orderkey,1000)"),
+      "range predicate did not reach the scan")
+    assert(p.contains("StringStartsWith(o_orderpriority,1-"),
+      "LIKE prefix did not reach the scan")
+  }
+
+  test("q02: scan reads only the projected columns") {
+    val p = plan("q02_filter_ranges")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_custkey"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q32: dimension joins are broadcast — no shuffle of the fact side for the join") {
+    val p = plan("q32_broadcast_dict")
+    assert(p.contains("BroadcastHashJoin"), "dimension join not broadcast")
+    assert(!p.contains("SortMergeJoin"), "fact side is being shuffled for a dim join")
+  }
+
+  test("pair-generation pipelines contain no cartesian product") {
+    Seq("q23_jaccard_pairs", "q24_minhash_lsh", "q25_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan contains a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan contains a nested-loop join")
+    }
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q01_agg_groupby")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "no partial aggregation before the shuffle")
+  }
+
+  test("q10/q30: dedup runs as aggregate, not a sorted window") {
+    Seq("q10_dedup_final", "q30_any_inner_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q still uses a window for dedup")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate") ||
+        p.contains("ObjectHashAggregate"), s"$q dedup is not an aggregate")
+    }
+  }
+
+  test("q27: brute-force ANN broadcasts the query side, never shuffles the corpus for scoring") {
+    val p = plan("q27_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "queries not broadcast against the corpus scan")
+  }
+}
