@@ -76,6 +76,49 @@ class DerivedStreamsSpec extends SparkSpec {
     assert(err.getMessage.contains("TimestampType"))
   }
 
+  test("windowedEventCounts: watermarked window agg over a deduped stream, append mode") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("streamstore3").toString
+    val store = new EthStore(spark, root)
+    // two events in hour 0, one in hour 1; e1 re-appended (upsert)
+    store.append("event", eventRows(Seq(("e1", 10L), ("e2", 11L), ("e3", 12L)), 1L), 1L)
+    store.append("event", eventRows(Seq(("e1", 10L)), 2L), 2L)
+
+    // block-timestamp dictionary (A14): blockNumber -> event time
+    val ts = Seq(
+      (10L, "2024-01-01 00:05:00"), (11L, "2024-01-01 00:40:00"),
+      (12L, "2024-01-01 01:10:00"))
+      .toDF("blockNumber", "t")
+      .select(col("blockNumber"), col("t").cast("timestamp").as("block_ts"))
+    val withTime = DerivedStreams.eventStream(store, "event")
+      .join(broadcast(ts), Seq("blockNumber"))
+    val counts = DerivedStreams.windowedEventCounts(withTime, "block_ts")
+
+    val outDir = s"$root/windowed"
+    val q = DerivedStreams.refreshOnce(counts, outDir, s"$root/ckpt_w")
+    q.awaitTermination()
+    // append mode emits only windows closed by the watermark: with max
+    // event time 01:10 and a 2h watermark nothing is final yet — run a
+    // second pass after appending a far-future row that advances it.
+    store.append("event", eventRows(Seq(("e9", 13L)), 3L), 3L)
+    val ts2 = ts.unionByName(Seq((13L, "2024-01-01 09:00:00")).toDF("blockNumber", "t")
+      .select(col("blockNumber"), col("t").cast("timestamp").as("block_ts")))
+    val q2 = DerivedStreams.refreshOnce(
+      DerivedStreams.windowedEventCounts(
+        DerivedStreams.eventStream(store.spark, store.path("event")).join(broadcast(ts2), Seq("blockNumber")),
+        "block_ts"),
+      outDir, s"$root/ckpt_w")
+    q2.awaitTermination()
+
+    val out = spark.read.parquet(outDir)
+      .orderBy(col("window_start"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+    // hour 0 holds e1 (deduped) + e2 = 2 events; hour 1 holds e3
+    assert(out.contains(("2024-01-01 00:00:00.0", 2L)))
+    assert(out.contains(("2024-01-01 01:00:00.0", 1L)))
+  }
+
   test("null address/blockNumber rows are dropped before the typed highwater state") {
     val s = spark
     import s.implicits._
