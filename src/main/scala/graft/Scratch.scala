@@ -28,6 +28,7 @@ object Scratch {
       pieces.groupBy(col("piece")).count().orderBy(col("count").desc).show(10)
       spark.stop(); return
     }
+    if (sys.env.contains("SCRATCH_DEBUGLOG")) spark.sparkContext.setLogLevel("DEBUG")
     val names = args.drop(1)
     val qs = if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
     qs.foreach { q =>

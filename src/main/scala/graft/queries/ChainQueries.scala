@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.core.Joins
-import graft.eth.{Abi, Events, Grafana, Traces}
+import graft.eth.{Abi, DerivedViews, Events, Grafana, Selectors, Traces}
 
 /** SURVEY §2 rows not yet exercised by RelationalQueries /
   * TrainingQueries, each over the driver's tables with chain-shaped
@@ -56,6 +56,38 @@ object ChainQueries {
   private val transferAbi =
     """[{"type":"function","name":"transfer","inputs":[
          {"name":"dst","type":"address"},{"name":"wad","type":"uint256"}]}]"""
+
+  /** '0x' + 64-hex word of a numeric column (topic/data encoding). */
+  private def word64(c: org.apache.spark.sql.Column) =
+    concat(lit("0x"), lpad(lower(hex(c)), 64, "0"))
+
+  // Selector blobs for synthetic bytecode (computed from our Keccak at
+  // class load — the same constants the MV flags test for).
+  private val erc20Blob = Selectors.erc20.values.toSeq.sorted.mkString
+  private val erc223Blob = Selectors.erc223.values.toSeq.sorted.mkString
+  private val bancorBlob = Selectors.bancorConverter.values.toSeq.sorted.mkString
+
+  /** Synthetic internal_transaction table for the contracts MV:
+    * creations at orderkey%3=0, errors at %7=0, parent errors at %11=0,
+    * addresses only at even keys (exercising the coalesce(address,id)),
+    * bytecode carrying standard selector blobs at %5/%4/%6.
+    */
+  private def syntheticCreationTraces(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    t(s, dir, "orders").select(
+      concat(lit("0xid"), k.cast("string")).as("id"),
+      when(k % 3 === 0, lit("create")).otherwise(lit("call")).as("type"),
+      when(k % 7 === 0, lit("err")).otherwise(lit(null).cast("string")).as("error"),
+      when(k % 11 === 0, lit(true)).otherwise(lit(null).cast("boolean")).as("parent_error"),
+      when(k % 2 === 0, concat(lit("0xaddr"), k.cast("string")))
+        .otherwise(lit(null).cast("string")).as("address"),
+      concat(lit("0xowner"), col("o_custkey").cast("string")).as("from"),
+      concat(lit("0x6060"),
+        when(k % 5 === 0, lit(erc20Blob)).otherwise(lit("")),
+        when(k % 4 === 0, lit(erc223Blob)).otherwise(lit("")),
+        when(k % 6 === 0, lit(bancorBlob)).otherwise(lit(""))).as("code"),
+      (k / 10).cast("long").as("blockNumber"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A11 ANY INNER JOIN: at most one lineitem per order, inner — the
@@ -205,6 +237,70 @@ object ChainQueries {
         .groupBy(Grafana.timeSeries(col("ts"), "hour").as("t"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_v"))
         .orderBy(col("t"))
+    }),
+
+    // A33 contracts MV over synthetic creation traces: create-filter,
+    // error/parent-error exclusion, coalesce(address,id), selector-
+    // containment standard flags (contract_transactions.py:53-112).
+    "q42_contracts_mv" -> ((s, dir) => {
+      DerivedViews.contracts(syntheticCreationTraces(s, dir))
+        .orderBy(col("id"))
+    }),
+
+    // A34 token-transfer MV over synthetic Transfer events: topic
+    // filter, topic-slice from/to, low-128 uint256 data decode, ANY
+    // INNER decimals join (token_holders.py:13-51).
+    "q43_token_transfers_mv" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      // selectivity as a plain pushable predicate on the scan key;
+      // mixed-topic filtering is covered by DerivedViewsSpec goldens.
+      // (The synthesized 6-column hex projection is wide enough that
+      // Spark's split-function codegen trips a janino "not an rvalue"
+      // and the FILTER falls back to interpreted eval — fixture-only
+      // noise; real pipelines read these columns from parquet.)
+      val events = t(s, dir, "orders")
+        .filter(k % 2 === 0)
+        .select(
+          concat(lit("ev"), k.cast("string")).as("id"),
+          concat(lit("0xtoken"), (k % 25).cast("string")).as("address"),
+          concat(lit("tx"), k.cast("string")).as("transactionHash"),
+          (k / 10).cast("long").as("blockNumber"),
+          array(lit(DerivedViews.TransferTopic),
+            word64(col("o_custkey")), word64(col("o_custkey") + 1)).as("topics"),
+          word64(k).as("data"))
+      val descriptions = t(s, dir, "nation").select(
+        concat(lit("0xtoken"), col("n_nationkey").cast("string")).as("id"),
+        (col("n_nationkey") % 4).cast("short").as("decimals"))
+      DerivedViews.tokenTransfers(events, descriptions)
+        .orderBy(col("id"))
+    }),
+
+    // A35 Bancor-trades view over synthetic Conversion events:
+    // converter semi-join, topic slicing, the reference's exact two
+    // data slices (low-120-bit amount / low-128-bit return), per-token
+    // decimal ANY LEFT joins (bancor_trades.py:13-74).
+    "q44_bancor_trades" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val events = t(s, dir, "orders")
+        .filter(k % 3 === 0) // see q43 note on pushable selectivity
+        .select(
+          concat(lit("bv"), k.cast("string")).as("id"),
+          concat(lit("0xconv"), (k % 50).cast("string")).as("address"),
+          concat(lit("tx"), k.cast("string")).as("transactionHash"),
+          array(lit(DerivedViews.ConversionTopic),
+            word64(k % 25), word64(k % 25 + 1), word64(col("o_custkey"))).as("topics"),
+          concat(word64(k), lpad(lower(hex(k + 7)), 64, "0")).as("data"))
+      val contracts = t(s, dir, "orders")
+        .select((k % 50).as("n")).distinct()
+        .select(
+          concat(lit("0xconv"), col("n").cast("string")).as("address"),
+          when(col("n") < 30, lit(1)).otherwise(lit(0)).cast("short")
+            .as("standard_bancor_converter"))
+      val descriptions = t(s, dir, "nation").select(
+        concat(lit("0x"), lpad(lower(hex(col("n_nationkey"))), 40, "0")).as("id"),
+        (col("n_nationkey") % 4).cast("short").as("decimals"))
+      DerivedViews.bancorTrades(events, contracts, descriptions)
+        .orderBy(col("id"))
     })
   )
 
@@ -303,6 +399,50 @@ object ChainQueries {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // selector blobs / topics below are interpolated from the same
+    // Keccak-derived constants the MV flags use
+    "q42_contracts_mv" ->
+      s"""SELECT
+         CASE WHEN o_orderkey % 2 = 0 THEN '0xaddr' || CAST(o_orderkey AS VARCHAR)
+              ELSE '0xid' || CAST(o_orderkey AS VARCHAR) END AS id,
+         o_orderkey // 10 AS "blockNumber",
+         CASE WHEN o_orderkey % 2 = 0 THEN '0xaddr' || CAST(o_orderkey AS VARCHAR) END AS address,
+         '0xowner' || CAST(o_custkey AS VARCHAR) AS owner,
+         '0x6060' || CASE WHEN o_orderkey % 5 = 0 THEN '$erc20Blob' ELSE '' END
+                  || CASE WHEN o_orderkey % 4 = 0 THEN '$erc223Blob' ELSE '' END
+                  || CASE WHEN o_orderkey % 6 = 0 THEN '$bancorBlob' ELSE '' END AS bytecode,
+         (o_orderkey % 5 = 0)::SMALLINT AS standard_erc20,
+         (o_orderkey % 4 = 0)::SMALLINT AS standard_erc223,
+         (o_orderkey % 6 = 0)::SMALLINT AS standard_bancor_converter
+         FROM orders
+         WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+         ORDER BY id""",
+    "q43_token_transfers_mv" ->
+      """SELECT
+         '0x' || lpad(lower(hex(o_custkey)), 40, '0') AS "from",
+         '0x' || lpad(lower(hex(o_custkey + 1)), 40, '0') AS "to",
+         o_orderkey / power(10, n_nationkey % 4) AS value,
+         'ev' || CAST(o_orderkey AS VARCHAR) AS id,
+         '0xtoken' || CAST(o_orderkey % 25 AS VARCHAR) AS token,
+         'tx' || CAST(o_orderkey AS VARCHAR) AS "transactionHash",
+         o_orderkey // 10 AS "blockNumber"
+         FROM orders JOIN nation ON n_nationkey = o_orderkey % 25
+         WHERE o_orderkey % 2 = 0
+         ORDER BY id""",
+    "q44_bancor_trades" ->
+      """SELECT
+         'bv' || CAST(o_orderkey AS VARCHAR) AS id,
+         '0x' || lpad(lower(hex(o_orderkey % 25)), 40, '0') AS from_token,
+         '0x' || lpad(lower(hex(o_orderkey % 25 + 1)), 40, '0') AS to_token,
+         '0x' || lpad(lower(hex(o_custkey)), 40, '0') AS trader,
+         o_orderkey / power(10, (o_orderkey % 25) % 4) AS amount,
+         (o_orderkey + 7) / power(10, CASE WHEN o_orderkey % 25 + 1 <= 24
+                                           THEN (o_orderkey % 25 + 1) % 4
+                                           ELSE 18 END) AS "return",
+         'tx' || CAST(o_orderkey AS VARCHAR) AS "transactionHash"
+         FROM orders
+         WHERE o_orderkey % 3 = 0 AND o_orderkey % 50 < 30
+         ORDER BY id"""
   )
 }
