@@ -181,6 +181,15 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Cluster collapse of the exact near-dup edge list: every doc maps
+    // to the smallest doc it pairs with (the survivor-map used to drop
+    // near-duplicates from a corpus).
+    "q45_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5)
+      Dedup.collapsePairs(pairs).orderBy(col("keep"), col("drop"))
+    }),
+
     // Media transform ops: STUB resize + frame sampling through the
     // batched mapPartitions plumbing (byte-level deterministic, so the
     // truncation length / digest / frame count oracle-check exactly).
@@ -250,6 +259,18 @@ object TrainingQueries {
          ORDER BY doc_id""",
     "q23_jaccard_pairs" -> jaccardPairsSql,
     "q24_minhash_lsh" -> jaccardPairsSql,
+    "q45_dedup_clusters" ->
+      s"""$shingleCte, pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+             FROM d a JOIN d b ON a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.5)
+         SELECT DISTINCT
+           min(doc_a) OVER (PARTITION BY doc_b) AS keep,
+           doc_b AS "drop"
+         FROM pairs ORDER BY keep, "drop"""",
     "q26_embedding_neardup" ->
       s"""SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a", "b")} AS cos
