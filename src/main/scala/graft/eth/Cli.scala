@@ -1,0 +1,127 @@
+package graft.eth
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Thin CLI mirroring the reference's extractor commands
+  * (/root/reference/extractor.py:6-25) over the Spark pipeline. The
+  * command set maps 1:1; commands that need external adapters
+  * (ABI registry, eth_call prober, price feed) take them as optional
+  * dependencies and no-op with a notice when absent — the same
+  * commands the reference can only run with etherscan/cryptocompare
+  * access.
+  *
+  * `start` loops like the reference's docker restart-forever service
+  * (docker-compose.yml:14-15): every pass is flag-gated and
+  * idempotent, so crash-and-rerun is safe by construction.
+  */
+class Cli(
+    store: EthStore,
+    source: ChainSource,
+    genesis: Option[DataFrame] = None,
+    abiSource: Option[AbiSource] = None,
+    ethCallSource: Option[EthCallSource] = None,
+    tokensMetadata: Option[DataFrame] = None) {
+
+  private def spark: SparkSession = store.spark
+  private val pipeline = new Pipeline(store, source, genesis = genesis)
+  private def now(): Long = System.currentTimeMillis()
+
+  /** download-contracts-abi: fetch ABIs for contracts without one. */
+  def downloadContractsAbi(): Long = abiSource match {
+    case None => println("[cli] no ABI source configured; skipping"); 0L
+    case Some(src) =>
+      val have = store.tableFinal("contract_abi").select(col("id"))
+      val need = store.tableFinal("contract")
+        .filter(col("address").isNotNull).select(col("address").as("id"))
+        .join(have, Seq("id"), "left_anti")
+      val fetched = ContractMethods.fetchAbis(spark, need, src)
+      store.append("contract_abi", fetched, now())
+      fetched.count()
+  }
+
+  /** extract-tokens: probe ERC-20 constants for new token contracts. */
+  def extractTokens(): Long = ethCallSource match {
+    case None => println("[cli] no eth_call source configured; skipping"); 0L
+    case Some(src) =>
+      val have = store.tableFinal("contract_description").select(col("id"))
+      val need = store.tableFinal("contract")
+        .filter(col("standard_erc20") === 1 && col("address").isNotNull)
+        .select(col("address")).join(have, col("address") === col("id"), "left_anti")
+        .select(col("address"))
+      val described = ContractMethods.describeContracts(spark, need, src)
+      val withMeta = tokensMetadata match {
+        case Some(tokens) => ContractMethods.withTokenMetadata(described, tokens)
+        case None => described
+      }
+      store.append("contract_description", withMeta, now())
+      described.count()
+  }
+
+  /** One command dispatch; unknown commands throw. */
+  def run(command: String): Unit = command match {
+    case "prepare-database" | "prepare-indices" =>
+      () // parquet tables materialize on first append; nothing to DDL
+    case "extract-blocks" => pipeline.syncBlocks()
+    case "extract-traces" => pipeline.extractTraces()
+    case "extract-events" => pipeline.extractEvents()
+    case "prepare-contracts-view" | "prepare-erc-transactions-view" =>
+      pipeline.deriveViews()
+    case "prepare-bancor-trades-view" =>
+      pipeline.bancorTrades().count() // logical view (CREATE VIEW analog): validate it builds
+    case "parse-transactions-inputs" => pipeline.decodeTransactionInputs()
+    case "parse-events-inputs" => pipeline.decodeEventInputs()
+    case "download-contracts-abi" => downloadContractsAbi()
+    case "extract-tokens" => extractTokens()
+    case "start" => pipeline.runOnce(full = false)
+    case "start-full" =>
+      pipeline.runOnce(full = false)
+      downloadContractsAbi()
+      extractTokens()
+      pipeline.decodeTransactionInputs()
+      pipeline.decodeEventInputs()
+    case other =>
+      throw new IllegalArgumentException(s"unknown command: $other")
+  }
+}
+
+object Cli {
+  /** `graft.eth.Cli <command> --store <dir> --rpc <url[:from[:to]]>...`
+    * Production entry: JSON-RPC source from --rpc host ranges.
+    */
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("start")
+    def opt(name: String): Seq[String] =
+      args.sliding(2).collect { case Array(k, v) if k == s"--$name" => v }.toSeq
+    val storeDir = opt("store").headOption.getOrElse("./ethstore")
+    val hosts = opt("rpc").map { spec =>
+      spec.split(":").filter(_.nonEmpty) match {
+        case Array(url) => HostRange(url, 0L, None)
+        case Array(url, from) => HostRange(url, from.toLong, None)
+        case Array(url, from, to) => HostRange(url, from.toLong, Some(to.toLong))
+        case _ => throw new IllegalArgumentException(s"bad --rpc $spec")
+      }
+    }
+    require(hosts.nonEmpty, "at least one --rpc url[:from[:to]] required")
+    val spark = SparkSession.builder()
+      .appName("graft-cli")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val transport = new RpcTransport {
+      override def post(url: String, body: String): String = {
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val in = conn.getInputStream
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+    }
+    val store = new EthStore(spark, storeDir)
+    val source = new JsonRpcChainSource(spark, transport, hosts)
+    new Cli(store, source).run(cmd)
+    spark.stop()
+  }
+}

@@ -1,0 +1,98 @@
+package graft.eth
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** extractor.py-equivalent command surface end-to-end: start-full over
+  * a fixture chain with fixture ABI/eth_call adapters populates every
+  * table the reference's start-full populates.
+  */
+class CliSpec extends SparkSpec {
+
+  private lazy val s_ : org.apache.spark.sql.SparkSession = spark
+  import s_.implicits._
+
+  private val erc20Code = "0x6060" + Selectors.erc20.values.mkString
+
+  private val traceSchema = StructType(Seq(
+    StructField("blockNumber", LongType),
+    StructField("transactionHash", StringType),
+    StructField("blockHash", StringType),
+    StructField("type", StringType),
+    StructField("error", StringType),
+    StructField("traceAddress", ArrayType(IntegerType, containsNull = false)),
+    StructField("action", StructType(Seq(
+      StructField("from", StringType),
+      StructField("to", StringType),
+      StructField("value", StringType)))),
+    StructField("result", StructType(Seq(
+      StructField("gasUsed", StringType),
+      StructField("code", StringType),
+      StructField("address", StringType))))))
+
+  private def fixtureSource = new ChainSource {
+    override def headBlock: Long = 1L
+    override def blocks(numbers: Seq[Long]): DataFrame =
+      numbers.toDF("number").select(col("number"),
+        to_timestamp(lit("2020-01-01 00:00:00")).as("timestamp"))
+    override def traces(numbers: Seq[Long]): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, "0xt1", "0xb1", "create", null, Seq.empty[Int],
+          Row("0xa", null, "0x0"), Row("0x5208", erc20Code, "0xc0ffee")))),
+        traceSchema).filter(col("blockNumber").isin(numbers: _*))
+    override def transactions(numbers: Seq[Long]): DataFrame =
+      Seq(("0xt1", "0xb1", "0x3b9aca00")).toDF("transactionHash", "blockHash", "gasPrice")
+    override def events(ranges: Seq[(Long, Long)]): DataFrame =
+      Seq((1L, "0xt1", "0xb1", "0xC0FFEE", "0x0",
+        Seq(DerivedViews.TransferTopic, "0x" + "%064x".format(0xa), "0x" + "%064x".format(0xb)),
+        "0x" + "%064x".format(BigInt(10).pow(17))))
+        .toDF("blockNumber", "transactionHash", "blockHash", "address",
+          "transactionLogIndex", "topics", "data")
+  }
+
+  test("start-full populates blocks, traces, events, MVs, descriptions, ABIs, inputs") {
+    val root = Files.createTempDirectory("clistore").toString
+    val store = new EthStore(spark, root)
+
+    val abiSource = new AbiSource {
+      override def fetchAbi(a: String): Option[String] =
+        Some("""[{"type":"event","name":"Transfer","inputs":[
+                {"name":"from","type":"address"},{"name":"to","type":"address"},
+                {"name":"value","type":"uint256"}]}]""")
+    }
+    val sel = "0x" + Abi.methodId("decimals", Seq.empty)
+    val callSource = new EthCallSource {
+      override def ethCall(to: String, data: String): Option[String] =
+        if (data == sel) Some("0x" + "%064x".format(17)) else None
+    }
+    val tokens = Seq(("0xc0ffee", "cool-token", "42"))
+      .toDF("address", "website_slug", "cmc_id")
+
+    val cli = new Cli(store, fixtureSource,
+      abiSource = Some(abiSource), ethCallSource = Some(callSource),
+      tokensMetadata = Some(tokens))
+    cli.run("start-full")
+
+    assert(store.tableFinal("block").count() === 2) // 0 and 1
+    assert(store.tableFinal("contract").count() === 1)
+    val desc = store.tableFinal("contract_description").head()
+    assert(desc.getAs[String]("id") === "0xc0ffee")
+    assert(desc.getAs[Short]("decimals") === 17.toShort)
+    assert(desc.getAs[String]("website_slug") === "cool-token")
+    assert(store.tableFinal("contract_abi")
+      .filter(col("abi").isNotNull).count() === 1)
+    // second run is idempotent and re-probes nothing
+    cli.run("start-full")
+    assert(store.tableFinal("contract_description").count() === 1)
+    // the event input decodes through the downloaded ABI on re-run
+    assert(store.tableFinal("event_input")
+      .filter(col("name") === "Transfer").count() === 1)
+    // unknown command fails loudly
+    intercept[IllegalArgumentException](cli.run("bogus"))
+  }
+}
