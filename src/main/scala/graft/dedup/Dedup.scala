@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
@@ -205,9 +204,8 @@ object Dedup {
     * — exact for clusters of diameter <= 2, which near-dup clusters
     * overwhelmingly are; iterate to fixpoint for larger ones).
     */
-  def collapsePairs(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("keep"), col("doc_b").as("drop"))
-    val w = Window.partitionBy(col("drop"))
-    edges.withColumn("keep", min(col("keep")).over(w)).distinct()
-  }
+  def collapsePairs(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("keep"), col("doc_b").as("drop"))
+      .groupBy(col("drop")).agg(min(col("keep")).as("keep"))
+      .select(col("keep"), col("drop"))
 }

@@ -66,6 +66,14 @@ class EthStore(val spark: SparkSession, val root: String) {
   def tableFinal(table: String): DataFrame =
     Upsert.latestById(read(table), keysOf(table), Seq(col("_seq")))
 
+  /** Typed FINAL view (`Dataset[T]` over a [[Models]] case class) for
+    * pipeline code where compile-time field safety helps; the ingest
+    * bookkeeping columns are dropped first.
+    */
+  def typedFinal[T: org.apache.spark.sql.Encoder](table: String):
+      org.apache.spark.sql.Dataset[T] =
+    tableFinal(table).drop("_seq", "_block_bucket").as[T]
+
   /** Schema-policed append (ingestion drops extra columns, fills
     * missing with NULL — custom_clickhouse._filter_schema analog).
     * A32 bulk upsert sink; `maxRecordsPerFile` is the insert chunk
