@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions.col
   * commands the reference can only run with etherscan/cryptocompare
   * access.
   *
-  * `start` loops like the reference's docker restart-forever service
-  * (docker-compose.yml:14-15): every pass is flag-gated and
+  * `start`/`start-full` run ONE sync pass; the restart-forever loop
+  * the reference gets from docker (docker-compose.yml:14-15,
+  * `sleep(10)` in operations/clickhouse.py:159) belongs to the
+  * process supervisor here too — every pass is flag-gated and
   * idempotent, so crash-and-rerun is safe by construction.
   */
 class Cli(
