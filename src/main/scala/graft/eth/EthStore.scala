@@ -1,5 +1,7 @@
 package graft.eth
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -46,15 +48,28 @@ class EthStore(val spark: SparkSession, val root: String) {
 
   def path(table: String): String = s"$root/$table"
 
+  /** All store metadata IO goes through the Hadoop FileSystem resolved
+    * from `root`'s scheme, so the exists/marker/compact plumbing works
+    * identically on file:, hdfs: and s3a: roots — java.io.File would
+    * silently no-op everywhere but a local disk.
+    */
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tablePath(table: String): Path = new Path(path(table))
+
   private def emptyWithSeq(table: String): DataFrame = {
     val schema = schemas(table).add("_seq", org.apache.spark.sql.types.LongType)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   private def existsOnDisk(table: String): Boolean = {
-    val dir = new java.io.File(path(table))
-    dir.isDirectory && dir.listFiles().exists(f =>
-      f.getName.endsWith(".parquet") || f.getName.startsWith("_block_bucket="))
+    recoverCompact(table)
+    val dir = tablePath(table)
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val name = st.getPath.getName
+      name.endsWith(".parquet") || name.startsWith("_block_bucket=")
+    }
   }
 
   /** Raw append log (with `_seq`). Missing table reads as empty. */
@@ -112,21 +127,55 @@ class EthStore(val spark: SparkSession, val root: String) {
     * (compact/overwrite) would make every rewritten file look new and
     * replay the whole table into the derived outputs.
     */
-  private def streamMarker(table: String) =
-    new java.io.File(path(table), "_stream_watched")
+  private def streamMarker(table: String): Path =
+    new Path(tablePath(table), "_stream_watched")
 
   def markStreamWatched(table: String): Unit = {
-    val dir = new java.io.File(path(table))
-    if (!dir.exists()) dir.mkdirs()
-    streamMarker(table).createNewFile()
+    val dir = tablePath(table)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    fs.createNewFile(streamMarker(table))
   }
 
-  def isStreamWatched(table: String): Boolean = streamMarker(table).exists()
+  def isStreamWatched(table: String): Boolean = fs.exists(streamMarker(table))
+
+  private def compactTmpPath(table: String) = new Path(path(table) + "__compact")
+  private def compactOldPath(table: String) = new Path(path(table) + "__old")
+
+  /** Finish an interrupted [[compact]]. The swap sequence leaves at most
+    * one of these states behind:
+    *   - `table__compact` has a `_SUCCESS` and `table` is gone → the
+    *     swap died between the two renames; promote the compacted copy.
+    *   - `table__old` exists and `table` exists → died before cleanup;
+    *     the live table is already the compacted one, drop `__old`.
+    *   - `table__compact` without `_SUCCESS` → a dead write; drop it.
+    * At no point is the only full copy of the table deleted before the
+    * replacement is committed (`_SUCCESS` present).
+    */
+  private def recoverCompact(table: String): Unit = {
+    val tmp = compactTmpPath(table)
+    val old = compactOldPath(table)
+    if (fs.exists(tmp)) {
+      val committed = fs.exists(new Path(tmp, "_SUCCESS"))
+      if (committed && !fs.exists(tablePath(table))) fs.rename(tmp, tablePath(table))
+      else if (!committed) fs.delete(tmp, true)
+      // committed but table exists: compact re-ran and will finish the swap
+    }
+    if (fs.exists(old) && fs.exists(tablePath(table))) fs.delete(old, true)
+    else if (fs.exists(old) && !fs.exists(tablePath(table))) fs.rename(old, tablePath(table))
+  }
 
   /** Compaction: rewrite a table to one row per key (keeps FINAL reads
     * cheap; run periodically at scale). Refused for stream-watched
     * tables — a rewrite would replay the entire table through any
     * file-stream checkpoint watching it.
+    *
+    * Crash-safe ordering: write the compacted copy aside (its
+    * `_SUCCESS` is the commit point), rename live → `__old`, rename
+    * compacted → live, drop `__old`. A crash at any step leaves a full
+    * copy recoverable by [[recoverCompact]], which runs before every
+    * read. Renames are atomic on HDFS-like stores; on object stores
+    * they're copies, so the commit marker still bounds the damage to
+    * "retry the swap", never data loss.
     */
   def compact(table: String): Unit = {
     require(!isStreamWatched(table),
@@ -134,14 +183,12 @@ class EthStore(val spark: SparkSession, val root: String) {
         "replay every row through the stream checkpoint. Stream from a " +
         "separate immutable landing path if compaction is needed.")
     val compacted = tableFinal(table)
-    val tmp = path(table) + "__compact"
-    compacted.write.mode("overwrite").parquet(tmp)
-    val dir = new java.io.File(path(table))
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(delete)
-      f.delete()
-    }
-    delete(dir)
-    new java.io.File(tmp).renameTo(dir)
+    val tmp = compactTmpPath(table)
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    val old = compactOldPath(table)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tablePath(table))) fs.rename(tablePath(table), old)
+    fs.rename(tmp, tablePath(table))
+    fs.delete(old, true)
   }
 }

@@ -87,27 +87,36 @@ class JsonRpcChainSource(
     if (n == null || !n.has(field) || n.get(field).isNull) null
     else n.get(field).asText()
 
-  /** Group numbers by routed host, chunk, fetch with `method`, flatten
-    * (one RDD pass, `fetchPartitions`-way parallel).
+  /** Group request items by routed host (via `routeBlock`), chunk,
+    * fetch with `method`, flatten (one RDD pass,
+    * `fetchPartitions`-way parallel). Each item carries its full
+    * request context through to `params`/`parse`, so range requests
+    * never have to be reconstructed from a key lookup.
     */
-  private def fetch(numbers: Seq[Long], method: String,
-      params: Long => String)(parse: (Long, JsonNode) => Iterator[Row])(
+  private def fetchItems[A: scala.reflect.ClassTag](items: Seq[A],
+      routeBlock: A => Long, method: String,
+      params: A => String)(parse: (A, JsonNode) => Iterator[Row])(
       schema: StructType): DataFrame = {
     val t = transport
     val bs = batchSize
-    val routed = numbers.map(n => (hostFor(n), n))
+    val routed = items.map(a => (hostFor(routeBlock(a)), a))
     val rdd = spark.sparkContext
       .parallelize(routed, math.min(fetchPartitions, math.max(1, routed.size)))
       .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).iterator.flatMap { case (url, blocks) =>
-          blocks.map(_._2).grouped(bs).flatMap { chunk =>
-            val results = batchCall(t, url, chunk.map(n => (method, params(n))))
-            chunk.zip(results).iterator.flatMap { case (n, r) => parse(n, r) }
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (url, as) =>
+          as.map(_._2).grouped(bs).flatMap { chunk =>
+            val results = batchCall(t, url, chunk.map(a => (method, params(a))))
+            chunk.zip(results).iterator.flatMap { case (a, r) => parse(a, r) }
           }
         }
       }
     spark.createDataFrame(rdd, schema)
   }
+
+  private def fetch(numbers: Seq[Long], method: String,
+      params: Long => String)(parse: (Long, JsonNode) => Iterator[Row])(
+      schema: StructType): DataFrame =
+    fetchItems[Long](numbers, identity, method, params)(parse)(schema)
 
   override def headBlock: Long = {
     val resp = batchCall(transport, hosts.last.url,
@@ -196,17 +205,23 @@ class JsonRpcChainSource(
     * /root/reference/operations/events.py:12-52).
     */
   override def events(ranges: Seq[(Long, Long)]): DataFrame =
-    fetch(ranges.map(_._1), "eth_getLogs", { start =>
-      val end = ranges.find(_._1 == start).map(_._2).getOrElse(start)
+    fetchItems[(Long, Long)](ranges, _._1, "eth_getLogs", { case (start, end) =>
       s"""[{"fromBlock":"0x${start.toHexString}","toBlock":"0x${end.toHexString}"}]"""
-    }) { (_, r) =>
+    }) { case (_, r) =>
       if (r == null || !r.isArray) Iterator.empty
       else (0 until r.size()).iterator.map { i =>
         val ev = r.get(i)
         val topics = ev.get("topics")
+        // Parity's tx-scoped transactionLogIndex is what the reference's
+        // event ids are built from (operations/events.py:82); logIndex
+        // (block-scoped) only as a degraded fallback for nodes without it.
+        val txLogIndex = {
+          val t = str(ev, "transactionLogIndex")
+          if (t != null) t else str(ev, "logIndex")
+        }
         Row(hexLong(ev, "blockNumber"),
           str(ev, "transactionHash"), str(ev, "blockHash"),
-          str(ev, "address"), str(ev, "logIndex"),
+          str(ev, "address"), txLogIndex,
           if (topics == null || topics.isNull) null
           else (0 until topics.size()).map(topics.get(_).asText()),
           str(ev, "data"))
