@@ -40,11 +40,27 @@ object Joins {
 
   private def pickByKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
       pick: Column => Column): DataFrame = {
-    val row = struct(df.columns.map(col): _*).as("__row")
-    val packed = struct(order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+ row: _*)
-    df.groupBy(keys.map(col): _*)
-      .agg(pick(packed).as("__m"))
-      .select(col("__m.__row.*"))
+    val orderNames = order.map(_.toString)
+    if (orderNames.forall(df.columns.contains)) {
+      // Tiebreaks are plain row columns: pack them as the comparison
+      // prefix and append only the REMAINING columns — keys ride the
+      // groupBy and nothing crosses the shuffle twice. (The all-columns
+      // fallback below ships every order column AND the full row; for a
+      // tiebreak covering most of a table that doubles shuffle bytes.)
+      val rest = df.columns.filterNot(c => keys.contains(c) || orderNames.contains(c))
+      val packed = struct((orderNames ++ rest).distinct.map(col): _*)
+      df.groupBy(keys.map(col): _*)
+        .agg(pick(packed).as("__m"))
+        .select(df.columns.map(c =>
+          if (keys.contains(c)) col(c) else col(s"__m.$c").as(c)): _*)
+    } else {
+      // Expression tiebreaks: carry them alongside the packed full row.
+      val row = struct(df.columns.map(col): _*).as("__row")
+      val packed = struct(order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+ row: _*)
+      df.groupBy(keys.map(col): _*)
+        .agg(pick(packed).as("__m"))
+        .select(col("__m.__row.*"))
+    }
   }
 
   /** `left ANY [joinType] JOIN right USING keys`.

@@ -46,11 +46,11 @@ object DerivedViews {
     val decimals = contractDescriptions.select(
       col("id").as("address"), col("decimals"))
     Joins.anyJoin(
-      events.filter(element_at(col("topics"), 1) === TransferTopic),
+      events.filter(col("topics").getItem(0) === TransferTopic),
       decimals, Seq("address"), "inner", broadcastRight = true)
       .select(
-        concat(lit("0x"), substring(element_at(col("topics"), 2), 27, 40)).as("from"),
-        concat(lit("0x"), substring(element_at(col("topics"), 3), 27, 40)).as("to"),
+        concat(lit("0x"), substring(col("topics").getItem(1), 27, 40)).as("from"),
+        concat(lit("0x"), substring(col("topics").getItem(2), 27, 40)).as("to"),
         GraftFunctions.uint256_lo128(col("data"),
           coalesce(col("decimals").cast("int"), lit(18))).as("value"),
         col("id"),
@@ -72,13 +72,13 @@ object DerivedViews {
     val converters = contracts.filter(col("standard_bancor_converter") === 1)
       .select(col("address"))
     val conv = events
-      .filter(element_at(col("topics"), 1) === ConversionTopic)
+      .filter(col("topics").getItem(0) === ConversionTopic)
       .join(converters, Seq("address"), "left_semi")
       .select(
         col("id"),
-        concat(lit("0x"), substring(element_at(col("topics"), 2), 27, 1000)).as("from_token"),
-        concat(lit("0x"), substring(element_at(col("topics"), 3), 27, 1000)).as("to_token"),
-        concat(lit("0x"), substring(element_at(col("topics"), 4), 27, 1000)).as("trader"),
+        concat(lit("0x"), substring(col("topics").getItem(1), 27, 1000)).as("from_token"),
+        concat(lit("0x"), substring(col("topics").getItem(2), 27, 1000)).as("to_token"),
+        concat(lit("0x"), substring(col("topics").getItem(3), 27, 1000)).as("trader"),
         substring(col("data"), 3, 64).as("amount_raw"),
         substring(col("data"), 65, 66).as("return_raw"),
         col("transactionHash"))

@@ -40,7 +40,9 @@ object Events {
     * topics stripped of 0x, then data stripped of 0x.
     */
   def reconstructedInput: Column = {
-    val selector = substring(element_at(col("topics"), 1), 1, 10)
+    // getItem (GetArrayItem) over element_at: the optimizer folds it
+    // through CreateArray, keeping synthesized-topic plans codegen-able
+    val selector = substring(col("topics").getItem(0), 1, 10)
     val restTopics = array_join(
       transform(slice(col("topics"), 2, 1000000), t => substring(t, 3, 1000000)), "")
     concat(selector, restTopics, substring(col("data"), 3, 100000000))

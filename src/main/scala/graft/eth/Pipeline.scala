@@ -166,22 +166,25 @@ class Pipeline(store: EthStore, source: ChainSource,
       .filter(col("blockNumber") <= maxBlock && col("input").isNotNull)
     val work = itx.join(broadcast(contracts), Seq("to"))
       .filter(col("blockNumber") > col("hw"))
+    // Persist: the append materializes the decode once; the returned
+    // count reads the cache instead of re-running the ABI decode + join.
     val decoded = work.select(
       col("id"),
       Abi.decode_input(col("abi"), col("input")).as("d"),
       col("blockNumber"))
       .select(col("id"), col("d.name").as("name"), col("d.params").as("params"),
         col("blockNumber"))
-    store.append("transaction_input", decoded, now())
-    val contractIds = contracts.select(col("to")).collect().map(_.getString(0))
-    if (contractIds.nonEmpty) {
-      val s = spark
-      import s.implicits._
-      val marks = contractIds.toSeq.toDF("id")
-        .select(col("id"), lit(flagName).as("name"), lit(maxBlock).as("value"))
-      store.append("contract_block", marks, now())
-    }
-    decoded.count()
+      .persist()
+    try {
+      store.append("transaction_input", decoded, now())
+      // High-water marks written distributed — at mainnet scale this is
+      // millions of contract ids; they never transit the driver.
+      store.append("contract_block",
+        contracts.select(col("to").as("id"), lit(flagName).as("name"),
+          lit(maxBlock).as("value")),
+        now())
+      decoded.count()
+    } finally decoded.unpersist(blocking = false)
   }
 
   /** B16: same decode over events, via the reconstructed pseudo-input. */
@@ -207,16 +210,15 @@ class Pipeline(store: EthStore, source: ChainSource,
       col("blockNumber"))
       .select(col("id"), col("d.name").as("name"), col("d.params").as("params"),
         col("blockNumber"))
-    store.append("event_input", decoded, now())
-    val contractIds = contracts.select(col("address")).collect().map(_.getString(0))
-    if (contractIds.nonEmpty) {
-      val s = spark
-      import s.implicits._
-      val marks = contractIds.toSeq.toDF("id")
-        .select(col("id"), lit(flagName).as("name"), lit(maxBlock).as("value"))
-      store.append("contract_block", marks, now())
-    }
-    decoded.count()
+      .persist()
+    try {
+      store.append("event_input", decoded, now())
+      store.append("contract_block",
+        contracts.select(col("address").as("id"), lit(flagName).as("name"),
+          lit(maxBlock).as("value")),
+        now())
+      decoded.count()
+    } finally decoded.unpersist(blocking = false)
   }
 
   /** One `start`-equivalent pass (clickhouse.py:151-159): sync to head,

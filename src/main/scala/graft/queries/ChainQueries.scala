@@ -254,10 +254,9 @@ object ChainQueries {
       val k = col("o_orderkey")
       // selectivity as a plain pushable predicate on the scan key;
       // mixed-topic filtering is covered by DerivedViewsSpec goldens.
-      // (The synthesized 6-column hex projection is wide enough that
-      // Spark's split-function codegen trips a janino "not an rvalue"
-      // and the FILTER falls back to interpreted eval — fixture-only
-      // noise; real pipelines read these columns from parquet.)
+      // (The topic filter folds away via GetArrayItem-over-CreateArray
+      // simplification, so the synthesized projection stays inside
+      // whole-stage codegen.)
       val events = t(s, dir, "orders")
         .filter(k % 2 === 0)
         .select(

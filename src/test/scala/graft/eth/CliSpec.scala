@@ -59,16 +59,21 @@ class CliSpec extends SparkSpec {
     val root = Files.createTempDirectory("clistore").toString
     val store = new EthStore(spark, root)
 
+    AdapterCallCounters.reset()
     val abiSource = new AbiSource {
-      override def fetchAbi(a: String): Option[String] =
+      override def fetchAbi(a: String): Option[String] = {
+        AdapterCallCounters.abiFetches.incrementAndGet()
         Some("""[{"type":"event","name":"Transfer","inputs":[
                 {"name":"from","type":"address"},{"name":"to","type":"address"},
                 {"name":"value","type":"uint256"}]}]""")
+      }
     }
     val sel = "0x" + Abi.methodId("decimals", Seq.empty)
     val callSource = new EthCallSource {
-      override def ethCall(to: String, data: String): Option[String] =
+      override def ethCall(to: String, data: String): Option[String] = {
+        AdapterCallCounters.ethCalls.incrementAndGet()
         if (data == sel) Some("0x" + "%064x".format(17)) else None
+      }
     }
     val tokens = Seq(("0xc0ffee", "cool-token", "42"))
       .toDF("address", "website_slug", "cmc_id")
@@ -86,13 +91,30 @@ class CliSpec extends SparkSpec {
     assert(desc.getAs[String]("website_slug") === "cool-token")
     assert(store.tableFinal("contract_abi")
       .filter(col("abi").isNotNull).count() === 1)
+    // each adapter ran its network fan-out exactly once: 1 contract =
+    // 1 ABI fetch, 5 eth_call probes (name/symbol/decimals/supply/owner);
+    // before the persist fix the append + returned count ran them twice
+    assert(AdapterCallCounters.abiFetches.get() === 1)
+    assert(AdapterCallCounters.ethCalls.get() === 5)
     // second run is idempotent and re-probes nothing
     cli.run("start-full")
     assert(store.tableFinal("contract_description").count() === 1)
+    assert(AdapterCallCounters.abiFetches.get() === 1) // still once
+    assert(AdapterCallCounters.ethCalls.get() === 5)
     // the event input decodes through the downloaded ABI on re-run
     assert(store.tableFinal("event_input")
       .filter(col("name") === "Transfer").count() === 1)
     // unknown command fails loudly
     intercept[IllegalArgumentException](cli.run("bogus"))
   }
+}
+
+/** JVM-global adapter-call counters: local mode shares the JVM, but
+  * serialized task closures get copies of captured objects, so a
+  * captured counter would only see driver-side calls.
+  */
+object AdapterCallCounters {
+  val abiFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+  val ethCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { abiFetches.set(0); ethCalls.set(0) }
 }

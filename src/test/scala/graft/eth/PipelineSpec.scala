@@ -165,6 +165,19 @@ class PipelineSpec extends SparkSpec {
       .filter(col("name").isNotNull).head()
     assert(evInput.getAs[String]("name") === "Transfer")
 
+    // high-water marks were written (distributed, not via the driver):
+    // both decode stages advanced 0xc0ffee to the consistency frontier
+    val marks = store.tableFinal("contract_block")
+      .filter(col("id") === "0xc0ffee")
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("value")).toMap
+    assert(marks("tx_inputs_decoded_block") === 4L)
+    assert(marks("event_inputs_decoded_block") === 4L)
+
+    // the returned decode count must read the persisted result, not
+    // re-run the decode: a fresh decode pass over the advanced marks
+    // decodes nothing and reports 0
+    assert(pipeline.decodeTransactionInputs() === 0L)
+
     // idempotence: a second full run adds no new rows to the FINAL views
     val before = Seq("block", "internal_transaction", "event",
       "token_transaction", "transaction_input")

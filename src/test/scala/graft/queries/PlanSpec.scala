@@ -69,6 +69,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q05: ANY-join dedup ships a slim struct — no full-row duplicate across the shuffle") {
+    // pickByKey with plain-column tiebreaks must pack only the non-key
+    // columns once; the old shape nested the whole row next to the
+    // order columns (every tiebreak column crossed the shuffle twice).
+    val p = plan("q05_any_left_join")
+    assert(!p.contains("__row"), "full-row struct still crosses the dedup shuffle")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      "ANY-join dedup lost its map-side partial aggregation")
+  }
+
   test("q27: brute-force ANN broadcasts the query side, never shuffles the corpus for scoring") {
     val p = plan("q27_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
