@@ -23,7 +23,9 @@ class Cli(
     genesis: Option[DataFrame] = None,
     abiSource: Option[AbiSource] = None,
     ethCallSource: Option[EthCallSource] = None,
-    tokensMetadata: Option[DataFrame] = None) {
+    tokensMetadata: Option[DataFrame] = None,
+    priceSource: Option[PriceSource] = None,
+    today: () => java.time.LocalDate = () => java.time.LocalDate.now()) {
 
   private def spark: SparkSession = store.spark
   private val pipeline = new Pipeline(store, source, genesis = genesis)
@@ -68,6 +70,30 @@ class Cli(
       } finally described.unpersist(blocking = false)
   }
 
+  /** download-prices: fetch daily close series for ERC-20 tokens and
+    * populate the `price` table (token_prices.py:261-269). The gap is
+    * GLOBAL like the reference's: days since max(price.timestamp),
+    * capped at 2000 (token_prices.py:131-140,188-196).
+    */
+  def downloadPrices(): Long = priceSource match {
+    case None => println("[cli] no price source configured; skipping"); 0L
+    case Some(src) =>
+      val tokens = store.tableFinal("contract")
+        .filter(col("standard_erc20") === 1 && col("address").isNotNull)
+        .select(col("address"))
+      val lastTs = store.tableFinal("price")
+        .agg(org.apache.spark.sql.functions.max(col("timestamp"))).head().get(0)
+      val lastDate = Option(lastTs).map(
+        _.asInstanceOf[java.sql.Timestamp].toLocalDateTime.toLocalDate)
+      val days = Prices.gapDays(lastDate, today())
+      // Persist: one feed pass total (append materializes, count reads back)
+      val fetched = Prices.fetchDailyPrices(spark, tokens, src, days).persist()
+      try {
+        store.append("price", Prices.priceRows(fetched), now())
+        fetched.count()
+      } finally fetched.unpersist(blocking = false)
+  }
+
   /** One command dispatch; unknown commands throw. */
   def run(command: String): Unit = command match {
     case "prepare-database" | "prepare-indices" =>
@@ -83,13 +109,17 @@ class Cli(
     case "parse-events-inputs" => pipeline.decodeEventInputs()
     case "download-contracts-abi" => downloadContractsAbi()
     case "extract-tokens" => extractTokens()
+    case "download-prices" => downloadPrices()
     case "start" => pipeline.runOnce(full = false)
     case "start-full" =>
+      // synchronize_full order (operations/clickhouse.py:162-172):
+      // sync + tokens, ABIs, input decodes, then prices
       pipeline.runOnce(full = false)
       downloadContractsAbi()
       extractTokens()
       pipeline.decodeTransactionInputs()
       pipeline.decodeEventInputs()
+      downloadPrices()
     case other =>
       throw new IllegalArgumentException(s"unknown command: $other")
   }

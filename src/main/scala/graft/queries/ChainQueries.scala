@@ -300,10 +300,45 @@ object ChainQueries {
         (col("n_nationkey") % 4).cast("short").as("decimals"))
       DerivedViews.bancorTrades(events, contracts, descriptions)
         .orderBy(col("id"))
+    }),
+
+    // B10/B11 price-table shaping: per-address daily close series →
+    // trailing moving average with warm-up passthrough + the
+    // "{address}_{date}" id convention (token_prices.py:60,79-102).
+    // close is integer-valued so the 5-point mean is FP-stable across
+    // engines; the floor(x*1e6)/1e6 guard pins the comparison.
+    "q46_price_series" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val src = t(s, dir, "orders").select(
+        concat(lit("0xtok"), (k % 40).cast("string")).as("address"),
+        floor(k / 40).cast("long").as("time"),
+        floor(col("o_totalprice")).cast("double").as("close"))
+      graft.eth.Prices.withMovingAverage(src)
+        .select(col("address"), col("time"),
+          (floor(col("average") * 1e6) / 1e6).as("btc"),
+          graft.eth.Prices.priceId(col("address"),
+            timestamp_seconds(col("time") * 86400)).as("id"))
+        .orderBy(col("address"), col("time"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_price_series" ->
+      """SELECT address, time,
+                floor(avg_v * 1e6) / 1e6 AS btc,
+                address || '_' ||
+                  strftime(DATE '1970-01-01' + CAST(time AS INT), '%Y-%m-%d') AS id
+         FROM (
+           SELECT address, time,
+                  CASE WHEN row_number() OVER w >= 5
+                       THEN avg(close) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                       ELSE close END AS avg_v
+           FROM (SELECT '0xtok' || CAST(o_orderkey % 40 AS VARCHAR) AS address,
+                        o_orderkey // 40 AS time,
+                        CAST(floor(o_totalprice) AS DOUBLE) AS close
+                 FROM orders)
+           WINDOW w AS (PARTITION BY address ORDER BY time))
+         ORDER BY address, time""",
     "q30_any_inner_join" ->
       """SELECT o_orderkey, o_totalprice, l_linenumber, l_partkey, l_quantity
          FROM orders JOIN (

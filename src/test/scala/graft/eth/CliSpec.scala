@@ -78,9 +78,20 @@ class CliSpec extends SparkSpec {
     val tokens = Seq(("0xc0ffee", "cool-token", "42"))
       .toDF("address", "website_slug", "cmc_id")
 
+    // 6 daily closes for the one ERC-20; average = close until the
+    // 5-point window fills, trailing mean after (token_prices.py:79-102)
+    val priceSource = new PriceSource {
+      override def histoDay(address: String, days: Int): Option[Seq[(Long, Double)]] = {
+        AdapterCallCounters.priceFetches.incrementAndGet()
+        if (address == "0xc0ffee")
+          Some((0 to 5).map(d => (d * 86400L, (d + 1) * 10.0)))
+        else None
+      }
+    }
+
     val cli = new Cli(store, fixtureSource,
       abiSource = Some(abiSource), ethCallSource = Some(callSource),
-      tokensMetadata = Some(tokens))
+      tokensMetadata = Some(tokens), priceSource = Some(priceSource))
     cli.run("start-full")
 
     assert(store.tableFinal("block").count() === 2) // 0 and 1
@@ -96,11 +107,23 @@ class CliSpec extends SparkSpec {
     // before the persist fix the append + returned count ran them twice
     assert(AdapterCallCounters.abiFetches.get() === 1)
     assert(AdapterCallCounters.ethCalls.get() === 5)
+    // download-prices populated the price table: one row per day with
+    // the reference's id convention and moving-average warm-up
+    assert(AdapterCallCounters.priceFetches.get() === 1)
+    val prices = store.tableFinal("price").orderBy(col("timestamp"))
+      .collect()
+    assert(prices.length === 6)
+    assert(prices.head.getAs[String]("id") === "0xc0ffee_1970-01-01")
+    assert(prices.map(_.getAs[Double]("BTC")).toSeq ===
+      Seq(10.0, 20.0, 30.0, 40.0, 30.0, 40.0)) // warm-up then 5-pt mean
     // second run is idempotent and re-probes nothing
     cli.run("start-full")
     assert(store.tableFinal("contract_description").count() === 1)
     assert(AdapterCallCounters.abiFetches.get() === 1) // still once
     assert(AdapterCallCounters.ethCalls.get() === 5)
+    // prices refetch the gap (the reference refetches since the last
+    // timestamp) but the upsert keeps one row per (address, day)
+    assert(store.tableFinal("price").count() === 6)
     // the event input decodes through the downloaded ABI on re-run
     assert(store.tableFinal("event_input")
       .filter(col("name") === "Transfer").count() === 1)
@@ -116,5 +139,6 @@ class CliSpec extends SparkSpec {
 object AdapterCallCounters {
   val abiFetches = new java.util.concurrent.atomic.AtomicInteger(0)
   val ethCalls = new java.util.concurrent.atomic.AtomicInteger(0)
-  def reset(): Unit = { abiFetches.set(0); ethCalls.set(0) }
+  val priceFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { abiFetches.set(0); ethCalls.set(0); priceFetches.set(0) }
 }
