@@ -96,4 +96,60 @@ object Balances {
       .unionByName(internalTransactions.select(col("author").as("address")))
       .filter(col("address").isNotNull)
       .distinct()
+
+  /** The exact batch `balances.sql` formula
+    * (examples/sql_balances/balances.sql:1-63) for EVERY address in the
+    * universe. This intentionally diverges from the API formula
+    * ([[ethBalances]]) where the reference's two archetypes diverge:
+    *
+    *  - block fees credit FIRST traces only (`id LIKE '%.0'`, line 24)
+    *    where the API sums fees over all traces of the block;
+    *  - fee and outcome come from ONE un-type-filtered `from`-grouping
+    *    (lines 37-41) — no `type != 'reward'` guard;
+    *  - income requires `value > 0` (lines 57-60);
+    *  - there is NO zero clamp — balances can go negative.
+    *
+    * Every aggregate's key is unique by construction (post-groupBy), so
+    * the SQL's ANY LEFT JOINs reduce to plain left joins; the one place
+    * ANY semantics bite (one author row per block, line 27-34) goes
+    * through [[Joins.anyJoin]]. All five aggregates are partial
+    * (map-side combine) and shuffle on their keys only.
+    */
+  def batchBalances(internalTransactions: DataFrame): DataFrame = {
+    val itx = internalTransactions
+    val blockFees = itx.filter(col("id").endsWith(".0"))
+      .groupBy(col("blockNumber"))
+      .agg(sum(col("gasPrice") * col("gasUsed")).as("block_fee"))
+    val authors = itx
+      .filter(col("type") === "reward" && col("rewardType") === "block")
+      .select(col("author").as("address"), col("blockNumber"))
+    val feeReward = Joins.anyJoin(blockFees, authors, Seq("blockNumber"), "inner")
+      .groupBy(col("address")).agg(sum(col("block_fee")).as("fee_reward"))
+    val fromAgg = itx.groupBy(col("from").as("address"))
+      .agg(sum(col("gasPrice") * col("gasUsed")).as("fee"),
+        sum(col("value")).as("outcome"))
+    val rewardAgg = itx.filter(col("type") === "reward")
+      .groupBy(col("author").as("address")).agg(sum(col("value")).as("reward"))
+    val incomeAgg = itx.filter(col("value") > 0 && col("type") =!= "reward")
+      .groupBy(col("to").as("address")).agg(sum(col("value")).as("income"))
+    addressUniverse(itx)
+      .join(feeReward, Seq("address"), "left")
+      .join(fromAgg, Seq("address"), "left")
+      .join(rewardAgg, Seq("address"), "left")
+      .join(incomeAgg, Seq("address"), "left")
+      .select(
+        col("address"),
+        (coalesce(col("fee_reward"), lit(0.0))
+          - coalesce(col("fee"), lit(0.0))
+          - coalesce(col("outcome"), lit(0.0))
+          + coalesce(col("reward"), lit(0.0))
+          + coalesce(col("income"), lit(0.0))).as("balance"))
+  }
+
+  /** balances.sql's `INTO OUTFILE 'balances.csv' FORMAT CSVWithNames`
+    * tail (lines 61-63): the full universe balance dump as headered CSV.
+    */
+  def batchBalancesCsv(internalTransactions: DataFrame, path: String): Unit =
+    graft.core.Sinks.writeCsv(batchBalances(internalTransactions), path,
+      singleFile = true)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.core.Joins
-import graft.eth.{Abi, DerivedViews, Events, Grafana, Selectors, Traces}
+import graft.eth.{Abi, Balances, DerivedViews, Events, Grafana, Selectors, Traces}
 
 /** SURVEY §2 rows not yet exercised by RelationalQueries /
   * TrainingQueries, each over the driver's tables with chain-shaped
@@ -51,6 +51,41 @@ object ChainQueries {
       when(col("l_quantity") < 5, lit("err")).otherwise(lit(null).cast("string"))
         .as("error"),
       element_at(heapPaths, col("l_linenumber")).as("traceAddress"))
+
+  /** Synthetic internal_transaction table for the batch balances
+    * archetype (q47): orders become call traces "tx{k}.{k%3}" (so ~1/3
+    * are first traces), every 10-orderkey block gets one block-reward
+    * row. Amounts are integer-valued doubles (exact, order-independent
+    * sums).
+    */
+  private def syntheticItx(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val calls = t(s, dir, "orders").select(
+      concat(lit("tx"), k.cast("string"), lit("."), (k % 3).cast("string")).as("id"),
+      floor(k / 10).cast("long").as("blockNumber"),
+      concat(lit("0xa"), (col("o_custkey") % 100).cast("string")).as("from"),
+      concat(lit("0xa"), ((col("o_custkey") + 7) % 100).cast("string")).as("to"),
+      lit(null).cast("string").as("author"),
+      floor(col("o_totalprice")).cast("double").as("value"),
+      ((k % 3) + 1).cast("double").as("gasPrice"),
+      floor(col("o_totalprice") / 100).cast("double").as("gasUsed"),
+      lit("call").as("type"),
+      lit(null).cast("string").as("rewardType"))
+    val rewards = t(s, dir, "orders")
+      .select(floor(k / 10).cast("long").as("blockNumber")).distinct()
+      .select(
+        concat(lit("b"), col("blockNumber").cast("string"), lit(".r")).as("id"),
+        col("blockNumber"),
+        lit(null).cast("string").as("from"),
+        lit(null).cast("string").as("to"),
+        concat(lit("0xa"), (col("blockNumber") % 100).cast("string")).as("author"),
+        lit(5.0).as("value"),
+        lit(0.0).as("gasPrice"),
+        lit(0.0).as("gasUsed"),
+        lit("reward").as("type"),
+        lit("block").as("rewardType"))
+    calls.unionByName(rewards)
+  }
 
   /** The transfer(address,uint256) ABI used by the decode queries. */
   private val transferAbi =
@@ -319,10 +354,73 @@ object ChainQueries {
           graft.eth.Prices.priceId(col("address"),
             timestamp_seconds(col("time") * 86400)).as("id"))
         .orderBy(col("address"), col("time"))
+    }),
+
+    // Batch balances.sql archetype (examples/sql_balances/
+    // balances.sql:1-63): universe → five joins, first-trace block
+    // fees, un-type-filtered fee/outcome, no clamp. All synthesized
+    // amounts are integer-valued doubles so sums are FP-exact and
+    // order-independent across engines.
+    "q47_batch_balances" -> ((s, dir) => {
+      Balances.batchBalances(syntheticItx(s, dir))
+        .orderBy(col("address"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_batch_balances" ->
+      """WITH itx AS (
+           SELECT 'tx' || CAST(o_orderkey AS VARCHAR) || '.' ||
+                    CAST(o_orderkey % 3 AS VARCHAR) AS id,
+                  o_orderkey // 10 AS blockNumber,
+                  '0xa' || CAST(o_custkey % 100 AS VARCHAR) AS addr_from,
+                  '0xa' || CAST((o_custkey + 7) % 100 AS VARCHAR) AS addr_to,
+                  CAST(NULL AS VARCHAR) AS author,
+                  CAST(floor(o_totalprice) AS DOUBLE) AS value,
+                  CAST(o_orderkey % 3 + 1 AS DOUBLE) AS gasPrice,
+                  CAST(floor(o_totalprice / 100) AS DOUBLE) AS gasUsed,
+                  'call' AS type, CAST(NULL AS VARCHAR) AS rewardType
+           FROM orders
+           UNION ALL
+           SELECT 'b' || CAST(b AS VARCHAR) || '.r', b, NULL, NULL,
+                  '0xa' || CAST(b % 100 AS VARCHAR), 5.0, 0.0, 0.0,
+                  'reward', 'block'
+           FROM (SELECT DISTINCT o_orderkey // 10 AS b FROM orders)),
+         universe AS (
+           SELECT DISTINCT address FROM (
+             SELECT addr_to AS address FROM itx
+             UNION ALL SELECT addr_from FROM itx
+             UNION ALL SELECT author FROM itx)
+           WHERE address IS NOT NULL),
+         blockfees AS (
+           SELECT blockNumber, sum(gasPrice * gasUsed) AS block_fee
+           FROM itx WHERE id LIKE '%.0' GROUP BY 1),
+         feereward AS (
+           SELECT a.address, sum(f.block_fee) AS fee_reward
+           FROM blockfees f
+           JOIN (SELECT author AS address, blockNumber FROM itx
+                 WHERE type = 'reward' AND rewardType = 'block') a
+           USING (blockNumber) GROUP BY 1),
+         fromagg AS (
+           SELECT addr_from AS address, sum(gasPrice * gasUsed) AS fee,
+                  sum(value) AS outcome
+           FROM itx GROUP BY 1),
+         rewardagg AS (
+           SELECT author AS address, sum(value) AS reward
+           FROM itx WHERE type = 'reward' GROUP BY 1),
+         incomeagg AS (
+           SELECT addr_to AS address, sum(value) AS income
+           FROM itx WHERE value > 0 AND type != 'reward' GROUP BY 1)
+         SELECT u.address,
+                coalesce(fr.fee_reward, 0) - coalesce(fa.fee, 0)
+                  - coalesce(fa.outcome, 0) + coalesce(r.reward, 0)
+                  + coalesce(i.income, 0) AS balance
+         FROM universe u
+         LEFT JOIN feereward fr ON u.address = fr.address
+         LEFT JOIN fromagg fa ON u.address = fa.address
+         LEFT JOIN rewardagg r ON u.address = r.address
+         LEFT JOIN incomeagg i ON u.address = i.address
+         ORDER BY u.address""",
     "q46_price_series" ->
       """SELECT address, time,
                 floor(avg_v * 1e6) / 1e6 AS btc,

@@ -62,4 +62,55 @@ class BalancesSpec extends SparkSpec {
     assert(got("0xb") === 6.0) // 10 in, 4 out
     assert(got("0xa") === 0.0) // 4 in, 10 out -> clamped
   }
+
+  /** Hand-computed mini-chain where the two reference archetypes
+    * disagree: a child trace (id "t1.1") whose fee counts toward the
+    * sender and the API's block fee but NOT the batch block fee
+    * (`id LIKE '%.0'`), and a sender driven negative (API clamps,
+    * batch does not).
+    */
+  private val miniSchema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("from", StringType),
+    StructField("to", StringType),
+    StructField("author", StringType),
+    StructField("type", StringType),
+    StructField("rewardType", StringType),
+    StructField("gasUsed", DoubleType),
+    StructField("gasPrice", DoubleType),
+    StructField("blockNumber", LongType),
+    StructField("value", DoubleType)))
+
+  private def miniChain = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row("t1.0", "0xa", "0xb", null, "call", null, 2.0, 1.0, 1L, 10.0),
+      Row("t1.1", "0xa", "0xc", null, "call", null, 3.0, 1.0, 1L, 1.0),
+      Row("b1.r", null, null, "0xm", "reward", "block", 0.0, 0.0, 1L, 5.0))),
+    miniSchema)
+
+  test("batchBalances follows balances.sql exactly (golden mini-chain)") {
+    val got = Balances.batchBalances(miniChain)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 0xa: -fee(2+3) - outcome(10+1) = -16 (negative kept, no clamp)
+    // 0xm: fee_reward = block-1 FIRST-trace fee only (1*2) + reward 5
+    assert(got === Map("0xa" -> -16.0, "0xb" -> 10.0, "0xc" -> 1.0, "0xm" -> 7.0))
+  }
+
+  test("API and batch formulas diverge exactly where the reference's do") {
+    val api = Balances.ethBalances(spark, miniChain, Seq("0xa", "0xm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // API: block fee has no first-trace filter -> fee_reward(0xm)=5;
+    // 0xa clamps to zero
+    assert(api === Map("0xa" -> 0.0, "0xm" -> 10.0))
+  }
+
+  test("balances.sql end-to-end: universe -> five joins -> headered CSV") {
+    val path = java.nio.file.Files.createTempDirectory("balcsv").toString + "/balances"
+    Balances.batchBalancesCsv(miniChain, path)
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path)
+    assert(back.columns.toSeq === Seq("address", "balance"))
+    val got = back.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("0xa" -> -16.0, "0xb" -> 10.0, "0xc" -> 1.0, "0xm" -> 7.0))
+  }
 }
