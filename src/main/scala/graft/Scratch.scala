@@ -18,13 +18,13 @@ object Scratch {
       import org.apache.spark.sql.functions._
       val docs = Tables.load(spark, dir, "documents")
       val sk = docs.select(col("doc_id"),
-        graft.dedup.Dedup.simhash64(graft.text.TextFunctions.shingles(col("text"), 3)).as("sim"))
+        graft.dedup.Dedup.simhash60(graft.text.TextFunctions.shingles(col("text"), 3)).as("sim"))
       sk.cache().count()
       println("distinct sims: " + sk.select(col("sim")).distinct().count())
       sk.groupBy(col("sim")).count().orderBy(col("count").desc).show(10)
       // piece bucket sizes at width 16
       val pieces = sk.select(explode(array((0 until 4).map(p =>
-        concat_ws(":", lit(p), shiftrightunsigned(col("sim"), p * 16).bitwiseAND(0xffffL))): _*)).as("piece"))
+        concat_ws(":", lit(p), shiftrightunsigned(col("sim"), p * 15).bitwiseAND(0x7fffL))): _*)).as("piece"))
       pieces.groupBy(col("piece")).count().orderBy(col("count").desc).show(10)
       spark.stop(); return
     }

@@ -142,24 +142,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over a shingle set: bit k of the sketch is 1 iff
-    * the sum over shingles of ±1 (sign = bit k of xxh64(shingle)) is
-    * positive. Compiled kernel (SketchOps).
+  /** 60-bit SimHash over a shingle set: bit k of the sketch is 1 iff
+    * the sum over shingles of ±1 (sign = bit k of the top-60 md5 bits
+    * of the shingle) is positive. Compiled kernel (SketchOps). md5 (not
+    * xxh64) so an independent engine can recompute the identical sketch
+    * in SQL — the DuckDB oracle for q25 does exactly that, giving the
+    * approximate operator a full hash-checked correctness gate.
     */
-  def simhash64(shingleSet: Column): Column =
-    graft.functions.SketchFunctions.simhash64(shingleSet)
+  def simhash60(shingleSet: Column): Column =
+    graft.functions.SketchFunctions.simhash60(shingleSet)
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming,
     * verified by exact Jaccard >= tau. Candidate generation: split the
-    * 64-bit sketch into `pieces` equal bit-slices; by pigeonhole, any
+    * 60-bit sketch into `pieces` equal bit-slices; by pigeonhole, any
     * pair with hamming <= pieces-1 shares at least one identical piece,
     * so joining on (piece index, piece bits) finds all such pairs
-    * without a cross join.
+    * without a cross join. Recall w.r.t. the predicate
+    * `hamming <= maxHamming AND jaccard >= tau` is therefore EXACTLY 1:
+    * the output is the full predicate set, not a sample of it.
     *
-    * Default maxHamming=3 (4 pieces x 16 bits, the Manku et al. web-dedup
-    * configuration): 2^16 bucket values keep candidate pairs near-linear.
-    * Wider hamming (7 -> 8-bit pieces) collapses to 256 bucket values and
-    * the candidate set degenerates toward |D|^2 when sketches are
+    * Default maxHamming=3 (4 pieces x 15 bits, the Manku et al. web-dedup
+    * configuration): 2^15 bucket values keep candidate pairs near-linear.
+    * Wider hamming (e.g. 9 -> 6-bit pieces) collapses to 64 bucket values
+    * and the candidate set degenerates toward |D|^2 when sketches are
     * correlated (shared vocabulary) — measured 13s vs ~1s at sf0.1.
     */
   def simhashPairs(
@@ -170,11 +175,11 @@ object Dedup {
       maxHamming: Int = 3,
       tau: Double = 0.5): DataFrame = {
     val pieces = maxHamming + 1
-    require(64 % pieces == 0, s"pieces=$pieces must divide 64")
-    val width = 64 / pieces
+    require(60 % pieces == 0, s"pieces=$pieces must divide 60")
+    val width = 60 / pieces
     val mask = (1L << width) - 1
     val sh = df.select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), n).as("sh"))
-      .withColumn("sim", simhash64(col("sh")))
+      .withColumn("sim", simhash60(col("sh")))
     val pieceKeys = sh.select(
       col("doc"), col("sim"),
       explode(array((0 until pieces).map { p =>

@@ -55,17 +55,43 @@ object SketchOps {
     new GenericArrayData(keys)
   }
 
-  /** 64-bit SimHash: bit k set iff the ±1 vote sum over element-hash
-    * bit k is positive.
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(s): big-endian long of the first 8 digest
+    * bytes, shifted right 4 — identical to parsing the first 15 hex
+    * chars of the md5 hex string, which is how the DuckDB oracle
+    * recomputes it (`('0x' || substr(md5(s), 1, 15))::BIGINT`). 60
+    * bits (not 64) so the value fits a SIGNED long in both engines.
     */
-  def simhash64(arr: ArrayData): Long = {
+  def md5Top60(s: UTF8String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) {
+      h = (h << 8) | (bytes(i) & 0xffL)
+      i += 1
+    }
+    h >>> 4
+  }
+
+  /** 60-bit SimHash: bit k set iff the ±1 vote sum over element-hash
+    * bit k is positive. Hash bits come from [[md5Top60]] — a public,
+    * engine-agnostic derivation, so an independent SQL engine can
+    * recompute the identical sketch for verification.
+    */
+  def simhash60(arr: ArrayData): Long = {
     val n = arr.numElements()
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](60)
     var i = 0
     while (i < n) {
-      val h = hash(arr.getUTF8String(i), 42L)
+      val h = md5Top60(arr.getUTF8String(i))
       var k = 0
-      while (k < 64) {
+      while (k < 60) {
         if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
         k += 1
       }
@@ -73,7 +99,7 @@ object SketchOps {
     }
     var out = 0L
     var k = 0
-    while (k < 64) {
+    while (k < 60) {
       if (votes(k) > 0) out |= (1L << k)
       k += 1
     }

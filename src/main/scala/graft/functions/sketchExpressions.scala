@@ -42,17 +42,19 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
-/** `simhash64(shingles)` → 64-bit SimHash sketch. */
-case class SimHash64(child: Expression)
+/** `simhash60(shingles)` → 60-bit SimHash sketch (md5-derived bits,
+  * recomputable by any SQL engine with md5 — see SketchOps.md5Top60).
+  */
+case class SimHash60(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullSafeEval(arr: Any): Any =
-    SketchOps.simhash64(arr.asInstanceOf[ArrayData])
+    SketchOps.simhash60(arr.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.SketchOps.simhash64($a)")
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchOps.simhash60($a)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = "simhash60"
 }
 
 /** `shingles(text, n)` → distinct word n-gram array (compiled). */
@@ -93,8 +95,8 @@ object SketchFunctions {
     toCol(MinHashBandKeys(toExpr(shingles), numHashes, bands))
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     toCol(MinHashSig(toExpr(shingles), numHashes))
-  def simhash64(shingles: Column): Column =
-    toCol(SimHash64(toExpr(shingles)))
+  def simhash60(shingles: Column): Column =
+    toCol(SimHash60(toExpr(shingles)))
   def array_dot(a: Column, b: Column): Column =
     toCol(ArrayDot(toExpr(a), toExpr(b)))
 }

@@ -11,9 +11,10 @@ import graft.text.TextFunctions
 
 /** Training-data pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over the `documents` /
-  * `embeddings` tables, each with a DuckDB oracle where the semantics
-  * are SQL-expressible (hash-seeded sketches get rows-only checks; their
-  * exactness is covered by ScalaTest specs instead).
+  * `embeddings` tables, each with a full DuckDB oracle — including the
+  * approximate sketches: their hash bits derive from md5 (public,
+  * engine-agnostic), so the oracle recomputes the SAME sketch algorithm
+  * in SQL rather than settling for a rows-only check.
   *
   * Oracle-determinism ground rules: all similarity scores are computed
   * from exact integer set sizes or exact float32→double products, with
@@ -51,6 +52,31 @@ object TrainingQueries {
          list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))
          / (sqrt(list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE)))
           * sqrt(list_sum(list_transform(range(1, 65), i -> $b.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)))), 6)"""
+
+  /** Cosine over pre-extracted `emb`/`nrm` CTE columns (same fold). */
+  private def duckCosPre(a: String, b: String) =
+    s"""round(list_sum(list_transform(range(1, 65), i -> $a.emb[i] * $b.emb[i]))
+         / ($a.nrm * $b.nrm), 6)"""
+
+  /** `(vec_id, emb double-list, nrm)` CTE shared by the ANN oracles. */
+  private val embCte =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+       n AS (SELECT vec_id, emb,
+               sqrt(list_sum(list_transform(range(1, 65), i -> emb[i] * emb[i]))) AS nrm
+             FROM e)"""
+
+  /** The md5-derived ±1 hyperplane `p` as a DuckDB array literal —
+    * definitionally the same constants Similarity.hyperplane feeds the
+    * Spark plan (see its scaladoc for the public re-derivation).
+    */
+  private def planeSql(p: Int): String =
+    Similarity.hyperplane(p, 64).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+
+  /** `CASE WHEN dot(emb, plane_p) > 0 THEN hi ELSE 0 END` in DuckDB. */
+  private def planeBitSql(p: Int, hi: Long): String =
+    s"""(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * (${planeSql(p)})[i])) > 0
+         THEN ${hi}::BIGINT ELSE 0::BIGINT END)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, smallest id survives.
@@ -117,8 +143,11 @@ object TrainingQueries {
     }),
 
     // SimHash near-dup pairs (hamming banding), verified by exact
-    // Jaccard — rows-only check (hash-seeded sketch; exactness covered
-    // by DedupSpec against the q23 result).
+    // Jaccard. Full DuckDB oracle: the md5-derived sketch is
+    // recomputable in SQL, and the pigeonhole piece-join has recall
+    // exactly 1 for hamming<=maxHamming, so the output IS the predicate
+    // set {hamming(simhash a,b) <= 3 AND jaccard >= 0.5} — which the
+    // oracle evaluates quadratically.
     "q25_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, maxHamming = 3, tau = 0.5)
@@ -129,7 +158,20 @@ object TrainingQueries {
     "q26_embedding_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      Similarity.cosinePairs(emb, "vec_id", "emb", tau = 0.45)
+      Similarity.cosinePairsExact(emb, "vec_id", "emb", tau = 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding near-dup pairs via banded hyperplane LSH — the scale
+    // path (bucket equi-join + exact-cosine verification of candidates,
+    // no cross join). The oracle mirrors the ALGORITHM: buckets from
+    // the same md5-derived ±1 planes (embedded as literals), candidate
+    // = shares >=1 band bucket, then the identical exact cosine filter.
+    "q48_neardup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.cosinePairsLsh(emb, "vec_id", "emb", tau = 0.45,
+        dim = 64, planesPerBand = 2, bands = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -147,8 +189,10 @@ object TrainingQueries {
     }),
 
     // LSH-bucketed approximate top-k (the scale path: bucket equi-join
-    // instead of cross join) — rows-only check; recall measured in
-    // SimilaritySpec against q27.
+    // instead of cross join). Full DuckDB oracle mirroring the
+    // algorithm: same md5-derived planes as SQL literals, same bucket
+    // assignment, join, scoring and ranking — recall vs the exact q27
+    // is additionally measured in SimilaritySpec.
     "q28_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -156,7 +200,7 @@ object TrainingQueries {
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
       val corpus = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
-      Similarity.lshTopK(queries, corpus, k = 5, planes = 2)
+      Similarity.lshTopK(queries, corpus, k = 5, planes = 2, dim = 64)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -168,8 +212,10 @@ object TrainingQueries {
     }),
 
     // IVF-Flat ANN (the second scale path beside q28's LSH): inverted
-    // lists by nearest centroid, nprobe-list probing — rows-only check;
-    // recall vs q27's exact top-k measured in SimilaritySpec.
+    // lists by nearest centroid, nprobe-list probing. Full DuckDB
+    // oracle: the deterministic quantizer (lowest-id centroids, argmax
+    // cosine assignment) is pure SQL — no hashing involved; recall vs
+    // q27's exact top-k additionally measured in SimilaritySpec.
     "q40_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -259,6 +305,28 @@ object TrainingQueries {
          ORDER BY doc_id""",
     "q23_jaccard_pairs" -> jaccardPairsSql,
     "q24_minhash_lsh" -> jaccardPairsSql,
+    // Recomputes the 60-bit md5 simhash per doc in SQL, then evaluates
+    // the exact predicate set {hamming <= 3 AND jaccard >= 0.5}
+    // quadratically — the piece-join's pigeonhole recall is 1, so the
+    // Spark result equals this set bit-for-bit.
+    "q25_simhash" ->
+      s"""$shingleCte,
+         hs AS (SELECT doc_id, sh,
+                  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hv
+                FROM d),
+         sims AS (SELECT doc_id, sh,
+             list_sum(list_transform(range(0, 60), k ->
+               CASE WHEN list_sum(list_transform(hv, x ->
+                      CASE WHEN (x >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT AS sim
+           FROM hs)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.sim, b.sim)) AS ham,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+           FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
+         WHERE ham <= 3 AND jaccard >= 0.5 ORDER BY doc_a, doc_b""",
     "q45_dedup_clusters" ->
       s"""$shingleCte, pairs AS (
            SELECT doc_a, doc_b FROM (
@@ -283,6 +351,63 @@ object TrainingQueries {
                ORDER BY ${duckCos("q", "c")} DESC, c.vec_id) AS rank
            FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id >= 10)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    // Mirrors lshTopK(planes=2): bucket = two hyperplane sign bits
+    // (plane constants inlined as literals — re-derivable from
+    // md5("plane:p"), see Similarity.hyperplane), bucket equi-join,
+    // then the identical scoring/ranking as q27.
+    "q28_ann_lsh" ->
+      s"""$embCte,
+         b AS (SELECT vec_id, emb, nrm,
+                 ${planeBitSql(0, 1L)} + ${planeBitSql(1, 2L)} AS bucket
+               FROM n)
+         SELECT q_id, c_id, cos, rank FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${duckCosPre("q", "c")} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${duckCosPre("q", "c")} DESC, c.vec_id) AS rank
+           FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id >= 10)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    // Mirrors ivfTopK(nlist=16, nprobe=4): centroids = 16 lowest-id
+    // corpus vectors, assignment/probing by rounded cosine with
+    // centroid-id tiebreak — pure SQL, no hashing.
+    "q40_ann_ivf" ->
+      s"""$embCte,
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+                  FROM n WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+         c AS (SELECT vec_id AS c_id, emb, nrm FROM n WHERE vec_id >= 10),
+         q AS (SELECT vec_id AS q_id, emb, nrm FROM n WHERE vec_id < 10),
+         assigned AS (SELECT list_id, c_id, emb, nrm FROM (
+           SELECT ct.cent_id AS list_id, c.c_id, c.emb, c.nrm,
+             row_number() OVER (PARTITION BY c.c_id ORDER BY
+               round(list_sum(list_transform(range(1, 65), i -> c.emb[i] * ct.cent_emb[i]))
+                 / (c.nrm * ct.cent_nrm), 6) DESC, ct.cent_id) AS rn
+           FROM c CROSS JOIN cent ct) WHERE rn = 1),
+         probes AS (SELECT q_id, emb, nrm, list_id FROM (
+           SELECT q.q_id, q.emb, q.nrm, ct.cent_id AS list_id,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               round(list_sum(list_transform(range(1, 65), i -> q.emb[i] * ct.cent_emb[i]))
+                 / (q.nrm * ct.cent_nrm), 6) DESC, ct.cent_id) AS rn
+           FROM q CROSS JOIN cent ct) WHERE rn <= 4)
+         SELECT q_id, c_id, cos, rank FROM (
+           SELECT p.q_id, a.c_id, ${duckCosPre("p", "a")} AS cos,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY ${duckCosPre("p", "a")} DESC, a.c_id) AS rank
+           FROM probes p JOIN assigned a USING (list_id))
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    // Mirrors cosinePairsLsh(P=2, B=8): per-band bucket values offset
+    // into disjoint ranges (b<<2 | bits), candidate = any shared
+    // bucket (list_has_any = the explode/equi-join/distinct), then the
+    // identical exact-cosine verification as q26.
+    "q48_neardup_lsh" ->
+      s"""$embCte,
+         bk AS (SELECT vec_id, emb, nrm, [${
+        (0 until 8).map(b =>
+          s"${planeBitSql(2 * b, 1L)} + ${planeBitSql(2 * b + 1, 2L)} + ${b.toLong << 2}::BIGINT")
+          .mkString(", ")
+      }] AS bk FROM n)
+         SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosPre("a", "b")} AS cos
+           FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND list_has_any(a.bk, b.bk))
+         WHERE cos >= 0.45 ORDER BY id_a, id_b""",
     "q29_media_meta" ->
       """SELECT doc_id AS media_id,
          (['image','audio','video'])[(doc_id % 3) + 1] AS kind,

@@ -63,19 +63,33 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane component for plane p,
-    * dimension i (derived from xxhash64 — no RNG, reproducible).
+  /** Deterministic ±1 hyperplane for plane index `p` over `dim`
+    * dimensions, derived from the md5 hex digest of `"plane:p"`:
+    * component i = +1 iff bit (i mod 4) of hex digit (i / 4) is set.
+    * md5 (no private RNG) so any engine can re-derive the identical
+    * planes — the DuckDB oracles for the LSH queries embed these as
+    * array literals and reproduce the full bucket assignment in SQL.
     */
-  private def planeSign(p: Column, i: Column): Column =
-    when(xxhash64(p, i).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+  def hyperplane(p: Int, dim: Int): Array[Double] = {
+    require(dim <= 128, s"md5 supplies 128 sign bits, got dim=$dim")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p".getBytes("UTF-8"))
+    Array.tabulate(dim) { i =>
+      val nibble =
+        if (i % 8 < 4) (digest(i / 8) >> 4) & 0xf else digest(i / 8) & 0xf
+      if (((nibble >> (i % 4)) & 1) == 1) 1.0 else -1.0
+    }
+  }
 
-  /** LSH bucket id: `planes` sign bits of dots with ±1 hyperplanes. */
-  def lshBucket(emb: Column, planes: Int): Column =
+  /** LSH bucket id: `planes` sign bits of dots with the md5-derived ±1
+    * hyperplanes (plane indices `firstPlane until firstPlane+planes`).
+    * The planes enter the plan as array LITERALS, so the bucket is one
+    * codegen'd `array_dot` per plane — no per-row hash evaluation.
+    */
+  def lshBucket(emb: Column, planes: Int, dim: Int, firstPlane: Int = 0): Column =
     (0 until planes).map { p =>
-      val d = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) => x * planeSign(lit(p), i)),
-        lit(0.0), (a, x) => a + x)
-      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(emb, typedLit(hyperplane(firstPlane + p, dim).toSeq)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   /** Approximate top-k: candidates are corpus rows sharing the query's
@@ -86,13 +100,14 @@ object Similarity {
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      planes: Int = 4): DataFrame = {
+      planes: Int = 4,
+      dim: Int = 64): DataFrame = {
     val q = queries
       .withColumn("q_norm", norm(col("q_emb")))
-      .withColumn("bucket", lshBucket(col("q_emb"), planes))
+      .withColumn("bucket", lshBucket(col("q_emb"), planes, dim))
     val c = corpus
       .withColumn("c_norm", norm(col("c_emb")))
-      .withColumn("bucket", lshBucket(col("c_emb"), planes))
+      .withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
     val scored = c.join(q, Seq("bucket"))
       .withColumn("cos", cosineWithNorms(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
@@ -146,16 +161,74 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
-  /** Embedding near-duplicate pairs: all (a < b) pairs with cosine >=
-    * tau. Exact variant (self cross join) — use only when one side fits
-    * in broadcast; the LSH-prefiltered variant joins on bucket instead.
+  /** Embedding near-duplicate pairs, EXACT variant: all (a < b) pairs
+    * with cosine >= tau via a self cross join — O(n²) flops, the oracle
+    * baseline. At corpus scale use [[cosinePairsLsh]] (the default
+    * recommendation): same output schema, bounded-key join instead of a
+    * cross join. Reach for this exact form only when one side is small
+    * enough to broadcast or an exact answer is mandatory.
     */
-  def cosinePairs(df: DataFrame, idCol: String, embCol: String, tau: Double): DataFrame = {
+  def cosinePairsExact(df: DataFrame, idCol: String, embCol: String, tau: Double): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val l = base.select(col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("n_a"))
     val r = base.select(col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("n_b"))
     l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineWithNorms(col("emb_a"), col("emb_b"), col("n_a"), col("n_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Banded band-bucket values for [[cosinePairsLsh]]: band b's bucket
+    * is `planesPerBand` sign bits (planes b·P .. b·P+P-1) offset into a
+    * per-band disjoint range (`b << P | bits`), so one flat long key
+    * encodes (band, bucket).
+    */
+  def lshBandBuckets(emb: Column, planesPerBand: Int, bands: Int, dim: Int): Column =
+    array((0 until bands).map { b =>
+      lshBucket(emb, planesPerBand, dim, firstPlane = b * planesPerBand)
+        .bitwiseOR(lit(b.toLong << planesPerBand))
+    }: _*)
+
+  /** Embedding near-duplicate pairs, LSH-banded variant — the default
+    * scale path. Candidates are (a < b) pairs sharing at least one of
+    * `bands` hyperplane-sign buckets (OR-construction: a pair at angle
+    * θ collides per band with prob (1-θ/π)^P, misses all bands with
+    * prob (1-(1-θ/π)^P)^B); every candidate is then verified with the
+    * EXACT cosine, so output pairs are always true pairs — banding only
+    * bounds recall, never precision.
+    *
+    * Scale shape: explode to B band-keys per row, self-equi-join on the
+    * key (shuffle on bounded buckets, never |D|² — same pattern as
+    * [[graft.dedup.Dedup.minhashLshPairs]]), verify candidates only.
+    * Pruning power grows with tau: at tau ≥ 0.9 (θ ≤ 0.45 rad) a
+    * P=8/B=16 setting prunes ~97% of random pairs at miss prob < 1e-3;
+    * at low tau (wide angles) hyperplane signs barely separate near
+    * from far and the candidate set approaches the cross join — that is
+    * a property of sign LSH, not of this implementation.
+    */
+  def cosinePairsLsh(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      dim: Int = 64,
+      planesPerBand: Int = 2,
+      bands: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val keyed = base.select(col("id"),
+      explode(lshBandBuckets(col("emb"), planesPerBand, bands, dim)).as("bucket"))
+    // SHUFFLE_HASH: same postings-index rationale as Dedup.jaccardPairs —
+    // neither side of the self-join fits a broadcast at real scale.
+    val candidates = keyed.as("l")
+      .join(keyed.as("r").hint("shuffle_hash"), col("l.bucket") === col("r.bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("n_b")), "id_b")
       .withColumn("cos", cosineWithNorms(col("emb_a"), col("emb_b"), col("n_a"), col("n_b")))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))

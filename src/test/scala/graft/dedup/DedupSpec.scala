@@ -48,6 +48,17 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("md5Top60 matches the DuckDB hex-substring derivation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // DuckDB: SELECT ('0x' || substr(md5('abc'), 1, 15))::BIGINT
+    //         -> 648541476951500027
+    assert(graft.functions.SketchOps.md5Top60(UTF8String.fromString("abc"))
+      === 648541476951500027L)
+    // 60-bit range: always non-negative, below 2^60
+    val h = graft.functions.SketchOps.md5Top60(UTF8String.fromString("xyz"))
+    assert(h >= 0L && h < (1L << 60))
+  }
+
   test("simhashPairs is a subset of exact pairs, catches identical sets") {
     val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

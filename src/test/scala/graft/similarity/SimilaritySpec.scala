@@ -47,7 +47,7 @@ class SimilaritySpec extends SparkSpec {
       .toDF("c_id", "c_emb")
     val bf = Similarity.bruteForceTopK(queries, corpus, k = 20)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
-    val lsh = Similarity.lshTopK(queries, corpus, k = 5, planes = 1)
+    val lsh = Similarity.lshTopK(queries, corpus, k = 5, planes = 1, dim = 3)
       .collect()
     assert(lsh.nonEmpty && lsh.length <= 5)
     lsh.foreach { r =>
@@ -88,7 +88,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("cosinePairs finds mutually-close vectors above tau only") {
+  test("cosinePairsExact finds mutually-close vectors above tau only") {
     val s = spark
     import s.implicits._
     val df = Seq(
@@ -96,8 +96,40 @@ class SimilaritySpec extends SparkSpec {
       (2L, Seq(1.0, 0.02)), // ~same direction as 1
       (3L, Seq(0.0, 1.0))) // orthogonal
       .toDF("vec_id", "emb")
-    val got = Similarity.cosinePairs(df, "vec_id", "emb", tau = 0.9)
+    val got = Similarity.cosinePairsExact(df, "vec_id", "emb", tau = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 2L)))
+  }
+
+  test("cosinePairsLsh: subset of exact with identical scores; near-certain bands find near-dups") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val exact = Similarity.cosinePairsExact(emb, "vec_id", "emb", tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "emb", tau = 0.45,
+      dim = 64, planesPerBand = 2, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision 1.0: every LSH pair is a true pair with the exact score
+    assert(lsh.toSet.subsetOf(exact.toSet))
+    // recall at P=2/B=8, tau=0.45 (θ<=1.104 rad): per-pair miss prob
+    // (1-0.649^2)^8 ≈ 0.013 — assert well above the sampled floor
+    assert(lsh.length >= (exact.length * 0.8).toInt,
+      s"LSH recall ${lsh.length}/${exact.length} below expectation")
+  }
+
+  test("hyperplane: md5-derived, ±1 components, deterministic") {
+    val p0 = Similarity.hyperplane(0, 64)
+    val p1 = Similarity.hyperplane(1, 64)
+    assert(p0.length === 64 && p0.forall(v => v == 1.0 || v == -1.0))
+    assert(p0.toSeq === Similarity.hyperplane(0, 64).toSeq)
+    assert(p0.toSeq !== p1.toSeq)
+    // cross-engine contract: component i = bit (i%4) of md5 hex digit
+    // (i/4) of "plane:p". md5("plane:0") starts with "16c..." -> digit 0
+    // = 1 -> bits 0001 -> components (+1,-1,-1,-1).
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("plane:0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nib = Integer.parseInt(hex.substring(0, 1), 16)
+    val want = (0 until 4).map(b => if (((nib >> b) & 1) == 1) 1.0 else -1.0)
+    assert(p0.take(4).toSeq === want)
   }
 }
