@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.curation.Curation
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -236,6 +237,26 @@ object TrainingQueries {
       Dedup.collapsePairs(pairs).orderBy(col("keep"), col("drop"))
     }),
 
+    // Deterministic stratified hash-sample: per-lang keep fractions via
+    // one map-only filter; the md5-derived sample key is a pure function
+    // of the row id, so the sample is identical across engines, runs,
+    // and cluster sizes (no RNG, no partition-order dependence).
+    "q49_hash_sample" -> ((s, dir) => {
+      Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end corpus curation: exact dedup -> near-dup collapse ->
+    // language/quality gate, composed from the q18/q23/q45/q20/q21
+    // operators — the single call a training-data pipeline runs.
+    "q50_corpus_curation" -> ((s, dir) => {
+      Curation.curateCorpus(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5, minQuality = 0.5, lang = "en")
+        .orderBy(col("doc_id"))
+    }),
+
     // Media transform ops: STUB resize + frame sampling through the
     // batched mapPartitions plumbing (byte-level deterministic, so the
     // truncation length / digest / frame count oracle-check exactly).
@@ -417,6 +438,60 @@ object TrainingQueries {
          (strlen(text) // 1024 + 1)::INT AS n_frames,
          md5(text) AS sha
          FROM documents ORDER BY media_id""",
+    // Mirrors stratifiedHashSample: same md5-derived 60-bit key, same
+    // per-stratum thresholds (inlined from Curation.sampleThreshold).
+    "q49_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT <
+           (CASE WHEN lang = 'en' THEN ${Curation.sampleThreshold(0.5)}
+                 WHEN lang = 'de' THEN ${Curation.sampleThreshold(0.25)}
+                 ELSE ${Curation.sampleThreshold(0.1)} END)
+         ORDER BY doc_id""",
+    // Mirrors curateCorpus: exact-dedup survivors -> quadratic jaccard
+    // near-dup drops -> the q20/q21 quality + lang-ID formulas.
+    "q50_corpus_curation" ->
+      """WITH ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         dd AS (SELECT d.doc_id, d.text FROM documents d JOIN ex ON d.doc_id = ex.doc_id),
+         shg AS (SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [text]
+                  ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS sh
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM dd)),
+         drops AS (SELECT DISTINCT doc_b AS doc_id FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+             FROM shg a JOIN shg b ON a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.5),
+         stats AS (SELECT doc_id, wc,
+             CASE WHEN gmax = 0 THEN 'und'
+                  WHEN s_en = gmax THEN 'en'
+                  WHEN s_de = gmax THEN 'de'
+                  WHEN s_fr = gmax THEN 'fr'
+                  WHEN s_es = gmax THEN 'es'
+                  ELSE 'zh' END AS lang_pred,
+             floor((0.3 * least(1.0, wc / 50)
+                  + 0.3 * ttr
+                  + 0.2 * least(1.0, mean_len / 8)
+                  + 0.2 * stop_ratio) * 1e6) / 1e6 AS quality
+           FROM (
+             SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS gmax,
+               s_en::DOUBLE / wc AS stop_ratio
+             FROM (
+               SELECT doc_id,
+                 len(t)::BIGINT AS wc,
+                 len(list_distinct(t))::DOUBLE / len(t) AS ttr,
+                 list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) AS mean_len,
+                 len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x))) AS s_en,
+                 len(list_filter(t, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+                 len(list_filter(t, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+                 len(list_filter(t, x -> list_contains(['el','los','las','es','una'], x))) AS s_es,
+                 len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM dd))))
+         SELECT doc_id, lang_pred, quality, wc FROM stats
+         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+           AND lang_pred = 'en' AND quality >= 0.5
+         ORDER BY doc_id""",
     // q41: resize target = 32*64/64 = 32 bytes (< min doc length, so
     // truncation-only and md5 matches a substring digest); frames of 64
     // bytes sampled at stride 2 -> ceil(ceil(len/64)/2).
