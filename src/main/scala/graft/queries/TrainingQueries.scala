@@ -172,7 +172,7 @@ object TrainingQueries {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       Similarity.cosinePairsLsh(emb, "vec_id", "emb", tau = 0.45,
-        dim = 64, planesPerBand = 2, bands = 8)
+        dim = 64, planesPerBand = 6, bands = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -414,15 +414,16 @@ object TrainingQueries {
                ORDER BY ${duckCosPre("p", "a")} DESC, a.c_id) AS rank
            FROM probes p JOIN assigned a USING (list_id))
          WHERE rank <= 5 ORDER BY q_id, rank""",
-    // Mirrors cosinePairsLsh(P=2, B=8): per-band bucket values offset
-    // into disjoint ranges (b<<2 | bits), candidate = any shared
+    // Mirrors cosinePairsLsh(P=6, B=16): per-band bucket values offset
+    // into disjoint ranges (b<<6 | bits), candidate = any shared
     // bucket (list_has_any = the explode/equi-join/distinct), then the
     // identical exact-cosine verification as q26.
     "q48_neardup_lsh" ->
       s"""$embCte,
          bk AS (SELECT vec_id, emb, nrm, [${
-        (0 until 8).map(b =>
-          s"${planeBitSql(2 * b, 1L)} + ${planeBitSql(2 * b + 1, 2L)} + ${b.toLong << 2}::BIGINT")
+        (0 until 16).map(b =>
+          (0 until 6).map(j => planeBitSql(6 * b + j, 1L << j)).mkString(" + ") +
+            s" + ${b.toLong << 6}::BIGINT")
           .mkString(", ")
       }] AS bk FROM n)
          SELECT id_a, id_b, cos FROM (

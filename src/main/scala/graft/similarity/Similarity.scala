@@ -201,11 +201,12 @@ object Similarity {
     * Scale shape: explode to B band-keys per row, self-equi-join on the
     * key (shuffle on bounded buckets, never |D|² — same pattern as
     * [[graft.dedup.Dedup.minhashLshPairs]]), verify candidates only.
-    * Pruning power grows with tau: at tau ≥ 0.9 (θ ≤ 0.45 rad) a
-    * P=8/B=16 setting prunes ~97% of random pairs at miss prob < 1e-3;
-    * at low tau (wide angles) hyperplane signs barely separate near
-    * from far and the candidate set approaches the cross join — that is
-    * a property of sign LSH, not of this implementation.
+    * The default P=6/B=16 prunes random pairs 1-(1-2⁻⁶)¹⁶ ≈ 0.22 (4.5×
+    * fewer candidates than the cross join) and its recall grows with
+    * tau: ~0.71 right at cos = 0.45, > 0.9997 at cos = 0.9 — the
+    * near-dup regime the scale path exists for. Low tau (wide angles)
+    * is where hyperplane signs separate worst; crank bands up (recall
+    * 1-(1-p^P)^B) or fall back to [[cosinePairsExact]] there.
     */
   def cosinePairsLsh(
       df: DataFrame,
@@ -213,8 +214,8 @@ object Similarity {
       embCol: String,
       tau: Double,
       dim: Int = 64,
-      planesPerBand: Int = 2,
-      bands: Int = 8): DataFrame = {
+      planesPerBand: Int = 6,
+      bands: Int = 16): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val keyed = base.select(col("id"),

@@ -115,6 +115,14 @@ class SimilaritySpec extends SparkSpec {
     // (1-0.649^2)^8 ≈ 0.013 — assert well above the sampled floor
     assert(lsh.length >= (exact.length * 0.8).toInt,
       s"LSH recall ${lsh.length}/${exact.length} below expectation")
+    // default pruning config (P=6/B=16): still precision 1.0 with exact
+    // scores, recall ≈ 1-(1-0.649^6)^16 ≈ 0.71 at the threshold
+    // boundary (deterministic given the fixture — floor set below it)
+    val pruned = Similarity.cosinePairsLsh(emb, "vec_id", "emb", tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pruned.toSet.subsetOf(exact.toSet))
+    assert(pruned.length >= (exact.length * 0.4).toInt,
+      s"pruned-LSH recall ${pruned.length}/${exact.length} below expectation")
   }
 
   test("hyperplane: md5-derived, ±1 components, deterministic") {
