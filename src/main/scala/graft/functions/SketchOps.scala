@@ -138,6 +138,30 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** All word n-gram occurrences IN ORDER (non-distinct — the
+    * multiset the repetition signals need); texts shorter than n words
+    * collapse to [text], mirroring `shingles`.
+    */
+  def ngramsAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.split(UTF8String.fromString(" "), -1)
+    if (toks.length < n) return new GenericArrayData(Array[Any](text))
+    val space = UTF8String.fromString(" ")
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = toks(i + j)
+        if (j < n - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Dot product of two double arrays, strict left-to-right fold —
     * bit-identical to `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and to
     * DuckDB's `list_sum(list_transform(...))`, which the oracle

@@ -71,6 +71,20 @@ case class Shingles(child: Expression, n: Int)
   override def prettyName: String = "shingles"
 }
 
+/** `ngrams_all(text, n)` → ordered non-distinct n-gram array (compiled). */
+case class NgramsAll(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1)
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    SketchOps.ngramsAll(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SketchOps.ngramsAll($t, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ngrams_all"
+}
+
 /** `array_dot(a, b)` → Double, strict left fold (oracle-deterministic). */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -91,6 +105,8 @@ object SketchFunctions {
 
   def shingles(text: Column, n: Int): Column =
     toCol(Shingles(toExpr(text), n))
+  def ngrams_all(text: Column, n: Int): Column =
+    toCol(NgramsAll(toExpr(text), n))
   def minhash_band_keys(shingles: Column, numHashes: Int, bands: Int): Column =
     toCol(MinHashBandKeys(toExpr(shingles), numHashes, bands))
   def minhash_sig(shingles: Column, numHashes: Int): Column =

@@ -8,7 +8,7 @@ import graft.curation.Curation
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.TextFunctions
+import graft.text.{Repetition, TextFunctions}
 
 /** Training-data pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over the `documents` /
@@ -257,6 +257,15 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition signals: duplicate-bigram mass and
+    // top-bigram concentration per document — explode + two keyed
+    // aggregations (bounded keys, map-side partials), compiled n-gram
+    // kernel feeding the explode.
+    "q51_repetition" -> ((s, dir) => {
+      Repetition.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Media transform ops: STUB resize + frame sampling through the
     // batched mapPartitions plumbing (byte-level deterministic, so the
     // truncation length / digest / frame count oracle-check exactly).
@@ -439,6 +448,18 @@ object TrainingQueries {
          (strlen(text) // 1024 + 1)::INT AS n_frames,
          md5(text) AS sha
          FROM documents ORDER BY media_id""",
+    // Mirrors repetitionStats(n=2): non-distinct bigram unnest, per-doc
+    // count table, same floor-truncated fraction arithmetic.
+    "q51_repetition" ->
+      """WITH g AS (SELECT doc_id, unnest(
+             CASE WHEN len(t) < 2 THEN [text]
+                  ELSE list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1])) END) AS g
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+         c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+         SELECT doc_id, sum(c)::BIGINT AS grams,
+           floor(max(c)::DOUBLE / sum(c) * 1e6) / 1e6 AS top_gram_frac,
+           floor(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c) * 1e6) / 1e6 AS dup_gram_frac
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     // Mirrors stratifiedHashSample: same md5-derived 60-bit key, same
     // per-stratum thresholds (inlined from Curation.sampleThreshold).
     "q49_hash_sample" ->

@@ -60,4 +60,34 @@ class TextSpec extends SparkSpec {
     }
     assert(md5s.contains(fpA) && fpA === md5s.min)
   }
+
+  test("repetitionStats: hand-computed bigram fractions; short-doc collapse") {
+    val s = spark
+    import s.implicits._
+    // doc 1: "a b a b a" -> bigrams [a b, b a, a b, b a]: 4 grams,
+    //   top "a b" = 2/4, dup mass = 4/4
+    // doc 2: all-distinct bigrams -> top 1/3, dup 0
+    // doc 3: single word -> collapses to 1 whole-text gram
+    //   (top 1/1, dup 0 — the one gram occurs only once)
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "w x y z"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = Repetition.repetitionStats(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq ===
+      Seq((1L, 4L, 0.5, 1.0), (2L, 3L, 0.333333, 0.0), (3L, 1L, 1.0, 0.0)))
+  }
+
+  test("repetitionFilter keeps low-repetition docs only, rows unchanged") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "a genuinely varied sentence with no repeated word pairs at all")).toDF("doc_id", "text")
+    val kept = Repetition.repetitionFilter(docs, "doc_id", "text",
+      maxDupFrac = 0.2, maxTopFrac = 0.2).collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(kept.head.getString(1).startsWith("a genuinely"))
+  }
 }
