@@ -84,4 +84,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "queries not broadcast against the corpus scan")
   }
+
+  test("q48/q50: LSH pairs and the curation chain join on bounded keys only") {
+    // q26 (cosinePairsExact) is the one documented cross-join variant;
+    // the default scale paths must never degenerate to one.
+    Seq("q48_neardup_lsh", "q50_corpus_curation").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan contains a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan contains a nested-loop join")
+    }
+  }
+
+  test("q49: hash sampling is map-only — no join, no aggregate, no shuffle before the sort") {
+    val p = plan("q49_hash_sample")
+    assert(!p.contains("Join"), "sampling should not join")
+    assert(!p.contains("HashAggregate"), "sampling should not aggregate")
+    // exactly the one range-partitioning exchange the final ORDER BY needs
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "sampling filter introduced an extra shuffle")
+  }
+
+  test("q51: repetition stats aggregate with map-side partials, no cartesian") {
+    val p = plan("q51_repetition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "repetition counts lost map-side partial aggregation")
+  }
 }
