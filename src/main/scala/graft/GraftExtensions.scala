@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.curation.Curation
+import graft.functions._
+import graft.text.TextFunctions
+
+/** SQL surface for the engine's custom kernels — the reference's users
+  * live in SQL (ClickHouse), so every graft-specific function is also
+  * reachable from `spark.sql(...)`:
+  *
+  *  - config-based: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (or `SparkSession.builder.withExtensions(new GraftExtensions)`),
+  *    the standard Spark library-extension mechanism;
+  *  - or imperative: `GraftExtensions.registerAll(spark)` on a live
+  *    session.
+  *
+  * Codegen'd Catalyst expressions register directly; the pure-Column
+  * compositions (text analysis, sampling keys) register through the
+  * Column↔Expression bridge, so both kinds inline into whole-stage
+  * codegen exactly as their Scala-API counterparts do.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  import GraftBridge.{column => toCol, eagerExpression => toExpr}
+
+  type Reg = (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Seq[Expression] = {
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+    args
+  }
+
+  /** Fold a literal integer argument (band/shingle widths must be plan
+    * constants — they select compiled kernels, not row values).
+    */
+  private def intArg(fn: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: expected a literal integer argument")
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(
+        s"$fn: expected a literal integer argument, got $other")
+    }
+  }
+
+  private def reg(name: String)(builder: Seq[Expression] => Expression): Reg =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getCanonicalName, null, name),
+      builder)
+
+  val registrations: Seq[Reg] = Seq(
+    // codegen'd Catalyst expressions (functions/expressions.scala)
+    reg("uint256_lo128") { a => arity("uint256_lo128", a, 2); Uint256Lo128(a(0), a(1)) },
+    reg("uint256_hex") { a => arity("uint256_hex", a, 2); Uint256FromHex(a(0), a(1)) },
+    reg("hex_be_to_long") { a => arity("hex_be_to_long", a, 1); HexBeToLong(a(0)) },
+    reg("hex_to_double") { a => arity("hex_to_double", a, 1); HexToDouble(a(0)) },
+    // compiled sketch kernels (functions/sketchExpressions.scala)
+    reg("shingles") { a => arity("shingles", a, 2); Shingles(a(0), intArg("shingles", a(1))) },
+    reg("ngrams_all") { a => arity("ngrams_all", a, 2); NgramsAll(a(0), intArg("ngrams_all", a(1))) },
+    reg("minhash_sig") { a => arity("minhash_sig", a, 2); MinHashSig(a(0), intArg("minhash_sig", a(1))) },
+    reg("minhash_band_keys") { a =>
+      arity("minhash_band_keys", a, 3)
+      MinHashBandKeys(a(0), intArg("minhash_band_keys", a(1)), intArg("minhash_band_keys", a(2)))
+    },
+    reg("simhash60") { a => arity("simhash60", a, 1); SimHash60(a(0)) },
+    reg("array_dot") { a => arity("array_dot", a, 2); ArrayDot(a(0), a(1)) },
+    // Column compositions exposed to SQL through the bridge
+    reg("token_count_ws") { a =>
+      toExpr(TextFunctions.tokenCountWs(toCol(arity("token_count_ws", a, 1).head)))
+    },
+    reg("token_count_bpe") { a =>
+      toExpr(TextFunctions.tokenCountBpe(toCol(arity("token_count_bpe", a, 1).head)))
+    },
+    reg("quality_score") { a =>
+      toExpr(TextFunctions.qualityScore(toCol(arity("quality_score", a, 1).head)))
+    },
+    reg("lang_id") { a =>
+      toExpr(TextFunctions.langId(toCol(arity("lang_id", a, 1).head)))
+    },
+    reg("winnow_fingerprint") { a =>
+      arity("winnow_fingerprint", a, 2)
+      toExpr(TextFunctions.winnowFingerprint(toCol(a(0)), intArg("winnow_fingerprint", a(1))))
+    },
+    reg("hash_sample_key") { a =>
+      toExpr(Curation.hashSampleKey(toCol(arity("hash_sample_key", a, 1).head)))
+    })
+
+  /** Register everything into a live session (the non-config path). */
+  def registerAll(spark: SparkSession): Unit =
+    registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

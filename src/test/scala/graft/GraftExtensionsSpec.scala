@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  private lazy val sql = { GraftExtensions.registerAll(spark); spark }
+
+  test("custom Catalyst expressions are callable from SQL") {
+    val r = sql.sql(
+      """SELECT
+           uint256_lo128('0000000000000000000000000000000000000000000000000de0b6b3a7640000', 18) AS one_ether,
+           hex_be_to_long('ff00') AS be,
+           array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot""").head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getLong(1) === 0xff00L)
+    assert(r.getDouble(2) === 11.0)
+  }
+
+  test("sketch kernels take literal width arguments and reject non-literals") {
+    val r = sql.sql(
+      "SELECT shingles('a b c d', 3) AS sh, simhash60(shingles('a b c d', 3)) AS sim").head()
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    // same value as the Scala API path
+    val viaApi = sql.range(1).select(
+      graft.functions.SketchFunctions.simhash60(TextFunctions.shingles(lit("a b c d"), 3)))
+      .head().getLong(0)
+    assert(r.getLong(1) === viaApi)
+    val err = intercept[Exception](sql.sql("SELECT shingles('a b', id + 1) FROM range(1)").collect())
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
+  test("column compositions (text analysis, sample key) match the Scala API") {
+    val got = sql.sql(
+      """SELECT lang_id('the cat of the house') AS lang,
+                quality_score('the cat of the house') AS q,
+                token_count_ws('the cat of the house') AS wc,
+                hash_sample_key('doc-1') AS k""").head()
+    val api = sql.range(1).select(
+      TextFunctions.langId(lit("the cat of the house")),
+      TextFunctions.qualityScore(lit("the cat of the house")),
+      TextFunctions.tokenCountWs(lit("the cat of the house")),
+      graft.curation.Curation.hashSampleKey(lit("doc-1"))).head()
+    assert(got.getString(0) === api.getString(0))
+    assert(got.getDouble(1) === api.getDouble(1))
+    assert(got.getInt(2) === api.getInt(2))
+    assert(got.getLong(3) === api.getLong(3))
+  }
+
+  test("config-based injection path covers the same registrations") {
+    // the extensions class delegates to the identical builder list the
+    // imperative path uses; assert it wires them all
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val names = GraftExtensions.registrations.map(_._1.funcName)
+    assert(names.distinct.size === names.size)
+    assert(names.contains("uint256_lo128") && names.contains("hash_sample_key"))
+  }
+}
