@@ -138,6 +138,45 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Distinct shingle xxh64 hashes, sorted ascending — the canonical
+    * per-document set representation the prefix-filtered Jaccard join
+    * works on (one deterministic total order shared by every document
+    * is what makes prefix filtering sound). Same [text]-collapse rule
+    * for short docs as `shingles`. Seed 42 = Spark's `xxhash64` default
+    * (not relied upon — hashes never leave the engine).
+    */
+  def sortedShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val sh = shingles(text, n)
+    val m = sh.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = hash(sh.getUTF8String(i), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** Intersection size of two ascending-sorted long arrays (merge
+    * walk) — the exact-verification kernel for candidate pairs.
+    */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** All word n-gram occurrences IN ORDER (non-distinct — the
     * multiset the repetition signals need); texts shorter than n words
     * collapse to [text], mirroring `shingles`.

@@ -71,6 +71,36 @@ case class Shingles(child: Expression, n: Int)
   override def prettyName: String = "shingles"
 }
 
+/** `sorted_shingle_hashes(text, n)` → ascending distinct xxh64 shingle
+  * hashes (compiled) — the set representation for prefix-filtered joins.
+  */
+case class SortedShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1)
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    SketchOps.sortedShingleHashes(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SketchOps.sortedShingleHashes($t, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sorted_shingle_hashes"
+}
+
+/** `intersect_count_sorted(a, b)` → Long, sorted-merge intersection size. */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.intersectCountSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchOps.intersectCountSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "intersect_count_sorted"
+}
+
 /** `ngrams_all(text, n)` → ordered non-distinct n-gram array (compiled). */
 case class NgramsAll(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -107,6 +137,10 @@ object SketchFunctions {
     toCol(Shingles(toExpr(text), n))
   def ngrams_all(text: Column, n: Int): Column =
     toCol(NgramsAll(toExpr(text), n))
+  def sorted_shingle_hashes(text: Column, n: Int): Column =
+    toCol(SortedShingleHashes(toExpr(text), n))
+  def intersect_count_sorted(a: Column, b: Column): Column =
+    toCol(IntersectCountSorted(toExpr(a), toExpr(b)))
   def minhash_band_keys(shingles: Column, numHashes: Int, bands: Int): Column =
     toCol(MinHashBandKeys(toExpr(shingles), numHashes, bands))
   def minhash_sig(shingles: Column, numHashes: Int): Column =

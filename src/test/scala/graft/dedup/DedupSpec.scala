@@ -40,6 +40,22 @@ class DedupSpec extends SparkSpec {
     assert(got(1)._3 > 0.5 && got(1)._3 < 1.0) // edited pair
   }
 
+  test("prefix-filtered jaccardPairs equals the count-based twin on real data") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val prefix = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    val byCount = Dedup.jaccardPairsByCount(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    assert(prefix === byCount)
+    assert(prefix.nonEmpty) // the fixture has planted near-dups
+    // and at a different threshold, where prefix/size bounds bite harder
+    val p9 = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.9)
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    val c9 = Dedup.jaccardPairsByCount(docs, "doc_id", "text", n = 3, tau = 0.9)
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    assert(p9 === c9)
+  }
+
   test("minhashLshPairs output equals exact jaccardPairs on this corpus") {
     val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, tau = 0.5)
       .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
