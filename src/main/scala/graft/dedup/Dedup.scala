@@ -99,14 +99,7 @@ object Dedup {
           col("l.nsh").cast("double") >= col("r.nsh") * tau - eps)
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
-    candidates
-      .join(arrs.select(col("doc").as("doc_a"), col("nsh").as("na"), col("shs").as("sa")), "doc_a")
-      .join(arrs.select(col("doc").as("doc_b"), col("nsh").as("nb"), col("shs").as("sb")), "doc_b")
-      .withColumn("c",
-        graft.functions.SketchFunctions.intersect_count_sorted(col("sa"), col("sb")))
-      .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
-      .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyByExactJaccard(df, idCol, textCol, n, tau, candidates)
   }
 
   /** Count-based exact Jaccard pairs — the inverted-index formulation
@@ -191,13 +184,32 @@ object Dedup {
       .filter(col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
-    val sets = sh.select(col("doc"), col("sh"))
+    verifyByExactJaccard(df, idCol, textCol, n, tau, candidates)
+  }
+
+  /** Exact-Jaccard verification of a (doc_a, doc_b) candidate edge
+    * list: re-derives each side's sorted shingle-hash array and scores
+    * with the compiled merge-intersect (same representation as
+    * [[jaccardPairs]] — hash counts equal string-set counts up to the
+    * documented 2^-64 collision caveat, and a long merge walk beats
+    * `array_intersect`/`array_union` over n-gram strings).
+    */
+  private def verifyByExactJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      candidates: DataFrame): DataFrame = {
+    val arrs = df.select(col(idCol).as("doc"),
+        graft.functions.SketchFunctions.sorted_shingle_hashes(col(textCol), n).as("shs"))
+      .select(col("doc"), size(col("shs")).as("nsh"), col("shs"))
     candidates
-      .join(sets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .join(arrs.select(col("doc").as("doc_a"), col("nsh").as("na"), col("shs").as("sa")), "doc_a")
+      .join(arrs.select(col("doc").as("doc_b"), col("nsh").as("nb"), col("shs").as("sb")), "doc_b")
+      .withColumn("c",
+        graft.functions.SketchFunctions.intersect_count_sorted(col("sa"), col("sb")))
+      .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -253,15 +265,7 @@ object Dedup {
       .filter(bit_count(col("l.sim").bitwiseXOR(col("r.sim"))) <= maxHamming)
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
-    val sets = sh.select(col("doc"), col("sh"))
-    candidates
-      .join(sets.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyByExactJaccard(df, idCol, textCol, n, tau, candidates)
   }
 
   /** Greedy cluster-collapse of a similar-pairs edge list: every doc
