@@ -56,6 +56,52 @@ object Curation {
     df.filter(hashSampleKey(col(idCol)) < threshold)
   }
 
+  /** Sequence packing: assign documents (in ascending `idCol` order)
+    * to fixed-capacity training sequences by running token count —
+    * doc d lands in pack `floor(cumsum_before(d) / seqLen)` at offset
+    * `cumsum_before(d) mod seqLen` (boundary-agnostic GPT-style
+    * concat packing). Returns (id, wc, pack_id, pack_offset).
+    *
+    * Scale shape — a DISTRIBUTED PREFIX SUM, not a single-partition
+    * window: range-partition by id, cumsum within each partition
+    * (keyed window), then add per-partition base offsets computed from
+    * the partition totals. The only driver-side data is one row per
+    * partition (bounded by the partition count, not the corpus). The
+    * result is partitioning-independent: cumsum_before(d) depends only
+    * on the global id order.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      tokenCountCol: Column,
+      seqLen: Long,
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), tokenCountCol.cast("long").as("wc"))
+    val parts =
+      (if (numPartitions > 0) base.repartitionByRange(numPartitions, col(idCol))
+       else base.repartitionByRange(col(idCol)))
+        .withColumn("_pid", spark_partition_id())
+    // partition totals -> exclusive prefix offsets (one row per
+    // partition; empty partitions contribute 0 and keep ids aligned)
+    val totals = parts.groupBy(col("_pid")).agg(sum(col("wc")).as("tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+    var acc = 0L
+    val offsets = (0 to maxPid).map { p =>
+      val o = (p, acc); acc += totals.getOrElse(p, 0L); o
+    }
+    val offsetsDf = parts.sparkSession.createDataFrame(offsets)
+      .toDF("_pid", "_base")
+    val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(offsetsDf), Seq("_pid"))
+      .withColumn("cum_before", coalesce(sum(col("wc")).over(w), lit(0L)) + col("_base"))
+      .select(col(idCol), col("wc"),
+        expr(s"cum_before div ${seqLen}L").as("pack_id"),
+        pmod(col("cum_before"), lit(seqLen)).as("pack_offset"))
+  }
+
   /** End-to-end corpus curation — the composition run before training:
     *
     *  1. exact dedup: one survivor (min id) per distinct content hash;

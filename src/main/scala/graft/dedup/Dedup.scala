@@ -268,6 +268,58 @@ object Dedup {
     verifyByExactJaccard(df, idCol, textCol, n, tau, candidates)
   }
 
+  /** Benchmark decontamination matches: documents sharing at least
+    * `minShared` distinct word n-grams with any probe document (the
+    * standard pre-training hygiene pass — drop training docs that
+    * contain eval-set material). Returns (doc_id, probe_id, shared)
+    * edges; compose with an anti join ([[decontaminate]]) to drop them.
+    *
+    * Scale shape: the probe set (a benchmark suite) is orders of
+    * magnitude smaller than the corpus, so its postings BROADCAST —
+    * the corpus postings never shuffle, and the (doc, probe) overlap
+    * count aggregates with map-side partials. Corpus side explodes to
+    * distinct shingle hashes only (compiled kernel).
+    */
+  def contaminationMatches(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTextCol: String,
+      n: Int = 3,
+      minShared: Int = 1): DataFrame = {
+    def postings(df: DataFrame, id: String, text: String, as: String) =
+      df.select(col(id).as(as),
+          graft.functions.SketchFunctions.sorted_shingle_hashes(col(text), n).as("shs"))
+        .select(col(as), explode(col("shs")).as("sh"))
+    val docPost = postings(docs, idCol, textCol, "doc_id_")
+    val probePost = postings(probes, probeIdCol, probeTextCol, "probe_id_")
+    docPost.join(broadcast(probePost), Seq("sh"))
+      .groupBy(col("doc_id_").as("doc_id"), col("probe_id_").as("probe_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Drop every document matched by [[contaminationMatches]] (anti
+    * join on the contaminated ids — `docs` rows pass through
+    * unchanged).
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeTextCol: String,
+      n: Int = 3,
+      minShared: Int = 1): DataFrame = {
+    val bad = contaminationMatches(docs, idCol, textCol,
+        probes, probeIdCol, probeTextCol, n, minShared)
+      .select(col("doc_id").as(idCol)).distinct()
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Greedy cluster-collapse of a similar-pairs edge list: every doc
     * maps to the smallest doc id it is paired with (one union-find hop
     * — exact for clusters of diameter <= 2, which near-dup clusters

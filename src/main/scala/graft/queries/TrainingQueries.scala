@@ -257,6 +257,29 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination: docs sharing >= 5 distinct trigrams
+    // with any probe doc (probe set = doc_id % 97 == 0, broadcast) —
+    // the eval-contamination hygiene pass.
+    "q52_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"), col("text").as("probe_text"))
+      Dedup.contaminationMatches(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        probes, "probe_id", "probe_text", n = 3, minShared = 5)
+        .orderBy(col("doc_id"), col("probe_id"))
+    }),
+
+    // Sequence packing: running-token-count pack assignment (seqLen
+    // 2048) via a distributed prefix sum — range partition, partition-
+    // local window cumsum, per-partition base offsets (one driver row
+    // per partition, never per doc).
+    "q53_sequence_pack" -> ((s, dir) => {
+      Curation.packSequences(t(s, dir, "documents"), "doc_id",
+        TextFunctions.tokenCountWs(col("text")), seqLen = 2048L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals: duplicate-bigram mass and
     // top-bigram concentration per document — explode + two keyed
     // aggregations (bounded keys, map-side partials), compiled n-gram
@@ -448,6 +471,33 @@ object TrainingQueries {
          (strlen(text) // 1024 + 1)::INT AS n_frames,
          md5(text) AS sha
          FROM documents ORDER BY media_id""",
+    // Mirrors contaminationMatches(n=3, minShared=5): distinct-trigram
+    // lists, quadratic docs x probes intersect (affordable at sf0.01).
+    "q52_decontamination" ->
+      """WITH sh AS (SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [text]
+                  ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS sh
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+         SELECT d.doc_id, p.doc_id AS probe_id,
+                len(list_intersect(d.sh, p.sh))::BIGINT AS shared
+         FROM sh d JOIN sh p
+           ON d.doc_id % 97 <> 0 AND p.doc_id % 97 = 0
+          AND len(list_intersect(d.sh, p.sh)) >= 5
+         ORDER BY d.doc_id, probe_id""",
+    // Mirrors packSequences(seqLen=2048): exclusive running sum over
+    // doc_id order; DuckDB's single window = the same global prefix
+    // sum the engine computes distributed.
+    "q53_sequence_pack" ->
+      """SELECT doc_id, wc,
+                (cum_before // 2048)::BIGINT AS pack_id,
+                (cum_before % 2048)::BIGINT AS pack_offset
+         FROM (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS wc,
+                      coalesce(sum(len(string_split(text, ' '))::BIGINT) OVER (
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before
+               FROM documents)
+         ORDER BY doc_id""",
     // Mirrors repetitionStats(n=2): non-distinct bigram unnest, per-doc
     // count table, same floor-truncated fraction arithmetic.
     "q51_repetition" ->

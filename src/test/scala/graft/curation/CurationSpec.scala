@@ -37,6 +37,40 @@ class CurationSpec extends SparkSpec {
     assert(byStratum("z") > 300L && byStratum("z") < 700L) // ~50%
   }
 
+  test("packSequences: exact prefix-sum pack assignment, partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    // wc: 1000, 1500, 600, 2048, 5 -> cum_before: 0, 1000, 2500, 3100, 5148
+    val docs = Seq((1L, 1000), (2L, 1500), (3L, 600), (4L, 2048), (5L, 5))
+      .toDF("doc_id", "wc")
+    def run(np: Int) = Curation.packSequences(docs, "doc_id", col("wc"), 2048L,
+      numPartitions = np).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    val expect = Seq((1L, 0L, 0L), (2L, 0L, 1000L), (3L, 1L, 452L),
+      (4L, 1L, 1052L), (5L, 2L, 1052L))
+    assert(run(3) === expect)
+    assert(run(1) === expect) // result independent of the partition count
+    assert(run(7) === expect) // (more partitions than rows: empties align)
+  }
+
+  test("decontaminate drops only probe-overlapping docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the secret benchmark question about spark shuffles and joins"),
+      (2L, "a completely unrelated training document with fresh text")).toDF("doc_id", "text")
+    val probes = Seq((100L, "what is the secret benchmark question about spark shuffles"))
+      .toDF("probe_id", "probe_text")
+    val matches = graft.dedup.Dedup.contaminationMatches(docs, "doc_id", "text",
+      probes, "probe_id", "probe_text", n = 3, minShared = 3).collect()
+    assert(matches.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 100L)))
+    assert(matches.head.getLong(2) >= 3L)
+    val kept = graft.dedup.Dedup.decontaminate(docs, "doc_id", "text",
+      probes, "probe_id", "probe_text", n = 3, minShared = 3)
+      .collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(2L))
+  }
+
   test("curateCorpus drops exact dups, near dups, off-language and low quality") {
     val s = spark
     import s.implicits._
