@@ -63,10 +63,14 @@ object Curation {
     * concat packing). Returns (id, wc, pack_id, pack_offset).
     *
     * Scale shape — a DISTRIBUTED PREFIX SUM, not a single-partition
-    * window: range-partition by id, cumsum within each partition
-    * (keyed window), then add per-partition base offsets computed from
-    * the partition totals. The only driver-side data is one row per
-    * partition (bounded by the partition count, not the corpus). The
+    * window: range-partition by id, sort within each partition, run a
+    * partition-LOCAL running sum (one streaming mapPartitions pass —
+    * no re-shuffle; a `Window.partitionBy(pid)` here would make Spark
+    * hash-exchange the whole corpus again because it cannot see the
+    * rows are already partition-local), then add per-partition base
+    * offsets computed from the partition totals. The only driver-side
+    * data is one row per partition (bounded by the partition count,
+    * not the corpus); the offsets ship back as a task broadcast. The
     * result is partitioning-independent: cumsum_before(d) depends only
     * on the global id order.
     */
@@ -76,30 +80,39 @@ object Curation {
       tokenCountCol: Column,
       seqLen: Long,
       numPartitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
     val base = docs.select(col(idCol), tokenCountCol.cast("long").as("wc"))
     val parts =
       (if (numPartitions > 0) base.repartitionByRange(numPartitions, col(idCol))
        else base.repartitionByRange(col(idCol)))
-        .withColumn("_pid", spark_partition_id())
+        .sortWithinPartitions(col(idCol))
     // partition totals -> exclusive prefix offsets (one row per
-    // partition; empty partitions contribute 0 and keep ids aligned)
-    val totals = parts.groupBy(col("_pid")).agg(sum(col("wc")).as("tot"))
+    // partition after the map-side partial; empty partitions contribute
+    // 0 and keep ids aligned)
+    val totals = parts.groupBy(spark_partition_id().as("_pid"))
+      .agg(sum(col("wc")).as("tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val maxPid = if (totals.isEmpty) -1 else totals.keys.max
     var acc = 0L
-    val offsets = (0 to maxPid).map { p =>
+    val bases = (0 to maxPid).map { p =>
       val o = (p, acc); acc += totals.getOrElse(p, 0L); o
-    }
-    val offsetsDf = parts.sparkSession.createDataFrame(offsets)
-      .toDF("_pid", "_base")
-    val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    parts.join(broadcast(offsetsDf), Seq("_pid"))
-      .withColumn("cum_before", coalesce(sum(col("wc")).over(w), lit(0L)) + col("_base"))
-      .select(col(idCol), col("wc"),
-        expr(s"cum_before div ${seqLen}L").as("pack_id"),
-        pmod(col("cum_before"), lit(seqLen)).as("pack_offset"))
+    }.toMap
+    val basesBc = parts.sparkSession.sparkContext.broadcast(bases)
+    val outSchema = parts.schema.add("cum_before", LongType, nullable = false)
+    val wcIdx = parts.schema.fieldIndex("wc")
+    val withCum = parts.mapPartitions { rows =>
+      var run = basesBc.value.getOrElse(TaskContext.getPartitionId(), 0L)
+      rows.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(wcIdx)
+        out
+      }
+    }(Encoders.row(outSchema))
+    withCum.select(col(idCol), col("wc"),
+      expr(s"cum_before div ${seqLen}L").as("pack_id"),
+      pmod(col("cum_before"), lit(seqLen)).as("pack_offset"))
   }
 
   /** End-to-end corpus curation — the composition run before training:

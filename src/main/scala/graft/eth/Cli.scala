@@ -104,7 +104,9 @@ class Cli(
     case "prepare-contracts-view" | "prepare-erc-transactions-view" =>
       pipeline.deriveViews()
     case "prepare-bancor-trades-view" =>
-      pipeline.bancorTrades().count() // logical view (CREATE VIEW analog): validate it builds
+      // logical view (CREATE VIEW analog): analysis validates the plan
+      // (schemas, column resolution) without running a job over it
+      pipeline.bancorTrades().queryExecution.assertAnalyzed()
     case "parse-transactions-inputs" => pipeline.decodeTransactionInputs()
     case "parse-events-inputs" => pipeline.decodeEventInputs()
     case "download-contracts-abi" => downloadContractsAbi()

@@ -144,6 +144,31 @@ class Pipeline(store: EthStore, source: ChainSource,
     if (flags.isNullAt(0)) -1L else flags.getLong(0)
   }
 
+  /** Shared work-set shape for the two ABI decode jobs: the broadcast
+    * side carries ONLY (contract id, highwater) — at mainnet scale the
+    * ABI JSON blobs are multi-GB and must never transit a broadcast —
+    * while the ABI column joins in afterwards key-partitioned
+    * (shuffle_hash, the honest at-scale plan; AQE would otherwise
+    * build the blobs serially on the driver at test scale).
+    * Returns (work rows carrying `abi`, the (key, hw) frame the
+    * highwater-flag append reuses).
+    */
+  private[eth] def abiDecodeWork(keyName: String, flagName: String,
+      rows: DataFrame): (DataFrame, DataFrame) = {
+    val abis = store.tableFinal("contract_abi")
+      .filter(col("abi").isNotNull)
+      .select(col("id").as(keyName), col("abi"))
+    val highwater = store.tableFinal("contract_block")
+      .filter(col("name") === flagName)
+      .select(col("id").as(keyName), col("value").as("hw"))
+    val keyedHw = abis.select(col(keyName)).join(highwater, Seq(keyName), "left")
+      .withColumn("hw", coalesce(col("hw"), lit(-1L)))
+    val work = rows.join(broadcast(keyedHw), Seq(keyName))
+      .filter(col("blockNumber") > col("hw"))
+      .join(abis.hint("shuffle_hash"), Seq(keyName))
+    (work, keyedHw)
+  }
+
   /** B15/B17: decode transaction inputs for contracts with a known ABI,
     * incrementally: per-contract high-water marks in contract_block
     * (flag "<kind>_inputs_decoded_block"), work = transactions TO those
@@ -154,18 +179,9 @@ class Pipeline(store: EthStore, source: ChainSource,
     val flagName = "tx_inputs_decoded_block"
     val maxBlock = consistentMaxBlock(Seq("traces_extracted"))
     if (maxBlock < 0) return 0L
-    val abis = store.tableFinal("contract_abi")
-      .filter(col("abi").isNotNull)
-      .select(col("id").as("to"), col("abi"))
-    val highwater = store.tableFinal("contract_block")
-      .filter(col("name") === flagName)
-      .select(col("id").as("to"), col("value").as("hw"))
-    val contracts = abis.join(highwater, Seq("to"), "left")
-      .withColumn("hw", coalesce(col("hw"), lit(-1L)))
     val itx = store.tableFinal("internal_transaction")
       .filter(col("blockNumber") <= maxBlock && col("input").isNotNull)
-    val work = itx.join(broadcast(contracts), Seq("to"))
-      .filter(col("blockNumber") > col("hw"))
+    val (work, keyedHw) = abiDecodeWork("to", flagName, itx)
     // Persist: the append materializes the decode once; the returned
     // count reads the cache instead of re-running the ABI decode + join.
     val decoded = work.select(
@@ -180,7 +196,7 @@ class Pipeline(store: EthStore, source: ChainSource,
       // High-water marks written distributed — at mainnet scale this is
       // millions of contract ids; they never transit the driver.
       store.append("contract_block",
-        contracts.select(col("to").as("id"), lit(flagName).as("name"),
+        keyedHw.select(col("to").as("id"), lit(flagName).as("name"),
           lit(maxBlock).as("value")),
         now())
       decoded.count()
@@ -192,18 +208,9 @@ class Pipeline(store: EthStore, source: ChainSource,
     val flagName = "event_inputs_decoded_block"
     val maxBlock = consistentMaxBlock(Seq("events_extracted"))
     if (maxBlock < 0) return 0L
-    val abis = store.tableFinal("contract_abi")
-      .filter(col("abi").isNotNull)
-      .select(col("id").as("address"), col("abi"))
-    val highwater = store.tableFinal("contract_block")
-      .filter(col("name") === flagName)
-      .select(col("id").as("address"), col("value").as("hw"))
-    val contracts = abis.join(highwater, Seq("address"), "left")
-      .withColumn("hw", coalesce(col("hw"), lit(-1L)))
     val events = store.tableFinal("event")
       .filter(col("blockNumber") <= maxBlock)
-    val work = events.join(broadcast(contracts), Seq("address"))
-      .filter(col("blockNumber") > col("hw"))
+    val (work, keyedHw) = abiDecodeWork("address", flagName, events)
     val decoded = work.select(
       col("id"),
       Abi.decode_input(col("abi"), Events.reconstructedInput).as("d"),
@@ -214,7 +221,7 @@ class Pipeline(store: EthStore, source: ChainSource,
     try {
       store.append("event_input", decoded, now())
       store.append("contract_block",
-        contracts.select(col("address").as("id"), lit(flagName).as("name"),
+        keyedHw.select(col("address").as("id"), lit(flagName).as("name"),
           lit(maxBlock).as("value")),
         now())
       decoded.count()

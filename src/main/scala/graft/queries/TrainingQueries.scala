@@ -257,16 +257,18 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Benchmark decontamination: docs sharing >= 5 distinct trigrams
-    // with any probe doc (probe set = doc_id % 97 == 0, broadcast) —
-    // the eval-contamination hygiene pass.
+    // Benchmark decontamination: docs sharing >= 3 distinct trigrams
+    // with any probe doc (probe set = doc_id % 29 == 0, broadcast) —
+    // the eval-contamination hygiene pass. Tuned so the sf0.01 oracle
+    // is non-vacuous: probe density and threshold yield real matches
+    // (15 rows) rather than certifying an empty result.
     "q52_decontamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val probes = docs.filter(col("doc_id") % 97 === 0)
+      val probes = docs.filter(col("doc_id") % 29 === 0)
         .select(col("doc_id").as("probe_id"), col("text").as("probe_text"))
       Dedup.contaminationMatches(
-        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
-        probes, "probe_id", "probe_text", n = 3, minShared = 5)
+        docs.filter(col("doc_id") % 29 =!= 0), "doc_id", "text",
+        probes, "probe_id", "probe_text", n = 3, minShared = 3)
         .orderBy(col("doc_id"), col("probe_id"))
     }),
 
@@ -471,7 +473,7 @@ object TrainingQueries {
          (strlen(text) // 1024 + 1)::INT AS n_frames,
          md5(text) AS sha
          FROM documents ORDER BY media_id""",
-    // Mirrors contaminationMatches(n=3, minShared=5): distinct-trigram
+    // Mirrors contaminationMatches(n=3, minShared=3): distinct-trigram
     // lists, quadratic docs x probes intersect (affordable at sf0.01).
     "q52_decontamination" ->
       """WITH sh AS (SELECT doc_id,
@@ -482,8 +484,8 @@ object TrainingQueries {
          SELECT d.doc_id, p.doc_id AS probe_id,
                 len(list_intersect(d.sh, p.sh))::BIGINT AS shared
          FROM sh d JOIN sh p
-           ON d.doc_id % 97 <> 0 AND p.doc_id % 97 = 0
-          AND len(list_intersect(d.sh, p.sh)) >= 5
+           ON d.doc_id % 29 <> 0 AND p.doc_id % 29 = 0
+          AND len(list_intersect(d.sh, p.sh)) >= 3
          ORDER BY d.doc_id, probe_id""",
     // Mirrors packSequences(seqLen=2048): exclusive running sum over
     // doc_id order; DuckDB's single window = the same global prefix

@@ -195,4 +195,33 @@ class PipelineSpec extends SparkSpec {
     // miner: reward 1 ETH + block fee_reward of block 4 (no gas there) = 1
     assert(bal("0xminer") === 1.0)
   }
+
+  test("decode work plan: ABI blobs never transit a broadcast, join key-partitioned") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ethstore-plan").toString
+    val store = new EthStore(spark, root)
+    val pipeline = new Pipeline(store, fixtureSource)
+    store.append("contract_abi",
+      Seq(("0xc0ffee", """[{"type":"function","name":"transfer","inputs":[]}]""", true))
+        .toDF("id", "abi", "abi_extracted"), 1L)
+    store.append("internal_transaction",
+      Seq(("0xt1.0", "0xc0ffee", 1L, "0xa9059cbb"))
+        .toDF("id", "to", "blockNumber", "input"), 1L)
+
+    val itx = store.tableFinal("internal_transaction")
+    val (work, _) = pipeline.abiDecodeWork("to", "tx_inputs_decoded_block", itx)
+    val p = work.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // split the formatted details into per-node blocks and inspect every
+    // BroadcastExchange's input/output columns
+    val blocks = p.split("\n\n").toSeq
+    val bcast = blocks.filter(_.linesIterator.nextOption()
+      .exists(_.matches("""\(\d+\) BroadcastExchange.*""")))
+    assert(bcast.nonEmpty, "expected the (id, hw) work-set broadcast")
+    bcast.foreach { b =>
+      assert(!b.contains("abi#"), s"ABI column crosses a broadcast:\n$b")
+    }
+    assert(p.contains("ShuffledHashJoin"), "ABI join should be shuffle_hash, not broadcast")
+  }
 }

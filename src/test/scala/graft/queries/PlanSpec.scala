@@ -104,6 +104,25 @@ class PlanSpec extends SparkSpec {
       "sampling filter introduced an extra shuffle")
   }
 
+  test("q52: probe postings broadcast — the corpus side never shuffles for the join") {
+    val p = plan("q52_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "probe postings not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus postings are being shuffled for the contamination join")
+    assert(p.contains("partial_count"),
+      "overlap count lost its map-side partial aggregation")
+  }
+
+  test("q53: prefix sum is one range exchange + a partition-local pass — no window re-shuffle") {
+    val p = plan("q53_sequence_pack")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "packing re-shuffles the corpus (window hash exchange)")
+    assert(!p.contains("Window"), "packing still uses a window operator")
+    // the operator's own range partition + the query's determinism ORDER BY
+    assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) <= 2,
+      "extra range exchange in the packing pipeline")
+  }
+
   test("q51: repetition stats aggregate with map-side partials, no cartesian") {
     val p = plan("q51_repetition")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
