@@ -321,12 +321,32 @@ object Dedup {
   }
 
   /** Greedy cluster-collapse of a similar-pairs edge list: every doc
-    * maps to the smallest doc id it is paired with (one union-find hop
-    * — exact for clusters of diameter <= 2, which near-dup clusters
-    * overwhelmingly are; iterate to fixpoint for larger ones).
+    * maps to the smallest doc id it is paired with, then keeper chains
+    * are followed to their root (if doc c's keeper b is itself dropped
+    * in favor of a, c collapses to a). One aggregate covers clusters
+    * of diameter <= 2 — the overwhelming near-dup case — and the rare
+    * longer chain resolves by POINTER JUMPING: each pass re-points a
+    * drop at its keeper's keeper, halving every chain, so a chain of
+    * length L needs ceil(log2 L) passes, each one keyed join over the
+    * (small) mapping — never over the corpus. The fast path costs a
+    * single semi-join emptiness probe.
     */
-  def collapsePairs(pairs: DataFrame): DataFrame =
-    pairs.select(col("doc_a").as("keep"), col("doc_b").as("drop"))
+  def collapsePairs(pairs: DataFrame): DataFrame = {
+    var mapping = pairs.select(col("doc_a").as("keep"), col("doc_b").as("drop"))
       .groupBy(col("drop")).agg(min(col("keep")).as("keep"))
       .select(col("keep"), col("drop"))
+    def parents(m: DataFrame): DataFrame =
+      m.select(col("drop").as("keep"), col("keep").as("_parent"))
+    def hasChain(m: DataFrame): Boolean =
+      !m.join(parents(m).select(col("keep")), Seq("keep"), "left_semi").isEmpty
+    // keeps strictly decrease along a chain, so the jump count is
+    // bounded by log2 of the longest chain; 64 is unreachable armor
+    var guard = 0
+    while (guard < 64 && hasChain(mapping)) {
+      mapping = mapping.join(parents(mapping), Seq("keep"), "left")
+        .select(coalesce(col("_parent"), col("keep")).as("keep"), col("drop"))
+      guard += 1
+    }
+    mapping
+  }
 }

@@ -17,10 +17,13 @@ import graft.core.Joins
   */
 object Balances {
 
-  /** ETH balances for a set of addresses. `internalTransactions` is
-    * the FINAL (deduped) internal_transaction table.
+  /** The five per-address aggregates of the balances API — one row per
+    * requested address with income / outcome / reward / fee /
+    * fee_reward (missing components 0, mirroring the reference's
+    * `dict.get(address, 0)`) — INCOME_SQL through FEE_REWARD_SQL of
+    * actions/balances.py:3-49 in one plan.
     */
-  def ethBalances(spark: SparkSession, internalTransactions: DataFrame,
+  def balanceComponents(spark: SparkSession, internalTransactions: DataFrame,
       addresses: Seq[String]): DataFrame = {
     import spark.implicits._
     val addrs = addresses.toDF("address")
@@ -55,15 +58,42 @@ object Balances {
       .join(reward, Seq("address"), "left")
       .join(fee, Seq("address"), "left")
       .join(feeReward, Seq("address"), "left")
+      .select(col("address"),
+        coalesce(col("income"), lit(0.0)).as("income"),
+        coalesce(col("outcome"), lit(0.0)).as("outcome"),
+        coalesce(col("reward"), lit(0.0)).as("reward"),
+        coalesce(col("fee"), lit(0.0)).as("fee"),
+        coalesce(col("fee_reward"), lit(0.0)).as("fee_reward"))
+  }
+
+  /** ETH balances for a set of addresses. `internalTransactions` is
+    * the FINAL (deduped) internal_transaction table.
+    */
+  def ethBalances(spark: SparkSession, internalTransactions: DataFrame,
+      addresses: Seq[String]): DataFrame =
+    balanceComponents(spark, internalTransactions, addresses)
       .select(
         col("address"),
         greatest(lit(0.0),
-          coalesce(col("income"), lit(0.0))
-            - coalesce(col("outcome"), lit(0.0))
-            + coalesce(col("reward"), lit(0.0))
-            - coalesce(col("fee"), lit(0.0))
-            + coalesce(col("fee_reward"), lit(0.0))).as("balance"))
-  }
+          col("income") - col("outcome") + col("reward")
+            - col("fee") + col("fee_reward")).as("balance"))
+
+  /** The serving contract of `POST /balances/` (server.py:8-12): the
+    * address → clamped-balance map, every requested address present.
+    * The collect is bounded by the request payload, not the chain.
+    */
+  def ethBalanceMap(spark: SparkSession, internalTransactions: DataFrame,
+      addresses: Seq[String]): Map[String, Double] =
+    ethBalances(spark, internalTransactions, addresses)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** The serving contract of `POST /token_balances/<token>`
+    * (server.py:14-18).
+    */
+  def tokenBalanceMap(spark: SparkSession, tokenTransactions: DataFrame,
+      addresses: Seq[String], token: String): Map[String, Double] =
+    tokenBalances(spark, tokenTransactions, addresses, token)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
   /** Token balances for a set of addresses in one token:
     * max(income - outcome, 0) over token_transaction.

@@ -94,8 +94,36 @@ class Cli(
       } finally fetched.unpersist(blocking = false)
   }
 
-  /** One command dispatch; unknown commands throw. */
-  def run(command: String): Unit = command match {
+  /** `POST /balances/` (server.py:8-12) as a library call: the
+    * address → clamped-balance map over the FINAL transactions view.
+    */
+  def balances(addresses: Seq[String]): Map[String, Double] =
+    Balances.ethBalanceMap(spark,
+      store.tableFinal("internal_transaction"), addresses)
+
+  /** `POST /token_balances/<token>` (server.py:14-18). */
+  def tokenBalances(token: String, addresses: Seq[String]): Map[String, Double] =
+    Balances.tokenBalanceMap(spark,
+      store.tableFinal("token_transaction"), addresses, token)
+
+  private def renderMap(m: Map[String, Double]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (a, b) => s""""$a": $b""" }.mkString("{", ", ", "}")
+
+  /** One command dispatch; unknown commands throw. Serving commands
+    * take arguments (`balances <addr,...>`,
+    * `token-balances <token> <addr,...>`) and print the same JSON map
+    * the reference's Flask API returns.
+    */
+  def run(command: String): Unit = command.trim.split("\\s+").toSeq match {
+    case Seq("balances", addrCsv) =>
+      println(renderMap(balances(addrCsv.split(",").toSeq.filter(_.nonEmpty))))
+    case Seq("token-balances", token, addrCsv) =>
+      println(renderMap(tokenBalances(token, addrCsv.split(",").toSeq.filter(_.nonEmpty))))
+    case _ => runSimple(command)
+  }
+
+  private def runSimple(command: String): Unit = command match {
     case "prepare-database" | "prepare-indices" =>
       () // parquet tables materialize on first append; nothing to DDL
     case "extract-blocks" => pipeline.syncBlocks()

@@ -102,6 +102,22 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((0L, 1L), (0L, 2L)))
   }
 
+  test("collapsePairs follows keeper chains to the root (diameter > 2)") {
+    val s = spark
+    import s.implicits._
+    // a-b and b-c are pairs but a-c is NOT: c's keeper b is itself
+    // dropped for a, so c must collapse to a; plus a 4-link chain
+    // (10-11-12-13) exercising more than one pointer jump
+    val pairs = Seq(
+      (0L, 1L, 0.9), (1L, 2L, 0.9),
+      (10L, 11L, 0.9), (11L, 12L, 0.9), (12L, 13L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.collapsePairs(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L), (0L, 2L),
+      (10L, 11L), (10L, 12L), (10L, 13L)))
+  }
+
   test("shingles kernel: distinct, short-doc collapse, set semantics") {
     val s = spark
     import s.implicits._

@@ -130,6 +130,72 @@ class CliSpec extends SparkSpec {
     // unknown command fails loudly
     intercept[IllegalArgumentException](cli.run("bogus"))
   }
+
+  test("balances serving commands reproduce the reference API maps") {
+    // the exact fixture of examples/balances_api/tests/test_balances.py
+    // :34-90 (the duplicate-id uncle row gets id 5 — the reference's
+    // plain MergeTree test table keeps dup ids; our FINAL view dedups)
+    val root = Files.createTempDirectory("clibal").toString
+    val store = new EthStore(spark, root)
+    val itx = Seq(
+      ("1", Some("0x1"), Some("0x2"), None: Option[String], 10000L, 0.01, "call", None: Option[String], 1L, 100.0),
+      ("2", Some("0x2"), Some("0x1"), None: Option[String], 20000L, 0.02, "call", None: Option[String], 1L, 50.0),
+      ("3", Some("0x4"), Some("0x3"), None: Option[String], 30000L, 0.03, "call", None: Option[String], 1L, 10.0),
+      ("4", None: Option[String], None: Option[String], Some("0x1"), 0L, 0.0, "reward", Some("block"), 1L, 1.0),
+      ("5", None: Option[String], None: Option[String], Some("0x2"), 0L, 0.0, "reward", Some("uncle"), 1L, 0.1))
+      .toDF("id", "from", "to", "author", "gasUsed", "gasPrice", "type",
+        "rewardType", "blockNumber", "value")
+    store.append("internal_transaction", itx, 1L)
+    val tt = Seq(
+      ("1", "0x1", "0x2", "0x01", 100.0),
+      ("2", "0x2", "0x1", "0x01", 500.0),
+      ("3", "0x1", "0x2", "0x02", 100.0),
+      ("4", "0x4", "0x3", "0x01", 100.0))
+      .toDF("id", "from", "to", "token", "value")
+    store.append("token_transaction", tt, 1L)
+    val cli = new Cli(store, fixtureSource)
+
+    // component maps: test_get_income/outcome/reward/fee/fee_reward
+    val comps = Balances.balanceComponents(spark,
+        store.tableFinal("internal_transaction"), Seq("0x1", "0x2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(near(comps("0x1").getAs[Double]("income"), 50.0))
+    assert(near(comps("0x2").getAs[Double]("income"), 100.0))
+    assert(near(comps("0x1").getAs[Double]("outcome"), 100.0))
+    assert(near(comps("0x2").getAs[Double]("outcome"), 50.0))
+    assert(near(comps("0x1").getAs[Double]("reward"), 1.0))
+    assert(near(comps("0x2").getAs[Double]("reward"), 0.1))
+    assert(near(comps("0x1").getAs[Double]("fee"), 10000 * 0.01))
+    assert(near(comps("0x2").getAs[Double]("fee"), 20000 * 0.02))
+    assert(near(comps("0x1").getAs[Double]("fee_reward"),
+      10000 * 0.01 + 20000 * 0.02 + 30000 * 0.03))
+    assert(near(comps("0x2").getAs[Double]("fee_reward"), 0.0))
+
+    // get_balances: clamp(income - outcome + reward - fee + fee_reward)
+    val bal = cli.balances(Seq("0x1", "0x2", "0x3"))
+    assert(bal.keySet === Set("0x1", "0x2", "0x3"))
+    assert(near(bal("0x1"),
+      50.0 - 100.0 + 1.0 - 10000 * 0.01 +
+        (10000 * 0.01 + 20000 * 0.02 + 30000 * 0.03)))
+    assert(bal("0x2") === 0.0) // clamped: 100 - 50 + 0.1 - 400 < 0
+    assert(near(bal("0x3"), 10.0)) // income only
+
+    // token_balances: clamp(income - outcome) within one token
+    val tbal = cli.tokenBalances("0x01", Seq("0x1", "0x2", "0x3"))
+    assert(near(tbal("0x1"), 400.0)) // 500 in - 100 out
+    assert(tbal("0x2") === 0.0) // clamped: 100 - 500
+    assert(near(tbal("0x3"), 100.0))
+
+    // the CLI command prints the API's JSON map
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      cli.run("balances 0x2,0x3")
+      cli.run("token-balances 0x01 0x1")
+    }
+    assert(out.toString.contains(""""0x2": 0.0"""))
+    assert(out.toString.contains(""""0x1": 400.0"""))
+  }
 }
 
 /** JVM-global adapter-call counters: local mode shares the JVM, but

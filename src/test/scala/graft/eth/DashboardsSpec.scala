@@ -80,6 +80,94 @@ class DashboardsSpec extends SparkSpec {
     assert(Dashboards.countInWindow(tokenTx, win).head().getLong(0) === 3L)
   }
 
+  test("dashboard artifacts cover the reference panel sets and their SQL runs") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods._
+
+    val dir = java.nio.file.Files.createTempDirectory("grafana").toString
+    val written = DashboardArtifacts.writeAll(dir)
+    assert(written.size === 4) // 3 dashboards + datasource stub
+
+    // the reference's exact panel sets (grafana/dashboards/*.json)
+    val expected = Map(
+      "ethereum" -> Seq(
+        "Ethereum transfers" -> "singlestat",
+        "Ethereum transferred" -> "singlestat",
+        "Smart Contracts Created" -> "singlestat",
+        "Smart Contracts Called" -> "singlestat",
+        "TOP Ethereum Senders" -> "table",
+        "TOP Ethereum Receivers" -> "table",
+        "Ethereum Transfers" -> "graph",
+        "TOP Contracts" -> "table",
+        "TOP Contract Callers" -> "table",
+        "Top Gas Burners (Contracts)" -> "table",
+        "Gas Usage" -> "graph",
+        "TOP Miners" -> "table"),
+      "erc20_tokens" -> Seq(
+        "ERC20 Tokens" -> "singlestat",
+        "ERC20 Transactions" -> "singlestat",
+        "TOP Token Holders" -> "table",
+        "TOP Tokens" -> "table"),
+      "insights" -> Seq(
+        "Actual block" -> "singlestat",
+        "Contracts" -> "singlestat",
+        "ERC20 Tokens" -> "singlestat",
+        "ERC20 token descriptions" -> "singlestat",
+        "Contract ABIs" -> "singlestat",
+        "Total transactions" -> "singlestat",
+        "Total events" -> "singlestat",
+        "ERC20 transactions" -> "singlestat",
+        "Inputs for transactions" -> "singlestat",
+        "Inputs for events" -> "singlestat"))
+
+    val parsed = expected.keys.map { slug =>
+      val json = parse(new java.io.File(s"$dir/dashboards/$slug.json"))
+      val panels = for {
+        JObject(row) <- json \ "dashboard" \ "rows"
+        ("panels", JArray(ps)) <- row
+        p <- ps
+      } yield p
+      slug -> panels
+    }.toMap
+    expected.foreach { case (slug, want) =>
+      val got = parsed(slug).map(p =>
+        (p \ "title", p \ "type") match {
+          case (JString(t), JString(ty)) => t -> ty
+          case other => fail(s"bad panel in $slug: $other")
+        })
+      assert(got === want, s"$slug panel set diverges from the reference")
+    }
+
+    // every emitted query must be valid Spark SQL over the FINAL views:
+    // substitute the Grafana macros and run them all on fixture views
+    blocks.createOrReplaceTempView("block")
+    itx.createOrReplaceTempView("internal_transaction")
+    contracts.withColumn("standard_erc20", lit(1))
+      .createOrReplaceTempView("contract")
+    tokenTx.createOrReplaceTempView("token_transaction")
+    descriptions.createOrReplaceTempView("contract_description")
+    Seq(("0xc0ffee", "[]")).toDF("id", "abi").createOrReplaceTempView("contract_abi")
+    Seq(("0xe1", 1L)).toDF("id", "blockNumber").createOrReplaceTempView("event")
+    Seq(("0xt1.0", "transfer")).toDF("id", "name")
+      .createOrReplaceTempView("transaction_input")
+    Seq(("0xe1", "Transfer")).toDF("id", "name")
+      .createOrReplaceTempView("event_input")
+    val timeFilter = "timestamp >= timestamp'2020-01-01 00:00:00' AND " +
+      "timestamp < timestamp'2020-01-02 00:00:00'"
+    val results = DashboardArtifacts.all.flatMap(_.panels).map { p =>
+      val sql = p.query
+        .replace("$timeSeries", "date_trunc('HOUR', timestamp)")
+        .replace("$timeFilter", timeFilter)
+      p.title -> spark.sql(sql).collect()
+    }.toMap
+    // spot checks against the hand-computed fixtures
+    assert(results("Ethereum transfers").head.getLong(0) === 5L)
+    assert(results("Ethereum transferred").head.getDouble(0) === 11.5)
+    assert(results("TOP Miners").head.getString(0) === "0xminer")
+    assert(results("TOP Tokens").head.getString(1) === "Token One")
+    assert(results("Inputs for events").head.getLong(0) === 1L)
+  }
+
   test("gasStats: first-trace wallet calls only, gwei quantiles, timestamp join") {
     // bucket=1 so bucket keys align with existing block numbers (the
     // notebook's 1000-block buckets rely on chain length >> bucket)
