@@ -332,9 +332,15 @@ object Dedup {
     * single semi-join emptiness probe.
     */
   def collapsePairs(pairs: DataFrame): DataFrame = {
+    // The mapping is persisted BEFORE the chain probe: the probe then
+    // materializes the (small — one row per dropped doc) survivor map
+    // once and every later pass plus the caller's own consumption read
+    // the cache — without it the probe would re-run the whole upstream
+    // pair generation a second time.
     var mapping = pairs.select(col("doc_a").as("keep"), col("doc_b").as("drop"))
       .groupBy(col("drop")).agg(min(col("keep")).as("keep"))
       .select(col("keep"), col("drop"))
+      .persist()
     def parents(m: DataFrame): DataFrame =
       m.select(col("drop").as("keep"), col("keep").as("_parent"))
     def hasChain(m: DataFrame): Boolean =
@@ -342,11 +348,18 @@ object Dedup {
     // keeps strictly decrease along a chain, so the jump count is
     // bounded by log2 of the longest chain; 64 is unreachable armor
     var guard = 0
+    var prev: Option[DataFrame] = None
     while (guard < 64 && hasChain(mapping)) {
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(mapping)
       mapping = mapping.join(parents(mapping), Seq("keep"), "left")
         .select(coalesce(col("_parent"), col("keep")).as("keep"), col("drop"))
+        .persist()
       guard += 1
     }
+    // the loop condition materialized the returned mapping's cache, so
+    // the second-to-last generation can release its storage
+    prev.foreach(_.unpersist(blocking = false))
     mapping
   }
 }
