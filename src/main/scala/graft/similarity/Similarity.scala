@@ -129,14 +129,72 @@ object Similarity {
     * broadcast to both assignment joins, so the corpus never shuffles
     * for assignment — the only wide exchange is the per-query top-k.
     */
+  /** Distributed Lloyd refresh of the IVF coarse quantizer (spherical
+    * k-means: assign by max cosine, update by element-wise mean — the
+    * mean's scale is irrelevant to cosine assignment). Returns
+    * (cent_id, cent_emb), `nlist` rows.
+    *
+    * Scale shape per iteration: assignment is the same
+    * broadcast-centroids pattern as [[ivfTopK]] (the corpus never
+    * shuffles); the update aggregates (cent_id, dimension) keys —
+    * nlist·dim of them, map-side partial combine, so the exchange
+    * carries centroids, not vectors. Only `nlist` rows ever reach the
+    * driver, once per iteration. Empty clusters keep their previous
+    * centroid.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, // (c_id, c_emb: array<double>)
+      nlist: Int = 16,
+      iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic seed: the nlist lowest-id vectors (the same sampled
+    // quantizer ivfTopK defaults to)
+    var cent = corpus.orderBy(col("c_id")).limit(nlist)
+      .select(col("c_id").cast("long").as("cent_id"), col("c_emb").as("cent_emb"))
+    val c = corpus.withColumn("c_norm", norm(col("c_emb"))).persist()
+    try {
+      for (_ <- 1 to iters) {
+        val centLocal = cent.collect().map(r =>
+          (r.getLong(0), r.getSeq[Double](1))) // nlist rows — bounded
+        val centDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(centLocal.toSeq, 1))
+          .toDF("cent_id", "cent_emb")
+          .withColumn("cent_norm", norm(col("cent_emb")))
+        val assigned = graft.core.Joins.lastByKey(
+          c.crossJoin(broadcast(centDf))
+            .withColumn("a_score",
+              cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
+          Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+        val means = assigned
+          .select(col("cent_id"), posexplode(col("c_emb")).as(Seq("pos", "v")))
+          .groupBy(col("cent_id"), col("pos")).agg(avg(col("v")).as("m"))
+          .groupBy(col("cent_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cent_emb"))
+        // empty clusters fall back to their previous centroid
+        cent = centDf.select(col("cent_id"), col("cent_emb").as("prev_emb"))
+          .join(means, Seq("cent_id"), "left")
+          .select(col("cent_id"),
+            coalesce(col("cent_emb"), col("prev_emb")).as("cent_emb"))
+      }
+      // materialize the final generation before releasing the cache
+      val finalCent = cent.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      spark.createDataFrame(spark.sparkContext.parallelize(finalCent.toSeq, 1))
+        .toDF("cent_id", "cent_emb")
+    } finally c.unpersist(blocking = false)
+  }
+
   def ivfTopK(
       queries: DataFrame, // (q_id, q_emb: array<double>)
       corpus: DataFrame, // (c_id, c_emb: array<double>)
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    val cent = corpus.orderBy(col("c_id")).limit(nlist)
-      .select(col("c_id").as("cent_id"), col("c_emb").as("cent_emb"))
+      nprobe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+        corpus.orderBy(col("c_id")).limit(nlist)
+          .select(col("c_id").as("cent_id"), col("c_emb").as("cent_emb")))
+      .select(col("cent_id"), col("cent_emb"))
       .withColumn("cent_norm", norm(col("cent_emb")))
     val c = corpus.withColumn("c_norm", norm(col("c_emb")))
     val assigned = graft.core.Joins.lastByKey(

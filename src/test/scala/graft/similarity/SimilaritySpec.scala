@@ -88,6 +88,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids converges on separable clusters and lifts IVF to full recall") {
+    val s = spark
+    import s.implicits._
+    // three tight, well-separated direction clusters; the 3 lowest-id
+    // seeds all start inside cluster A, so ONLY a real Lloyd refresh
+    // recovers one centroid per cluster
+    def jitter(base: Seq[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (v, i) => v + (if (i % 2 == 0) eps else -eps) }
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val cc = Seq(0.0, 0.0, 1.0, 0.0)
+    val rows =
+      (0L to 9L).map(i => (i, jitter(a, 0.01 * (i + 1)))) ++
+        (10L to 19L).map(i => (i, jitter(b, 0.01 * (i - 9)))) ++
+        (20L to 29L).map(i => (i, jitter(cc, 0.01 * (i - 19))))
+    val corpus = rows.toDF("c_id", "c_emb")
+
+    val cent = Similarity.kmeansCentroids(corpus, nlist = 3, iters = 5)
+      .collect().map(r => r.getSeq[Double](1))
+    assert(cent.length === 3)
+    // each cluster direction is claimed by exactly one centroid
+    val owners = Seq(a, b, cc).map { dir =>
+      cent.zipWithIndex.maxBy { case (e, _) =>
+        e.zip(dir).map { case (x, y) => x * y }.sum /
+          math.sqrt(e.map(x => x * x).sum)
+      }._2
+    }
+    assert(owners.toSet.size === 3, s"centroids collapsed: $owners")
+
+    // with the refreshed quantizer, probing 1 of 3 lists is exact on
+    // this data (each query's true neighbors share its cluster/list)
+    val qs = Seq((100L, jitter(a, 0.005)), (101L, jitter(b, 0.005)),
+      (102L, jitter(cc, 0.005))).toDF("q_id", "q_emb")
+    val bf = Similarity.bruteForceTopK(qs, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(qs, corpus, k = 5, nlist = 3, nprobe = 1,
+        centroids = Some(Similarity.kmeansCentroids(corpus, nlist = 3, iters = 5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf === bf, "refreshed IVF with nprobe=1 should be exact on separable clusters")
+  }
+
   test("cosinePairsExact finds mutually-close vectors above tau only") {
     val s = spark
     import s.implicits._
