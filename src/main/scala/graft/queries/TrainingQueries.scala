@@ -272,6 +272,20 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("probe_id"))
     }),
 
+    // The decontamination PASS itself (compose of q52's matcher with
+    // the anti join): the corpus with every probe-overlapping doc
+    // dropped — what a pipeline actually ships to tokenization.
+    "q54_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("probe_id"), col("text").as("probe_text"))
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 29 =!= 0), "doc_id", "text",
+        probes, "probe_id", "probe_text", n = 3, minShared = 3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing: running-token-count pack assignment (seqLen
     // 2048) via a distributed prefix sum — range partition, partition-
     // local window cumsum, per-partition base offsets (one driver row
@@ -487,6 +501,21 @@ object TrainingQueries {
            ON d.doc_id % 29 <> 0 AND p.doc_id % 29 = 0
           AND len(list_intersect(d.sh, p.sh)) >= 3
          ORDER BY d.doc_id, probe_id""",
+    // Mirrors decontaminate: q52's match set anti-joined away.
+    "q54_decontaminate" ->
+      """WITH sh AS (SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [text]
+                  ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS sh
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+         bad AS (SELECT DISTINCT d.doc_id
+           FROM sh d JOIN sh p
+             ON d.doc_id % 29 <> 0 AND p.doc_id % 29 = 0
+            AND len(list_intersect(d.sh, p.sh)) >= 3)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 29 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+
     // Mirrors packSequences(seqLen=2048): exclusive running sum over
     // doc_id order; DuckDB's single window = the same global prefix
     // sum the engine computes distributed.
