@@ -102,6 +102,73 @@ object Dedup {
     verifyByExactJaccard(df, idCol, textCol, n, tau, candidates)
   }
 
+  /** Cross-corpus exact Jaccard pairs — INCREMENTAL ingestion dedup:
+    * every (ref, incoming) pair with J >= tau between an existing
+    * reference corpus and a new batch, so an arriving batch can be
+    * cleaned against 100 TB of already-accepted data without ever
+    * re-pairing the reference corpus with itself. Same prefix-filter +
+    * size-filter + compiled merge-intersect machinery as
+    * [[jaccardPairs]] (bounds relaxed by 1e-9: rounding only ever
+    * ADMITS candidates); the join is ref-prefix ⋈ batch-prefix on the
+    * shingle hash — both sides indexed to their tau-prefix only, and
+    * the (typically much smaller) batch side is the shuffle_hash build
+    * side.
+    */
+  def jaccardPairsAgainst(
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      batch: DataFrame, batchIdCol: String, batchTextCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val eps = 1e-9
+    def prefixes(df: DataFrame, id: String, text: String, as: String) = {
+      val arrs = df.select(col(id).as(as),
+          graft.functions.SketchFunctions.sorted_shingle_hashes(col(text), n).as("shs"))
+        .select(col(as), size(col("shs")).as(s"nsh_$as"), col("shs"))
+      val prefixLen =
+        (col(s"nsh_$as") - ceil(col(s"nsh_$as") * tau - eps) + 1).cast("int")
+      arrs.select(col(as), col(s"nsh_$as"),
+        explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
+    }
+    val refPfx = prefixes(ref, refIdCol, refTextCol, "ref_id")
+    val batchPfx = prefixes(batch, batchIdCol, batchTextCol, "new_id")
+    val candidates = refPfx
+      .join(batchPfx.hint("shuffle_hash"),
+        refPfx("sh") === batchPfx("sh") &&
+          col("nsh_new_id").cast("double") >= col("nsh_ref_id") * tau - eps &&
+          col("nsh_ref_id").cast("double") >= col("nsh_new_id") * tau - eps)
+      .select(col("ref_id"), col("new_id"))
+      .distinct()
+    val refArrs = ref.select(col(refIdCol).as("ref_id"),
+        graft.functions.SketchFunctions.sorted_shingle_hashes(col(refTextCol), n).as("sa"))
+      .withColumn("na", size(col("sa")))
+    val batchArrs = batch.select(col(batchIdCol).as("new_id"),
+        graft.functions.SketchFunctions.sorted_shingle_hashes(col(batchTextCol), n).as("sb"))
+      .withColumn("nb", size(col("sb")))
+    candidates
+      .join(refArrs, "ref_id")
+      .join(batchArrs, "new_id")
+      .withColumn("c",
+        graft.functions.SketchFunctions.intersect_count_sorted(col("sa"), col("sb")))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("ref_id"), col("new_id"), col("jaccard"))
+  }
+
+  /** Drop every incoming-batch doc that near-duplicates the reference
+    * corpus (the accept/reject gate of incremental ingestion): batch
+    * rows pass through unchanged unless [[jaccardPairsAgainst]] pairs
+    * them with any reference doc.
+    */
+  def dedupAgainst(
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      batch: DataFrame, batchIdCol: String, batchTextCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val dup = jaccardPairsAgainst(ref, refIdCol, refTextCol,
+        batch, batchIdCol, batchTextCol, n, tau)
+      .select(col("new_id").as(batchIdCol)).distinct()
+    batch.join(dup, Seq(batchIdCol), "left_anti")
+  }
+
   /** Count-based exact Jaccard pairs — the inverted-index formulation
     * [[jaccardPairs]] replaced as the default: pairs sharing at least
     * one shingle get a shared-shingle count; jaccard = c/(|A|+|B|-c).

@@ -272,6 +272,19 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("probe_id"))
     }),
 
+    // Incremental ingestion dedup: exact Jaccard pairs between a
+    // reference corpus (doc_id % 3 == 0) and an incoming batch (the
+    // rest) — prefix-filtered cross-corpus join, the reference side
+    // never pairs with itself.
+    "q55_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardPairsAgainst(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        n = 3, tau = 0.5)
+        .orderBy(col("ref_id"), col("new_id"))
+    }),
+
     // The decontamination PASS itself (compose of q52's matcher with
     // the anti join): the corpus with every probe-overlapping doc
     // dropped — what a pipeline actually ships to tokenization.
@@ -501,6 +514,21 @@ object TrainingQueries {
            ON d.doc_id % 29 <> 0 AND p.doc_id % 29 = 0
           AND len(list_intersect(d.sh, p.sh)) >= 3
          ORDER BY d.doc_id, probe_id""",
+    // Mirrors jaccardPairsAgainst: quadratic ref x batch intersect
+    // (affordable at sf0.01; the engine's prefix filter replaces it).
+    "q55_dedup_incremental" ->
+      """WITH sh AS (SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [text]
+                  ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS sh
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+         SELECT ref_id, new_id, j AS jaccard FROM (
+           SELECT r.doc_id AS ref_id, b.doc_id AS new_id,
+                  round(len(list_intersect(r.sh, b.sh))::DOUBLE
+                        / len(list_distinct(list_concat(r.sh, b.sh))), 6) AS j
+           FROM sh r JOIN sh b ON r.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
+         WHERE j >= 0.5 ORDER BY ref_id, new_id""",
+
     // Mirrors decontaminate: q52's match set anti-joined away.
     "q54_decontaminate" ->
       """WITH sh AS (SELECT doc_id,

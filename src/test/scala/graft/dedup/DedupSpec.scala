@@ -118,6 +118,34 @@ class DedupSpec extends SparkSpec {
       (10L, 11L), (10L, 12L), (10L, 13L)))
   }
 
+  test("jaccardPairsAgainst + dedupAgainst: batch cleaned against a reference corpus") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated reference content here today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+      (12L, "something genuinely novel arrives in this batch"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsAgainst(ref, "doc_id", "text",
+        batch, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 10L), (1L, 11L)))
+    // cross-corpus equals the full self-join restricted to cross pairs
+    val full = Dedup.jaccardPairs(ref.unionByName(batch), "doc_id", "text",
+        n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a <= 2 && b >= 10 }.toSet
+    assert(pairs === full)
+    val kept = Dedup.dedupAgainst(ref, "doc_id", "text",
+        batch, "doc_id", "text", n = 3, tau = 0.5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L))
+  }
+
   test("shingles kernel: distinct, short-doc collapse, set semantics") {
     val s = spark
     import s.implicits._
