@@ -56,6 +56,26 @@ object Curation {
     df.filter(hashSampleKey(col(idCol)) < threshold)
   }
 
+  /** Deterministic global training shuffle: every row gets a shard
+    * (`hashKey mod numShards`) and a position within its shard
+    * (ascending hash key, id tiebreak) — the reproducible random order
+    * a training run reads. Content-keyed like [[hashSample]]: the
+    * permutation is a pure function of the ids, identical across
+    * engines, runs, and cluster sizes.
+    *
+    * Scale shape: one exchange on the shard key plus the per-shard
+    * sort every shard FILE needs anyway before writing; no driver-side
+    * state. Choose numShards ≳ the write parallelism you want.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("_key"), col(idCol))
+    df.withColumn("_key", hashSampleKey(col(idCol)))
+      .withColumn("shard", pmod(col("_key"), lit(numShards.toLong)).cast("int"))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_key")
+  }
+
   /** Sequence packing: assign documents (in ascending `idCol` order)
     * to fixed-capacity training sequences by running token count —
     * doc d lands in pack `floor(cumsum_before(d) / seqLen)` at offset

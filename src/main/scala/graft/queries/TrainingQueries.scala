@@ -272,6 +272,15 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("probe_id"))
     }),
 
+    // Deterministic global training shuffle: shard + intra-shard
+    // position as a pure function of the ids (md5-keyed) — the
+    // engine-reproducible random read order for a training run.
+    "q56_shard_shuffle" -> ((s, dir) => {
+      Curation.shuffleShards(t(s, dir, "documents"), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental ingestion dedup: exact Jaccard pairs between a
     // reference corpus (doc_id % 3 == 0) and an incoming batch (the
     // rest) — prefix-filtered cross-corpus join, the reference side
@@ -514,6 +523,17 @@ object TrainingQueries {
            ON d.doc_id % 29 <> 0 AND p.doc_id % 29 = 0
           AND len(list_intersect(d.sh, p.sh)) >= 3
          ORDER BY d.doc_id, probe_id""",
+    // Mirrors shuffleShards(numShards=8): same md5-derived 60-bit key,
+    // same shard mod, same (key, id)-ordered intra-shard positions.
+    "q56_shard_shuffle" ->
+      """SELECT doc_id, (k % 8)::INT AS shard,
+                (row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1)::BIGINT
+                  AS shard_pos
+         FROM (SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS k
+               FROM documents)
+         ORDER BY doc_id""",
+
     // Mirrors jaccardPairsAgainst: quadratic ref x batch intersect
     // (affordable at sf0.01; the engine's prefix filter replaces it).
     "q55_dedup_incremental" ->

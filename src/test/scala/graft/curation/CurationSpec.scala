@@ -37,6 +37,25 @@ class CurationSpec extends SparkSpec {
     assert(byStratum("z") > 300L && byStratum("z") < 700L) // ~50%
   }
 
+  test("shuffleShards: deterministic permutation, dense per-shard positions, balanced") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val a = Curation.shuffleShards(df, "id", numShards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // reproducible across runs and partition counts
+    val b = Curation.shuffleShards(df.repartition(17), "id", numShards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(a === b)
+    // positions within each shard are dense 0..n-1
+    a.values.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq.sorted === (0L until rows.size).toSeq)
+    }
+    // md5 keys spread uniformly: no shard more than 2x the fair share
+    val sizes = a.values.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.size === 8 && sizes.values.max < 500)
+  }
+
   test("packSequences: exact prefix-sum pack assignment, partitioning-independent") {
     val s = spark
     import s.implicits._
