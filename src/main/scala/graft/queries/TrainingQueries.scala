@@ -272,6 +272,21 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("probe_id"))
     }),
 
+    // Quantized ANN: the q27 brute-force top-k run entirely on int8-
+    // quantized vectors (4x memory/bandwidth at scale; cosine is
+    // scale-invariant so the quantized grid drops straight in).
+    "q57_ann_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val quant = Similarity.int8Quantize(emb, "vec_id", "emb")
+      val queries = quant.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qvec").as("q_emb"))
+      val corpus = quant.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("qvec").as("c_emb"))
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Deterministic global training shuffle: shard + intra-shard
     // position as a pure function of the ids (md5-keyed) — the
     // engine-reproducible random read order for a training run.
@@ -523,6 +538,28 @@ object TrainingQueries {
            ON d.doc_id % 29 <> 0 AND p.doc_id % 29 = 0
           AND len(list_intersect(d.sh, p.sh)) >= 3
          ORDER BY d.doc_id, probe_id""",
+    // Mirrors int8Quantize + brute-force top-k: same floor(x/s + 0.5)
+    // grid (s = max|x|/127), integer dot products, identical ranking.
+    "q57_ann_quantized" ->
+      """WITH qz AS (SELECT vec_id,
+             list_transform(emb, x -> floor(x / s + 0.5)) AS qv
+           FROM (SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS emb,
+                   greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) / 127 AS s
+                 FROM embeddings))
+         SELECT q_id, c_id, cos, rank FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])))), 6) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])))), 6) DESC,
+               c.vec_id) AS rank
+           FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id >= 10)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+
     // Mirrors shuffleShards(numShards=8): same md5-derived 60-bit key,
     // same shard mod, same (key, id)-ordered intra-shard positions.
     "q56_shard_shuffle" ->

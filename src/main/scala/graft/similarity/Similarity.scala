@@ -219,6 +219,36 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
+  /** Per-vector int8 scalar quantization: scale = max|x|/127, stored
+    * value = floor(x/scale + 0.5) ∈ [-127, 127]. At 100 TB this is the
+    * 4× storage/bandwidth lever for the ANN paths — a quantized corpus
+    * (tinyint-packable `qvec` + one float scale) replaces the float32
+    * embedding column; quantized dot products are exact integer
+    * arithmetic in doubles, and cosine needs no scale at all (it
+    * cancels), so [[bruteForceTopK]]/[[lshTopK]]/[[ivfTopK]] run on
+    * `qvec` unchanged. floor(+0.5) not round(): engines disagree on
+    * round-half while floor is bit-identical everywhere — the DuckDB
+    * oracle recomputes the exact same grid.
+    */
+  def int8Quantize(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol),
+        col(embCol).as("emb"),
+        (greatest(array_max(transform(col(embCol), x => abs(x))), lit(1e-30)) / 127d)
+          .as("scale"))
+      .select(col(idCol),
+        // cast back to double: Spark's floor yields bigint, but the dot
+        // kernels (and DuckDB's floor) work in doubles — the values are
+        // exact integers either way
+        transform(col("emb"), x => floor(x / col("scale") + lit(0.5)).cast("double"))
+          .as("qvec"),
+        col("scale"))
+
+  /** Reconstruction of a quantized vector (error ≤ scale/2 per
+    * component — asserted in SimilaritySpec).
+    */
+  def int8Dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, x => x * scale)
+
   /** Embedding near-duplicate pairs, EXACT variant: all (a < b) pairs
     * with cosine >= tau via a self cross join — O(n²) flops, the oracle
     * baseline. At corpus scale use [[cosinePairsLsh]] (the default

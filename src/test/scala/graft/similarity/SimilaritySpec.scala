@@ -129,6 +129,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf, "refreshed IVF with nprobe=1 should be exact on separable clusters")
   }
 
+  test("int8Quantize: bounded reconstruction error, high top-k recall on real embeddings") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val quant = Similarity.int8Quantize(emb, "vec_id", "emb")
+    // grid bounds: every component in [-127, 127]; |x - q*scale| <= scale/2
+    val recon = quant.join(emb, "vec_id")
+      .select(col("vec_id"), col("scale"),
+        Similarity.int8Dequantize(col("qvec"), col("scale")).as("deq"),
+        col("emb"), col("qvec"))
+      .collect()
+    recon.foreach { r =>
+      val scale = r.getDouble(1)
+      val deq = r.getSeq[Double](2); val orig = r.getSeq[Double](3)
+      val qv = r.getSeq[Double](4)
+      assert(qv.forall(q => q >= -127 && q <= 127))
+      deq.zip(orig).foreach { case (d, o) =>
+        assert(math.abs(d - o) <= scale / 2 + 1e-12)
+      }
+    }
+    // recall of quantized brute-force top-5 vs exact top-5
+    def split(df: org.apache.spark.sql.DataFrame, v: String) = (
+      df.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col(v).as("q_emb")),
+      df.filter(col("vec_id") >= 10).select(col("vec_id").as("c_id"), col(v).as("c_emb")))
+    val (eq, ec) = split(emb, "emb")
+    val exact = Similarity.bruteForceTopK(eq, ec, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (qq, qc) = split(quant, "qvec")
+    val approx = Similarity.bruteForceTopK(qq, qc, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"int8 top-k recall $recall below 0.8")
+  }
+
   test("cosinePairsExact finds mutually-close vectors above tau only") {
     val s = spark
     import s.implicits._
