@@ -8,7 +8,7 @@ import graft.curation.Curation
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.{Repetition, TextFunctions}
+import graft.text.{Repetition, TextFunctions, Vocab}
 
 /** Training-data pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over the `documents` /
@@ -270,6 +270,13 @@ object TrainingQueries {
         docs.filter(col("doc_id") % 29 =!= 0), "doc_id", "text",
         probes, "probe_id", "probe_text", n = 3, minShared = 3)
         .orderBy(col("doc_id"), col("probe_id"))
+    }),
+
+    // Corpus vocabulary: per-term document frequency + total count —
+    // the tokenizer-training / stop-list-mining pass. Integer-exact.
+    "q58_vocabulary" -> ((s, dir) => {
+      Vocab.vocabulary(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("term"))
     }),
 
     // Quantized ANN: the q27 brute-force top-k run entirely on int8-
@@ -538,6 +545,19 @@ object TrainingQueries {
            ON d.doc_id % 29 <> 0 AND p.doc_id % 29 = 0
           AND len(list_intersect(d.sh, p.sh)) >= 3
          ORDER BY d.doc_id, probe_id""",
+    // Mirrors Vocab.vocabulary: unnest words once for totals, once
+    // distinct-per-doc for document frequency.
+    "q58_vocabulary" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+         SELECT d.term, d.doc_freq, t.term_freq FROM
+           (SELECT term, count(*)::BIGINT AS doc_freq FROM
+              (SELECT DISTINCT doc_id, term FROM w) GROUP BY term) d
+           JOIN
+           (SELECT term, count(*)::BIGINT AS term_freq FROM w GROUP BY term) t
+           USING (term)
+         ORDER BY term""",
+
     // Mirrors int8Quantize + brute-force top-k: same floor(x/s + 0.5)
     // grid (s = max|x|/127), integer dot products, identical ranking.
     "q57_ann_quantized" ->

@@ -61,6 +61,29 @@ class TextSpec extends SparkSpec {
     assert(md5s.contains(fpA) && fpA === md5s.min)
   }
 
+  test("vocabulary: hand-computed doc/term frequencies; tfidf ranks distinctive terms first") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple date date date")).toDF("doc_id", "text")
+    val vocab = Vocab.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(vocab === Map(
+      "apple" -> (2L, 3L), "banana" -> (2L, 2L),
+      "cherry" -> (1L, 1L), "date" -> (1L, 3L)))
+    val top = Vocab.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 3's top term is "date" (tf 3, rare); doc 1's is "apple"
+    // (tf 2 beats banana's tf 1 at equal idf)
+    assert(top(3L) === "date" && top(1L) === "apple")
+    // exact score check: doc 2 "cherry" = 1 * (ln(4/2) + 1)
+    val cherry = Vocab.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("term") === "cherry").head().getDouble(2)
+    assert(math.abs(cherry - (math.rint((math.log(4.0 / 2.0) + 1) * 1e6) / 1e6)) < 1e-9)
+  }
+
   test("repetitionStats: hand-computed bigram fractions; short-doc collapse") {
     val s = spark
     import s.implicits._
