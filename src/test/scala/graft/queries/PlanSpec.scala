@@ -123,6 +123,29 @@ class PlanSpec extends SparkSpec {
       "extra range exchange in the packing pipeline")
   }
 
+  test("q55: cross-corpus dedup joins on shingle keys only — no cartesian, no broadcast of a corpus") {
+    val p = plan("q55_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "incremental dedup degenerated to an all-pairs join")
+    assert(p.contains("ShuffledHashJoin"),
+      "candidate join should be shuffle_hash (neither corpus broadcasts at scale)")
+  }
+
+  test("q56: training shuffle is one shard exchange + the per-shard sort") {
+    val p = plan("q56_shard_shuffle")
+    assert(!p.contains("Join"), "shard assignment should not join")
+    // shard hash exchange + the determinism ORDER BY range exchange
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      "extra shuffle in the shard pipeline")
+  }
+
+  test("q58: vocabulary aggregates with map-side partials on the vocab key") {
+    val p = plan("q58_vocabulary")
+    assert(p.contains("partial_count"),
+      "vocabulary counts lost map-side partial aggregation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q51: repetition stats aggregate with map-side partials, no cartesian") {
     val p = plan("q51_repetition")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
