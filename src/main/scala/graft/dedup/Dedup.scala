@@ -335,6 +335,48 @@ object Dedup {
     verifyByExactJaccard(df, idCol, textCol, n, tau, candidates)
   }
 
+  /** (doc, 1-based position, word n-gram) span rows — empty for docs
+    * shorter than n words.
+    */
+  private def spanGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= n,
+          expr(s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
+          .otherwise(array()).as("grams"))
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
+
+  /** Substring-level duplication signal (the dedup granularity of Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22 — there via suffix arrays): word n-grams occurring
+    * in >= minDocs DISTINCT documents, with corpus-wide document and
+    * occurrence counts. One aggregation keyed on the gram — map-side
+    * partial count-distinct via the (gram, doc) pre-aggregate, never a
+    * self-join.
+    */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame =
+    spanGrams(df, idCol, textCol, n)
+      .groupBy(col("gram"), col("doc_id")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document positions of cross-document duplicated spans — the
+    * cut list a span-level scrubber consumes. Semi-join of the span
+    * rows against [[duplicatedSpans]] on the gram key (bounded: only
+    * duplicated grams survive the build side).
+    */
+  def docDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame =
+    spanGrams(df, idCol, textCol, n)
+      .join(duplicatedSpans(df, idCol, textCol, n, minDocs)
+        .select(col("gram")), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("gram"))
+
   /** Benchmark decontamination matches: documents sharing at least
     * `minShared` distinct word n-grams with any probe document (the
     * standard pre-training hygiene pass — drop training docs that

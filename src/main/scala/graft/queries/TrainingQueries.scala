@@ -272,6 +272,15 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("probe_id"))
     }),
 
+    // Substring-level duplication (Lee et al. ACL'22 granularity):
+    // positions of every 8-word span occurring in >= 2 distinct docs —
+    // the cut list a span-level scrubber consumes.
+    "q59_dup_spans" -> ((s, dir) => {
+      Dedup.docDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // Corpus vocabulary: per-term document frequency + total count —
     // the tokenizer-training / stop-list-mining pass. Integer-exact.
     "q58_vocabulary" -> ((s, dir) => {
@@ -545,6 +554,20 @@ object TrainingQueries {
            ON d.doc_id % 29 <> 0 AND p.doc_id % 29 = 0
           AND len(list_intersect(d.sh, p.sh)) >= 3
          ORDER BY d.doc_id, probe_id""",
+    // Mirrors docDuplicatedSpans(n=8, minDocs=2): 8-gram spans with
+    // 1-based positions, kept when >= 2 distinct docs share the gram.
+    "q59_dup_spans" ->
+      """WITH e AS (SELECT doc_id, s['pos']::BIGINT AS pos, s['gram'] AS gram FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t)-7,0)+1),
+                 i -> {'pos': i, 'gram': concat_ws(' ', list_slice(t, i, i+7))})) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+         dup AS (SELECT gram FROM e GROUP BY gram
+                 HAVING count(DISTINCT doc_id) >= 2)
+         SELECT doc_id, pos, gram FROM e
+         WHERE gram IN (SELECT gram FROM dup)
+         ORDER BY doc_id, pos""",
+
     // Mirrors Vocab.vocabulary: unnest words once for totals, once
     // distinct-per-doc for document frequency.
     "q58_vocabulary" ->
