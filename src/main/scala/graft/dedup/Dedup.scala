@@ -336,13 +336,14 @@ object Dedup {
   }
 
   /** (doc, 1-based position, word n-gram) span rows — empty for docs
-    * shorter than n words.
+    * shorter than n words. Compiled n-gram kernel (ngrams_all): the
+    * transform/concat_ws Column version was interpreted per gram and
+    * dominated the span pipeline's runtime.
     */
   private def spanGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
-      .select(col("doc_id"),
-        when(size(col("t")) >= n,
-          expr(s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
+    df.select(col(idCol).as("doc_id"),
+        when(size(TextFunctions.tokens(col(textCol))) >= n,
+          graft.functions.SketchFunctions.ngrams_all(col(textCol), n))
           .otherwise(array()).as("grams"))
       .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
@@ -365,17 +366,27 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
 
   /** Per-document positions of cross-document duplicated spans — the
-    * cut list a span-level scrubber consumes. Semi-join of the span
-    * rows against [[duplicatedSpans]] on the gram key (bounded: only
-    * duplicated grams survive the build side).
+    * cut list a span-level scrubber consumes. ONE pass: a window over
+    * the gram partition decides cross-doc duplication in place, so the
+    * expensive gram explosion runs once and the gram strings cross
+    * exactly one shuffle (vs. the semi-join formulation's two scans +
+    * two shuffles). For the common minDocs=2 the test is
+    * `min(doc_id) != max(doc_id)` — exact and state-free; larger
+    * thresholds fall back to a distinct-set window.
     */
   def docDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int = 2): DataFrame =
+      n: Int, minDocs: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val crossDoc =
+      if (minDocs <= 1) lit(true)
+      else if (minDocs == 2) min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w)
+      else size(collect_set(col("doc_id")).over(w)) >= minDocs
     spanGrams(df, idCol, textCol, n)
-      .join(duplicatedSpans(df, idCol, textCol, n, minDocs)
-        .select(col("gram")), Seq("gram"), "left_semi")
+      .withColumn("_dup", crossDoc)
+      .filter(col("_dup"))
       .select(col("doc_id"), col("pos"), col("gram"))
+  }
 
   /** Benchmark decontamination matches: documents sharing at least
     * `minShared` distinct word n-grams with any probe document (the

@@ -560,7 +560,7 @@ object TrainingQueries {
       """WITH e AS (SELECT doc_id, s['pos']::BIGINT AS pos, s['gram'] AS gram FROM (
              SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(t)-7,0)+1),
-                 i -> {'pos': i, 'gram': concat_ws(' ', list_slice(t, i, i+7))})) AS s
+                 i -> {'pos': i, 'gram': array_to_string(list_slice(t, i, i+7), ' ')})) AS s
              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
          dup AS (SELECT gram FROM e GROUP BY gram
                  HAVING count(DISTINCT doc_id) >= 2)
