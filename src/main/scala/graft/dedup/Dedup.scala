@@ -388,6 +388,36 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("gram"))
   }
 
+  /** Span-level scrubbing — the full Lee et al. ACL'22 operation: cut
+    * every word covered by a cross-document duplicated n-gram span and
+    * re-emit the cleaned text (plus the cut count, the signal a
+    * curation report wants). One row per input document; documents
+    * with no duplicated spans pass through unchanged.
+    *
+    * Shape at scale: the cut-position lists are bounded by document
+    * length and join back on the doc id — the corpus text crosses one
+    * doc-keyed shuffle and the per-token coverage test runs
+    * map-side. No driver-side state.
+    */
+  def scrubDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    val cuts = docDuplicatedSpans(df, idCol, textCol, n, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("array()").cast("array<long>")))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", expr(
+          s"filter(toks, (w, i0) -> not exists(ps, p -> i0 + 1 >= p and i0 + 1 <= p + ${n - 1}))"))
+          .as("clean_text"),
+        expr(
+          s"size(filter(sequence(1, size(toks)), i -> exists(ps, p -> i >= p and i <= p + ${n - 1})))")
+          .cast("long").as("n_cut"))
+  }
+
   /** Benchmark decontamination matches: documents sharing at least
     * `minShared` distinct word n-grams with any probe document (the
     * standard pre-training hygiene pass — drop training docs that

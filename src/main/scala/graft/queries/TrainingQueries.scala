@@ -8,7 +8,7 @@ import graft.curation.Curation
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.{Repetition, TextFunctions, Vocab}
+import graft.text.{Pii, Repetition, TextFunctions, Vocab}
 
 /** Training-data pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over the `documents` /
@@ -279,6 +279,59 @@ object TrainingQueries {
       Dedup.docDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
         n = 8, minDocs = 2)
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // SemDeDup: semantic dedup by coarse clustering — pairs compared
+    // only within a centroid cell, each drop mapped to its smallest
+    // near-enough clustermate. Deterministic seed quantizer (16
+    // lowest-id vectors), so the oracle replays the exact assignment.
+    "q62_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("c_id"),
+          col("embedding").cast("array<double>").as("c_emb"))
+      Similarity.semDedup(emb, tau = 0.45, nlist = 16)
+        .orderBy(col("drop_id"))
+    }),
+
+    // PII redaction over a deterministic fixture: the synthetic corpus
+    // carries no organic PII, so the query plants engine-identical
+    // emails/phones/IPs/addresses on modular doc subsets (and the
+    // negative "none" strings on the rest) before redacting — the
+    // oracle row set exercises both matched and unmatched paths.
+    "q61_pii_redact" -> ((s, dir) => {
+      val input = concat_ws(" ",
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("mail none")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("tel none")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("from 10.0."), col("doc_id") % 256, lit(".7")))
+          .otherwise(lit("host local")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("wallet 0x"), lpad(hex(col("doc_id")), 40, "0")))
+          .otherwise(lit("wallet none")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), input.as("input"))
+        .select(col("doc_id"),
+          Pii.redact(col("input")).as("clean_text"),
+          Pii.matchCount(col("input"), 0).as("n_email"),
+          Pii.matchCount(col("input"), 1).as("n_phone"),
+          Pii.matchCount(col("input"), 2).as("n_ip"),
+          Pii.matchCount(col("input"), 3).as("n_addr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Span-level scrubbing (the full Lee et al. operation): cut every
+    // word covered by a cross-doc duplicated 8-gram and re-emit the
+    // cleaned text; one row per doc, untouched docs pass through.
+    "q60_span_scrub" -> ((s, dir) => {
+      Dedup.scrubDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)
+        .orderBy(col("doc_id"))
     }),
 
     // Corpus vocabulary: per-term document frequency + total count —
@@ -567,6 +620,74 @@ object TrainingQueries {
          SELECT doc_id, pos, gram FROM e
          WHERE gram IN (SELECT gram FROM dup)
          ORDER BY doc_id, pos""",
+
+    // Mirrors semDedup(tau=0.45, nlist=16): q40's seed-centroid
+    // assignment (16 lowest-id vectors), within-cell pairs, each drop
+    // keyed to its smallest keeper.
+    "q62_semdedup" ->
+      s"""$embCte,
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+                  FROM n ORDER BY vec_id LIMIT 16),
+         a AS (SELECT list_id, c_id, emb, nrm FROM (
+           SELECT ct.cent_id AS list_id, n.vec_id AS c_id, n.emb, n.nrm,
+             row_number() OVER (PARTITION BY n.vec_id ORDER BY
+               round(list_sum(list_transform(range(1, 65), i -> n.emb[i] * ct.cent_emb[i]))
+                 / (n.nrm * ct.cent_nrm), 6) DESC, ct.cent_id) AS rn
+           FROM n CROSS JOIN cent ct) WHERE rn = 1),
+         p AS (SELECT x.c_id AS a_id, y.c_id AS drop_id,
+                 round(list_sum(list_transform(range(1, 65), i -> x.emb[i] * y.emb[i]))
+                   / (x.nrm * y.nrm), 6) AS cos
+               FROM a x JOIN a y ON x.list_id = y.list_id AND x.c_id < y.c_id)
+         SELECT drop_id, keep_id, cos FROM (
+           SELECT drop_id, a_id AS keep_id, cos,
+             row_number() OVER (PARTITION BY drop_id ORDER BY a_id) AS rn
+           FROM p WHERE cos >= 0.45) WHERE rn = 1
+         ORDER BY drop_id""",
+
+    // Mirrors Pii.redact/matchCount over the same planted fixture.
+    // regexp_replace needs the 'g' flag (DuckDB defaults to
+    // first-match-only; Spark replaces all).
+    "q61_pii_redact" ->
+      """WITH f AS (SELECT doc_id, concat_ws(' ', text,
+             CASE WHEN doc_id % 3 = 0 THEN 'contact user' || doc_id || '@example.com' ELSE 'mail none' END,
+             CASE WHEN doc_id % 4 = 0 THEN 'call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE 'tel none' END,
+             CASE WHEN doc_id % 5 = 0 THEN 'from 10.0.' || (doc_id % 256) || '.7' ELSE 'host local' END,
+             CASE WHEN doc_id % 7 = 0 THEN 'wallet 0x' || lpad(hex(doc_id), 40, '0') ELSE 'wallet none' END) AS input
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(input,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '0x[0-9a-fA-F]{40}', '<ADDR>', 'g') AS clean_text,
+           len(regexp_extract_all(input, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(input, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::BIGINT AS n_phone,
+           len(regexp_extract_all(input, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ip,
+           len(regexp_extract_all(input, '0x[0-9a-fA-F]{40}'))::BIGINT AS n_addr
+         FROM f ORDER BY doc_id""",
+
+    // Mirrors scrubDuplicatedSpans(n=8, minDocs=2): q59's cut list,
+    // grouped per doc, then every covered word index dropped. DuckDB
+    // yields NULL for a fully-scrubbed text; Spark's concat_ws yields
+    // '' — coalesce to align.
+    "q60_span_scrub" ->
+      """WITH e AS (SELECT doc_id, s['pos']::BIGINT AS pos, s['gram'] AS gram FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t)-7,0)+1),
+                 i -> {'pos': i, 'gram': array_to_string(list_slice(t, i, i+7), ' ')})) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+         dup AS (SELECT gram FROM e GROUP BY gram
+                 HAVING count(DISTINCT doc_id) >= 2),
+         cuts AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM e
+                  WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id),
+         t AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks, coalesce(c.ps, []) AS ps
+               FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id)
+         SELECT doc_id,
+           coalesce(array_to_string([toks[i] FOR i IN range(1, len(toks)+1)
+                      IF len([p FOR p IN ps IF i >= p AND i <= p+7]) = 0], ' '), '') AS clean_text,
+           len([i FOR i IN range(1, len(toks)+1)
+                IF len([p FOR p IN ps IF i >= p AND i <= p+7]) > 0])::BIGINT AS n_cut
+         FROM t ORDER BY doc_id""",
 
     // Mirrors Vocab.vocabulary: unnest words once for totals, once
     // distinct-per-doc for document frequency.

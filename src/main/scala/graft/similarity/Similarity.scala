@@ -267,6 +267,50 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering — assign every embedding to its
+    * nearest coarse centroid, compare pairs only WITHIN a cluster, and
+    * drop each document that sits within `tau` cosine of a lower-id
+    * clustermate (mapped to its smallest such keeper). Returns
+    * (drop_id, keep_id, cos = the keeper pair's similarity).
+    *
+    * Scale shape: the centroid table is nlist rows (broadcast); the
+    * pair join is list_id-keyed — the corpus never self-joins globally,
+    * and per-cluster pair cost is bounded by the cluster size the
+    * quantizer controls (nlist grows with the corpus; refresh centroids
+    * with [[kmeansCentroids]]). `shuffle_hash` keeps AQE from
+    * driver-building a broadcast of a corpus-sized side.
+    */
+  def semDedup(
+      corpus: DataFrame, // (c_id, c_emb: array<double>)
+      tau: Double,
+      nlist: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+        corpus.orderBy(col("c_id")).limit(nlist)
+          .select(col("c_id").cast("long").as("cent_id"), col("c_emb").as("cent_emb")))
+      .select(col("cent_id"), col("cent_emb"))
+      .withColumn("cent_norm", norm(col("cent_emb")))
+    val c = corpus.withColumn("c_norm", norm(col("c_emb")))
+    val assigned = graft.core.Joins.lastByKey(
+        c.crossJoin(broadcast(cent))
+          .withColumn("a_score",
+            cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
+        Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+      .select(col("cent_id").as("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
+    // true self-join (identical subtree on both sides) so the
+    // assignment computes once and ReuseExchange feeds the second side
+    assigned.as("x")
+      .join(assigned.as("y").hint("shuffle_hash"),
+        col("x.list_id") === col("y.list_id") && col("x.c_id") < col("y.c_id"))
+      .withColumn("cos", cosineWithNorms(
+        col("x.c_emb"), col("y.c_emb"), col("x.c_norm"), col("y.c_norm")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("y.c_id").as("drop_id"))
+      .agg(min(struct(col("x.c_id").as("a_id"), col("cos").as("cos"))).as("k"))
+      .select(col("drop_id"), col("k.a_id").as("keep_id"), col("k.cos").as("cos"))
+  }
+
   /** Banded band-bucket values for [[cosinePairsLsh]]: band b's bucket
     * is `planesPerBand` sign bits (planes b·P .. b·P+P-1) offset into a
     * per-band disjoint range (`b << P | bits`), so one flat long key

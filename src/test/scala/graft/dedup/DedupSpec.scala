@@ -146,6 +146,29 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(12L))
   }
 
+  test("span scrub: duplicated-span words cut, overlaps merged, clean docs untouched") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 share the 3-gram "a b c" (positions 2 and 1); doc 3
+    // shares nothing. Doc 1 also self-repeats "a b c" later — a gram
+    // duplicated ACROSS docs cuts every occurrence, but a gram repeated
+    // only within one doc does not count as cross-doc.
+    val df = Seq(
+      (1L, "x a b c y a b c"),
+      (2L, "a b c z z z z z"),
+      (3L, "entirely distinct words only here now"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.docDuplicatedSpans(df, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spans === Set((1L, 2L), (1L, 6L), (2L, 1L)))
+    val out = Dedup.scrubDuplicatedSpans(df, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((1L, "x y", 6L))) // both occurrences cut
+    assert(out(1) === ((2L, "z z z z z", 3L)))
+    assert(out(2) === ((3L, "entirely distinct words only here now", 0L)))
+  }
+
   test("shingles kernel: distinct, short-doc collapse, set semantics") {
     val s = spark
     import s.implicits._

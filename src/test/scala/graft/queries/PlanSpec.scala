@@ -146,6 +146,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q59: dup spans is one gram exchange + a window — no join, no second gram scan") {
+    val p = plan("q59_dup_spans")
+    assert(!p.contains("Join"), "span duplication should be decided in-place, not by a join")
+    assert(p.contains("Window"), "cross-doc test should be a window over the gram partition")
+    // formatted explain lists each node twice (tree + "(n) Node" details)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate.*""")) == 1,
+      "gram explosion runs more than once")
+    // gram hash exchange + the determinism ORDER BY range exchange
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      "extra shuffle in the span pipeline")
+  }
+
+  test("q62: semdedup pairs join on the cluster key — corpus never cross-joins itself") {
+    val p = plan("q62_semdedup")
+    assert(!p.contains("CartesianProduct"), "corpus self-join degenerated to a cartesian")
+    assert(p.contains("ShuffledHashJoin"),
+      "within-cluster pair join should be shuffle_hash (neither side broadcasts at scale)")
+    // the only nested-loops are the bounded nlist-row centroid
+    // broadcasts (corpus × 16 rows — linear, once per self-join side)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 2)
+  }
+
   test("q51: repetition stats aggregate with map-side partials, no cartesian") {
     val p = plan("q51_repetition")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

@@ -199,6 +199,24 @@ class SimilaritySpec extends SparkSpec {
       s"pruned-LSH recall ${pruned.length}/${exact.length} below expectation")
   }
 
+  test("semDedup: within-cluster near-dups drop to their smallest keeper") {
+    val s = spark
+    import s.implicits._
+    // seeds = two lowest ids: 1 -> x-axis, 2 -> y-axis. 4 is a near-dup
+    // of 1 (same cell), 5 an exact dup of 2, 3 close-but-not-near 1.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.9, 0.3)),
+      (4L, Seq(1.0, 0.01)),
+      (5L, Seq(0.0, 1.0)))
+      .toDF("c_id", "c_emb")
+    val out = Similarity.semDedup(emb, tau = 0.99, nlist = 2)
+      .orderBy(col("drop_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((4L, 1L), (5L, 2L)))
+  }
+
   test("hyperplane: md5-derived, ±1 components, deterministic") {
     val p0 = Similarity.hyperplane(0, 64)
     val p1 = Similarity.hyperplane(1, 64)
