@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A novel (first-seen) document surviving streaming dedup:
+  * `fp` = content fingerprint, `batchDups` = duplicates suppressed
+  * from the same micro-batch that introduced it.
+  */
+case class NovelDoc(fp: String, doc_id: Long, text: String, batchDups: Long)
+
+/** Streaming corpus ingestion: the training-data dedup operators as
+  * Structured Streaming transforms, so a 24/7 crawl feed is cleaned
+  * incrementally instead of by periodic batch recompute — the
+  * streaming analog of [[graft.dedup.Dedup.exactDedupSurvivors]].
+  *
+  * Two state regimes, pick by feed shape:
+  *  - [[dedupWithinHorizon]] — watermark-bounded state (the 100 TB/day
+  *    path): a duplicate arriving within `horizon` of the original is
+  *    dropped; older re-crawls re-enter (and the periodic batch dedup
+  *    catches them). Uses the engine's `dropDuplicatesWithinWatermark`
+  *    state store — no custom state code.
+  *  - [[novelDocuments]] — exact first-seen-wins across the whole
+  *    stream via `flatMapGroupsWithState` keyed on the content
+  *    fingerprint. State is one counter per distinct document —
+  *    bounded by CORPUS size, not stream length, but unbounded in
+  *    time: right for finite replays (Trigger.AvailableNow
+  *    maintenance passes) and corpora whose distinct-doc count fits
+  *    the state store; use the watermarked variant for open-ended
+  *    feeds.
+  */
+object CorpusStreams {
+
+  /** Stream a documents parquet directory (schema sniffed from a batch
+    * read — the file-stream source requires one up front). The watched
+    * directory must be append-only (see [[DerivedStreams.eventStream]]
+    * for why: the source checkpoints files by name).
+    */
+  def docStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Watermark-bounded streaming dedup on the content fingerprint. */
+  def dedupWithinHorizon(stream: DataFrame, textCol: String, tsCol: String,
+      horizon: String = "24 hours"): DataFrame =
+    stream.withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Exact first-seen-wins dedup: emits each distinct content exactly
+    * once, on the micro-batch that first contains it (smallest id wins
+    * inside that batch — deterministic); every later occurrence only
+    * bumps the per-fingerprint counter state.
+    */
+  def novelDocuments(stream: DataFrame, idCol: String, textCol: String): Dataset[NovelDoc] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream
+      .select(md5(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: String, rows: Iterator[(String, Long, String)], state: GroupState[Long]) => {
+          val batch = rows.toArray
+          val seen = state.getOption.getOrElse(0L)
+          state.update(seen + batch.length)
+          if (seen > 0L) Iterator.empty
+          else {
+            val first = batch.minBy(_._2)
+            Iterator.single(NovelDoc(fp, first._2, first._3, batch.length - 1L))
+          }
+        })
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming corpus dedup: exact first-seen-wins across micro-batches
+  * and watermark-bounded dedup inside one.
+  */
+class CorpusStreamsSpec extends SparkSpec {
+
+  test("novelDocuments: first occurrence emitted once, cross-batch dups suppressed") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("corpusstream").toString
+    val in = s"$root/docs"
+
+    // batch file 1: two docs, one internal dup (4 dups 1)
+    // coalesce(1): one parquet file per write, so maxFilesPerTrigger=1
+    // maps each write to exactly one micro-batch
+    Seq((1L, "alpha beta"), (2L, "gamma delta"), (4L, "alpha beta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    // batch file 2: a re-crawl of doc 1's content plus a novel doc
+    Seq((3L, "alpha beta"), (5L, "epsilon zeta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+
+    val out = s"$root/novel"
+    val q = DerivedStreams.refreshOnce(
+      CorpusStreams.novelDocuments(
+        CorpusStreams.docStream(spark, in, maxFilesPerTrigger = 1),
+        "doc_id", "text").toDF(),
+      out, s"$root/ckpt")
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out)
+      .select("doc_id", "text", "batchDups")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // "alpha beta" survives exactly once with its smallest first-batch
+    // id, whichever micro-batch split the file source chose
+    val alpha = got.filter(_._2 == "alpha beta")
+    assert(alpha.size === 1)
+    assert(alpha.head._1 === 1L)
+    assert(got.map(_._2) === Set("alpha beta", "gamma delta", "epsilon zeta"))
+
+    // idempotent restart: a second AvailableNow pass emits nothing new
+    val q2 = DerivedStreams.refreshOnce(
+      CorpusStreams.novelDocuments(
+        CorpusStreams.docStream(spark, in, maxFilesPerTrigger = 1),
+        "doc_id", "text").toDF(),
+      out, s"$root/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() === got.size)
+  }
+
+  test("dedupWithinHorizon: watermarked fingerprint dedup keeps one row per content") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("corpusstream2").toString
+    val in = s"$root/docs"
+    Seq(
+      (1L, "same words here", Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, "same words here", Timestamp.valueOf("2026-01-01 10:05:00")),
+      (3L, "different words", Timestamp.valueOf("2026-01-01 10:10:00")))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
+
+    val out = s"$root/deduped"
+    val q = DerivedStreams.refreshOnce(
+      CorpusStreams.dedupWithinHorizon(
+        CorpusStreams.docStream(spark, in), "text", "ts", "1 hour")
+        .select("doc_id", "text"),
+      out, s"$root/ckpt")
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.map(_._2) === Set("same words here", "different words"))
+    assert(got.size === 2)
+  }
+}

@@ -102,6 +102,27 @@ class TextSpec extends SparkSpec {
       Seq((1L, 4L, 0.5, 1.0), (2L, 3L, 0.333333, 0.0), (3L, 1L, 1.0, 0.0)))
   }
 
+  test("Pii.redact replaces every class and matchCount sees each match") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "mail a.b+c@ex.co and b@c.io call 415-555-0042 from 10.0.7.7 " +
+        "wallet 0x" + "ab" * 20 + " done",
+      "nothing sensitive here 1234-56").toDF("t")
+    val got = df.select(
+        Pii.redact(col("t")).as("r"),
+        Pii.matchCount(col("t"), 0).as("e"), Pii.matchCount(col("t"), 1).as("p"),
+        Pii.matchCount(col("t"), 2).as("i"), Pii.matchCount(col("t"), 3).as("a"))
+      .collect()
+    assert(got(0).getString(0) ===
+      "mail <EMAIL> and <EMAIL> call <PHONE> from <IP> wallet <ADDR> done")
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3), got(0).getLong(4))
+      === ((2L, 1L, 1L, 1L)))
+    assert(got(1).getString(0) === "nothing sensitive here 1234-56")
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3), got(1).getLong(4))
+      === ((0L, 0L, 0L, 0L)))
+  }
+
   test("repetitionFilter keeps low-repetition docs only, rows unchanged") {
     val s = spark
     import s.implicits._
