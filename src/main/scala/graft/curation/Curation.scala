@@ -170,4 +170,45 @@ object Curation {
       TextFunctions.tokenCountWs(col(textCol)).cast("long").as("wc"))
       .filter(col("lang_pred") === lang && col("quality") >= minQuality)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by how much more likely its words are under
+    * a unigram model of the TARGET domain than under the corpus model,
+    * `sum_w log(P_t(w) / P_c(w))` with add-one smoothing — the
+    * domain-targeted data-selection signal. Positive = more
+    * target-like than the corpus average; compose with
+    * [[hashSample]]/top-k for the actual resampling pass.
+    *
+    * Engine-exact: each word's log-ratio is rounded to 6 decimals and
+    * summed as DECIMAL, so the per-doc total is order-independent (the
+    * double-sum ordering trap the determinism rules ban).
+    *
+    * Scale shape: two passes over exploded words — one vocab-keyed
+    * count aggregate (map-side partials; vocab ≪ corpus), one
+    * postings-style join of word → log-ratio back to occurrences, then
+    * a doc-keyed sum. The totals row is a 1-row broadcast, never a
+    * driver collect.
+    */
+  def dsirLogWeights(
+      df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+      explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
+    val counts = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = counts.agg(sum(col("c_all")).as("n_all"),
+      sum(col("c_t")).as("n_t"), count(lit(1)).as("v"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        round(
+          log((col("c_t") + 1).cast("double") / (col("n_t") + col("v")).cast("double"))
+            - log((col("c_all") + 1).cast("double") / (col("n_all") + col("v")).cast("double")),
+          6).cast("decimal(16,6)").as("lw"))
+    words.join(ratios, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lw")).as("sumw"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("sumw").cast("double").as("log_weight"),
+        col("n_tokens"))
+  }
 }

@@ -281,6 +281,15 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // DSIR importance weights: unigram log-likelihood ratio of the
+    // target domain (lang = 'de') vs the whole corpus, per document —
+    // the domain-targeted data-selection score.
+    "q63_dsir_weights" -> ((s, dir) => {
+      Curation.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "de")
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup: semantic dedup by coarse clustering — pairs compared
     // only within a centroid cell, each drop mapped to its smallest
     // near-enough clustermate. Deterministic seed quantizer (16
@@ -620,6 +629,21 @@ object TrainingQueries {
          SELECT doc_id, pos, gram FROM e
          WHERE gram IN (SELECT gram FROM dup)
          ORDER BY doc_id, pos""",
+
+    // Mirrors dsirLogWeights(target = lang 'de'): per-word smoothed
+    // log-ratio rounded to 6dp, summed as DECIMAL for order
+    // independence.
+    "q63_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, lang = 'de' AS is_t,
+                      unnest(string_split(text, ' ')) AS w FROM documents),
+         c AS (SELECT w, count(*) AS c_all,
+                 sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+               FROM w GROUP BY w),
+         t AS (SELECT sum(c_all) AS n_all, sum(c_t) AS n_t, count(*) AS v FROM c),
+         r AS (SELECT w, round(ln((c_t + 1) / (n_t + v)) - ln((c_all + 1) / (n_all + v)), 6)::DECIMAL(16,6) AS lw
+               FROM c CROSS JOIN t)
+         SELECT doc_id, sum(lw)::DOUBLE AS log_weight, count(*)::BIGINT AS n_tokens
+         FROM w JOIN r USING (w) GROUP BY doc_id ORDER BY doc_id""",
 
     // Mirrors semDedup(tau=0.45, nlist=16): q40's seed-centroid
     // assignment (16 lowest-id vectors), within-cell pairs, each drop

@@ -110,4 +110,26 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(3) > 0L)
     }
   }
+
+  test("dsirLogWeights: target-domain docs outscore off-domain ones") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "der hund und die katze", true),
+      (2L, "the cat and the dog", false),
+      (3L, "der tag und die nacht", true),
+      (4L, "the day and the night", false),
+      (5L, "der hund und die nacht", false)) // target-like words, non-target doc
+      .toDF("doc_id", "text", "is_de")
+    val w = Curation.dsirLogWeights(docs, "doc_id", "text", col("is_de"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every German-vocabulary doc scores above every English one,
+    // including doc 5, which is NOT in the target set — DSIR scores
+    // content, not labels
+    assert(Seq(1L, 3L, 5L).map(w).min > Seq(2L, 4L).map(w).max)
+    // n_tokens = occurrence count, not distinct
+    val n = Curation.dsirLogWeights(docs, "doc_id", "text", col("is_de"))
+      .filter(col("doc_id") === 2L).head().getLong(2)
+    assert(n === 5L)
+  }
 }

@@ -168,6 +168,15 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 2)
   }
 
+  test("q63: dsir weights aggregate with map-side partials; only the 1-row totals broadcast nests") {
+    val p = plan("q63_dsir_weights")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "vocab counts lost map-side partial aggregation")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      "something besides the 1-row totals is nested-loop joined")
+  }
+
   test("q51: repetition stats aggregate with map-side partials, no cartesian") {
     val p = plan("q51_repetition")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
