@@ -93,6 +93,9 @@ object GraftExtensions {
     },
     reg("hash_sample_key") { a =>
       toExpr(Curation.hashSampleKey(toCol(arity("hash_sample_key", a, 1).head)))
+    },
+    reg("pii_redact") { a =>
+      toExpr(graft.text.Pii.redact(toCol(arity("pii_redact", a, 1).head)))
     })
 
   /** Register everything into a live session (the non-config path). */

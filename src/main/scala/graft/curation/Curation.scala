@@ -171,6 +171,38 @@ object Curation {
       .filter(col("lang_pred") === lang && col("quality") >= minQuality)
   }
 
+  /** Sliding-window document chunking — the tokenize-and-chunk pass
+    * that turns documents into training/RAG sequences: word windows of
+    * `window` starting every `stride` words, plus a snap-to-end final
+    * window so the tail is always covered (every chunk is full-size;
+    * docs shorter than `window` yield exactly their whole text).
+    * Returns (doc_id, chunk_id 1-based, start_pos 1-based, chunk_text,
+    * n_words).
+    *
+    * Map-only per-document explode — no shuffle, no state; chunk count
+    * per doc is len/stride, so output scales linearly with corpus
+    * token count.
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1)
+    df.select(col(idCol).as("doc_id"),
+        graft.text.TextFunctions.tokens(col(textCol)).as("t"))
+      .withColumn("last", greatest(size(col("t")) - window + 1, lit(1)))
+      .withColumn("starts",
+        array_union(sequence(lit(1), col("last"), lit(stride)), array(col("last"))))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(starts, s -> struct(s as start, concat_ws(' ', slice(t, s, $window)) as txt))"))
+          .as(Seq("i0", "c")))
+      .select(col("doc_id"),
+        (col("i0") + 1).cast("long").as("chunk_id"),
+        col("c.start").cast("long").as("start_pos"),
+        col("c.txt").as("chunk_text"),
+        size(split(col("c.txt"), " ")).cast("long").as("n_words"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
     * score every document by how much more likely its words are under
     * a unigram model of the TARGET domain than under the corpus model,

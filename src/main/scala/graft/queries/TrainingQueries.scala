@@ -281,6 +281,14 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // Sliding-window chunking: 50-word windows every 40 words with a
+    // snap-to-end tail window — documents to training sequences.
+    "q64_chunking" -> ((s, dir) => {
+      Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        window = 50, stride = 40)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // DSIR importance weights: unigram log-likelihood ratio of the
     // target domain (lang = 'de') vs the whole corpus, per document —
     // the domain-targeted data-selection score.
@@ -629,6 +637,26 @@ object TrainingQueries {
          SELECT doc_id, pos, gram FROM e
          WHERE gram IN (SELECT gram FROM dup)
          ORDER BY doc_id, pos""",
+
+    // Mirrors chunkDocuments(window=50, stride=40): starts = 1, 41,
+    // 81, ... plus the snap-to-end start, distinct, in order.
+    "q64_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         s AS (SELECT doc_id, t,
+                 list_sort(list_distinct(list_append(
+                   range(1, greatest(len(t) - 49, 1) + 1, 40),
+                   greatest(len(t) - 49, 1)))) AS starts
+               FROM d),
+         e AS (SELECT doc_id, u['cid']::BIGINT AS chunk_id,
+                 u['st']::BIGINT AS start_pos,
+                 array_to_string(list_slice(t, u['st'], u['st'] + 49), ' ') AS chunk_text
+               FROM (SELECT doc_id, t,
+                       unnest(list_transform(range(1, len(starts) + 1),
+                         i -> {'cid': i, 'st': starts[i]})) AS u
+                     FROM s))
+         SELECT doc_id, chunk_id, start_pos, chunk_text,
+           len(string_split(chunk_text, ' '))::BIGINT AS n_words
+         FROM e ORDER BY doc_id, chunk_id""",
 
     // Mirrors dsirLogWeights(target = lang 'de'): per-word smoothed
     // log-ratio rounded to 6dp, summed as DECIMAL for order

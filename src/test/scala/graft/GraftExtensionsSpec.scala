@@ -38,6 +38,8 @@ class GraftExtensionsSpec extends SparkSpec {
                 quality_score('the cat of the house') AS q,
                 token_count_ws('the cat of the house') AS wc,
                 hash_sample_key('doc-1') AS k""").head()
+    assert(sql.sql("SELECT pii_redact('mail a@b.co now') AS r").head().getString(0)
+      === "mail <EMAIL> now")
     val api = sql.range(1).select(
       TextFunctions.langId(lit("the cat of the house")),
       TextFunctions.qualityScore(lit("the cat of the house")),

@@ -111,6 +111,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: stride windows, snap-to-end tail, short-doc passthrough") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"), // shorter than window
+      (3L, (1 to 8).map(i => s"w$i").mkString(" "))) // last == stride boundary
+      .toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, "doc_id", "text", window = 4, stride = 4)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      // doc 1: starts 1, 5 then snap-to-end 7 (covers w7..w10)
+      (1L, 1L, 1L, "w1 w2 w3 w4"),
+      (1L, 2L, 5L, "w5 w6 w7 w8"),
+      (1L, 3L, 7L, "w7 w8 w9 w10"),
+      // doc 2: one whole-text chunk
+      (2L, 1L, 1L, "a b c"),
+      // doc 3: len 8 = 2 exact windows, no extra tail
+      (3L, 1L, 1L, "w1 w2 w3 w4"),
+      (3L, 2L, 5L, "w5 w6 w7 w8")))
+  }
+
   test("dsirLogWeights: target-domain docs outscore off-domain ones") {
     val s = spark
     import s.implicits._
