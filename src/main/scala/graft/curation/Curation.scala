@@ -171,6 +171,38 @@ object Curation {
       .filter(col("lang_pred") === lang && col("quality") >= minQuality)
   }
 
+  /** Deterministic data mixing: compose a corpus from weighted sources
+    * at target proportions. The achievable budget is capped by the
+    * scarcest source (`B = min_s n_s / w_s` — no source oversamples),
+    * each source then keeps fraction `w_s · B / n_s` of its rows via
+    * the content-keyed hash sample — the SlimPajama-style mixture
+    * stage, reproducible across engines, runs, and cluster sizes.
+    * Sources absent from `weights` are excluded.
+    *
+    * Scale shape: one count aggregate over the source key (map-side
+    * partials), a source-count-row fraction table broadcast back, one
+    * map-only filter. No RNG state, no repartition.
+    */
+  def mixCorpus(
+      df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0))
+    val spark = df.sparkSession
+    val wdf = spark.createDataFrame(weights.toSeq).toDF("src", "w")
+    val sizes = df.groupBy(col(sourceCol).as("src"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .join(broadcast(wdf), Seq("src"))
+      .withColumn("cap", col("n") / col("w"))
+    val budget = sizes.agg(min(col("cap")).as("b"))
+    val fracs = sizes.crossJoin(broadcast(budget))
+      .select(col("src").as(sourceCol),
+        least(lit(1.0), col("w") * col("b") / col("n")).as("f"))
+    df.join(broadcast(fracs), Seq(sourceCol))
+      .filter(hashSampleKey(col(idCol)) <
+        floor(col("f") * lit((1L << 60).toDouble)).cast("long"))
+      .drop("f")
+  }
+
   /** Sliding-window document chunking — the tokenize-and-chunk pass
     * that turns documents into training/RAG sequences: word windows of
     * `window` starting every `stride` words, plus a snap-to-end final

@@ -281,6 +281,16 @@ object TrainingQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // Deterministic data mixing: three weighted sources composed at
+    // target proportions, budget capped by the scarcest source,
+    // selection via the content-keyed hash sample.
+    "q65_data_mixing" -> ((s, dir) => {
+      Curation.mixCorpus(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sliding-window chunking: 50-word windows every 40 words with a
     // snap-to-end tail window — documents to training sequences.
     "q64_chunking" -> ((s, dir) => {
@@ -637,6 +647,22 @@ object TrainingQueries {
          SELECT doc_id, pos, gram FROM e
          WHERE gram IN (SELECT gram FROM dup)
          ORDER BY doc_id, pos""",
+
+    // Mirrors mixCorpus: same budget arithmetic (double ops in the
+    // same order), same md5-derived sample key, floor() before the
+    // BIGINT cast on both engines.
+    "q65_data_mixing" ->
+      """WITH w(src, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+         sizes AS (SELECT source AS src, count(*)::DOUBLE AS n
+                   FROM documents GROUP BY source),
+         j AS (SELECT s.src, s.n, w.w, s.n / w.w AS cap
+               FROM sizes s JOIN w ON s.src = w.src),
+         b AS (SELECT min(cap) AS b FROM j),
+         f AS (SELECT src, least(1.0, w * b / n) AS f FROM j CROSS JOIN b)
+         SELECT d.doc_id, d.source FROM documents d JOIN f ON d.source = f.src
+         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               < floor(f.f * 1152921504606846976)::BIGINT
+         ORDER BY d.doc_id""",
 
     // Mirrors chunkDocuments(window=50, stride=40): starts = 1, 41,
     // 81, ... plus the snap-to-end start, distinct, in order.

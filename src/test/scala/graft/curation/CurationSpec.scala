@@ -111,6 +111,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixCorpus: scarcest source caps the budget, unlisted sources drop, deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 100).map(i =>
+      (i.toLong, s"doc $i", if (i < 40) "a" else if (i < 80) "b" else "x"))
+      .toDF("doc_id", "text", "source")
+    // equal weights over a(40) and b(40): budget = 80, f = 1.0 for both
+    val all = Curation.mixCorpus(docs, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(all.count() === 80) // x excluded, nothing sampled away
+    // skew the weights: a is now the scarce source (cap 40/0.8 = 50),
+    // so a keeps everything and b keeps ~0.25 of its rows
+    val skew = Curation.mixCorpus(docs, "doc_id", "source",
+      Map("a" -> 0.8, "b" -> 0.2))
+    val bySrc = skew.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") === 40)
+    assert(bySrc.getOrElse("b", 0L) > 0 && bySrc("b") < 20)
+    // pure function of content: identical on re-execution
+    val ids = skew.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === skew.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("chunkDocuments: stride windows, snap-to-end tail, short-doc passthrough") {
     val s = spark
     import s.implicits._
