@@ -177,6 +177,32 @@ class PlanSpec extends SparkSpec {
       "something besides the 1-row totals is nested-loop joined")
   }
 
+  test("q61: pii redaction is map-only — no join, no aggregate, one determinism sort") {
+    val p = plan("q61_pii_redact")
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      "redaction should be a pure scan-project pipeline")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "extra shuffle in the redaction pipeline")
+  }
+
+  test("q64: chunking explodes once, joins nothing") {
+    val p = plan("q64_chunking")
+    assert(!p.contains("Join"), "chunking should not join")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate.*""")) == 1,
+      "chunk explosion runs more than once")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "extra shuffle in the chunking pipeline")
+  }
+
+  test("q65: mixing broadcasts the fraction table — corpus never shuffles for the join") {
+    val p = plan("q65_data_mixing")
+    assert(p.contains("BroadcastHashJoin"), "fraction table not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus is being shuffled to meet the source-fraction table")
+    assert(p.contains("partial_count"),
+      "source sizes lost map-side partial aggregation")
+  }
+
   test("q51: repetition stats aggregate with map-side partials, no cartesian") {
     val p = plan("q51_repetition")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
