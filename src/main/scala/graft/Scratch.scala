@@ -28,6 +28,34 @@ object Scratch {
       pieces.groupBy(col("piece")).count().orderBy(col("count").desc).show(10)
       spark.stop(); return
     }
+    if (args.lift(1).contains("scaleprobe")) {
+      // runtime slope of the heavy pairwise operators as the corpus
+      // multiplies: k copies of documents with disjoint id ranges (the
+      // copies ARE mutual near-dups, so pair volume grows too — a
+      // pessimistic scaling probe)
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, dir, "documents")
+      val n = docs.count()
+      Seq(1, 2, 4).foreach { k =>
+        val big = (0 until k).map(i => docs.select(
+            (col("doc_id") + lit(i.toLong * n)).as("doc_id"),
+            col("text"))).reduce(_ unionByName _)
+        big.cache().count()
+        def time(label: String)(body: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = body
+          println(f"$label x$k: ${(System.nanoTime() - t0) / 1e9}%.3f s ($rows rows)")
+        }
+        time("jaccard")(graft.dedup.Dedup.jaccardPairs(big, "doc_id", "text",
+          n = 3, tau = 0.5).count())
+        time("minhash")(graft.dedup.Dedup.minhashLshPairs(big, "doc_id", "text",
+          n = 3, tau = 0.5).count())
+        time("dupspans")(graft.dedup.Dedup.docDuplicatedSpans(big, "doc_id", "text",
+          n = 8).count())
+        big.unpersist(blocking = true)
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("SCRATCH_DEBUGLOG")) spark.sparkContext.setLogLevel("DEBUG")
     val names = args.drop(1)
     val qs = if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
