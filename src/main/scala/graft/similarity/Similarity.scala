@@ -219,6 +219,71 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
+  /** Materialize an IVF index on disk: the corpus stored PARTITIONED
+    * BY its coarse-quantizer cell (`list_id=<n>/` directories) plus the
+    * centroid table under `_centroids/`. The point at 100 TB: a probe
+    * that touches `nprobe` of `nlist` cells then reads only those
+    * partitions — partition pruning at the file-listing level, the
+    * storage analog of an inverted list. Norms are precomputed into
+    * the index so probes skip the sqrt pass.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, // (c_id, c_emb: array<double>)
+      path: String,
+      nlist: Int = 16,
+      centroids: Option[DataFrame] = None): Unit = {
+    val cent = centroids.getOrElse(
+        corpus.orderBy(col("c_id")).limit(nlist)
+          .select(col("c_id").cast("long").as("cent_id"), col("c_emb").as("cent_emb")))
+      .select(col("cent_id"), col("cent_emb"))
+    val centN = cent.withColumn("cent_norm", norm(col("cent_emb")))
+    val c = corpus.withColumn("c_norm", norm(col("c_emb")))
+    graft.core.Joins.lastByKey(
+        c.crossJoin(broadcast(centN))
+          .withColumn("a_score",
+            cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
+        Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+      .select(col("cent_id").as("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    cent.write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** ANN top-k over a [[writeIvfIndex]] directory. Probe cells are
+    * chosen per query against the (bounded, nlist-row) centroid table;
+    * the UNION of probed cells — at most nlist longs — becomes a
+    * literal partition filter, so the corpus scan lists and reads ONLY
+    * those `list_id=` directories. Scoring then matches [[ivfTopK]]
+    * exactly.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame, // (q_id, q_emb: array<double>)
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cent = spark.read.parquet(s"$path/_centroids")
+      .withColumn("cent_norm", norm(col("cent_emb")))
+    val q = queries.withColumn("q_norm", norm(col("q_emb")))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("p_score",
+        cosineWithNorms(col("q_emb"), col("cent_emb"), col("q_norm"), col("cent_norm")))
+      .withColumn("p_rank", row_number().over(probeW))
+      .filter(col("p_rank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("cent_id").as("list_id"))
+    // bounded collect: the probed-cell union is at most nlist values
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(path)
+      .filter(col("list_id").isin(probedLists: _*))
+    val scored = lists.join(probes, Seq("list_id"))
+      .withColumn("cos", cosineWithNorms(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
+
   /** Per-vector int8 scalar quantization: scale = max|x|/127, stored
     * value = floor(x/scale + 0.5) ∈ [-127, 127]. At 100 TB this is the
     * 4× storage/bandwidth lever for the ANN paths — a quantized corpus

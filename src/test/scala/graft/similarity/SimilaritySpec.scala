@@ -199,6 +199,27 @@ class SimilaritySpec extends SparkSpec {
       s"pruned-LSH recall ${pruned.length}/${exact.length} below expectation")
   }
 
+  test("ivf index on disk: partition-pruned probes match the in-memory ivfTopK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("c_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    val queries = emb.filter(col("c_id") < 10)
+      .select(col("c_id").as("q_id"), col("c_emb").as("q_emb"))
+    val corpus = emb.filter(col("c_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(corpus, dir, nlist = 16)
+    val got = Similarity.ivfTopKIndexed(spark, dir, queries, k = 5, nprobe = 4)
+    val want = Similarity.ivfTopK(queries, corpus, k = 5, nlist = 16, nprobe = 4)
+    assert(got.orderBy(col("q_id"), col("rank")).collect().toSeq
+      === want.orderBy(col("q_id"), col("rank")).collect().toSeq)
+    // the probed-cell union reaches the scan as a partition filter —
+    // only those list_id= directories are listed and read
+    val p = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("list_id"),
+      "probe list filter did not reach the index scan as a partition filter")
+  }
+
   test("semDedup: within-cluster near-dups drop to their smallest keeper") {
     val s = spark
     import s.implicits._
