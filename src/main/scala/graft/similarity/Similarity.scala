@@ -219,6 +219,29 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
+  /** [[semDedup]] over a materialized [[writeIvfIndex]] directory —
+    * the at-scale form: the cluster assignment is computed ONCE when
+    * the index is written (the ad-hoc `semDedup` recomputes it on both
+    * sides of its self-join), and the pair join reads the
+    * already-partitioned, norm-precomputed cells.
+    */
+  def semDedupIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      tau: Double): DataFrame = {
+    val assigned = spark.read.parquet(path)
+      .select(col("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
+    assigned.as("x")
+      .join(assigned.as("y").hint("shuffle_hash"),
+        col("x.list_id") === col("y.list_id") && col("x.c_id") < col("y.c_id"))
+      .withColumn("cos", cosineWithNorms(
+        col("x.c_emb"), col("y.c_emb"), col("x.c_norm"), col("y.c_norm")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("y.c_id").as("drop_id"))
+      .agg(min(struct(col("x.c_id").as("a_id"), col("cos").as("cos"))).as("k"))
+      .select(col("drop_id"), col("k.a_id").as("keep_id"), col("k.cos").as("cos"))
+  }
+
   /** Materialize an IVF index on disk: the corpus stored PARTITIONED
     * BY its coarse-quantizer cell (`list_id=<n>/` directories) plus the
     * centroid table under `_centroids/`. The point at 100 TB: a probe

@@ -218,6 +218,12 @@ class SimilaritySpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("PartitionFilters") && p.contains("list_id"),
       "probe list filter did not reach the index scan as a partition filter")
+    // the indexed semantic dedup equals the ad-hoc one on the same cells
+    val adhoc = Similarity.semDedup(corpus, tau = 0.45, nlist = 16)
+      .orderBy(col("drop_id")).collect().toSeq
+    val indexed = Similarity.semDedupIndexed(spark, dir, tau = 0.45)
+      .orderBy(col("drop_id")).collect().toSeq
+    assert(indexed === adhoc)
   }
 
   test("semDedup: within-cluster near-dups drop to their smallest keeper") {
