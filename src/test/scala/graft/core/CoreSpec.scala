@@ -72,4 +72,25 @@ class CoreSpec extends SparkSpec {
     val p4 = Ranges.rangesPredicate(col("f"), Seq((None, None)))
     assert(df.filter(p4).count() === 11)
   }
+
+  test("saltedJoin equals the plain join and spreads a hot key across salts") {
+    val s = spark
+    import s.implicits._
+    // 900 rows of one hot key + a long tail
+    val left = ((1 to 900).map(i => (i.toLong, "hot")) ++
+      (901 to 1000).map(i => (i.toLong, s"k${i % 7}"))).toDF("id", "k")
+    val right = (Seq("hot") ++ (0 until 7).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, v) => (k, v.toLong) }.toDF("k", "v")
+    val plain = left.join(right, Seq("k")).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Skew.saltedJoin(left, right, Seq("k"), col("id"), salts = 8)
+      .select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === plain)
+    // the hot key's rows really land in several salt buckets
+    val buckets = left.filter(col("k") === "hot")
+      .select(pmod(xxhash64(col("id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(buckets >= 6)
+  }
 }
