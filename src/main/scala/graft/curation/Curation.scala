@@ -76,6 +76,29 @@ object Curation {
       .drop("_key")
   }
 
+  /** Materialize a corpus as on-disk training shards: the terminal
+    * step after curation/mixing. Rows land in `shard=<n>/` parquet
+    * directories, each file internally ordered by the deterministic
+    * shuffle position ([[shuffleShards]]) so a loader that reads shard
+    * files in name order replays the exact content-keyed permutation —
+    * across engines, runs, and cluster sizes.
+    *
+    * Scale shape: one exchange on the shard key; the per-shard sort is
+    * the write order every shard file needs anyway;
+    * `maxRecordsPerFile` bounds file sizes so a 100 TB corpus becomes
+    * uniformly-sized loader work items.
+    */
+  def writeTrainingShards(
+      df: DataFrame, idCol: String, path: String,
+      numShards: Int, maxRecordsPerFile: Long = 1000000L): Unit =
+    shuffleShards(df, idCol, numShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
+
   /** Sequence packing: assign documents (in ascending `idCol` order)
     * to fixed-capacity training sequences by running token count —
     * doc d lands in pack `floor(cumsum_before(d) / seqLen)` at offset

@@ -111,6 +111,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("writeTrainingShards: shard directories with in-file shuffle order") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Curation.writeTrainingShards(docs, "doc_id", dir, numShards = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 200)
+    assert(back.select("shard").distinct().count() === 4)
+    // every row kept exactly once, and positions are dense per shard
+    assert(back.select("doc_id").distinct().count() === 200)
+    val perShard = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("shard_pos")).as("mx"))
+      .collect()
+    perShard.foreach(r => assert(r.getLong(2) === r.getLong(1) - 1))
+    // a name-ordered read of one shard's files replays shard_pos order
+    val shard0 = new java.io.File(s"$dir/shard=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val seen = shard0.flatMap(f =>
+      spark.read.parquet(f).select("shard_pos").collect().map(_.getLong(0)))
+    assert(seen.toSeq === seen.sorted.toSeq)
+  }
+
   test("mixCorpus: scarcest source caps the budget, unlisted sources drop, deterministic") {
     val s = spark
     import s.implicits._
