@@ -73,6 +73,9 @@ object GraftExtensions {
       MinHashBandKeys(a(0), intArg("minhash_band_keys", a(1)), intArg("minhash_band_keys", a(2)))
     },
     reg("simhash60") { a => arity("simhash60", a, 1); SimHash60(a(0)) },
+    reg("scrub_spans") { a =>
+      arity("scrub_spans", a, 3); ScrubSpans(a(0), a(1), intArg("scrub_spans", a(2)))
+    },
     reg("array_dot") { a => arity("array_dot", a, 2); ArrayDot(a(0), a(1)) },
     // Column compositions exposed to SQL through the bridge
     reg("token_count_ws") { a =>

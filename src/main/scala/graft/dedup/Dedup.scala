@@ -405,17 +405,15 @@ object Dedup {
     val cuts = docDuplicatedSpans(df, idCol, textCol, n, minDocs)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
-    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+    // compiled one-pass interval-merge scrub: O(len + |ps|) per doc —
+    // the per-token exists() lambda pair was interpreted AND
+    // O(len·|ps|), quadratic for a fully-duplicated document
+    df.select(col(idCol).as("doc_id"), col(textCol).as("_txt"))
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("ps", coalesce(col("ps"), expr("array()").cast("array<long>")))
-      .select(
-        col("doc_id"),
-        concat_ws(" ", expr(
-          s"filter(toks, (w, i0) -> not exists(ps, p -> i0 + 1 >= p and i0 + 1 <= p + ${n - 1}))"))
-          .as("clean_text"),
-        expr(
-          s"size(filter(sequence(1, size(toks)), i -> exists(ps, p -> i >= p and i <= p + ${n - 1})))")
-          .cast("long").as("n_cut"))
+      .withColumn("r",
+        graft.functions.SketchFunctions.scrub_spans(col("_txt"), col("ps"), n))
+      .select(col("doc_id"), col("r.clean_text"), col("r.n_cut"))
   }
 
   /** Benchmark decontamination matches: documents sharing at least

@@ -201,6 +201,44 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Span scrubbing in one pass: given the single-space-separated
+    * text and the SORTED 1-based start positions of duplicated n-word
+    * spans, drop every word covered by some span and return
+    * (clean_text, words_cut). O(len + |ps|) via a running
+    * furthest-covered-index merge — the per-token
+    * `exists(ps, ...)` lambda chain is O(len·|ps|) AND interpreted,
+    * quadratic for a fully-duplicated document.
+    */
+  def scrubSpans(text: UTF8String, ps: ArrayData, n: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.split(UTF8String.fromString(" "), -1)
+    val m = ps.numElements()
+    val space = UTF8String.fromString(" ")
+    val kept = new java.util.ArrayList[UTF8String](toks.length)
+    var cut = 0L
+    var j = 0
+    var coveredTo = 0L // furthest 1-based index covered so far
+    var i = 1
+    while (i <= toks.length) {
+      while (j < m && ps.getLong(j) <= i) {
+        val end = ps.getLong(j) + n - 1
+        if (end > coveredTo) coveredTo = end
+        j += 1
+      }
+      if (i <= coveredTo) cut += 1L
+      else {
+        if (!kept.isEmpty) kept.add(space)
+        kept.add(toks(i - 1))
+      }
+      i += 1
+    }
+    val clean =
+      if (kept.isEmpty) UTF8String.EMPTY_UTF8
+      else UTF8String.concat(kept.toArray(new Array[UTF8String](kept.size)): _*)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](clean, cut))
+  }
+
   /** Dot product of two double arrays, strict left-to-right fold —
     * bit-identical to `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and to
     * DuckDB's `list_sum(list_transform(...))`, which the oracle

@@ -115,6 +115,26 @@ case class NgramsAll(child: Expression, n: Int)
   override def prettyName: String = "ngrams_all"
 }
 
+/** `scrub_spans(text, sorted_starts, n)` → struct(clean_text, n_cut):
+  * one-pass compiled span scrubbing (see SketchOps.scrubSpans).
+  */
+case class ScrubSpans(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(n >= 1)
+  override def inputTypes = Seq(StringType, ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_cut", LongType, nullable = false)))
+  override def nullSafeEval(text: Any, ps: Any): Any =
+    SketchOps.scrubSpans(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      ps.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"graft.functions.SketchOps.scrubSpans($t, $p, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "scrub_spans"
+}
+
 /** `array_dot(a, b)` → Double, strict left fold (oracle-deterministic). */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -149,4 +169,6 @@ object SketchFunctions {
     toCol(SimHash60(toExpr(shingles)))
   def array_dot(a: Column, b: Column): Column =
     toCol(ArrayDot(toExpr(a), toExpr(b)))
+  def scrub_spans(text: Column, sortedStarts: Column, n: Int): Column =
+    toCol(ScrubSpans(toExpr(text), toExpr(sortedStarts), n))
 }
