@@ -114,6 +114,36 @@ object Multimodal {
     }.toDF()
   }
 
+  case class EmbeddedRow(media_id: Long, kind: String, embedding: Seq[Double])
+
+  /** STUB feature extraction: media payload → unit-norm embedding.
+    * The fake derives a `dim`-bucket byte histogram (deterministic, a
+    * pure function of the payload) where a production build calls a
+    * vision/audio encoder; everything around it — batched
+    * per-partition model init, narrow map, `array<double>` output
+    * column — is the real plumbing, and the output column feeds the
+    * similarity plane unchanged ([[graft.similarity.Similarity]]
+    * brute/LSH/IVF top-k and semDedup all run on it).
+    */
+  def mediaEmbeddings(spark: SparkSession, media: DataFrame,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init point (a real encoder session would load here)
+      rows.map { r =>
+        val hist = new Array[Double](dim)
+        var i = 0
+        while (i < r.payload.length) {
+          hist((r.payload(i) & 0xff) % dim) += 1.0
+          i += 1
+        }
+        val nrm = math.sqrt(hist.map(v => v * v).sum)
+        val emb = if (nrm == 0.0) hist.toSeq else hist.map(_ / nrm).toSeq
+        EmbeddedRow(r.media_id, r.kind, emb)
+      }
+    }.toDF()
+  }
+
   /** DataFrame-level metadata projection of the decoded dataset. */
   def mediaMetaTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._

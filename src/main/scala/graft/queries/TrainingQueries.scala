@@ -212,6 +212,18 @@ object TrainingQueries {
       Multimodal.mediaMetaTable(s, media).orderBy(col("media_id"))
     }),
 
+    // Media feature extraction (STUB encoder, real batched plumbing):
+    // byte-histogram unit-norm embeddings, exploded to scalar rows so
+    // the oracle compare stays component-wise.
+    "q66_media_embed" -> ((s, dir) => {
+      val media = Multimodal.synthesizeFromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.mediaEmbeddings(s, media, dim = 16)
+        .select(col("media_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+        .select(col("media_id"), col("pos").cast("long").as("pos"),
+          round(col("v0"), 6).as("v"))
+        .orderBy(col("media_id"), col("pos"))
+    }),
+
     // IVF-Flat ANN (the second scale path beside q28's LSH): inverted
     // lists by nearest centroid, nprobe-list probing. Full DuckDB
     // oracle: the deterministic quantizer (lowest-id centroids, argmax
@@ -620,6 +632,26 @@ object TrainingQueries {
          (strlen(text) // 1024 + 1)::INT AS n_frames,
          md5(text) AS sha
          FROM documents ORDER BY media_id""",
+    // Mirrors mediaEmbeddings(dim=16) over synthesizeFromText: ASCII
+    // payload bytes == character codes, so the byte histogram is a
+    // char-code histogram; counts are integer-exact, so the norm and
+    // per-component division reproduce bit-for-bit.
+    "q66_media_embed" ->
+      """WITH chars AS (SELECT doc_id AS media_id,
+             unnest([ascii(substr(text, i, 1)) % 16 FOR i IN range(1, strlen(text)+1)]) AS bucket
+           FROM documents),
+         h AS (SELECT media_id, bucket, count(*)::DOUBLE AS c
+               FROM chars GROUP BY media_id, bucket),
+         spine AS (SELECT doc_id AS media_id, unnest(range(0, 16)) AS bucket
+                   FROM documents),
+         fullh AS (SELECT s.media_id, s.bucket, coalesce(h.c, 0.0) AS c
+                   FROM spine s LEFT JOIN h
+                     ON s.media_id = h.media_id AND s.bucket = h.bucket),
+         n AS (SELECT media_id, sqrt(sum(c * c)) AS nrm FROM fullh GROUP BY media_id)
+         SELECT f.media_id, f.bucket::BIGINT AS pos, round(f.c / n.nrm, 6) AS v
+         FROM fullh f JOIN n ON f.media_id = n.media_id
+         ORDER BY f.media_id, pos""",
+
     // Mirrors contaminationMatches(n=3, minShared=3): distinct-trigram
     // lists, quadratic docs x probes intersect (affordable at sf0.01).
     "q52_decontamination" ->

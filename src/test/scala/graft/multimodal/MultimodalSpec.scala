@@ -42,6 +42,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).meta.width === 16) // empty payload: all bytes read as 0
   }
 
+  test("mediaEmbeddings: deterministic unit-norm vectors that feed the similarity plane") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val media = Seq(
+      MediaRow(1L, "image", "aaaa bbbb".getBytes("UTF-8")),
+      MediaRow(2L, "image", "aaaa bbbb".getBytes("UTF-8")), // byte-dup of 1
+      MediaRow(3L, "audio", "zzzz completely different payload".getBytes("UTF-8")))
+      .toDS().toDF()
+    val emb = mediaEmbeddings(s, media, dim = 16)
+    val rows = emb.orderBy(col("media_id")).collect()
+    assert(rows.length === 3)
+    val e1 = rows(0).getSeq[Double](2)
+    assert(e1.size === 16)
+    assert(math.abs(e1.map(v => v * v).sum - 1.0) < 1e-9) // unit norm
+    assert(e1 === rows(1).getSeq[Double](2)) // determinism
+    // composes with the similarity plane: the byte-dup pair is found
+    val corpus = emb.select(col("media_id").as("c_id"),
+      col("embedding").as("c_emb"))
+    val dups = graft.similarity.Similarity.semDedup(corpus, tau = 0.999, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.toSeq === Seq((2L, 1L)))
+  }
+
   test("synthesizeFromText + mediaMetaTable round-trips byte lengths") {
     val s = spark
     import s.implicits._
