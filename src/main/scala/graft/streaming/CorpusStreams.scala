@@ -51,6 +51,39 @@ object CorpusStreams {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming-capable decontamination: drop documents sharing at
+    * least `minShared` distinct word n-grams with the probe corpus
+    * (eval sets — bounded by DEFINITION, the same premise that lets
+    * the batch operator broadcast probe postings). The probe shingle
+    * hashes are collected once into a broadcast set, so the filter is
+    * a stateless narrow map — it runs unchanged over a static frame or
+    * a 24/7 `readStream`, in any output mode, with zero state-store
+    * footprint.
+    */
+  def contaminationFilter(
+      docs: DataFrame, textCol: String,
+      probes: DataFrame, probeTextCol: String,
+      n: Int, minShared: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.functions.{col, explode, udf}
+    val probeHashes = probes
+      .select(explode(graft.functions.SketchFunctions
+        .sorted_shingle_hashes(col(probeTextCol), n)).as("h"))
+      .distinct().collect().map(_.getLong(0))
+    val probeSet = spark.sparkContext.broadcast(
+      scala.collection.immutable.LongMap(probeHashes.map(h => h -> (())): _*))
+    val sharedCount = udf { (hs: Seq[Long]) =>
+      var c = 0
+      val it = hs.iterator
+      while (it.hasNext && c < minShared) {
+        if (probeSet.value.contains(it.next())) c += 1
+      }
+      c
+    }
+    docs.filter(sharedCount(graft.functions.SketchFunctions
+      .sorted_shingle_hashes(col(textCol), n)) < minShared)
+  }
+
   /** Exact first-seen-wins dedup: emits each distinct content exactly
     * once, on the micro-batch that first contains it (smallest id wins
     * inside that batch — deterministic); every later occurrence only

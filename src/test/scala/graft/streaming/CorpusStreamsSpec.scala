@@ -55,6 +55,37 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === got.size)
   }
 
+  test("contaminationFilter drops probe-overlapping docs on a live stream") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("corpusstream3").toString
+    val in = s"$root/docs"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares probe trigrams
+      (2L, "completely unrelated clean training content here"),
+      (3L, "the quick brown cat naps all day long")) // one shared trigram only
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val probes = Seq((100L, "the quick brown fox jumps happily")).toDF("pid", "ptext")
+
+    val out = s"$root/clean"
+    val q = DerivedStreams.refreshOnce(
+      CorpusStreams.contaminationFilter(
+        CorpusStreams.docStream(spark, in), "text", probes, "ptext",
+        n = 3, minShared = 2),
+      out, s"$root/ckpt")
+    q.awaitTermination()
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 1 shares >= 2 probe trigrams -> dropped; doc 3 shares exactly
+    // one ("the quick brown") -> kept under minShared = 2
+    assert(kept === Set(2L, 3L))
+    // identical semantics on the same frame read as a batch
+    val batchKept = CorpusStreams.contaminationFilter(
+        spark.read.parquet(in), "text", probes, "ptext", n = 3, minShared = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept === kept)
+  }
+
   test("dedupWithinHorizon: watermarked fingerprint dedup keeps one row per content") {
     val s = spark
     import s.implicits._
