@@ -201,6 +201,25 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Count of elements of the SORTED hash array `a` present in the
+    * SORTED probe array, stopping at `cap` (the decision threshold —
+    * no point scanning further). Linear merge, zero allocation.
+    */
+  def sharedSortedCount(a: ArrayData, probes: Array[Long], cap: Int): Int = {
+    var i = 0
+    var j = 0
+    var c = 0
+    val n = a.numElements()
+    while (i < n && j < probes.length && c < cap) {
+      val x = a.getLong(i)
+      val y = probes(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Span scrubbing in one pass: given the single-space-separated
     * text and the SORTED 1-based start positions of duplicated n-word
     * spans, drop every word covered by some span and return

@@ -135,6 +135,30 @@ case class ScrubSpans(left: Expression, right: Expression, n: Int)
   override def prettyName: String = "scrub_spans"
 }
 
+/** `probe_shared_count(sorted_hashes)` → Int: how many elements (up to
+  * `cap`) appear in the broadcast sorted probe array — the compiled,
+  * broadcast-backed form of a contamination test (an `Expression`
+  * holding the broadcast reference via `addReferenceObj`, so the check
+  * stays inside whole-stage codegen where a Scala UDF would not).
+  */
+case class ProbeSharedCount(
+    child: Expression,
+    probes: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    cap: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cap >= 1)
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any): Any =
+    SketchOps.sharedSortedCount(a.asInstanceOf[ArrayData], probes.value, cap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("probeArr", probes.value, "long[]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchOps.sharedSortedCount($a, $ref, $cap)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "probe_shared_count"
+}
+
 /** `array_dot(a, b)` → Double, strict left fold (oracle-deterministic). */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -171,4 +195,7 @@ object SketchFunctions {
     toCol(ArrayDot(toExpr(a), toExpr(b)))
   def scrub_spans(text: Column, sortedStarts: Column, n: Int): Column =
     toCol(ScrubSpans(toExpr(text), toExpr(sortedStarts), n))
+  def probe_shared_count(sortedHashes: Column,
+      probes: org.apache.spark.broadcast.Broadcast[Array[Long]], cap: Int): Column =
+    toCol(ProbeSharedCount(toExpr(sortedHashes), probes, cap))
 }

@@ -65,23 +65,18 @@ object CorpusStreams {
       probes: DataFrame, probeTextCol: String,
       n: Int, minShared: Int = 1): DataFrame = {
     val spark = docs.sparkSession
-    import org.apache.spark.sql.functions.{col, explode, udf}
+    import org.apache.spark.sql.functions.{col, explode}
     val probeHashes = probes
       .select(explode(graft.functions.SketchFunctions
         .sorted_shingle_hashes(col(probeTextCol), n)).as("h"))
-      .distinct().collect().map(_.getLong(0))
-    val probeSet = spark.sparkContext.broadcast(
-      scala.collection.immutable.LongMap(probeHashes.map(h => h -> (())): _*))
-    val sharedCount = udf { (hs: Seq[Long]) =>
-      var c = 0
-      val it = hs.iterator
-      while (it.hasNext && c < minShared) {
-        if (probeSet.value.contains(it.next())) c += 1
-      }
-      c
-    }
-    docs.filter(sharedCount(graft.functions.SketchFunctions
-      .sorted_shingle_hashes(col(textCol), n)) < minShared)
+      .distinct().collect().map(_.getLong(0)).sorted
+    val probeBc = spark.sparkContext.broadcast(probeHashes)
+    // compiled merge-intersect with an early exit at the decision
+    // threshold — an Expression holding the broadcast, not a UDF, so
+    // the filter stays inside whole-stage codegen
+    docs.filter(graft.functions.SketchFunctions.probe_shared_count(
+      graft.functions.SketchFunctions.sorted_shingle_hashes(col(textCol), n),
+      probeBc, minShared) < minShared)
   }
 
   /** Exact first-seen-wins dedup: emits each distinct content exactly
