@@ -1,0 +1,73 @@
+package graft.curation
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.dedup.Dedup
+import graft.text.Pii
+
+/** Thin CLI over the training-data plane — the counterpart of
+  * [[graft.eth.Cli]] for corpus work: each command is one pipeline
+  * stage reading a parquet documents directory and writing a parquet
+  * result, so the full curation flow is runnable end-to-end without
+  * writing Scala:
+  *
+  *   dedup       exact + near-dup collapse, survivors out
+  *   scrub       cut cross-document duplicated spans
+  *   redact      PII redaction over the text column
+  *   decontam    drop docs overlapping a probe (eval) corpus
+  *   weights     DSIR importance scores against a target filter
+  *   mix         weighted multi-source composition
+  *   chunk       sliding-window chunking
+  *   shards      deterministic shuffle, written as shard files
+  *
+  * Every stage is deterministic (content-keyed, no RNG), so re-running
+  * a command overwrites with identical output — crash-and-rerun safe
+  * like the chain pipeline.
+  */
+class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = "text") {
+
+  private def read(in: String): DataFrame = spark.read.parquet(in)
+  private def write(df: DataFrame, out: String): Long = {
+    df.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).count()
+  }
+
+  def dedup(in: String, out: String, n: Int = 3, tau: Double = 0.5): Long = {
+    val docs = read(in)
+    val exact = Dedup.exactDedupSurvivors(docs, idCol, textCol)
+      .select(col("survivor_id").as(idCol))
+    val kept = docs.join(exact, Seq(idCol), "left_semi")
+    val drops = Dedup.collapsePairs(
+        Dedup.jaccardPairs(kept, idCol, textCol, n, tau))
+      .select(col("drop").as(idCol))
+    write(kept.join(drops, Seq(idCol), "left_anti"), out)
+  }
+
+  def scrub(in: String, out: String, n: Int = 8): Long =
+    write(Dedup.scrubDuplicatedSpans(read(in), idCol, textCol, n), out)
+
+  def redact(in: String, out: String): Long =
+    write(read(in).withColumn(textCol, Pii.redact(col(textCol))), out)
+
+  def decontam(in: String, probesIn: String, out: String,
+      n: Int = 8, minShared: Int = 1): Long =
+    write(graft.streaming.CorpusStreams.contaminationFilter(
+      read(in), textCol, read(probesIn), textCol, n, minShared), out)
+
+  def weights(in: String, out: String, targetCol: String, targetValue: String): Long =
+    write(Curation.dsirLogWeights(read(in), idCol, textCol,
+      col(targetCol) === targetValue), out)
+
+  def mix(in: String, out: String, sourceCol: String,
+      weights: Map[String, Double]): Long =
+    write(Curation.mixCorpus(read(in), idCol, sourceCol, weights), out)
+
+  def chunk(in: String, out: String, window: Int, stride: Int): Long =
+    write(Curation.chunkDocuments(read(in), idCol, textCol, window, stride), out)
+
+  def shards(in: String, out: String, numShards: Int): Long = {
+    Curation.writeTrainingShards(read(in), idCol, out, numShards)
+    spark.read.parquet(out).count()
+  }
+}
