@@ -67,6 +67,9 @@ object GraftExtensions {
     // compiled sketch kernels (functions/sketchExpressions.scala)
     reg("shingles") { a => arity("shingles", a, 2); Shingles(a(0), intArg("shingles", a(1))) },
     reg("ngrams_all") { a => arity("ngrams_all", a, 2); NgramsAll(a(0), intArg("ngrams_all", a(1))) },
+    reg("ngrams_all_strict") { a =>
+      arity("ngrams_all_strict", a, 2); NgramsAllStrict(a(0), intArg("ngrams_all_strict", a(1)))
+    },
     reg("minhash_sig") { a => arity("minhash_sig", a, 2); MinHashSig(a(0), intArg("minhash_sig", a(1))) },
     reg("minhash_band_keys") { a =>
       arity("minhash_band_keys", a, 3)

@@ -35,10 +35,12 @@ object Scratch {
       // pessimistic scaling probe)
       import org.apache.spark.sql.functions._
       val docs = Tables.load(spark, dir, "documents")
-      val n = docs.count()
+      // offset by max id + 1 (not row count): sparse ids must not
+      // collide between copies
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       Seq(1, 2, 4).foreach { k =>
         val big = (0 until k).map(i => docs.select(
-            (col("doc_id") + lit(i.toLong * n)).as("doc_id"),
+            (col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
             col("text"))).reduce(_ unionByName _)
         big.cache().count()
         def time(label: String)(body: => Long): Unit = {

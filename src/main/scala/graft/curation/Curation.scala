@@ -200,7 +200,10 @@ object Curation {
     * each source then keeps fraction `w_s · B / n_s` of its rows via
     * the content-keyed hash sample — the SlimPajama-style mixture
     * stage, reproducible across engines, runs, and cluster sizes.
-    * Sources absent from `weights` are excluded.
+    * Sources absent from `weights` are excluded; a WEIGHTED source
+    * absent from the corpus is a zero-row scarcest source, so the
+    * budget — and the output — collapse to empty rather than silently
+    * emitting a wrong mixture.
     *
     * Scale shape: one count aggregate over the source key (map-side
     * partials), a source-count-row fraction table broadcast back, one
@@ -212,14 +215,19 @@ object Curation {
     require(weights.nonEmpty && weights.values.forall(_ > 0))
     val spark = df.sparkSession
     val wdf = spark.createDataFrame(weights.toSeq).toDF("src", "w")
-    val sizes = df.groupBy(col(sourceCol).as("src"))
-      .agg(count(lit(1)).cast("double").as("n"))
-      .join(broadcast(wdf), Seq("src"))
+    val sizes = wdf
+      .join(df.groupBy(col(sourceCol).as("src"))
+          .agg(count(lit(1)).cast("double").as("n")),
+        Seq("src"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0.0)))
       .withColumn("cap", col("n") / col("w"))
     val budget = sizes.agg(min(col("cap")).as("b"))
     val fracs = sizes.crossJoin(broadcast(budget))
       .select(col("src").as(sourceCol),
-        least(lit(1.0), col("w") * col("b") / col("n")).as("f"))
+        // a zero-row source would divide 0/0 under ANSI; its fraction
+        // is definitionally 0 (nothing to keep)
+        when(col("n") === 0.0, lit(0.0))
+          .otherwise(least(lit(1.0), col("w") * col("b") / col("n"))).as("f"))
     df.join(broadcast(fracs), Seq(sourceCol))
       .filter(hashSampleKey(col(idCol)) <
         floor(col("f") * lit((1L << 60).toDouble)).cast("long"))

@@ -342,10 +342,8 @@ object Dedup {
     */
   private def spanGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        when(size(TextFunctions.tokens(col(textCol))) >= n,
-          graft.functions.SketchFunctions.ngrams_all(col(textCol), n))
-          .otherwise(array()).as("grams"))
-      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos0", "gram")))
+        posexplode(graft.functions.SketchFunctions.ngrams_all_strict(col(textCol), n))
+          .as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("gram"))
 
   /** Substring-level duplication signal (the dedup granularity of Lee

@@ -181,9 +181,24 @@ object SketchOps {
     * multiset the repetition signals need); texts shorter than n words
     * collapse to [text], mirroring `shingles`.
     */
+  /** [[ngramsAll]] without the short-doc whole-text collapse: texts
+    * shorter than n words yield an EMPTY array. The span pipeline's
+    * semantics — which otherwise needs a second tokenize just to guard
+    * the collapse away.
+    */
+  def ngramsAllStrict(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.split(UTF8String.fromString(" "), -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    ngramsOf(toks, n)
+  }
+
   def ngramsAll(text: UTF8String, n: Int): ArrayData = {
     val toks = text.split(UTF8String.fromString(" "), -1)
     if (toks.length < n) return new GenericArrayData(Array[Any](text))
+    ngramsOf(toks, n)
+  }
+
+  private def ngramsOf(toks: Array[UTF8String], n: Int): ArrayData = {
     val space = UTF8String.fromString(" ")
     val out = new Array[Any](toks.length - n + 1)
     var i = 0

@@ -115,6 +115,22 @@ case class NgramsAll(child: Expression, n: Int)
   override def prettyName: String = "ngrams_all"
 }
 
+/** `ngrams_all_strict(text, n)` → ordered n-gram array, EMPTY for
+  * texts shorter than n words (no whole-text collapse).
+  */
+case class NgramsAllStrict(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1)
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    SketchOps.ngramsAllStrict(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.SketchOps.ngramsAllStrict($t, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ngrams_all_strict"
+}
+
 /** `scrub_spans(text, sorted_starts, n)` → struct(clean_text, n_cut):
   * one-pass compiled span scrubbing (see SketchOps.scrubSpans).
   */
@@ -152,8 +168,13 @@ case class ProbeSharedCount(
   override def nullSafeEval(a: Any): Any =
     SketchOps.sharedSortedCount(a.asInstanceOf[ArrayData], probes.value, cap)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("probeArr", probes.value, "long[]")
-    defineCodeGen(ctx, ev, a => s"graft.functions.SketchOps.sharedSortedCount($a, $ref, $cap)")
+    // reference the Broadcast HANDLE, not its value: embedding the
+    // array would ship it inside the serialized plan with every task
+    // instead of over the torrent broadcast channel
+    val ref = ctx.addReferenceObj("probeBc", probes,
+      "org.apache.spark.broadcast.Broadcast<long[]>")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SketchOps.sharedSortedCount($a, (long[]) $ref.value(), $cap)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "probe_shared_count"
@@ -181,6 +202,8 @@ object SketchFunctions {
     toCol(Shingles(toExpr(text), n))
   def ngrams_all(text: Column, n: Int): Column =
     toCol(NgramsAll(toExpr(text), n))
+  def ngrams_all_strict(text: Column, n: Int): Column =
+    toCol(NgramsAllStrict(toExpr(text), n))
   def sorted_shingle_hashes(text: Column, n: Int): Column =
     toCol(SortedShingleHashes(toExpr(text), n))
   def intersect_count_sorted(a: Column, b: Column): Column =

@@ -137,9 +137,12 @@ object Multimodal {
           hist((r.payload(i) & 0xff) % dim) += 1.0
           i += 1
         }
+        // empty payload: deterministic basis vector, NOT all-zeros — a
+        // zero norm would turn every downstream cosine into NaN, and
+        // NaN sorts ABOVE all doubles in Spark's desc top-k windows
+        if (r.payload.isEmpty) hist(0) = 1.0
         val nrm = math.sqrt(hist.map(v => v * v).sum)
-        val emb = if (nrm == 0.0) hist.toSeq else hist.map(_ / nrm).toSeq
-        EmbeddedRow(r.media_id, r.kind, emb)
+        EmbeddedRow(r.media_id, r.kind, hist.map(_ / nrm).toSeq)
       }
     }.toDF()
   }

@@ -766,11 +766,11 @@ object TrainingQueries {
            FROM documents)
          SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(input,
-             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
              '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
              '0x[0-9a-fA-F]{40}', '<ADDR>', 'g') AS clean_text,
-           len(regexp_extract_all(input, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(input, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
            len(regexp_extract_all(input, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::BIGINT AS n_phone,
            len(regexp_extract_all(input, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ip,
            len(regexp_extract_all(input, '0x[0-9a-fA-F]{40}'))::BIGINT AS n_addr

@@ -294,6 +294,11 @@ object Similarity {
       .withColumn("p_rank", row_number().over(probeW))
       .filter(col("p_rank") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("cent_id").as("list_id"))
+    // persist: the probe assignment feeds BOTH the bounded driver
+    // collect below and the scoring join — without it the query×
+    // centroid stage would run twice. Bounded: |Q|·nprobe rows, the
+    // small side by this operator's premise.
+    probes.persist()
     // bounded collect: the probed-cell union is at most nlist values
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getLong(0)).sorted

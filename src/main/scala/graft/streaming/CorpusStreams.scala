@@ -59,6 +59,14 @@ object CorpusStreams {
     * a stateless narrow map — it runs unchanged over a static frame or
     * a 24/7 `readStream`, in any output mode, with zero state-store
     * footprint.
+    *
+    * Semantics note: the threshold counts overlap POOLED across the
+    * whole probe corpus (a blocklist), whereas the batch
+    * [[graft.dedup.Dedup.decontaminate]] counts per (doc, probe) PAIR.
+    * The two coincide at the default `minShared = 1` (and whenever one
+    * probe dominates the overlap); at higher thresholds the pooled
+    * form is strictly more aggressive — the right bias for a hygiene
+    * gate that cannot hold per-probe state on a stream.
     */
   def contaminationFilter(
       docs: DataFrame, textCol: String,

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
-  /** (pattern, replacement token), applied in order. */
+  /** (pattern, replacement token), applied in order. `(?i)` keeps the
+    * email rule case-insensitive in both Java and RE2 — real PII is
+    * not lowercase-normalized.
+    */
   val rules: Seq[(String, String)] = Seq(
-    ("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
     ("\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
     ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
     ("0x[0-9a-fA-F]{40}", "<ADDR>"))

@@ -155,6 +155,11 @@ class CurationSpec extends SparkSpec {
     // pure function of content: identical on re-execution
     val ids = skew.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids === skew.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // a weighted source missing from the corpus is a zero-row scarcest
+    // source: the requested mixture is unachievable, so the output is
+    // empty, not a silently wrong composition
+    assert(Curation.mixCorpus(docs, "doc_id", "source",
+      Map("a" -> 0.5, "missing" -> 0.5)).count() === 0)
   }
 
   test("chunkDocuments: stride windows, snap-to-end tail, short-doc passthrough") {

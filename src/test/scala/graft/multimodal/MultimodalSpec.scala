@@ -58,6 +58,12 @@ class MultimodalSpec extends SparkSpec {
     assert(e1.size === 16)
     assert(math.abs(e1.map(v => v * v).sum - 1.0) < 1e-9) // unit norm
     assert(e1 === rows(1).getSeq[Double](2)) // determinism
+    // empty payload: deterministic basis vector, never a zero vector
+    // (zero norm would make every downstream cosine NaN)
+    val empty = mediaEmbeddings(s,
+        Seq(MediaRow(9L, "image", Array.emptyByteArray)).toDS().toDF(), dim = 16)
+      .head().getSeq[Double](2)
+    assert(empty.head === 1.0 && empty.tail.forall(_ == 0.0))
     // composes with the similarity plane: the byte-dup pair is found
     val corpus = emb.select(col("media_id").as("c_id"),
       col("embedding").as("c_emb"))

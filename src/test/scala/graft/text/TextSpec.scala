@@ -121,6 +121,11 @@ class TextSpec extends SparkSpec {
     assert(got(1).getString(0) === "nothing sensitive here 1234-56")
     assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3), got(1).getLong(4))
       === ((0L, 0L, 0L, 0L)))
+    // real PII is not lowercase-normalized
+    val upper = df.sparkSession.range(1)
+      .select(Pii.redact(lit("Contact JOHN.DOE@Example.COM today")).as("r"))
+      .head().getString(0)
+    assert(upper === "Contact <EMAIL> today")
   }
 
   test("repetitionFilter keeps low-repetition docs only, rows unchanged") {
