@@ -32,6 +32,24 @@ object Vocab {
       .select(col("term"), col("doc_freq"), col("term_freq"))
   }
 
+  /** Approximate heavy-hitter terms via the engine's `approx_top_k`
+    * sketch aggregate (SpaceSaving-family, mergeable) — the 100 TB
+    * alternative to a full [[vocabulary]] aggregation when only the
+    * head of the distribution matters: sketch memory is
+    * O(maxItemsTracked) per partition instead of O(|vocab|) shuffle
+    * state, and counts are EXACT whenever the tracked capacity covers
+    * the live vocabulary (asserted in TextSpec against [[vocabulary]]).
+    * Ties at the k boundary resolve sketch-internally, so this is a
+    * rows-only operator by design — the exact q58 path is the oracle
+    * surface.
+    */
+  def approxTopTerms(df: DataFrame, textCol: String, k: Int,
+      maxItemsTracked: Int = 10000): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .agg(expr(s"approx_top_k(term, $k, $maxItemsTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("term_freq"))
+
   /** Smooth IDF: ln((N + 1) / (doc_freq + 1)) + 1. */
   def idf(docFreq: Column, corpusSize: Long): Column =
     log((lit(corpusSize + 1d)) / (docFreq + lit(1d))) + lit(1d)

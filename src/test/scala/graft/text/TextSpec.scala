@@ -128,6 +128,18 @@ class TextSpec extends SparkSpec {
     assert(upper === "Contact <EMAIL> today")
   }
 
+  test("approxTopTerms matches the exact vocabulary when capacity covers it") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d d d d")).toDF("doc_id", "text")
+    val approx = Vocab.approxTopTerms(docs, "text", k = 3, maxItemsTracked = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // exact head: d=5? no — a=4, d=4, b=3 (c=1): top-3 by count
+    assert(approx === Set(("a", 4L), ("d", 4L), ("b", 3L)))
+  }
+
   test("repetitionFilter keeps low-repetition docs only, rows unchanged") {
     val s = spark
     import s.implicits._
