@@ -211,13 +211,30 @@ object Curation {
     */
   def mixCorpus(
       df: DataFrame, idCol: String, sourceCol: String,
-      weights: Map[String, Double]): DataFrame = {
+      weights: Map[String, Double]): DataFrame =
+    mixCorpusBy(df, idCol, sourceCol, weights, lit(1L))
+
+  /** [[mixCorpus]] weighted by token counts instead of row counts —
+    * the budget real mixture specs are written in (a source of long
+    * documents contributes proportionally fewer DOCS for the same
+    * token share). `sizeCol` is each row's mass (e.g.
+    * `TextFunctions.tokenCountWs(col("text"))`); proportions and the
+    * scarcest-source budget are computed over summed mass, selection
+    * stays the content-keyed hash threshold (so the kept TOKEN share
+    * of each source is the target in expectation, exact as documents
+    * shrink relative to their source — the same guarantee docs-count
+    * mixing gives per row). Same scale shape: one keyed aggregate, a
+    * broadcast fraction table, one map-only filter.
+    */
+  def mixCorpusBy(
+      df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], sizeCol: Column): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0))
     val spark = df.sparkSession
     val wdf = spark.createDataFrame(weights.toSeq).toDF("src", "w")
     val sizes = wdf
       .join(df.groupBy(col(sourceCol).as("src"))
-          .agg(count(lit(1)).cast("double").as("n")),
+          .agg(sum(sizeCol).cast("double").as("n")),
         Seq("src"), "left")
       .withColumn("n", coalesce(col("n"), lit(0.0)))
       .withColumn("cap", col("n") / col("w"))
@@ -232,6 +249,42 @@ object Curation {
       .filter(hashSampleKey(col(idCol)) <
         floor(col("f") * lit((1L << 60).toDouble)).cast("long"))
       .drop("f")
+  }
+
+  /** Deterministic per-group cap (the Gopher-style "at most N documents
+    * per domain" gate): within every group keep the `cap` rows with the
+    * smallest content hash keys (id tiebreak) — a reproducible uniform
+    * choice, like [[hashSample]] but with an exact count.
+    *
+    * Scale shape — a rank inside a group is unavoidable for an exact
+    * cap, so the rank runs over a PRE-FILTERED group, not the raw one:
+    * group sizes (one keyed count, map-side partials) set a per-group
+    * hash threshold admitting ~4·cap of the n_g rows, the threshold
+    * table broadcasts back, a map-only filter drops the rest, and only
+    * then does the window sort — over O(cap) rows per group instead of
+    * a possibly-billion-row hot domain. The threshold rule is a pure
+    * function of (n_g, cap), so the result stays engine-reproducible:
+    * an oracle applying the same rule selects the same rows.
+    */
+  def capPerGroup(
+      df: DataFrame, idCol: String, groupCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 1)
+    val maxKey = 1L << 60
+    val thr = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_ng"))
+      .select(col(groupCol),
+        when(col("_ng") <= cap, lit(maxKey))
+          .otherwise(floor(least(lit(1.0),
+            lit(4.0 * cap) / col("_ng").cast("double")) * lit(maxKey.toDouble))
+            .cast("long")).as("_thr"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_key"), col(idCol))
+    df.withColumn("_key", hashSampleKey(col(idCol)))
+      .join(broadcast(thr), Seq(groupCol))
+      .filter(col("_key") < col("_thr"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_key", "_thr", "_rk")
   }
 
   /** Sliding-window document chunking — the tokenize-and-chunk pass

@@ -414,6 +414,48 @@ object Dedup {
       .select(col("doc_id"), col("r.clean_text"), col("r.n_cut"))
   }
 
+  /** Line-level dedup (the CCNet / RefinedWeb boilerplate-removal
+    * stage): drop every line whose exact content appears in at least
+    * `minDocs` DISTINCT documents — navigation chrome, cookie banners,
+    * license footers — and re-emit the cleaned text with the original
+    * line order preserved. One row per input document; documents with
+    * no boilerplate pass through unchanged. Returns
+    * (doc_id, clean_text, n_lines, n_removed).
+    *
+    * Shape at scale: lines are md5-keyed BEFORE the shuffle, so the
+    * duplication window exchanges 32-char hashes, never the line text;
+    * the cross-doc test is the same in-place `min(doc) != max(doc)`
+    * window as [[docDuplicatedSpans]] (one exchange, no self-join, no
+    * second scan). Cut-position lists are bounded by per-document line
+    * counts and join back doc-keyed; reassembly is map-side.
+    */
+  def dedupLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("pos0", "line")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        md5(col("line")).as("lh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lh"))
+    val crossDoc =
+      if (minDocs <= 1) lit(true)
+      else if (minDocs == 2) min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w)
+      else size(collect_set(col("doc_id")).over(w)) >= minDocs
+    val cuts = lines.withColumn("_dup", crossDoc).filter(col("_dup"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    df.select(col(idCol).as("doc_id"), split(col(textCol), sepLit).as("ls"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("array()").cast("array<long>")))
+      .select(col("doc_id"),
+        array_join(expr(
+          "filter(transform(ls, (l, i) -> IF(array_contains(ps, CAST(i + 1 AS BIGINT)), NULL, l)), l -> l IS NOT NULL)"),
+          sep).as("clean_text"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("ps")).cast("long").as("n_removed"))
+  }
+
   /** Benchmark decontamination matches: documents sharing at least
     * `minShared` distinct word n-grams with any probe document (the
     * standard pre-training hygiene pass — drop training docs that

@@ -224,6 +224,44 @@ object TrainingQueries {
         .orderBy(col("media_id"), col("pos"))
     }),
 
+    // Line-level dedup (CCNet/RefinedWeb boilerplate removal) over a
+    // deterministic fixture: the corpus has no newlines, so the query
+    // plants a header/footer line per doc — shared boilerplate on
+    // modular subsets, unique lines on the rest — then drops every
+    // line appearing in >= 2 distinct docs.
+    "q67_line_dedup" -> ((s, dir) => {
+      val input = concat_ws("\n",
+        when(col("doc_id") % 4 === 0, lit("cookie consent required"))
+          .otherwise(concat(lit("head "), col("doc_id"))),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter"))
+          .otherwise(concat(lit("foot "), col("doc_id"))))
+      val lined = t(s, dir, "documents").select(col("doc_id"), input.as("text"))
+      Dedup.dedupLines(lined, "doc_id", "text", minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget data mixing: q65's mixture recomputed over token
+    // mass — sources contribute the target share of TOKENS, budget
+    // capped by the scarcest source in token space.
+    "q68_token_mix" -> ((s, dir) => {
+      Curation.mixCorpusBy(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        TextFunctions.tokenCountWs(col("text")).cast("long"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source document cap (Gopher-style domain gate): keep the 5
+    // smallest-hash-key docs of every source; the pre-filter threshold
+    // (4*cap/n_g of the key space) is part of the deterministic rule
+    // the oracle replays.
+    "q69_source_cap" -> ((s, dir) => {
+      Curation.capPerGroup(t(s, dir, "documents"), "doc_id", "source", cap = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF-Flat ANN (the second scale path beside q28's LSH): inverted
     // lists by nearest centroid, nprobe-list probing. Full DuckDB
     // oracle: the deterministic quantizer (lowest-id centroids, argmax
@@ -651,6 +689,62 @@ object TrainingQueries {
          SELECT f.media_id, f.bucket::BIGINT AS pos, round(f.c / n.nrm, 6) AS v
          FROM fullh f JOIN n ON f.media_id = n.media_id
          ORDER BY f.media_id, pos""",
+
+    // Mirrors dedupLines(minDocs=2) over the same planted fixture:
+    // lines with >= 2 distinct docs drop, survivors rejoin in order.
+    "q67_line_dedup" ->
+      """WITH f AS (SELECT doc_id, concat_ws(chr(10),
+             CASE WHEN doc_id % 4 = 0 THEN 'cookie consent required' ELSE 'head ' || doc_id END,
+             text,
+             CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' ELSE 'foot ' || doc_id END) AS input
+           FROM documents),
+         l AS (SELECT doc_id, u['p']::BIGINT AS pos, u['l'] AS line FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(ls)+1), i -> {'p': i, 'l': ls[i]})) AS u
+             FROM (SELECT doc_id, string_split(input, chr(10)) AS ls FROM f))),
+         dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+         cuts AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM l
+                  WHERE line IN (SELECT line FROM dup) GROUP BY doc_id),
+         t2 AS (SELECT f.doc_id, string_split(f.input, chr(10)) AS ls, coalesce(c.ps, []) AS ps
+                FROM f LEFT JOIN cuts c ON f.doc_id = c.doc_id)
+         SELECT doc_id,
+           coalesce(array_to_string([ls[i] FOR i IN range(1, len(ls)+1)
+                      IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
+           len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
+         FROM t2 ORDER BY doc_id""",
+
+    // Mirrors mixCorpusBy(tokenCountWs): q65's budget arithmetic with
+    // n = summed whitespace token counts (integer-exact before the
+    // double cast), same md5 sample key, same floor-then-cast.
+    "q68_token_mix" ->
+      """WITH w(src, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+         sizes AS (SELECT source AS src, sum(len(string_split(text, ' ')))::DOUBLE AS n
+                   FROM documents GROUP BY source),
+         j AS (SELECT s.src, s.n, w.w, s.n / w.w AS cap
+               FROM sizes s JOIN w ON s.src = w.src),
+         b AS (SELECT min(cap) AS b FROM j),
+         f AS (SELECT src, least(1.0, w * b / n) AS f FROM j CROSS JOIN b)
+         SELECT d.doc_id, d.source FROM documents d JOIN f ON d.source = f.src
+         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               < floor(f.f * 1152921504606846976)::BIGINT
+         ORDER BY d.doc_id""",
+
+    // Mirrors capPerGroup(cap=5): same per-group threshold rule
+    // (floor(least(1, 4*cap/n_g) * 2^60) when n_g > cap), same hash
+    // key, rank over the pre-filtered group only.
+    "q69_source_cap" ->
+      """WITH k AS (SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS key
+           FROM documents),
+         n AS (SELECT source, count(*) AS ng FROM k GROUP BY source),
+         t AS (SELECT source, CASE WHEN ng <= 5 THEN 1152921504606846976
+                 ELSE floor(least(1.0, 20.0 / ng) * 1152921504606846976.0)::BIGINT END AS thr
+               FROM n),
+         p AS (SELECT k.doc_id, k.source, k.key
+               FROM k JOIN t USING (source) WHERE k.key < t.thr),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
+               FROM p)
+         SELECT doc_id, source FROM r WHERE rk <= 5 ORDER BY doc_id""",
 
     // Mirrors contaminationMatches(n=3, minShared=3): distinct-trigram
     // lists, quadratic docs x probes intersect (affordable at sf0.01).

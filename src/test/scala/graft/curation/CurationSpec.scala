@@ -185,6 +185,51 @@ class CurationSpec extends SparkSpec {
       (3L, 2L, 5L, "w5 w6 w7 w8")))
   }
 
+  test("mixCorpusBy: token mass drives the budget, not row counts") {
+    val s = spark
+    import s.implicits._
+    // a: 10 docs x 10 tokens = 100 tokens; b: 100 docs x 1 token = 100
+    // tokens. Equal weights in TOKEN space keep both sources whole even
+    // though their row counts differ 10x — row-count mixing would have
+    // treated a as the scarce source and cut b to 10 rows.
+    val docs = ((0 until 10).map(i => (i.toLong, Seq.fill(10)("w").mkString(" "), "a")) ++
+      (100 until 200).map(i => (i.toLong, "w", "b")))
+      .toDF("doc_id", "text", "source")
+    val wc = graft.text.TextFunctions.tokenCountWs(col("text")).cast("long")
+    val byTok = Curation.mixCorpusBy(docs, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.5), wc)
+    assert(byTok.count() === 110)
+    val byRow = Curation.mixCorpus(docs, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(byRow.count() < 30) // same weights in row space cut b hard
+    // deterministic: selection is a pure function of ids + counts
+    val ids = byTok.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === byTok.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("capPerGroup: exact cap, small groups untouched, repartition-independent") {
+    val s = spark
+    import s.implicits._
+    val docs = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 103).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val got = Curation.capPerGroup(docs, "doc_id", "source", cap = 7)
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("big") === 7) // hot group capped exactly
+    assert(bySrc("small") === 3) // under-cap group passes through whole
+    // the kept rows are the cap smallest hash keys of the group —
+    // identical across partitionings (no RNG, no partition order)
+    val a = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.capPerGroup(docs.repartition(13), "doc_id", "source", cap = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val keys = docs.filter(col("source") === "big")
+      .select(col("doc_id"), Curation.hashSampleKey(col("doc_id")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(r => (r._2, r._1))
+    assert(keys.take(7).map(_._1).toSet === (a -- (100L until 103L)))
+  }
+
   test("dsirLogWeights: target-domain docs outscore off-domain ones") {
     val s = spark
     import s.implicits._

@@ -169,6 +169,37 @@ class DedupSpec extends SparkSpec {
     assert(out(2) === ((3L, "entirely distinct words only here now", 0L)))
   }
 
+  test("dedupLines: boilerplate lines cut, order kept, unique docs untouched") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "intro one\ncookie banner\nbody of doc one"),
+      (2L, "cookie banner\nbody of doc two\nall rights reserved"),
+      (3L, "body of doc three\nall rights reserved"),
+      (4L, "totally unique document")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      // 'cookie banner' (docs 1,2) and 'all rights reserved' (docs 2,3)
+      // drop; every surviving line keeps its original order
+      (1L, "intro one\nbody of doc one", 3L, 1L),
+      (2L, "body of doc two", 3L, 2L),
+      (3L, "body of doc three", 2L, 1L),
+      (4L, "totally unique document", 1L, 0L)))
+    // a WITHIN-doc repeated line is not boilerplate at minDocs=2
+    val within = Dedup.dedupLines(
+      Seq((9L, "same line\nsame line")).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(within.getString(1) === "same line\nsame line")
+    // minDocs=3 spares pairs, still cuts the 3-doc line
+    val loose = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 3)
+    assert(loose.agg(sum(col("n_removed"))).head().getLong(0) === 0L)
+    val three = docs.union(Seq((5L, "cookie banner\nextra")).toDF("doc_id", "text"))
+    assert(Dedup.dedupLines(three, "doc_id", "text", minDocs = 3)
+      .filter(col("n_removed") > 0).count() === 3L)
+  }
+
   test("shingles kernel: distinct, short-doc collapse, set semantics") {
     val s = spark
     import s.implicits._
