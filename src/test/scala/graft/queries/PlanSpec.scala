@@ -199,7 +199,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "fraction table not broadcast")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "corpus is being shuffled to meet the source-fraction table")
-    assert(p.contains("partial_count"),
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
       "source sizes lost map-side partial aggregation")
   }
 
@@ -208,5 +208,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "repetition counts lost map-side partial aggregation")
+  }
+
+  test("q67: line dedup windows over line HASHES — the text never crosses the dup shuffle") {
+    val p = plan("q67_line_dedup")
+    assert(p.contains("Window"), "cross-doc line test should be a window")
+    // the exchange feeding the window partitions on the md5 key, not
+    // the raw line, so boilerplate-heavy corpora shuffle 32-char
+    // hashes; the line text itself stays in the doc-keyed branch
+    assert(p.contains("hashpartitioning(lh"),
+      "duplication window does not partition on the line hash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q68: token mixing keeps the broadcast-fraction map-only shape of q65") {
+    val p = plan("q68_token_mix")
+    assert(p.contains("BroadcastHashJoin"), "fraction table not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus is being shuffled to meet the source-fraction table")
+    assert(p.contains("partial_sum"),
+      "token mass lost map-side partial aggregation")
+  }
+
+  test("q69: per-group cap broadcasts the threshold table and pre-filters before the rank") {
+    val p = plan("q69_source_cap")
+    assert(p.contains("BroadcastHashJoin"), "threshold table not broadcast")
+    assert(p.contains("Window"), "cap rank should be a window")
+    // the pre-filter (_key < _thr) runs BEFORE the window's exchange —
+    // Catalyst folds it straight into the broadcast join condition,
+    // so hot groups shed ~all rows map-side during the probe
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join condition") && l.contains("_thr")),
+      "threshold pre-filter is not applied at the broadcast join")
+    // and the rank itself is group-limit pruned before the exchange
+    // (Spark rewrites row_number <= k into WindowGroupLimit), so even
+    // the pre-filtered rows top-k-prune map-side
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter did not become a map-side group limit")
   }
 }
