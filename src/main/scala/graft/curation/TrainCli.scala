@@ -13,11 +13,13 @@ import graft.text.Pii
   * writing Scala:
   *
   *   dedup       exact + near-dup collapse, survivors out
+  *   dedupLines  cut boilerplate lines shared across documents
   *   scrub       cut cross-document duplicated spans
   *   redact      PII redaction over the text column
   *   decontam    drop docs overlapping a probe (eval) corpus
   *   weights     DSIR importance scores against a target filter
-  *   mix         weighted multi-source composition
+  *   mix         weighted multi-source composition (rows or tokens)
+  *   cap         at-most-N-documents-per-source gate
   *   chunk       sliding-window chunking
   *   shards      deterministic shuffle, written as shard files
   *
@@ -44,6 +46,13 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
     write(kept.join(drops, Seq(idCol), "left_anti"), out)
   }
 
+  def dedupLines(in: String, out: String, minDocs: Int = 2): Long = {
+    val cleaned = Dedup.dedupLines(read(in), idCol, textCol, minDocs)
+      .select(col("doc_id").as(idCol), col("clean_text").as(textCol),
+        col("n_removed"))
+    write(cleaned, out)
+  }
+
   def scrub(in: String, out: String, n: Int = 8): Long =
     write(Dedup.scrubDuplicatedSpans(read(in), idCol, textCol, n), out)
 
@@ -60,8 +69,17 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
       col(targetCol) === targetValue), out)
 
   def mix(in: String, out: String, sourceCol: String,
-      weights: Map[String, Double]): Long =
-    write(Curation.mixCorpus(read(in), idCol, sourceCol, weights), out)
+      weights: Map[String, Double], byTokens: Boolean = false): Long = {
+    val docs = read(in)
+    val mixed =
+      if (byTokens) Curation.mixCorpusBy(docs, idCol, sourceCol, weights,
+        graft.text.TextFunctions.tokenCountWs(col(textCol)).cast("long"))
+      else Curation.mixCorpus(docs, idCol, sourceCol, weights)
+    write(mixed, out)
+  }
+
+  def cap(in: String, out: String, sourceCol: String, maxDocs: Int): Long =
+    write(Curation.capPerGroup(read(in), idCol, sourceCol, maxDocs), out)
 
   def chunk(in: String, out: String, window: Int, stride: Int): Long =
     write(Curation.chunkDocuments(read(in), idCol, textCol, window, stride), out)

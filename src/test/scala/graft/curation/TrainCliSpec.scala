@@ -38,4 +38,37 @@ class TrainCliSpec extends SparkSpec {
     // rerun-safe: same command, same output
     assert(cli.shards(s"$root/d3", s"$root/out", numShards = 2) === 2L)
   }
+
+  test("dedupLines, cap, and token mix commands round-trip through parquet") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli2").toString
+    val cli = new TrainCli(spark)
+    Seq(
+      (1L, "unique one\nshared footer", "a"),
+      (2L, "unique two\nshared footer", "a"),
+      (3L, "unique three alone here", "a"),
+      (4L, "short doc", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$root/docs")
+
+    assert(cli.dedupLines(s"$root/docs", s"$root/l1") === 4L)
+    val cleaned = spark.read.parquet(s"$root/l1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) === "unique one" && cleaned(2L) === "unique two")
+    assert(cleaned(3L) === "unique three alone here")
+
+    assert(cli.cap(s"$root/docs", s"$root/c1", "source", maxDocs = 2) === 3L)
+    val capped = spark.read.parquet(s"$root/c1")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("a") === 2L && capped("b") === 1L)
+
+    // token mix: both sources whole at weights matching their token mass
+    val kept = cli.mix(s"$root/docs", s"$root/m1", "source",
+      Map("a" -> 0.8, "b" -> 0.2), byTokens = true)
+    assert(kept >= 3L) // scarcity math on tokens, deterministic rerun
+    assert(cli.mix(s"$root/docs", s"$root/m1", "source",
+      Map("a" -> 0.8, "b" -> 0.2), byTokens = true) === kept)
+  }
 }
