@@ -17,6 +17,7 @@ import graft.text.Pii
   *   scrub       cut cross-document duplicated spans
   *   redact      PII redaction over the text column
   *   decontam    drop docs overlapping a probe (eval) corpus
+  *   scrubContam cut only the spans matching probe n-grams
   *   weights     DSIR importance scores against a target filter
   *   mix         weighted multi-source composition (rows or tokens)
   *   cap         at-most-N-documents-per-source gate
@@ -63,6 +64,12 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
       n: Int = 8, minShared: Int = 1): Long =
     write(graft.streaming.CorpusStreams.contaminationFilter(
       read(in), textCol, read(probesIn), textCol, n, minShared), out)
+
+  def scrubContam(in: String, probesIn: String, out: String, n: Int = 8): Long =
+    write(Dedup.scrubContaminatedSpans(read(in), idCol, textCol,
+        read(probesIn), textCol, n)
+      .select(col("doc_id").as(idCol), col("clean_text").as(textCol),
+        col("n_cut")), out)
 
   def weights(in: String, out: String, targetCol: String, targetValue: String): Long =
     write(Curation.dsirLogWeights(read(in), idCol, textCol,

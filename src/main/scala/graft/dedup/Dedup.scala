@@ -508,6 +508,40 @@ object Dedup {
     docs.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Surgical decontamination: instead of dropping whole matched
+    * documents ([[decontaminate]]), cut ONLY the spans that verbatim-
+    * match a probe (eval-set) word n-gram and re-emit the cleaned
+    * text — the hygiene pass that keeps a long document whose one
+    * quoted benchmark sentence would otherwise cost the whole row.
+    * Returns (doc_id, clean_text, n_cut); untouched docs pass through.
+    *
+    * Scale shape: the probe gram set (a benchmark suite) is bounded by
+    * definition and BROADCASTS; the corpus positional grams semi-join
+    * it map-side and never shuffle, the surviving cut lists are
+    * bounded by document length and join back doc-keyed, and the
+    * reassembly is the compiled one-pass [[scrubDuplicatedSpans]]
+    * kernel. Probes shorter than `n` words contribute no grams (strict
+    * n-grams) — decontaminate by document match for those.
+    */
+  def scrubContaminatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int = 8): DataFrame = {
+    val probeGrams = probes.select(
+        explode(graft.functions.SketchFunctions.ngrams_all_strict(col(probeTextCol), n))
+          .as("gram"))
+      .distinct()
+    val cuts = spanGrams(docs, idCol, textCol, n)
+      .join(broadcast(probeGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_txt"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("array()").cast("array<long>")))
+      .withColumn("r",
+        graft.functions.SketchFunctions.scrub_spans(col("_txt"), col("ps"), n))
+      .select(col("doc_id"), col("r.clean_text"), col("r.n_cut"))
+  }
+
   /** Greedy cluster-collapse of a similar-pairs edge list: every doc
     * maps to the smallest doc id it is paired with, then keeper chains
     * are followed to their root (if doc c's keeper b is itself dropped

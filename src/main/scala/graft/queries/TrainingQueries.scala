@@ -262,6 +262,18 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Surgical decontamination: cut only the 8-gram spans matching a
+    // probe (eval) subset instead of dropping whole documents — the
+    // probe gram set broadcasts, the corpus never shuffles for the
+    // match. Probes = doc_id % 29 == 0 (q52/q54's held-out subset).
+    "q70_scrub_contaminated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.scrubContaminatedSpans(
+        docs.filter(col("doc_id") % 29 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 29 === 0), "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF-Flat ANN (the second scale path beside q28's LSH): inverted
     // lists by nearest centroid, nprobe-list probing. Full DuckDB
     // oracle: the deterministic quantizer (lowest-id centroids, argmax
@@ -745,6 +757,30 @@ object TrainingQueries {
                  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
                FROM p)
          SELECT doc_id, source FROM r WHERE rk <= 5 ORDER BY doc_id""",
+
+    // Mirrors scrubContaminatedSpans(n=8): probe 8-gram set from the
+    // held-out subset, positional gram match on the rest, q60's scrub
+    // tail (every word covered by a matched span drops).
+    "q70_scrub_contaminated" ->
+      """WITH pg AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(t)-7,0)+1),
+             i -> array_to_string(list_slice(t, i, i+7), ' '))) AS gram
+           FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 29 = 0)),
+         e AS (SELECT doc_id, s['pos']::BIGINT AS pos, s['gram'] AS gram FROM (
+             SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-7,0)+1),
+               i -> {'pos': i, 'gram': array_to_string(list_slice(t, i, i+7), ' ')})) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                   WHERE doc_id % 29 <> 0))),
+         cuts AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM e
+                  WHERE gram IN (SELECT gram FROM pg) GROUP BY doc_id),
+         t AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks, coalesce(c.ps, []) AS ps
+               FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id
+               WHERE d.doc_id % 29 <> 0)
+         SELECT doc_id,
+           coalesce(array_to_string([toks[i] FOR i IN range(1, len(toks)+1)
+                      IF len([p FOR p IN ps IF i >= p AND i <= p+7]) = 0], ' '), '') AS clean_text,
+           len([i FOR i IN range(1, len(toks)+1)
+                IF len([p FOR p IN ps IF i >= p AND i <= p+7]) > 0])::BIGINT AS n_cut
+         FROM t ORDER BY doc_id""",
 
     // Mirrors contaminationMatches(n=3, minShared=3): distinct-trigram
     // lists, quadratic docs x probes intersect (affordable at sf0.01).

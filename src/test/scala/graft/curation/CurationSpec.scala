@@ -90,6 +90,29 @@ class CurationSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L))
   }
 
+  test("scrubContaminatedSpans cuts only the probe-matching span, keeps the doc") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "intro words here the secret benchmark question four and closing remarks after"),
+      (2L, "a completely unrelated training document with fresh text")).toDF("doc_id", "text")
+    val probes = Seq((100L, "prefix the secret benchmark question four suffix"))
+      .toDF("probe_id", "probe_text")
+    val got = graft.dedup.Dedup.scrubContaminatedSpans(docs, "doc_id", "text",
+      probes, "probe_text", n = 5)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc 1 shares exactly the 5-gram 'the secret benchmark question
+    // four' — those five words cut, the rest of the doc SURVIVES
+    // (decontaminate would have dropped the whole row)
+    assert(got(0) === ((1L, "intro words here and closing remarks after", 5L)))
+    assert(got(1) === ((2L, "a completely unrelated training document with fresh text", 0L)))
+    // a probe shorter than n contributes no grams — nothing cut
+    val short = graft.dedup.Dedup.scrubContaminatedSpans(docs, "doc_id", "text",
+      Seq((101L, "tiny probe")).toDF("probe_id", "probe_text"), "probe_text", n = 5)
+    assert(short.agg(sum(col("n_cut"))).head().getLong(0) === 0L)
+  }
+
   test("curateCorpus drops exact dups, near dups, off-language and low quality") {
     val s = spark
     import s.implicits._

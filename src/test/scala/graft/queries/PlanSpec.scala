@@ -210,6 +210,15 @@ class PlanSpec extends SparkSpec {
       "repetition counts lost map-side partial aggregation")
   }
 
+  test("q70: surgical decontamination broadcasts the probe grams — corpus grams never shuffle for the match") {
+    val p = plan("q70_scrub_contaminated")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      "probe gram set is not a broadcast semi join")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus gram side is being shuffled to meet the probe set")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q67: line dedup windows over line HASHES — the text never crosses the dup shuffle") {
     val p = plan("q67_line_dedup")
     assert(p.contains("Window"), "cross-doc line test should be a window")
