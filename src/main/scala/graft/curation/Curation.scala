@@ -251,6 +251,40 @@ object Curation {
       .drop("f")
   }
 
+  /** Per-source corpus report — the dataset-card stats pass run before
+    * and after every curation stage: document/token volume, exact-dup
+    * rate, mean quality, language spread. One row per source.
+    *
+    * Engine-exact: quality is summed as DECIMAL (order-independent —
+    * qualityScore emits exact 1e-6 multiples), token sums are integer,
+    * and each mean divides once at the end. Scale shape: a single
+    * source-keyed aggregate with map-side partials; the two exact
+    * count-distincts (content fp, lang) are the standard two-phase
+    * distinct aggregation — swap in `approx_count_distinct` when the
+    * per-source distinct cardinality itself is 10^9+.
+    */
+  def corpusReport(
+      df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String): DataFrame = {
+    val wc = TextFunctions.tokenCountWs(col(textCol)).cast("long")
+    val q = TextFunctions.qualityScore(col(textCol)).cast("decimal(16,6)")
+    df.select(col(sourceCol).as("source"), md5(col(textCol)).as("fp"),
+        wc.as("wc"), q.as("q"), col(langCol).as("lang"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        sum(col("wc")).as("n_tokens"),
+        sum(col("q")).as("_qsum"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("avg_tokens"),
+        round(col("_qsum").cast("double") / col("n_docs"), 6).as("avg_quality"),
+        col("n_langs"))
+  }
+
   /** Deterministic per-group cap (the Gopher-style "at most N documents
     * per domain" gate): within every group keep the `cap` rows with the
     * smallest content hash keys (id tiebreak) — a reproducible uniform

@@ -22,6 +22,7 @@ import graft.text.Pii
   *   mix         weighted multi-source composition (rows or tokens)
   *   cap         at-most-N-documents-per-source gate
   *   chunk       sliding-window chunking
+  *   report      per-source dataset-card stats
   *   shards      deterministic shuffle, written as shard files
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
@@ -90,6 +91,10 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
 
   def chunk(in: String, out: String, window: Int, stride: Int): Long =
     write(Curation.chunkDocuments(read(in), idCol, textCol, window, stride), out)
+
+  def report(in: String, out: String, sourceCol: String = "source",
+      langCol: String = "lang"): Long =
+    write(Curation.corpusReport(read(in), idCol, textCol, sourceCol, langCol), out)
 
   def shards(in: String, out: String, numShards: Int): Long = {
     Curation.writeTrainingShards(read(in), idCol, out, numShards)

@@ -262,6 +262,14 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source corpus report: the dataset-card stats pass — volume,
+    // exact-dup rate, mean quality (DECIMAL-summed), language spread.
+    "q71_corpus_report" -> ((s, dir) => {
+      Curation.corpusReport(t(s, dir, "documents"), "doc_id", "text",
+        "source", "lang")
+        .orderBy(col("source"))
+    }),
+
     // Surgical decontamination: cut only the 8-gram spans matching a
     // probe (eval) subset instead of dropping whole documents — the
     // probe gram set broadcasts, the corpus never shuffles for the
@@ -757,6 +765,25 @@ object TrainingQueries {
                  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
                FROM p)
          SELECT doc_id, source FROM r WHERE rk <= 5 ORDER BY doc_id""",
+
+    // Mirrors corpusReport: q20's quality replica summed as DECIMAL,
+    // integer token sums, one division per mean.
+    "q71_corpus_report" ->
+      """WITH q AS (SELECT doc_id, source, lang, md5(text) AS fp,
+             len(t)::BIGINT AS wc,
+             (floor((0.3 * least(1.0, len(t) / 50)
+                   + 0.3 * (len(list_distinct(t))::DOUBLE / len(t))
+                   + 0.2 * least(1.0, (list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t)) / 8)
+                   + 0.2 * (len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t))) * 1e6) / 1e6)::DECIMAL(16,6) AS q
+           FROM (SELECT doc_id, source, lang, text, string_split(text, ' ') AS t FROM documents))
+         SELECT source, count(*)::BIGINT AS n_docs,
+           count(DISTINCT fp)::BIGINT AS n_distinct,
+           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
+           sum(wc)::BIGINT AS n_tokens,
+           round(sum(wc)::DOUBLE / count(*), 6) AS avg_tokens,
+           round(sum(q)::DOUBLE / count(*), 6) AS avg_quality,
+           count(DISTINCT lang)::BIGINT AS n_langs
+         FROM q GROUP BY source ORDER BY source""",
 
     // Mirrors scrubContaminatedSpans(n=8): probe 8-gram set from the
     // held-out subset, positional gram match on the rest, q60's scrub

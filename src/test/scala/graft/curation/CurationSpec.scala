@@ -253,6 +253,30 @@ class CurationSpec extends SparkSpec {
     assert(keys.take(7).map(_._1).toSet === (a -- (100L until 103L)))
   }
 
+  test("corpusReport: volumes, dup rate, decimal-exact mean quality per source") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "a", "en"),
+      (2L, "alpha beta gamma", "a", "en"), // exact dup of 1
+      (3L, "delta epsilon", "a", "de"),
+      (4L, "zeta", "b", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val got = Curation.corpusReport(docs, "doc_id", "text", "source", "lang")
+      .orderBy(col("source")).collect()
+    val a = got(0)
+    assert(a.getString(0) === "a" && a.getLong(1) === 3L && a.getLong(2) === 2L)
+    assert(a.getDouble(3) === 0.333333) // dup_rate rounded 6dp
+    assert(a.getLong(4) === 8L && a.getDouble(5) === 2.666667)
+    assert(a.getLong(7) === 2L) // en + de
+    val b = got(1)
+    assert(b.getString(0) === "b" && b.getLong(1) === 1L && b.getDouble(3) === 0.0)
+    // mean quality equals the per-doc score when the group is one doc
+    val q4 = docs.filter(col("doc_id") === 4L)
+      .select(graft.text.TextFunctions.qualityScore(col("text"))).head().getDouble(0)
+    assert(b.getDouble(6) === q4)
+  }
+
   test("dsirLogWeights: target-domain docs outscore off-domain ones") {
     val s = spark
     import s.implicits._
