@@ -54,6 +54,17 @@ object Scratch {
           n = 3, tau = 0.5).count())
         time("dupspans")(graft.dedup.Dedup.docDuplicatedSpans(big, "doc_id", "text",
           n = 8).count())
+        // every copied doc duplicates every LINE of its original —
+        // the worst case for line dedup (all lines cut)
+        time("dedupLines")(graft.dedup.Dedup.dedupLines(
+          big.select(col("doc_id"),
+            regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n").as("text")),
+          "doc_id", "text").count())
+        // probe set fixed (the base corpus' %29 subset) while the
+        // corpus multiplies — the decontamination scale direction
+        time("scrubContam")(graft.dedup.Dedup.scrubContaminatedSpans(
+          big, "doc_id", "text",
+          docs.filter(col("doc_id") % 29 === 0), "text", n = 8).count())
         big.unpersist(blocking = true)
       }
       spark.stop(); return
