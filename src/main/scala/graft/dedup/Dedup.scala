@@ -422,6 +422,11 @@ object Dedup {
     * no boilerplate pass through unchanged. Returns
     * (doc_id, clean_text, n_lines, n_removed).
     *
+    * Lines shorter than `minLineChars` (default: empty lines) never
+    * count as boilerplate — a ubiquitous blank line must not be
+    * scrubbed out of every document — and are dropped BEFORE the
+    * shuffle, so they never cross it either.
+    *
     * Shape at scale: lines are md5-keyed BEFORE the shuffle, so the
     * duplication window exchanges 32-char hashes, never the line text;
     * the cross-doc test is the same in-place `min(doc) != max(doc)`
@@ -431,10 +436,12 @@ object Dedup {
     */
   def dedupLines(
       df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+      minDocs: Int = 2, sep: String = "\n",
+      minLineChars: Int = 1): DataFrame = {
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = df.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), sepLit)).as(Seq("pos0", "line")))
+      .filter(length(col("line")) >= minLineChars)
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         md5(col("line")).as("lh"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lh"))

@@ -721,9 +721,11 @@ object TrainingQueries {
          l AS (SELECT doc_id, u['p']::BIGINT AS pos, u['l'] AS line FROM (
              SELECT doc_id, unnest(list_transform(range(1, len(ls)+1), i -> {'p': i, 'l': ls[i]})) AS u
              FROM (SELECT doc_id, string_split(input, chr(10)) AS ls FROM f))),
-         dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+         dup AS (SELECT line FROM l WHERE len(line) >= 1
+                 GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
          cuts AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM l
-                  WHERE line IN (SELECT line FROM dup) GROUP BY doc_id),
+                  WHERE len(line) >= 1 AND line IN (SELECT line FROM dup)
+                  GROUP BY doc_id),
          t2 AS (SELECT f.doc_id, string_split(f.input, chr(10)) AS ls, coalesce(c.ps, []) AS ps
                 FROM f LEFT JOIN cuts c ON f.doc_id = c.doc_id)
          SELECT doc_id,

@@ -192,6 +192,14 @@ class DedupSpec extends SparkSpec {
       Seq((9L, "same line\nsame line")).toDF("doc_id", "text"), "doc_id", "text")
       .head()
     assert(within.getString(1) === "same line\nsame line")
+    // blank lines are ubiquitous, not boilerplate: never cut even when
+    // every doc has one
+    val blanks = Dedup.dedupLines(
+      Seq((11L, "para one\n\npara two"), (12L, "other one\n\nother two"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(blanks(0).getString(1) === "para one\n\npara two")
+    assert(blanks(1).getLong(3) === 0L)
     // minDocs=3 spares pairs, still cuts the 3-doc line
     val loose = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 3)
     assert(loose.agg(sum(col("n_removed"))).head().getLong(0) === 0L)
