@@ -262,6 +262,14 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge-pair statistics: adjacent character-pair counts over
+    // the distinct-word table (frequencies ride along) — the argmax a
+    // tokenizer trainer takes per merge step. Top 200 by count.
+    "q72_bpe_pairs" -> ((s, dir) => {
+      Vocab.bpePairCounts(t(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("pair")).limit(200)
+    }),
+
     // Per-source corpus report: the dataset-card stats pass — volume,
     // exact-dup rate, mean quality (DECIMAL-summed), language spread.
     "q71_corpus_report" -> ((s, dir) => {
@@ -767,6 +775,17 @@ object TrainingQueries {
                  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
                FROM p)
          SELECT doc_id, source FROM r WHERE rk <= 5 ORDER BY doc_id""",
+
+    // Mirrors bpePairCounts: distinct-word frequencies, adjacent char
+    // pairs, integer sums; same (count desc, pair) tiebreak.
+    "q72_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         v AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+         p AS (SELECT freq, unnest(CASE WHEN length(w) < 2 THEN []::VARCHAR[]
+                 ELSE list_transform(range(1, length(w)), i -> substr(w, i, 2)) END) AS pair
+               FROM v)
+         SELECT pair, sum(freq)::BIGINT AS n FROM p GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 200""",
 
     // Mirrors corpusReport: q20's quality replica summed as DECIMAL,
     // integer token sums, one division per mean.

@@ -50,6 +50,29 @@ object Vocab {
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("term"), col("e.count").as("term_freq"))
 
+  /** BPE merge-pair statistics — the quantity a byte-pair-encoding
+    * tokenizer trainer maximizes at every merge step: for each
+    * adjacent character pair, the total number of occurrences across
+    * the corpus (word frequency × within-word occurrences). The
+    * highest-count pair is the next merge; rerun on re-segmented text
+    * for subsequent steps (the iteration is a driver loop by nature —
+    * each step is one of these jobs).
+    *
+    * Scale shape: the pair explode runs over the DISTINCT word table
+    * (vocab ≪ corpus) with frequencies riding along, so corpus size
+    * only affects the first vocab-keyed count; both aggregations have
+    * map-side partials. Integer-exact.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("freq"), explode(expr(
+        "IF(length(w) < 2, array(), transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+  }
+
   /** Smooth IDF: ln((N + 1) / (doc_freq + 1)) + 1. */
   def idf(docFreq: Column, corpusSize: Long): Column =
     log((lit(corpusSize + 1d)) / (docFreq + lit(1d))) + lit(1d)

@@ -140,6 +140,18 @@ class TextSpec extends SparkSpec {
     assert(approx === Set(("a", 4L), ("d", 4L), ("b", 3L)))
   }
 
+  test("bpePairCounts: word-frequency-weighted adjacent char pairs, 1-char words skipped") {
+    val s = spark
+    import s.implicits._
+    // 'ab ab abc a': vocab = {ab:2, abc:1, a:1};
+    // pairs: 'ab' from ab(x2) and abc(x1) = 3, 'bc' from abc = 1,
+    // 'a' contributes nothing (single char)
+    val docs = Seq((1L, "ab ab abc a")).toDF("doc_id", "text")
+    val got = Vocab.bpePairCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("ab" -> 3L, "bc" -> 1L))
+  }
+
   test("repetitionFilter keeps low-repetition docs only, rows unchanged") {
     val s = spark
     import s.implicits._
