@@ -257,7 +257,10 @@ object Curation {
     *
     * Engine-exact: quality is summed as DECIMAL (order-independent —
     * qualityScore emits exact 1e-6 multiples), token sums are integer,
-    * and each mean divides once at the end. Scale shape: a single
+    * and each mean divides once at the end, truncated via
+    * floor(x·1e6)/1e6 — round-half behavior differs across engines at
+    * boundary values (the qualityScore convention), floor does not.
+    * Scale shape: a single
     * source-keyed aggregate with map-side partials; the two exact
     * count-distincts (content fp, lang) are the standard two-phase
     * distinct aggregation — swap in `approx_count_distinct` when the
@@ -277,48 +280,40 @@ object Curation {
         sum(col("q")).as("_qsum"),
         countDistinct(col("lang")).as("n_langs"))
       .select(col("source"), col("n_docs"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+        (floor((lit(1.0) - col("n_distinct").cast("double") / col("n_docs")) * 1e6) / 1e6)
           .as("dup_rate"),
         col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("avg_tokens"),
-        round(col("_qsum").cast("double") / col("n_docs"), 6).as("avg_quality"),
+        (floor(col("n_tokens").cast("double") / col("n_docs") * 1e6) / 1e6)
+          .as("avg_tokens"),
+        (floor(col("_qsum").cast("double") / col("n_docs") * 1e6) / 1e6)
+          .as("avg_quality"),
         col("n_langs"))
   }
 
   /** Deterministic per-group cap (the Gopher-style "at most N documents
-    * per domain" gate): within every group keep the `cap` rows with the
-    * smallest content hash keys (id tiebreak) — a reproducible uniform
-    * choice, like [[hashSample]] but with an exact count.
+    * per domain" gate): within every group keep EXACTLY the `cap` rows
+    * with the smallest content hash keys (id tiebreak; whole group when
+    * it is under cap) — a reproducible uniform choice, like
+    * [[hashSample]] but with an exact count. Rows with a NULL group key
+    * form their own capped group, not a dropped one.
     *
-    * Scale shape — a rank inside a group is unavoidable for an exact
-    * cap, so the rank runs over a PRE-FILTERED group, not the raw one:
-    * group sizes (one keyed count, map-side partials) set a per-group
-    * hash threshold admitting ~4·cap of the n_g rows, the threshold
-    * table broadcasts back, a map-only filter drops the rest, and only
-    * then does the window sort — over O(cap) rows per group instead of
-    * a possibly-billion-row hot domain. The threshold rule is a pure
-    * function of (n_g, cap), so the result stays engine-reproducible:
-    * an oracle applying the same rule selects the same rows.
+    * Scale shape: `row_number <= cap` over a hash-key-ordered window is
+    * rewritten by Spark into a map-side `WindowGroupLimit` — every map
+    * partition emits at most `cap` rows per group BEFORE the exchange
+    * (PlanSpec-asserted), so a billion-row hot domain ships
+    * O(partitions · cap) rows to the window, never its raw size, and
+    * the result stays exact — no probabilistic pre-filter needed.
     */
   def capPerGroup(
       df: DataFrame, idCol: String, groupCol: String, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cap >= 1)
-    val maxKey = 1L << 60
-    val thr = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_ng"))
-      .select(col(groupCol),
-        when(col("_ng") <= cap, lit(maxKey))
-          .otherwise(floor(least(lit(1.0),
-            lit(4.0 * cap) / col("_ng").cast("double")) * lit(maxKey.toDouble))
-            .cast("long")).as("_thr"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("_key"), col(idCol))
     df.withColumn("_key", hashSampleKey(col(idCol)))
-      .join(broadcast(thr), Seq(groupCol))
-      .filter(col("_key") < col("_thr"))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= cap)
-      .drop("_key", "_thr", "_rk")
+      .drop("_key", "_rk")
   }
 
   /** Sliding-window document chunking — the tokenize-and-chunk pass

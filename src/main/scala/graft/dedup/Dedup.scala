@@ -372,19 +372,32 @@ object Dedup {
     * `min(doc_id) != max(doc_id)` — exact and state-free; larger
     * thresholds fall back to a distinct-set window.
     */
+  /** In-place cross-document test over a `partCol` window: true iff at
+    * least `minDocs` DISTINCT `docCol` values share the partition. The
+    * minDocs=2 case is a state-free min≠max; larger thresholds count
+    * distinct docs as `max(dense_rank ordered by doc)` — two window
+    * specs over the SAME partitioning (one exchange, the ordered sort
+    * the window needs anyway), never a per-row `collect_set` that
+    * materializes the hottest partition's doc set once per row.
+    */
+  private def crossDocTest(partCol: Column, docCol: Column, minDocs: Int): Column = {
+    import org.apache.spark.sql.expressions.Window
+    if (minDocs <= 1) lit(true)
+    else if (minDocs == 2) {
+      val w = Window.partitionBy(partCol)
+      min(docCol).over(w) =!= max(docCol).over(w)
+    } else
+      max(dense_rank().over(Window.partitionBy(partCol).orderBy(docCol)))
+        .over(Window.partitionBy(partCol)) >= minDocs
+  }
+
   def docDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int = 2): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
-    val crossDoc =
-      if (minDocs <= 1) lit(true)
-      else if (minDocs == 2) min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w)
-      else size(collect_set(col("doc_id")).over(w)) >= minDocs
+      n: Int, minDocs: Int = 2): DataFrame =
     spanGrams(df, idCol, textCol, n)
-      .withColumn("_dup", crossDoc)
+      .withColumn("_dup", crossDocTest(col("gram"), col("doc_id"), minDocs))
       .filter(col("_dup"))
       .select(col("doc_id"), col("pos"), col("gram"))
-  }
 
   /** Span-level scrubbing — the full Lee et al. ACL'22 operation: cut
     * every word covered by a cross-document duplicated n-gram span and
@@ -444,23 +457,21 @@ object Dedup {
       .filter(length(col("line")) >= minLineChars)
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         md5(col("line")).as("lh"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lh"))
-    val crossDoc =
-      if (minDocs <= 1) lit(true)
-      else if (minDocs == 2) min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w)
-      else size(collect_set(col("doc_id")).over(w)) >= minDocs
-    val cuts = lines.withColumn("_dup", crossDoc).filter(col("_dup"))
+    val cuts = lines
+      .withColumn("_dup", crossDocTest(col("lh"), col("doc_id"), minDocs))
+      .filter(col("_dup"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
-    df.select(col(idCol).as("doc_id"), split(col(textCol), sepLit).as("ls"))
+    // compiled one-pass scrub: O(len + |ps|) per doc — the per-line
+    // array_contains lambda chain is interpreted and O(lines·|ps|),
+    // quadratic exactly on the boilerplate-heavy docs this targets
+    df.select(col(idCol).as("doc_id"), col(textCol).as("_txt"))
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("ps", coalesce(col("ps"), expr("array()").cast("array<long>")))
-      .select(col("doc_id"),
-        array_join(expr(
-          "filter(transform(ls, (l, i) -> IF(array_contains(ps, CAST(i + 1 AS BIGINT)), NULL, l)), l -> l IS NOT NULL)"),
-          sep).as("clean_text"),
-        size(col("ls")).cast("long").as("n_lines"),
-        size(col("ps")).cast("long").as("n_removed"))
+      .withColumn("r",
+        graft.functions.SketchFunctions.scrub_lines(col("_txt"), col("ps"), sep))
+      .select(col("doc_id"), col("r.clean_text"), col("r.n_lines"),
+        col("r.n_removed"))
   }
 
   /** Benchmark decontamination matches: documents sharing at least

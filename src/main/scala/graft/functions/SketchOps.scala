@@ -273,6 +273,42 @@ object SketchOps {
       Array[Any](clean, cut))
   }
 
+  /** One-pass line scrubbing for Dedup.dedupLines: split `text` on the
+    * LITERAL separator (indexOf walk — no regex compile per row), drop
+    * the 1-based positions listed in sorted `ps`, rejoin. Returns
+    * (clean_text, n_lines, n_removed). O(len + |ps|) — the
+    * per-line `array_contains(ps, i)` lambda chain is O(lines·|ps|)
+    * AND interpreted, quadratic for an all-boilerplate document.
+    */
+  def scrubLines(text: UTF8String, ps: ArrayData, sep: UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val sp = sep.toString
+    val out = new java.lang.StringBuilder(s.length)
+    val m = ps.numElements()
+    var j = 0
+    var nLines = 0L
+    var removed = 0L
+    var keptAny = false
+    var from = 0
+    var done = false
+    while (!done) {
+      val idx = s.indexOf(sp, from)
+      val end = if (idx >= 0) idx else s.length
+      nLines += 1L
+      while (j < m && ps.getLong(j) < nLines) j += 1
+      if (j < m && ps.getLong(j) == nLines) removed += 1L
+      else {
+        if (keptAny) out.append(sp)
+        out.append(s, from, end)
+        keptAny = true
+      }
+      if (idx >= 0) from = idx + sp.length else done = true
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(out.toString), nLines, removed))
+  }
+
   /** Dot product of two double arrays, strict left-to-right fold —
     * bit-identical to `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and to
     * DuckDB's `list_sum(list_transform(...))`, which the oracle

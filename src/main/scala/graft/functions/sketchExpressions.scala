@@ -151,6 +151,36 @@ case class ScrubSpans(left: Expression, right: Expression, n: Int)
   override def prettyName: String = "scrub_spans"
 }
 
+/** `scrub_lines(text, sorted_positions, sep)` → struct(clean_text,
+  * n_lines, n_removed): one-pass compiled line scrubbing (see
+  * SketchOps.scrubLines). `sep` is a LITERAL separator, not a regex.
+  */
+case class ScrubLines(left: Expression, right: Expression, sep: String)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(sep.nonEmpty)
+  override def inputTypes = Seq(StringType, ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  private lazy val sepUtf8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(sep)
+  override def nullSafeEval(text: Any, ps: Any): Any =
+    SketchOps.scrubLines(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      ps.asInstanceOf[ArrayData], sepUtf8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship the separator as a referenced object — escaping arbitrary
+    // separator text into a Java string literal is the bug farm this
+    // avoids
+    val ref = ctx.addReferenceObj("sepUtf8", sepUtf8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, (t, p) => s"graft.functions.SketchOps.scrubLines($t, $p, $ref)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "scrub_lines"
+}
+
 /** `probe_shared_count(sorted_hashes)` → Int: how many elements (up to
   * `cap`) appear in the broadcast sorted probe array — the compiled,
   * broadcast-backed form of a contamination test (an `Expression`
@@ -218,6 +248,8 @@ object SketchFunctions {
     toCol(ArrayDot(toExpr(a), toExpr(b)))
   def scrub_spans(text: Column, sortedStarts: Column, n: Int): Column =
     toCol(ScrubSpans(toExpr(text), toExpr(sortedStarts), n))
+  def scrub_lines(text: Column, sortedPositions: Column, sep: String): Column =
+    toCol(ScrubLines(toExpr(text), toExpr(sortedPositions), sep))
   def probe_shared_count(sortedHashes: Column,
       probes: org.apache.spark.broadcast.Broadcast[Array[Long]], cap: Int): Column =
     toCol(ProbeSharedCount(toExpr(sortedHashes), probes, cap))

@@ -252,10 +252,9 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Per-source document cap (Gopher-style domain gate): keep the 5
-    // smallest-hash-key docs of every source; the pre-filter threshold
-    // (4*cap/n_g of the key space) is part of the deterministic rule
-    // the oracle replays.
+    // Per-source document cap (Gopher-style domain gate): keep exactly
+    // the 5 smallest-hash-key docs of every source (id tiebreak);
+    // map-side WindowGroupLimit bounds what crosses the shuffle.
     "q69_source_cap" -> ((s, dir) => {
       Curation.capPerGroup(t(s, dir, "documents"), "doc_id", "source", cap = 5)
         .select(col("doc_id"), col("source"))
@@ -758,22 +757,15 @@ object TrainingQueries {
                < floor(f.f * 1152921504606846976)::BIGINT
          ORDER BY d.doc_id""",
 
-    // Mirrors capPerGroup(cap=5): same per-group threshold rule
-    // (floor(least(1, 4*cap/n_g) * 2^60) when n_g > cap), same hash
-    // key, rank over the pre-filtered group only.
+    // Mirrors capPerGroup(cap=5): exact rank over the md5 hash key
+    // with id tiebreak, at most 5 rows per source.
     "q69_source_cap" ->
       """WITH k AS (SELECT doc_id, source,
              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS key
            FROM documents),
-         n AS (SELECT source, count(*) AS ng FROM k GROUP BY source),
-         t AS (SELECT source, CASE WHEN ng <= 5 THEN 1152921504606846976
-                 ELSE floor(least(1.0, 20.0 / ng) * 1152921504606846976.0)::BIGINT END AS thr
-               FROM n),
-         p AS (SELECT k.doc_id, k.source, k.key
-               FROM k JOIN t USING (source) WHERE k.key < t.thr),
          r AS (SELECT doc_id, source,
                  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
-               FROM p)
+               FROM k)
          SELECT doc_id, source FROM r WHERE rk <= 5 ORDER BY doc_id""",
 
     // Mirrors bpePairCounts: distinct-word frequencies, adjacent char
@@ -788,7 +780,9 @@ object TrainingQueries {
          ORDER BY n DESC, pair LIMIT 200""",
 
     // Mirrors corpusReport: q20's quality replica summed as DECIMAL,
-    // integer token sums, one division per mean.
+    // integer token sums, one division per mean, floor-truncated to
+    // 6dp (the qualityScore convention — round-half differs across
+    // engines at boundary values, floor does not).
     "q71_corpus_report" ->
       """WITH q AS (SELECT doc_id, source, lang, md5(text) AS fp,
              len(t)::BIGINT AS wc,
@@ -799,10 +793,10 @@ object TrainingQueries {
            FROM (SELECT doc_id, source, lang, text, string_split(text, ' ') AS t FROM documents))
          SELECT source, count(*)::BIGINT AS n_docs,
            count(DISTINCT fp)::BIGINT AS n_distinct,
-           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
+           floor((1.0 - count(DISTINCT fp)::DOUBLE / count(*)) * 1e6) / 1e6 AS dup_rate,
            sum(wc)::BIGINT AS n_tokens,
-           round(sum(wc)::DOUBLE / count(*), 6) AS avg_tokens,
-           round(sum(q)::DOUBLE / count(*), 6) AS avg_quality,
+           floor(sum(wc)::DOUBLE / count(*) * 1e6) / 1e6 AS avg_tokens,
+           floor(sum(q)::DOUBLE / count(*) * 1e6) / 1e6 AS avg_quality,
            count(DISTINCT lang)::BIGINT AS n_langs
          FROM q GROUP BY source ORDER BY source""",
 

@@ -236,6 +236,11 @@ class CurationSpec extends SparkSpec {
     val docs = ((0 until 100).map(i => (i.toLong, "big")) ++
       (100 until 103).map(i => (i.toLong, "small")))
       .toDF("doc_id", "source")
+    // a NULL group is capped like any other, never dropped
+    val withNull = docs.union(
+      (200 until 210).map(i => (i.toLong, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    assert(Curation.capPerGroup(withNull, "doc_id", "source", cap = 7)
+      .filter(col("source").isNull).count() === 7L)
     val got = Curation.capPerGroup(docs, "doc_id", "source", cap = 7)
     val bySrc = got.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -266,15 +271,15 @@ class CurationSpec extends SparkSpec {
       .orderBy(col("source")).collect()
     val a = got(0)
     assert(a.getString(0) === "a" && a.getLong(1) === 3L && a.getLong(2) === 2L)
-    assert(a.getDouble(3) === 0.333333) // dup_rate rounded 6dp
-    assert(a.getLong(4) === 8L && a.getDouble(5) === 2.666667)
+    assert(a.getDouble(3) === 0.333333) // dup_rate floor-truncated 6dp
+    assert(a.getLong(4) === 8L && a.getDouble(5) === 2.666666)
     assert(a.getLong(7) === 2L) // en + de
     val b = got(1)
     assert(b.getString(0) === "b" && b.getLong(1) === 1L && b.getDouble(3) === 0.0)
-    // mean quality equals the per-doc score when the group is one doc
+    // mean of one doc = the same floor-truncation of its own score
     val q4 = docs.filter(col("doc_id") === 4L)
       .select(graft.text.TextFunctions.qualityScore(col("text"))).head().getDouble(0)
-    assert(b.getDouble(6) === q4)
+    assert(b.getDouble(6) === math.floor(q4 * 1e6) / 1e6)
   }
 
   test("dsirLogWeights: target-domain docs outscore off-domain ones") {

@@ -239,20 +239,15 @@ class PlanSpec extends SparkSpec {
       "token mass lost map-side partial aggregation")
   }
 
-  test("q69: per-group cap broadcasts the threshold table and pre-filters before the rank") {
+  test("q69: per-group cap prunes to cap rows per group map-side, no join at all") {
     val p = plan("q69_source_cap")
-    assert(p.contains("BroadcastHashJoin"), "threshold table not broadcast")
     assert(p.contains("Window"), "cap rank should be a window")
-    // the pre-filter (_key < _thr) runs BEFORE the window's exchange —
-    // Catalyst folds it straight into the broadcast join condition,
-    // so hot groups shed ~all rows map-side during the probe
-    assert(p.linesIterator.exists(l =>
-      l.contains("Join condition") && l.contains("_thr")),
-      "threshold pre-filter is not applied at the broadcast join")
-    // and the rank itself is group-limit pruned before the exchange
-    // (Spark rewrites row_number <= k into WindowGroupLimit), so even
-    // the pre-filtered rows top-k-prune map-side
-    assert(p.contains("WindowGroupLimit"),
-      "rank filter did not become a map-side group limit")
+    // Spark rewrites row_number <= k into WindowGroupLimit on BOTH
+    // sides of the exchange: each map partition emits at most cap rows
+    // per group before the shuffle, so a billion-row hot domain ships
+    // O(partitions * cap) rows — exact, and no threshold table needed
+    assert(p.linesIterator.count(_.matches("""\(\d+\) WindowGroupLimit.*""")) == 2,
+      "rank filter did not become map-side + reduce-side group limits")
+    assert(!p.contains("Join"), "per-group cap should not join anything")
   }
 }
