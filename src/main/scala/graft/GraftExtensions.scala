@@ -53,6 +53,18 @@ object GraftExtensions {
     }
   }
 
+  /** Fold a literal string argument (separators select compiled
+    * kernels, not row values).
+    */
+  private def strArg(fn: String, e: Expression): String = {
+    require(e.foldable, s"$fn: expected a literal string argument")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected a literal string argument, got $other")
+    }
+  }
+
   private def reg(name: String)(builder: Seq[Expression] => Expression): Reg =
     (FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftExtensions].getCanonicalName, null, name),
@@ -78,6 +90,9 @@ object GraftExtensions {
     reg("simhash60") { a => arity("simhash60", a, 1); SimHash60(a(0)) },
     reg("scrub_spans") { a =>
       arity("scrub_spans", a, 3); ScrubSpans(a(0), a(1), intArg("scrub_spans", a(2)))
+    },
+    reg("scrub_lines") { a =>
+      arity("scrub_lines", a, 3); ScrubLines(a(0), a(1), strArg("scrub_lines", a(2)))
     },
     reg("array_dot") { a => arity("array_dot", a, 2); ArrayDot(a(0), a(1)) },
     // Column compositions exposed to SQL through the bridge

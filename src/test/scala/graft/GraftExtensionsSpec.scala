@@ -30,6 +30,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) === viaApi)
     val err = intercept[Exception](sql.sql("SELECT shingles('a b', id + 1) FROM range(1)").collect())
     assert(err.getMessage.toLowerCase.contains("literal"))
+    // scrub_lines takes a literal separator and drops listed positions
+    val sl = sql.sql(
+      "SELECT scrub_lines('keep\none\nkeep', array(2L), '\n') AS r").head().getStruct(0)
+    assert(sl.getString(0) === "keep\nkeep" && sl.getLong(1) === 3L && sl.getLong(2) === 1L)
   }
 
   test("column compositions (text analysis, sample key) match the Scala API") {
