@@ -571,21 +571,59 @@ object Dedup {
     * (small) mapping — never over the corpus. The fast path costs a
     * single semi-join emptiness probe.
     */
-  def collapsePairs(pairs: DataFrame): DataFrame = {
+  def collapsePairs(pairs: DataFrame): DataFrame =
+    resolveChains(pairs.select(col("doc_a").as("keep"), col("doc_b").as("drop"))
+      .groupBy(col("drop")).agg(min(col("keep")).as("keep"))
+      .select(col("keep"), col("drop")))
+
+  /** [[collapsePairs]] with an explicit survivor policy: every doc maps
+    * to its best pair-neighbor by (score desc, id asc) — keep the
+    * longest / highest-quality duplicate instead of the smallest id,
+    * the policy production dedup actually wants. `scores` is one
+    * (doc_id, score) row per doc; docs that outrank all their
+    * neighbors survive (absent from the mapping). Chains resolve by
+    * the same pointer jumping — the keeper strictly outranks the drop
+    * along every edge, so chains are acyclic and shrink log-fast.
+    *
+    * Scale shape: edges join scores on doc ids (bounded keys), the
+    * argmax is one doc-keyed struct-max aggregate, and the jumping
+    * passes run over the drop-sized mapping, never the corpus.
+    */
+  def collapsePairsBy(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    val sx = scores.select(col("doc_id").as("x"), col("score").as("sx"))
+    val sy = scores.select(col("doc_id").as("y"), col("score").as("sy"))
+    val oriented = edges.join(sx, Seq("x")).join(sy, Seq("y"))
+      .filter(col("sy") > col("sx") ||
+        (col("sy") === col("sx") && col("y") < col("x")))
+    resolveChains(oriented
+      .groupBy(col("x").as("drop"))
+      .agg(max(struct(col("sy"), (-col("y")).as("ny"), col("y"))).as("m"))
+      .select(col("m.y").as("keep"), col("drop")))
+  }
+
+  /** Follow keeper chains in a (keep, drop) mapping to their roots by
+    * POINTER JUMPING: each pass re-points a drop at its keeper's
+    * keeper, halving every chain, so a chain of length L needs
+    * ceil(log2 L) passes, each one keyed join over the (small) mapping
+    * — never over the corpus. Requires the keeper to strictly outrank
+    * the drop in some fixed total order (min-id or best-score), which
+    * makes chains acyclic. The fast path costs a single semi-join
+    * emptiness probe.
+    */
+  private def resolveChains(mapping0: DataFrame): DataFrame = {
     // The mapping is persisted BEFORE the chain probe: the probe then
     // materializes the (small — one row per dropped doc) survivor map
     // once and every later pass plus the caller's own consumption read
     // the cache — without it the probe would re-run the whole upstream
     // pair generation a second time.
-    var mapping = pairs.select(col("doc_a").as("keep"), col("doc_b").as("drop"))
-      .groupBy(col("drop")).agg(min(col("keep")).as("keep"))
-      .select(col("keep"), col("drop"))
-      .persist()
+    var mapping = mapping0.persist()
     def parents(m: DataFrame): DataFrame =
       m.select(col("drop").as("keep"), col("keep").as("_parent"))
     def hasChain(m: DataFrame): Boolean =
       !m.join(parents(m).select(col("keep")), Seq("keep"), "left_semi").isEmpty
-    // keeps strictly decrease along a chain, so the jump count is
+    // keeper rank strictly improves along a chain, so the jump count is
     // bounded by log2 of the longest chain; 64 is unreachable armor
     var guard = 0
     var prev: Option[DataFrame] = None

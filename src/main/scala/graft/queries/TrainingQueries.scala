@@ -261,6 +261,17 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-aware cluster collapse: q45's near-dup edges, but every
+    // doc maps to its best neighbor by (n_chars desc, id asc) — keep
+    // the longest duplicate, the survivor policy production dedup
+    // wants. Chains resolve to the best reachable doc.
+    "q73_quality_collapse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      val scores = docs.select(col("doc_id"), col("n_chars").cast("long").as("score"))
+      Dedup.collapsePairsBy(pairs, scores).orderBy(col("drop"))
+    }),
+
     // BPE merge-pair statistics: adjacent character-pair counts over
     // the distinct-word table (frequencies ride along) — the argmax a
     // tokenizer trainer takes per merge step. Top 200 by count.
@@ -767,6 +778,37 @@ object TrainingQueries {
                  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
                FROM k)
          SELECT doc_id, source FROM r WHERE rk <= 5 ORDER BY doc_id""",
+
+    // Mirrors collapsePairsBy(score = n_chars): q45's pair CTE, edges
+    // oriented to the (score desc, id asc) better endpoint, argmax
+    // keeper per drop, chains followed to the root via a recursive CTE
+    // (exact for any diameter — the Spark side pointer-jumps).
+    "q73_quality_collapse" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [text]
+                  ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS sh
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+         pairs AS (SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+             FROM d a JOIN d b ON a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.5),
+         e AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         sc AS (SELECT doc_id, n_chars AS s FROM documents),
+         o AS (SELECT e.x, e.y, b.s AS sy FROM e
+               JOIN sc a ON e.x = a.doc_id JOIN sc b ON e.y = b.doc_id
+               WHERE b.s > a.s OR (b.s = a.s AND e.y < e.x)),
+         m AS (SELECT x AS drp, y AS keep FROM (
+             SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY sy DESC, y ASC) AS rn
+             FROM o) WHERE rn = 1),
+         r AS (SELECT drp, keep FROM m WHERE keep NOT IN (SELECT drp FROM m)
+               UNION
+               SELECT m.drp, r.keep FROM m JOIN r ON m.keep = r.drp)
+         SELECT keep, drp AS "drop" FROM r ORDER BY "drop"""",
 
     // Mirrors bpePairCounts: distinct-word frequencies, adjacent char
     // pairs, integer sums; same (count desc, pair) tiebreak.

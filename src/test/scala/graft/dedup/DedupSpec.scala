@@ -169,6 +169,20 @@ class DedupSpec extends SparkSpec {
     assert(out(2) === ((3L, "entirely distinct words only here now", 0L)))
   }
 
+  test("collapsePairsBy keeps the best-scoring doc; chains follow to the best root") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 5L), (2L, 7L), (3L, 9L), (4L, 6L), (5L, 6L))
+      .toDF("doc_id", "score")
+    val got = Dedup.collapsePairsBy(pairs, scores)
+      .orderBy(col("drop"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // chain 1-(2)-(3): 3 outranks all, both 1 and 2 collapse to it even
+    // though (1,3) is not a pair; tie 4=5 → smaller id 4 keeps, 5 drops
+    assert(got.toSeq === Seq((3L, 1L), (3L, 2L), (4L, 5L)))
+  }
+
   test("dedupLines: boilerplate lines cut, order kept, unique docs untouched") {
     val s = spark
     import s.implicits._
