@@ -219,6 +219,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q71/q72: corpus report and BPE pairs aggregate with map-side partials, no cartesian") {
+    Seq("q71_corpus_report", "q72_bpe_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan crosses the corpus with itself")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q lost map-side partial aggregation")
+    }
+  }
+
+  test("q73: quality collapse joins on bounded keys only — no cartesian from the score join") {
+    val p = plan("q73_quality_collapse")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "score/edge joins degenerated to a cross product")
+  }
+
   test("q67: line dedup windows over line HASHES — the text never crosses the dup shuffle") {
     val p = plan("q67_line_dedup")
     assert(p.contains("Window"), "cross-doc line test should be a window")
