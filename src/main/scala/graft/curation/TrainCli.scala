@@ -48,15 +48,28 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
     write(kept.join(drops, Seq(idCol), "left_anti"), out)
   }
 
+  /** Re-attach a (doc_id, clean text, count) frame onto the full input
+    * row so passenger columns (source, lang, …) survive the stage —
+    * every command must chain into every other.
+    */
+  private def withCleanText(docs: DataFrame, cleaned: DataFrame,
+      countCol: String): DataFrame =
+    docs.drop(textCol).join(
+      cleaned.select(col("doc_id").as(idCol),
+        col("clean_text").as(textCol), col(countCol)),
+      Seq(idCol))
+
   def dedupLines(in: String, out: String, minDocs: Int = 2): Long = {
-    val cleaned = Dedup.dedupLines(read(in), idCol, textCol, minDocs)
-      .select(col("doc_id").as(idCol), col("clean_text").as(textCol),
-        col("n_removed"))
-    write(cleaned, out)
+    val docs = read(in)
+    write(withCleanText(docs,
+      Dedup.dedupLines(docs, idCol, textCol, minDocs), "n_removed"), out)
   }
 
-  def scrub(in: String, out: String, n: Int = 8): Long =
-    write(Dedup.scrubDuplicatedSpans(read(in), idCol, textCol, n), out)
+  def scrub(in: String, out: String, n: Int = 8): Long = {
+    val docs = read(in)
+    write(withCleanText(docs,
+      Dedup.scrubDuplicatedSpans(docs, idCol, textCol, n), "n_cut"), out)
+  }
 
   def redact(in: String, out: String): Long =
     write(read(in).withColumn(textCol, Pii.redact(col(textCol))), out)
@@ -66,11 +79,11 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
     write(graft.streaming.CorpusStreams.contaminationFilter(
       read(in), textCol, read(probesIn), textCol, n, minShared), out)
 
-  def scrubContam(in: String, probesIn: String, out: String, n: Int = 8): Long =
-    write(Dedup.scrubContaminatedSpans(read(in), idCol, textCol,
-        read(probesIn), textCol, n)
-      .select(col("doc_id").as(idCol), col("clean_text").as(textCol),
-        col("n_cut")), out)
+  def scrubContam(in: String, probesIn: String, out: String, n: Int = 8): Long = {
+    val docs = read(in)
+    write(withCleanText(docs, Dedup.scrubContaminatedSpans(docs, idCol, textCol,
+      read(probesIn), textCol, n), "n_cut"), out)
+  }
 
   def weights(in: String, out: String, targetCol: String, targetValue: String): Long =
     write(Curation.dsirLogWeights(read(in), idCol, textCol,

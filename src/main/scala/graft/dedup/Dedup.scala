@@ -363,15 +363,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
 
-  /** Per-document positions of cross-document duplicated spans — the
-    * cut list a span-level scrubber consumes. ONE pass: a window over
-    * the gram partition decides cross-doc duplication in place, so the
-    * expensive gram explosion runs once and the gram strings cross
-    * exactly one shuffle (vs. the semi-join formulation's two scans +
-    * two shuffles). For the common minDocs=2 the test is
-    * `min(doc_id) != max(doc_id)` — exact and state-free; larger
-    * thresholds fall back to a distinct-set window.
-    */
   /** In-place cross-document test over a `partCol` window: true iff at
     * least `minDocs` DISTINCT `docCol` values share the partition. The
     * minDocs=2 case is a state-free min≠max; larger thresholds count
@@ -391,6 +382,13 @@ object Dedup {
         .over(Window.partitionBy(partCol)) >= minDocs
   }
 
+  /** Per-document positions of cross-document duplicated spans — the
+    * cut list a span-level scrubber consumes. ONE pass: a
+    * [[crossDocTest]] window over the gram partition decides cross-doc
+    * duplication in place, so the expensive gram explosion runs once
+    * and the gram strings cross exactly one shuffle (vs. the semi-join
+    * formulation's two scans + two shuffles).
+    */
   def docDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int = 2): DataFrame =
@@ -590,17 +588,27 @@ object Dedup {
     * passes run over the drop-sized mapping, never the corpus.
     */
   def collapsePairsBy(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
       .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
     val sx = scores.select(col("doc_id").as("x"), col("score").as("sx"))
     val sy = scores.select(col("doc_id").as("y"), col("score").as("sy"))
-    val oriented = edges.join(sx, Seq("x")).join(sy, Seq("y"))
-      .filter(col("sy") > col("sx") ||
-        (col("sy") === col("sx") && col("y") < col("x")))
+    // left joins + raise_error IN THE FILTER: an endpoint missing from
+    // `scores` must fail loudly — an inner join would silently drop
+    // the edge and let both near-duplicates survive, and an asserted
+    // column that nothing reads would be pruned out of the plan
+    val scored = edges.join(sx, Seq("x"), "left").join(sy, Seq("y"), "left")
+      .filter(when(col("sx").isNotNull && col("sy").isNotNull, lit(true))
+        .otherwise(raise_error(
+          lit("collapsePairsBy: a paired doc is missing from scores"))))
+    val oriented = scored.filter(col("sy") > col("sx") ||
+      (col("sy") === col("sx") && col("y") < col("x")))
+    // row_number, not a struct-argmax with a negated id: works for any
+    // orderable id type (string UUIDs included), like collapsePairs
+    val w = Window.partitionBy(col("x")).orderBy(col("sy").desc, col("y").asc)
     resolveChains(oriented
-      .groupBy(col("x").as("drop"))
-      .agg(max(struct(col("sy"), (-col("y")).as("ny"), col("y"))).as("m"))
-      .select(col("m.y").as("keep"), col("drop")))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("y").as("keep"), col("x").as("drop")))
   }
 
   /** Follow keeper chains in a (keep, drop) mapping to their roots by

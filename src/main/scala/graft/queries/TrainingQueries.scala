@@ -27,14 +27,31 @@ object TrainingQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** The 3-word-shingle DuckDB fragment shared by the jaccard oracles. */
-  private val shingleCte =
-    """WITH d AS (
+  /** The 3-word-shingle DuckDB fragment shared by the jaccard oracles
+    * (body without the WITH keyword so both `WITH` and `WITH
+    * RECURSIVE` callers can interpolate it).
+    */
+  private val shingleCteBody =
+    """d AS (
          SELECT doc_id,
            CASE WHEN len(t) < 3 THEN [text]
                 ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS sh
          FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))"""
+
+  private val shingleCte = "WITH " + shingleCteBody
+
+  /** `pairs AS (...)` — the tau=0.5 exact-jaccard pair CTE over `d`,
+    * shared by the q45/q73 collapse oracles.
+    */
+  private val jaccardPairsCte =
+    """pairs AS (
+         SELECT doc_a, doc_b FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+           FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.5)"""
 
   private val jaccardPairsSql =
     s"""$shingleCte
@@ -618,13 +635,7 @@ object TrainingQueries {
            FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
          WHERE ham <= 3 AND jaccard >= 0.5 ORDER BY doc_a, doc_b""",
     "q45_dedup_clusters" ->
-      s"""$shingleCte, pairs AS (
-           SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-             FROM d a JOIN d b ON a.doc_id < b.doc_id)
-           WHERE jaccard >= 0.5)
+      s"""$shingleCte, $jaccardPairsCte
          SELECT DISTINCT
            min(doc_a) OVER (PARTITION BY doc_b) AS keep,
            doc_b AS "drop"
@@ -784,18 +795,7 @@ object TrainingQueries {
     // keeper per drop, chains followed to the root via a recursive CTE
     // (exact for any diameter — the Spark side pointer-jumps).
     "q73_quality_collapse" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id,
-             CASE WHEN len(t) < 3 THEN [text]
-                  ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
-                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS sh
-           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
-         pairs AS (SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-             FROM d a JOIN d b ON a.doc_id < b.doc_id)
-           WHERE jaccard >= 0.5),
+      s"""WITH RECURSIVE $shingleCteBody, $jaccardPairsCte,
          e AS (SELECT doc_a AS x, doc_b AS y FROM pairs
                UNION ALL SELECT doc_b, doc_a FROM pairs),
          sc AS (SELECT doc_id, n_chars AS s FROM documents),

@@ -53,10 +53,14 @@ class TrainCliSpec extends SparkSpec {
       .write.parquet(s"$root/docs")
 
     assert(cli.dedupLines(s"$root/docs", s"$root/l1") === 4L)
-    val cleaned = spark.read.parquet(s"$root/l1")
+    val l1 = spark.read.parquet(s"$root/l1")
+    val cleaned = l1.select(col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(cleaned(1L) === "unique one" && cleaned(2L) === "unique two")
     assert(cleaned(3L) === "unique three alone here")
+    // passenger columns survive the stage, so any command chains after
+    assert(l1.columns.contains("source"))
+    assert(cli.cap(s"$root/l1", s"$root/l2", "source", maxDocs = 2) === 3L)
 
     assert(cli.cap(s"$root/docs", s"$root/c1", "source", maxDocs = 2) === 3L)
     val capped = spark.read.parquet(s"$root/c1")
