@@ -348,6 +348,46 @@ object Curation {
         size(split(col("c.txt"), " ")).cast("long").as("n_words"))
   }
 
+  /** CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    * arXiv:1911.00359 — there via KenLM): per-document unigram
+    * cross-entropy under the corpus' OWN unigram model with add-one
+    * smoothing, `-(1/n) Σ_w log P(w)`. Common boilerplate-ish words
+    * score low (head), rare-garbage-heavy docs score high (tail) —
+    * compose with [[perplexityBucket]] cutoffs for CCNet's
+    * head/middle/tail split. Returns (doc_id, n_tokens, xent).
+    *
+    * Engine-exact: per-word log-probs round to 6 decimals and sum as
+    * DECIMAL (order-independent); the final per-doc mean divides once
+    * and floor-truncates to 6dp. Scale shape: identical to
+    * [[dsirLogWeights]] — one vocab-keyed count aggregate, a 1-row
+    * totals broadcast, a postings join back, a doc-keyed sum.
+    */
+  def crossEntropyScores(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val logps = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        round(log((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double")), 6)
+          .cast("decimal(16,6)").as("lp"))
+    words.join(logps, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp")).as("slp"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(-col("slp").cast("double") / col("n_tokens") * 1e6) / 1e6).as("xent"))
+  }
+
+  /** CCNet head/middle/tail assignment from fixed cross-entropy
+    * cutoffs (derived offline, like CCNet's per-language percentile
+    * tables) — a map-only CASE, no global sort/ntile at scale.
+    */
+  def perplexityBucket(xent: Column, headBelow: Double, middleBelow: Double): Column =
+    when(xent < headBelow, lit("head"))
+      .when(xent < middleBelow, lit("middle"))
+      .otherwise(lit("tail"))
+
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
     * score every document by how much more likely its words are under
     * a unigram model of the TARGET domain than under the corpus model,

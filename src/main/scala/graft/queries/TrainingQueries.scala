@@ -278,6 +278,16 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style LM quality scoring: per-doc unigram cross-entropy
+    // under the corpus' own model, bucketed head/middle/tail by fixed
+    // cutoffs — the perplexity-filter stage.
+    "q74_lm_xent" -> ((s, dir) => {
+      Curation.crossEntropyScores(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("bucket",
+          Curation.perplexityBucket(col("xent"), headBelow = 3.40, middleBelow = 3.41))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality-aware cluster collapse: q45's near-dup edges, but every
     // doc maps to its best neighbor by (n_chars desc, id asc) — keep
     // the longest duplicate, the survivor policy production dedup
@@ -789,6 +799,24 @@ object TrainingQueries {
                  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
                FROM k)
          SELECT doc_id, source FROM r WHERE rk <= 5 ORDER BY doc_id""",
+
+    // Mirrors crossEntropyScores + perplexityBucket(3.40, 3.41):
+    // per-word smoothed log-prob rounded 6dp, DECIMAL sum, one
+    // floor-truncated division, CASE buckets.
+    "q74_lm_xent" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+         t AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+         lp AS (SELECT w, round(ln((c + 1)::DOUBLE / (n + v)::DOUBLE), 6)::DECIMAL(16,6) AS lp
+                FROM c CROSS JOIN t),
+         d AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 floor(-sum(lp)::DOUBLE / count(*) * 1e6) / 1e6 AS xent
+               FROM w JOIN lp USING (w) GROUP BY doc_id)
+         SELECT doc_id, n_tokens, xent,
+           CASE WHEN xent < 3.40 THEN 'head'
+                WHEN xent < 3.41 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM d ORDER BY doc_id""",
 
     // Mirrors collapsePairsBy(score = n_chars): q45's pair CTE, edges
     // oriented to the (score desc, id asc) better endpoint, argmax

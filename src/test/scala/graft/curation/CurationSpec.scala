@@ -282,6 +282,27 @@ class CurationSpec extends SparkSpec {
     assert(b.getDouble(6) === math.floor(q4 * 1e6) / 1e6)
   }
 
+  test("crossEntropyScores: rare-word docs score higher than common-word docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the the the the cat"), // dominated by the commonest word
+      (2L, "zyx qwv jkl pqr mno"), // all singletons
+      (3L, "the cat and the dog"))
+      .toDF("doc_id", "text")
+    val got = Curation.crossEntropyScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 5L)
+    // common words = low cross-entropy (head), rare garbage = high (tail)
+    assert(got(1L)._2 < got(3L)._2 && got(3L)._2 < got(2L)._2)
+    val bucket = Curation.perplexityBucket(col("xent"),
+      headBelow = got(3L)._2, middleBelow = got(2L)._2)
+    val buckets = Curation.crossEntropyScores(docs, "doc_id", "text")
+      .withColumn("b", bucket)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(buckets === Map(1L -> "head", 3L -> "middle", 2L -> "tail"))
+  }
+
   test("dsirLogWeights: target-domain docs outscore off-domain ones") {
     val s = spark
     import s.implicits._
