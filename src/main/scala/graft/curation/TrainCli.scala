@@ -19,6 +19,7 @@ import graft.text.Pii
   *   decontam    drop docs overlapping a probe (eval) corpus
   *   scrubContam cut only the spans matching probe n-grams
   *   weights     DSIR importance scores against a target filter
+  *   xent        LM cross-entropy quality scores (CCNet buckets)
   *   mix         weighted multi-source composition (rows or tokens)
   *   cap         at-most-N-documents-per-source gate
   *   chunk       sliding-window chunking
@@ -88,6 +89,13 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
   def weights(in: String, out: String, targetCol: String, targetValue: String): Long =
     write(Curation.dsirLogWeights(read(in), idCol, textCol,
       col(targetCol) === targetValue), out)
+
+  def xent(in: String, out: String,
+      headBelow: Double = Double.MaxValue,
+      middleBelow: Double = Double.MaxValue): Long =
+    write(Curation.crossEntropyScores(read(in), idCol, textCol)
+      .withColumn("bucket",
+        Curation.perplexityBucket(col("xent"), headBelow, middleBelow)), out)
 
   def mix(in: String, out: String, sourceCol: String,
       weights: Map[String, Double], byTokens: Boolean = false): Long = {

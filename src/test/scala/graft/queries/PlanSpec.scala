@@ -235,6 +235,15 @@ class PlanSpec extends SparkSpec {
       "score/edge joins degenerated to a cross product")
   }
 
+  test("q74: LM cross-entropy keeps q63's shape — partial aggs, only the 1-row totals nests") {
+    val p = plan("q74_lm_xent")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "vocab counts lost map-side partial aggregation")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 1,
+      "something besides the 1-row totals is nested-loop joined")
+  }
+
   test("q67: line dedup windows over line HASHES — the text never crosses the dup shuffle") {
     val p = plan("q67_line_dedup")
     assert(p.contains("Window"), "cross-doc line test should be a window")
