@@ -278,6 +278,16 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style blocklist gate: drop every document containing any
+    // listed word — one codegen'd map-only filter, no shuffle.
+    "q75_blocklist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(!TextFunctions.containsBlocklisted(col("text"),
+          Seq("window", "salt", "bloom")))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style LM quality scoring: per-doc unigram cross-entropy
     // under the corpus' own model, bucketed head/middle/tail by fixed
     // cutoffs — the perplexity-filter stage.
@@ -799,6 +809,14 @@ object TrainingQueries {
                  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
                FROM k)
          SELECT doc_id, source FROM r WHERE rk <= 5 ORDER BY doc_id""",
+
+    // Mirrors containsBlocklisted: set-intersection emptiness over the
+    // distinct token list.
+    "q75_blocklist" ->
+      """SELECT doc_id, source FROM documents
+         WHERE len(list_intersect(list_distinct(string_split(text, ' ')),
+                   ['window', 'salt', 'bloom'])) = 0
+         ORDER BY doc_id""",
 
     // Mirrors crossEntropyScores + perplexityBucket(3.40, 3.41):
     // per-word smoothed log-prob rounded 6dp, DECIMAL sum, one

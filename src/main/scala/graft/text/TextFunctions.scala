@@ -55,6 +55,17 @@ object TextFunctions {
       size(tokens(text))
   }
 
+  /** C4-style blocklist test: true iff any whitespace token is in
+    * `words` (C4 drops the whole document on one hit). A codegen'd
+    * arrays_overlap against a literal array — right for word lists up
+    * to a few thousand entries; for larger lexica use the broadcast
+    * probe machinery (SketchFunctions.probe_shared_count) instead.
+    */
+  def containsBlocklisted(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty)
+    arrays_overlap(tokenSet(text), array(words.map(lit): _*))
+  }
+
   /** Composite quality score in [0,1]: word count (saturating at 50),
     * lexical diversity, mean word length (saturating at 8), stopword
     * presence. Weights are fixed; result truncated (not rounded) to 6

@@ -140,6 +140,20 @@ class TextSpec extends SparkSpec {
     assert(approx === Set(("a", 4L), ("d", 4L), ("b", 3L)))
   }
 
+  test("containsBlocklisted: whole-token match only, any single hit flags") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a clean document here"),
+      (2L, "contains the banned word"),
+      (3L, "bannedword as a substring only")).toDF("doc_id", "text")
+    val flagged = docs
+      .filter(TextFunctions.containsBlocklisted(col("text"), Seq("banned", "other")))
+      .collect().map(_.getLong(0))
+    // doc 3's 'bannedword' is NOT a token match — C4 blocks on words
+    assert(flagged.toSeq === Seq(2L))
+  }
+
   test("bpePairCounts: word-frequency-weighted adjacent char pairs, 1-char words skipped") {
     val s = spark
     import s.implicits._
