@@ -169,6 +169,25 @@ class DedupSpec extends SparkSpec {
     assert(out(2) === ((3L, "entirely distinct words only here now", 0L)))
   }
 
+  test("crossDocTest minDocs>2 (dense_rank path): pair-only grams spared, 3-doc grams cut") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c x1 q q q"), // 'a b c' in docs 1,2,3; 'q q q' in doc 1 only
+      (2L, "a b c x2 d e f"),
+      (3L, "a b c x3 d e f"), // 'd e f' in docs 2,3 only
+      (4L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val spans3 = Dedup.docDuplicatedSpans(df, "doc_id", "text", n = 3, minDocs = 3)
+      .select(col("gram")).distinct().collect().map(_.getString(0)).toSet
+    // only the gram shared by >= 3 DISTINCT docs survives; the 2-doc
+    // 'd e f' does not (dense_rank counts distinct docs, not rows)
+    assert(spans3 === Set("a b c"))
+    val spans2 = Dedup.docDuplicatedSpans(df, "doc_id", "text", n = 3, minDocs = 2)
+      .select(col("gram")).distinct().collect().map(_.getString(0)).toSet
+    assert(spans2.contains("d e f") && spans2.contains("a b c"))
+  }
+
   test("collapsePairsBy keeps the best-scoring doc; chains follow to the best root") {
     val s = spark
     import s.implicits._
