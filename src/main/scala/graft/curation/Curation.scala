@@ -362,15 +362,40 @@ object Curation {
     * [[dsirLogWeights]] — one vocab-keyed count aggregate, a 1-row
     * totals broadcast, a postings join back, a doc-keyed sum.
     */
+  /** Exploded (doc_id[, is_t], w) words, vocab-keyed counts, and the
+    * 1-row totals — the shared scaffold of the unigram scorers
+    * ([[dsirLogWeights]], [[crossEntropyScores]]). The log-prob
+    * expressions stay with their operators (DSIR rounds the
+    * DIFFERENCE of two logs once; cross-entropy rounds its single
+    * log), but the explode/count/broadcast shape and the add-one
+    * smoothing denominators live here so a change to one scorer
+    * cannot silently miss the other.
+    */
+  private def unigramModel(
+      df: DataFrame, idCol: String, textCol: String,
+      isTarget: Option[Column]): (DataFrame, DataFrame, DataFrame) = {
+    val cols = Seq(col(idCol).as("doc_id")) ++ isTarget.map(_.as("is_t")).toSeq :+
+      explode(graft.text.TextFunctions.tokens(col(textCol))).as("w")
+    val words = df.select(cols: _*)
+    val counts =
+      if (isTarget.isDefined)
+        words.groupBy(col("w")).agg(count(lit(1)).as("c_all"),
+          sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+      else words.groupBy(col("w")).agg(count(lit(1)).as("c_all"))
+    val totals =
+      if (isTarget.isDefined)
+        counts.agg(sum(col("c_all")).as("n_all"), sum(col("c_t")).as("n_t"),
+          count(lit(1)).as("v"))
+      else counts.agg(sum(col("c_all")).as("n_all"), count(lit(1)).as("v"))
+    (words, counts, totals)
+  }
+
   def crossEntropyScores(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol).as("doc_id"),
-      explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
-    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val (words, counts, totals) = unigramModel(df, idCol, textCol, None)
     val logps = counts.crossJoin(broadcast(totals))
       .select(col("w"),
-        round(log((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double")), 6)
+        round(log((col("c_all") + 1).cast("double") / (col("n_all") + col("v")).cast("double")), 6)
           .cast("decimal(16,6)").as("lp"))
     words.join(logps, Seq("w"))
       .groupBy(col("doc_id"))
@@ -409,13 +434,7 @@ object Curation {
   def dsirLogWeights(
       df: DataFrame, idCol: String, textCol: String,
       isTarget: Column): DataFrame = {
-    val words = df.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
-      explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
-    val counts = words.groupBy(col("w"))
-      .agg(count(lit(1)).as("c_all"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
-    val totals = counts.agg(sum(col("c_all")).as("n_all"),
-      sum(col("c_t")).as("n_t"), count(lit(1)).as("v"))
+    val (words, counts, totals) = unigramModel(df, idCol, textCol, Some(isTarget))
     val ratios = counts.crossJoin(broadcast(totals))
       .select(col("w"),
         round(

@@ -90,12 +90,18 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
     write(Curation.dsirLogWeights(read(in), idCol, textCol,
       col(targetCol) === targetValue), out)
 
+  /** Without cutoffs, emits scores only — a default threshold would
+    * silently put every doc in one bucket and make a downstream
+    * "keep head" filter a no-op that looks like it ran.
+    */
   def xent(in: String, out: String,
-      headBelow: Double = Double.MaxValue,
-      middleBelow: Double = Double.MaxValue): Long =
-    write(Curation.crossEntropyScores(read(in), idCol, textCol)
-      .withColumn("bucket",
-        Curation.perplexityBucket(col("xent"), headBelow, middleBelow)), out)
+      cutoffs: Option[(Double, Double)] = None): Long = {
+    val scores = Curation.crossEntropyScores(read(in), idCol, textCol)
+    write(cutoffs.fold(scores) { case (headBelow, middleBelow) =>
+      scores.withColumn("bucket",
+        Curation.perplexityBucket(col("xent"), headBelow, middleBelow))
+    }, out)
+  }
 
   def mix(in: String, out: String, sourceCol: String,
       weights: Map[String, Double], byTokens: Boolean = false): Long = {

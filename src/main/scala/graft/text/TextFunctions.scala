@@ -63,7 +63,10 @@ object TextFunctions {
     */
   def containsBlocklisted(text: Column, words: Seq[String]): Column = {
     require(words.nonEmpty)
-    arrays_overlap(tokenSet(text), array(words.map(lit): _*))
+    // raw tokens, not tokenSet: duplicates cannot change an overlap
+    // test, and array_distinct would add a per-row pass + allocation
+    // to a full-corpus map-only scan
+    arrays_overlap(tokens(text), array(words.map(lit): _*))
   }
 
   /** Composite quality score in [0,1]: word count (saturating at 50),
