@@ -51,11 +51,11 @@ object Joins {
       val packed = struct((orderNames ++ rest).distinct.map(col): _*)
       df.groupBy(keys.map(col): _*)
         .agg(pick(packed).as("__m"))
-        .select(df.columns.map(c =>
+        .select(df.columns.toIndexedSeq.map(c =>
           if (keys.contains(c)) col(c) else col(s"__m.$c").as(c)): _*)
     } else {
       // Expression tiebreaks: carry them alongside the packed full row.
-      val row = struct(df.columns.map(col): _*).as("__row")
+      val row = struct(df.columns.toIndexedSeq.map(col): _*).as("__row")
       val packed = struct(order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+ row: _*)
       df.groupBy(keys.map(col): _*)
         .agg(pick(packed).as("__m"))

@@ -303,7 +303,7 @@ object Similarity {
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val lists = spark.read.parquet(path)
-      .filter(col("list_id").isin(probedLists: _*))
+      .filter(col("list_id").isin(probedLists.toIndexedSeq: _*))
     val scored = lists.join(probes, Seq("list_id"))
       .withColumn("cos", cosineWithNorms(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
