@@ -235,6 +235,17 @@ class PlanSpec extends SparkSpec {
       "score/edge joins degenerated to a cross product")
   }
 
+  test("q75: blocklist gate is a map-only pruned scan — no join, no shuffle before the sort") {
+    val p = plan("q75_blocklist")
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      "blocklist gate should be a pure scan-filter pipeline")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "extra shuffle in the blocklist pipeline")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("n_chars"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
   test("q74: LM cross-entropy keeps q63's shape — partial aggs, only the 1-row totals nests") {
     val p = plan("q74_lm_xent")
     assert(!p.contains("CartesianProduct"))
