@@ -39,4 +39,25 @@ object Skew {
       explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, keys :+ "_salt").drop("_salt")
   }
+
+  /** Drop rows whose `keyCol` value occurs in more than `cap` rows —
+    * the df-cap guard for inverted-index/LSH-bucket self-joins, where
+    * one degenerate hot key (a stop-shingle, an empty-document LSH
+    * bucket) contributes |key|² candidate pairs: a straggler task and
+    * a candidate-volume explosion in one. `None` = no guard. The key
+    * frequencies aggregate with map-side partials; the hot-key set is
+    * tiny on any Zipfian distribution (a handful of keys above cap),
+    * so AQE broadcasts the anti join at runtime — and when a
+    * pathological input really does have |rows|/cap hot keys, the
+    * fallback shuffle is on the same key the downstream pair join
+    * shuffles on anyway.
+    */
+  def dropHotKeys(df: DataFrame, keyCol: String, cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(c) =>
+        val hot = df.groupBy(col(keyCol)).agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > c).select(col(keyCol))
+        df.join(hot, Seq(keyCol), "left_anti")
+      case None => df
+    }
 }

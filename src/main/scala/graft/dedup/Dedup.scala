@@ -183,13 +183,7 @@ object Dedup {
       tau: Double,
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val idx0 = shingleIndex(df, idCol, textCol, n)
-    val idx = maxShingleDocFreq match {
-      case Some(cap) =>
-        val hot = idx0.groupBy(col("sh")).agg(count(lit(1)).as("df_"))
-          .filter(col("df_") > cap).select(col("sh"))
-        idx0.join(hot, Seq("sh"), "left_anti")
-      case None => idx0
-    }
+    val idx = graft.core.Skew.dropHotKeys(idx0, "sh", maxShingleDocFreq)
     // na/nb are functionally dependent on doc_a/doc_b, so carrying them
     // in the grouping key is free — and the sizes arrive with the
     // postings, so the Jaccard is computed straight out of the
@@ -233,6 +227,17 @@ object Dedup {
     * among LSH candidates — for corpora whose similarity distribution
     * is bimodal (near-dups vs noise) this equals the exact result with
     * overwhelming probability.
+    *
+    * @param maxBucketDocFreq drop band buckets holding more than this
+    *   many docs from the candidate join — the LSH analog of
+    *   [[jaccardPairs]]'s `maxShingleDocFreq`. A web-scale corpus has
+    *   degenerate hot buckets (empty/boilerplate documents share one
+    *   signature) whose pair fan-out is |bucket|² — one such bucket is
+    *   a straggler task AND a candidate-volume explosion. Exactness
+    *   caveat: pairs colliding ONLY in dropped buckets are missed;
+    *   their members are mutual near-dups of one template, so exact
+    *   dedup ([[dedupExact]]) or a per-bucket representative pass
+    *   covers them. Pass None (default) for the unguarded join.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -241,11 +246,13 @@ object Dedup {
       n: Int = 3,
       tau: Double = 0.5,
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      maxBucketDocFreq: Option[Int] = None): DataFrame = {
     val sh = df.select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), n).as("sh"))
-    val buckets = sh.select(
+    val buckets0 = sh.select(
       col("doc"),
       explode(lshBandKeys(col("sh"), numHashes, bands)).as("bucket"))
+    val buckets = graft.core.Skew.dropHotKeys(buckets0, "bucket", maxBucketDocFreq)
     val candidates = buckets.as("l")
       .join(buckets.as("r").hint("shuffle_hash"), col("l.bucket") === col("r.bucket"))
       .filter(col("l.doc") < col("r.doc"))

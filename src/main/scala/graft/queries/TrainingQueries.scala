@@ -339,8 +339,8 @@ object TrainingQueries {
 
     // IVF-Flat ANN (the second scale path beside q28's LSH): inverted
     // lists by nearest centroid, nprobe-list probing. Full DuckDB
-    // oracle: the deterministic quantizer (lowest-id centroids, argmax
-    // cosine assignment) is pure SQL — no hashing involved; recall vs
+    // oracle: the deterministic quantizer (md5-sampled seed centroids,
+    // argmax cosine assignment) replays exactly in SQL; recall vs
     // q27's exact top-k additionally measured in SimilaritySpec.
     "q40_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -436,7 +436,7 @@ object TrainingQueries {
     // SemDeDup: semantic dedup by coarse clustering — pairs compared
     // only within a centroid cell, each drop mapped to its smallest
     // near-enough clustermate. Deterministic seed quantizer (16
-    // lowest-id vectors), so the oracle replays the exact assignment.
+    // md5-sampled vectors), so the oracle replays the exact assignment.
     "q62_semdedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").cast("long").as("c_id"),
@@ -687,13 +687,15 @@ object TrainingQueries {
                ORDER BY ${duckCosPre("q", "c")} DESC, c.vec_id) AS rank
            FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id >= 10)
          WHERE rank <= 5 ORDER BY q_id, rank""",
-    // Mirrors ivfTopK(nlist=16, nprobe=4): centroids = 16 lowest-id
-    // corpus vectors, assignment/probing by rounded cosine with
-    // centroid-id tiebreak — pure SQL, no hashing.
+    // Mirrors ivfTopK(nlist=16, nprobe=4): centroids = the 16 corpus
+    // vectors sorting first by md5(vec_id) (seedCentroids' uniform
+    // deterministic sample), assignment/probing by rounded cosine with
+    // centroid-id tiebreak.
     "q40_ann_ivf" ->
       s"""$embCte,
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
-                  FROM n WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+                  FROM n WHERE vec_id >= 10
+                  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
          c AS (SELECT vec_id AS c_id, emb, nrm FROM n WHERE vec_id >= 10),
          q AS (SELECT vec_id AS q_id, emb, nrm FROM n WHERE vec_id < 10),
          assigned AS (SELECT list_id, c_id, emb, nrm FROM (
@@ -992,12 +994,12 @@ object TrainingQueries {
          FROM w JOIN r USING (w) GROUP BY doc_id ORDER BY doc_id""",
 
     // Mirrors semDedup(tau=0.45, nlist=16): q40's seed-centroid
-    // assignment (16 lowest-id vectors), within-cell pairs, each drop
-    // keyed to its smallest keeper.
+    // assignment (seedCentroids' md5-ordered sample), within-cell
+    // pairs, each drop keyed to its smallest keeper.
     "q62_semdedup" ->
       s"""$embCte,
          cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
-                  FROM n ORDER BY vec_id LIMIT 16),
+                  FROM n ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
          a AS (SELECT list_id, c_id, emb, nrm FROM (
            SELECT ct.cent_id AS list_id, n.vec_id AS c_id, n.emb, n.nrm,
              row_number() OVER (PARTITION BY n.vec_id ORDER BY

@@ -122,13 +122,28 @@ object Similarity {
     * `nprobe` lists nearest to it. The partition-pruning analog for
     * vector search: candidate work drops by ~nlist/nprobe.
     *
-    * The quantizer here is deterministic — the `nlist` lowest-id corpus
-    * vectors serve as centroids (a sampled quantizer; production IVF
-    * k-means-refines them, which changes WHICH vectors the lists hold
-    * but none of the dataflow below). Centroids are a small dimension:
+    * The quantizer here is deterministic — [[seedCentroids]]'s
+    * md5-sampled corpus vectors (production IVF k-means-refines them,
+    * which changes WHICH vectors the lists hold but none of the
+    * dataflow below). Centroids are a small dimension:
     * broadcast to both assignment joins, so the corpus never shuffles
     * for assignment — the only wide exchange is the per-query top-k.
     */
+  /** Default seed quantizer shared by [[semDedup]], [[ivfTopK]],
+    * [[writeIvfIndex]] and [[kmeansCentroids]]: the `nlist` corpus
+    * vectors that sort first by `md5(c_id)` — a deterministic uniform
+    * sample. NOT the lowest-id vectors: real corpora arrive sorted by
+    * source or time, so an id-prefix seed concentrates every centroid
+    * in one source and the remaining cells degenerate. The md5 order
+    * is content-independent, replayable by an independent engine in
+    * SQL (the DuckDB oracles recompute it verbatim), and stable under
+    * re-partitioning. [[kmeansCentroids]] is still the production
+    * refresh; this is only the seed.
+    */
+  def seedCentroids(corpus: DataFrame, nlist: Int): DataFrame =
+    corpus.orderBy(md5(col("c_id").cast("string")), col("c_id")).limit(nlist)
+      .select(col("c_id").cast("long").as("cent_id"), col("c_emb").as("cent_emb"))
+
   /** Distributed Lloyd refresh of the IVF coarse quantizer (spherical
     * k-means: assign by max cosine, update by element-wise mean — the
     * mean's scale is irrelevant to cosine assignment). Returns
@@ -147,10 +162,9 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
-    // deterministic seed: the nlist lowest-id vectors (the same sampled
-    // quantizer ivfTopK defaults to)
-    var cent = corpus.orderBy(col("c_id")).limit(nlist)
-      .select(col("c_id").cast("long").as("cent_id"), col("c_emb").as("cent_emb"))
+    // deterministic seed: the same md5-sampled quantizer ivfTopK
+    // defaults to
+    var cent = seedCentroids(corpus, nlist)
     val c = corpus.withColumn("c_norm", norm(col("c_emb"))).persist()
     try {
       for (_ <- 1 to iters) {
@@ -191,9 +205,7 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val cent = centroids.getOrElse(
-        corpus.orderBy(col("c_id")).limit(nlist)
-          .select(col("c_id").as("cent_id"), col("c_emb").as("cent_emb")))
+    val cent = centroids.getOrElse(seedCentroids(corpus, nlist))
       .select(col("cent_id"), col("cent_emb"))
       .withColumn("cent_norm", norm(col("cent_emb")))
     val c = corpus.withColumn("c_norm", norm(col("c_emb")))
@@ -255,9 +267,7 @@ object Similarity {
       path: String,
       nlist: Int = 16,
       centroids: Option[DataFrame] = None): Unit = {
-    val cent = centroids.getOrElse(
-        corpus.orderBy(col("c_id")).limit(nlist)
-          .select(col("c_id").cast("long").as("cent_id"), col("c_emb").as("cent_emb")))
+    val cent = centroids.getOrElse(seedCentroids(corpus, nlist))
       .select(col("cent_id"), col("cent_emb"))
     val centN = cent.withColumn("cent_norm", norm(col("cent_emb")))
     val c = corpus.withColumn("c_norm", norm(col("c_emb")))
@@ -373,15 +383,29 @@ object Similarity {
     * quantizer controls (nlist grows with the corpus; refresh centroids
     * with [[kmeansCentroids]]). `shuffle_hash` keeps AQE from
     * driver-building a broadcast of a corpus-sized side.
+    *
+    * Skew guard: the quantizer does NOT bound the largest cell — at
+    * web scale one dense cell (boilerplate embeddings collapse to a
+    * point) is a single O(|cell|²) straggler task. Cells larger than
+    * `saltCellRows` are therefore salted: the right side of the pair
+    * join keys each row into one of S = ceil(|cell|/saltCellRows)
+    * (≤ `maxSalts`) id-hash sub-buckets and the left side replicates
+    * across all S, so the cell's pair work lands on S tasks instead of
+    * one. Salting replicates left rows of oversized cells only and
+    * NEVER changes the output — every in-cell (a < b) pair still meets
+    * exactly once, at the right row's sub-bucket. Deterministic
+    * (salt = xxhash64 of the id, never rand()), so retries repartition
+    * identically.
     */
   def semDedup(
       corpus: DataFrame, // (c_id, c_emb: array<double>)
       tau: Double,
       nlist: Int = 16,
-      centroids: Option[DataFrame] = None): DataFrame = {
-    val cent = centroids.getOrElse(
-        corpus.orderBy(col("c_id")).limit(nlist)
-          .select(col("c_id").cast("long").as("cent_id"), col("c_emb").as("cent_emb")))
+      centroids: Option[DataFrame] = None,
+      saltCellRows: Int = 1 << 13,
+      maxSalts: Int = 64): DataFrame = {
+    require(saltCellRows >= 1 && maxSalts >= 1)
+    val cent = centroids.getOrElse(seedCentroids(corpus, nlist))
       .select(col("cent_id"), col("cent_emb"))
       .withColumn("cent_norm", norm(col("cent_emb")))
     val c = corpus.withColumn("c_norm", norm(col("c_emb")))
@@ -391,11 +415,25 @@ object Similarity {
             cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
         Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
       .select(col("cent_id").as("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
-    // true self-join (identical subtree on both sides) so the
+    // per-cell salt count: 1 for cells within budget (sequence(0,0) =
+    // one copy, the un-salted plan), S sub-buckets above it. The size
+    // table is ≤ nlist rows — broadcast back onto the assignment.
+    val sizes = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("_cell_rows"))
+      .withColumn("_nsalt",
+        least(ceil(col("_cell_rows").cast("double") / lit(saltCellRows)),
+          lit(maxSalts.toLong)).cast("long"))
+      .select(col("list_id"), col("_nsalt"))
+    // identical subtree (assigned ⋈ sizes) on both sides so the
     // assignment computes once and ReuseExchange feeds the second side
-    assigned.as("x")
-      .join(assigned.as("y").hint("shuffle_hash"),
-        col("x.list_id") === col("y.list_id") && col("x.c_id") < col("y.c_id"))
+    val sized = assigned.join(broadcast(sizes), Seq("list_id"))
+    val xs = sized.withColumn("_salt",
+      explode(sequence(lit(0L), col("_nsalt") - 1)))
+    val ys = sized.withColumn("_salt", pmod(xxhash64(col("c_id")), col("_nsalt")))
+    xs.as("x")
+      .join(ys.as("y").hint("shuffle_hash"),
+        col("x.list_id") === col("y.list_id") && col("x._salt") === col("y._salt") &&
+          col("x.c_id") < col("y.c_id"))
       .withColumn("cos", cosineWithNorms(
         col("x.c_emb"), col("y.c_emb"), col("x.c_norm"), col("y.c_norm")))
       .filter(col("cos") >= tau)
@@ -440,11 +478,17 @@ object Similarity {
       tau: Double,
       dim: Int = 64,
       planesPerBand: Int = 6,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      maxBucketDocFreq: Option[Int] = None): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("nrm", norm(col("emb")))
-    val keyed = base.select(col("id"),
+    val keyed0 = base.select(col("id"),
       explode(lshBandBuckets(col("emb"), planesPerBand, bands, dim)).as("bucket"))
+    // df-cap guard, same semantics as Dedup.minhashLshPairs: a dense
+    // embedding region (boilerplate docs collapse to one point, so one
+    // sign pattern) fills a bucket and its pair fan-out is |bucket|² —
+    // cap it and let SemDeDup/exact dedup own the collapsed region.
+    val keyed = graft.core.Skew.dropHotKeys(keyed0, "bucket", maxBucketDocFreq)
     // SHUFFLE_HASH: same postings-index rationale as Dedup.jaccardPairs —
     // neither side of the self-join fits a broadcast at real scale.
     val candidates = keyed.as("l")

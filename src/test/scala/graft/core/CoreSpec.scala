@@ -93,4 +93,18 @@ class CoreSpec extends SparkSpec {
       .distinct().count()
     assert(buckets >= 6)
   }
+
+  test("dropHotKeys removes exactly the rows of keys above the cap") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 50).map(i => (i.toLong, "hot")) ++
+      (51 to 60).map(i => (i.toLong, "warm")) ++
+      (61 to 63).map(i => (i.toLong, s"cold$i"))).toDF("id", "k")
+    val capped = Skew.dropHotKeys(df, "k", Some(10))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("k"))).toSet
+    assert(capped.forall(_._2 != "hot"), "hot key survived the cap")
+    assert(capped.count(_._2 == "warm") === 10, "at-cap key must be kept whole")
+    assert(capped.count(_._2.startsWith("cold")) === 3)
+    assert(Skew.dropHotKeys(df, "k", None).count() === 63L, "None must be a no-op")
+  }
 }

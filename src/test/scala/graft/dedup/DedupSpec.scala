@@ -256,4 +256,27 @@ class DedupSpec extends SparkSpec {
       .head().getSeq[String](0).toSet
     assert(sh2 === Set("a b", "b a")) // duplicates removed
   }
+
+  test("minhashLshPairs bucket df-cap: hot-template pairs dropped, tail pairs kept") {
+    val s = spark
+    import s.implicits._
+    // one 20-doc boilerplate template (its identical signatures fill
+    // every band bucket to df=20 — the |bucket|² hazard the cap is
+    // for) plus one genuine 2-doc duplicate in the tail
+    val template = (0L until 20L).map(i =>
+      (i, "cookie consent banner please accept our tracking policy to continue"))
+    val pair = Seq(
+      (100L, "a unique technical article about distributed query planning today"),
+      (101L, "a unique technical article about distributed query planning today"))
+    val df = (template ++ pair).toDF("doc_id", "text")
+    val unguarded = Dedup.minhashLshPairs(df, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.contains((100L, 101L)))
+    assert(unguarded.size === 20 * 19 / 2 + 1, "template pairs missing unguarded")
+    val guarded = Dedup.minhashLshPairs(df, "doc_id", "text", n = 3, tau = 0.5,
+        maxBucketDocFreq = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((100L, 101L)),
+      "cap must drop exactly the hot-bucket template pairs")
+  }
 }

@@ -91,18 +91,22 @@ class SimilaritySpec extends SparkSpec {
   test("kmeansCentroids converges on separable clusters and lifts IVF to full recall") {
     val s = spark
     import s.implicits._
-    // three tight, well-separated direction clusters; the 3 lowest-id
-    // seeds all start inside cluster A, so ONLY a real Lloyd refresh
-    // recovers one centroid per cluster
+    // three tight, well-separated direction clusters, with membership
+    // laid out along the seed quantizer's md5(c_id) sample order so
+    // the 3 seeds all start inside cluster A — ONLY a real Lloyd
+    // refresh recovers one centroid per cluster
     def jitter(base: Seq[Double], eps: Double): Seq[Double] =
       base.zipWithIndex.map { case (v, i) => v + (if (i % 2 == 0) eps else -eps) }
     val a = Seq(1.0, 0.0, 0.0, 0.0)
     val b = Seq(0.0, 1.0, 0.0, 0.0)
     val cc = Seq(0.0, 0.0, 1.0, 0.0)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sampleOrder = (0L to 29L).sortBy(i => (md5hex(i.toString), i))
     val rows =
-      (0L to 9L).map(i => (i, jitter(a, 0.01 * (i + 1)))) ++
-        (10L to 19L).map(i => (i, jitter(b, 0.01 * (i - 9)))) ++
-        (20L to 29L).map(i => (i, jitter(cc, 0.01 * (i - 19))))
+      sampleOrder.slice(0, 10).zipWithIndex.map { case (i, j) => (i, jitter(a, 0.01 * (j + 1))) } ++
+        sampleOrder.slice(10, 20).zipWithIndex.map { case (i, j) => (i, jitter(b, 0.01 * (j + 1))) } ++
+        sampleOrder.slice(20, 30).zipWithIndex.map { case (i, j) => (i, jitter(cc, 0.01 * (j + 1))) }
     val corpus = rows.toDF("c_id", "c_emb")
 
     val cent = Similarity.kmeansCentroids(corpus, nlist = 3, iters = 5)
@@ -199,6 +203,26 @@ class SimilaritySpec extends SparkSpec {
       s"pruned-LSH recall ${pruned.length}/${exact.length} below expectation")
   }
 
+  test("cosinePairsLsh bucket df-cap: collapsed-region pairs dropped, tail pair kept") {
+    val s = spark
+    import s.implicits._
+    // 12 copies of one embedding (a collapsed boilerplate region: one
+    // dense bucket in all 16 bands) + one genuine duplicate pair in an
+    // orthogonal direction
+    val v = (0 until 64).map(i => if (i < 8) 1.0 else 0.0)
+    val w = (0 until 64).map(i => if (i >= 32) 1.0 else 0.0)
+    val df = ((0L until 12L).map(i => (i, v)) ++ Seq((100L, w), (101L, w)))
+      .toDF("vec_id", "emb")
+    val unguarded = Similarity.cosinePairsLsh(df, "vec_id", "emb", tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.contains((100L, 101L)) && unguarded.size === 12 * 11 / 2 + 1)
+    val guarded = Similarity.cosinePairsLsh(df, "vec_id", "emb", tau = 0.99,
+        maxBucketDocFreq = Some(6))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((100L, 101L)),
+      "cap must drop exactly the collapsed-region pairs")
+  }
+
   test("ivf index on disk: partition-pruned probes match the in-memory ivfTopK") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").cast("long").as("c_id"),
@@ -229,19 +253,38 @@ class SimilaritySpec extends SparkSpec {
   test("semDedup: within-cluster near-dups drop to their smallest keeper") {
     val s = spark
     import s.implicits._
-    // seeds = two lowest ids: 1 -> x-axis, 2 -> y-axis. 4 is a near-dup
-    // of 1 (same cell), 5 an exact dup of 2, 3 close-but-not-near 1.
+    // seeds = the two ids sorting first by md5 among {1..5} = (4, 1):
+    // 4 -> x-axis cell, 1 -> y-axis cell. 2 is a near-dup of 4 (same
+    // cell, drops to it as the smaller id), 5 an exact dup of 1, 3
+    // close-but-not-near the x-axis.
     val emb = Seq(
-      (1L, Seq(1.0, 0.0)),
-      (2L, Seq(0.0, 1.0)),
+      (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.01)),
       (3L, Seq(0.9, 0.3)),
-      (4L, Seq(1.0, 0.01)),
+      (4L, Seq(1.0, 0.0)),
       (5L, Seq(0.0, 1.0)))
       .toDF("c_id", "c_emb")
     val out = Similarity.semDedup(emb, tau = 0.99, nlist = 2)
       .orderBy(col("drop_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(out.toSeq === Seq((4L, 1L), (5L, 2L)))
+    assert(out.toSeq === Seq((4L, 2L), (5L, 1L)))
+  }
+
+  test("semDedup: cell salting never changes the output, even when every cell is split") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id").cast("long").as("c_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    val plain = Similarity.semDedup(emb, tau = 0.45, nlist = 4)
+      .orderBy(col("drop_id")).collect().toSeq
+    // saltCellRows=1 forces S=maxSalts sub-buckets in EVERY cell (one
+    // dominant cluster included: nlist=4 over 2000 vectors leaves
+    // ~500-row cells, far above the threshold) — the exactly-once pair
+    // guarantee must hold through the replication
+    val salted = Similarity.semDedup(emb, tau = 0.45, nlist = 4,
+        saltCellRows = 1, maxSalts = 7)
+      .orderBy(col("drop_id")).collect().toSeq
+    assert(salted === plain)
+    assert(plain.nonEmpty, "fixture produced no near-dup pairs — vacuous test")
   }
 
   test("hyperplane: md5-derived, ±1 components, deterministic") {
