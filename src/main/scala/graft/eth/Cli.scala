@@ -120,6 +120,14 @@ class Cli(
       println(renderMap(balances(addrCsv.split(",").toSeq.filter(_.nonEmpty))))
     case Seq("token-balances", token, addrCsv) =>
       println(renderMap(tokenBalances(token, addrCsv.split(",").toSeq.filter(_.nonEmpty))))
+    case Seq("compact", table) =>
+      // ClickHouse gets this from background merges (the reference's
+      // FINAL reads assume them); parquet needs an explicit rewrite.
+      // Cadence on a long-running sync: schedule per table roughly when
+      // its delta since the last compaction approaches the compacted
+      // size (daily is plenty for chain tables — the upsert history
+      // grows with re-orgs and flag updates, not raw chain volume).
+      store.compact(table)
     case _ => runSimple(command)
   }
 
