@@ -75,4 +75,81 @@ class AbiSpec extends AnyFunSuite {
     assert(Abi.methodId("transfer", Seq("address", "uint")) ===
       Abi.methodId("transfer", Seq("address", "uint256")))
   }
+
+  private def w(hex: String): String = ("0" * (64 - hex.length)) + hex
+
+  test("dynamic-element array: string[] decodes through nested offsets") {
+    val abi =
+      """[{"type":"function","name":"tag",
+          "inputs":[{"name":"names","type":"string[]"}]}]"""
+    val sel = Abi.methodId("tag", Seq("string[]"))
+    val data =
+      w("20") + // offset of the array
+        w("2") + // len; element head region starts here + 0x20
+        w("40") + // elem 0 offset, relative to the region
+        w("80") + // elem 1 offset
+        w("3") + "616263" + "0" * 58 + // "abc"
+        w("2") + "6869" + "0" * 60 // "hi"
+    val got = Abi.decodeInput(abi, "0x" + sel + data)
+    assert(got.isDefined)
+    assert(got.get.params.map(_.`type`) === Seq("string[]"))
+    assert(got.get.params.map(_.value) === Seq("[abc, hi]"))
+  }
+
+  test("static tuple: components inline, tuple signature hashes the selector") {
+    val abi =
+      """[{"type":"function","name":"move",
+          "inputs":[
+            {"name":"p","type":"tuple","components":[
+              {"name":"amount","type":"uint256"},
+              {"name":"dst","type":"address"}]},
+            {"name":"ok","type":"bool"}]}]"""
+    // selector over the canonical tuple form
+    val sel = Keccak256.selector("move((uint256,address),bool)")
+    val data =
+      w("7") + // p.amount (inline: static tuple)
+        w("d11b80088ce2623a9c017b93008405511cd951d2") + // p.dst
+        w("1") // ok
+    val got = Abi.decodeInput(abi, "0x" + sel + data)
+    assert(got.isDefined)
+    assert(got.get.name === "move")
+    assert(got.get.params.map(_.`type`) === Seq("(uint256,address)", "bool"))
+    assert(got.get.params.map(_.value) ===
+      Seq("(7, 0xd11b80088ce2623a9c017b93008405511cd951d2)", "True"))
+  }
+
+  test("dynamic tuple: offsets inside the tuple region are region-relative") {
+    val abi =
+      """[{"type":"function","name":"note",
+          "inputs":[{"name":"p","type":"tuple","components":[
+            {"name":"text","type":"string"},
+            {"name":"n","type":"uint256"}]}]}]"""
+    val sel = Keccak256.selector("note((string,uint256))")
+    val data =
+      w("20") + // offset of the tuple
+        w("40") + // text offset, relative to the tuple region
+        w("5") + // n (inline in the tuple head)
+        w("5") + "68656c6c6f" + "0" * 54 // "hello"
+    val got = Abi.decodeInput(abi, "0x" + sel + data)
+    assert(got.isDefined)
+    assert(got.get.params.map(_.`type`) === Seq("(string,uint256)"))
+    assert(got.get.params.map(_.value) === Seq("(hello, 5)"))
+  }
+
+  test("tuple array: (uint256,bool)[] with static components") {
+    val abi =
+      """[{"type":"function","name":"flags",
+          "inputs":[{"name":"ps","type":"tuple[]","components":[
+            {"name":"n","type":"uint256"},
+            {"name":"b","type":"bool"}]}]}]"""
+    val sel = Keccak256.selector("flags((uint256,bool)[])")
+    val data =
+      w("20") + // offset of the array
+        w("2") + // len; static tuples inline in the element region
+        w("1") + w("1") + // (1, True)
+        w("2") + w("0") // (2, False)
+    val got = Abi.decodeInput(abi, "0x" + sel + data)
+    assert(got.isDefined)
+    assert(got.get.params.map(_.value) === Seq("[(1, True), (2, False)]"))
+  }
 }
