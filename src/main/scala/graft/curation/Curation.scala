@@ -69,11 +69,14 @@ object Curation {
     */
   def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard")).orderBy(col("_key"), col(idCol))
-    df.withColumn("_key", hashSampleKey(col(idCol)))
-      .withColumn("shard", pmod(col("_key"), lit(numShards.toLong)).cast("int"))
+    // `shard`/`shard_pos` are the declared OUTPUT columns (replacing
+    // same-named inputs is the contract); the key is internal → fresh
+    val key = freshName(df, "_key")
+    val w = Window.partitionBy(col("shard")).orderBy(col(key), col(idCol))
+    df.withColumn(key, hashSampleKey(col(idCol)))
+      .withColumn("shard", pmod(col(key), lit(numShards.toLong)).cast("int"))
       .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
-      .drop("_key")
+      .drop(key)
   }
 
   /** Materialize a corpus as on-disk training shards: the terminal
@@ -275,17 +278,22 @@ object Curation {
         wc.as("wc"), q.as("q"), col(langCol).as("lang"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
+        // NULL-text rows count in n_docs but md5/token/quality skip
+        // them — rates and means divide by the non-null count, or
+        // they'd overstate dup_rate and dilute the averages
+        count(col("fp")).as("_n_text"),
         countDistinct(col("fp")).as("n_distinct"),
         sum(col("wc")).as("n_tokens"),
         sum(col("q")).as("_qsum"),
         countDistinct(col("lang")).as("n_langs"))
+      .withColumn("_denom", when(col("_n_text") > 0, col("_n_text").cast("double")))
       .select(col("source"), col("n_docs"), col("n_distinct"),
-        (floor((lit(1.0) - col("n_distinct").cast("double") / col("n_docs")) * 1e6) / 1e6)
+        (floor((lit(1.0) - col("n_distinct").cast("double") / col("_denom")) * 1e6) / 1e6)
           .as("dup_rate"),
         col("n_tokens"),
-        (floor(col("n_tokens").cast("double") / col("n_docs") * 1e6) / 1e6)
+        (floor(col("n_tokens").cast("double") / col("_denom") * 1e6) / 1e6)
           .as("avg_tokens"),
-        (floor(col("_qsum").cast("double") / col("n_docs") * 1e6) / 1e6)
+        (floor(col("_qsum").cast("double") / col("_denom") * 1e6) / 1e6)
           .as("avg_quality"),
         col("n_langs"))
   }
@@ -308,12 +316,26 @@ object Curation {
       df: DataFrame, idCol: String, groupCol: String, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cap >= 1)
+    // collision-free temp names: withColumn REPLACES an identically-
+    // named input column in place, which would corrupt caller data
+    val key = freshName(df, "_key")
+    val rk = freshName(df, "_rk")
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("_key"), col(idCol))
-    df.withColumn("_key", hashSampleKey(col(idCol)))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= cap)
-      .drop("_key", "_rk")
+      .orderBy(col(key), col(idCol))
+    df.withColumn(key, hashSampleKey(col(idCol)))
+      .withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= cap)
+      .drop(key, rk)
+  }
+
+  /** A column name not present in `df` (suffix underscores until
+    * free) — for operator-internal temp columns that must never
+    * shadow caller data.
+    */
+  private def freshName(df: DataFrame, base: String): String = {
+    var n = base
+    while (df.columns.contains(n)) n += "_"
+    n
   }
 
   /** Sliding-window document chunking — the tokenize-and-chunk pass

@@ -286,6 +286,19 @@ object SketchOps {
     val sp = sep.toString
     val out = new java.lang.StringBuilder(s.length)
     val m = ps.numElements()
+    // the forward-only pointer silently skips positions the scan has
+    // already passed — fail as loudly as the literal-separator
+    // contract does instead of producing quietly-wrong output
+    if (m > 0 && ps.getLong(0) < 1L)
+      throw new IllegalArgumentException(
+        "scrub_lines: positions are 1-based (got " + ps.getLong(0) + ")")
+    var v = 1
+    while (v < m) {
+      if (ps.getLong(v) < ps.getLong(v - 1))
+        throw new IllegalArgumentException(
+          "scrub_lines: positions must be sorted ascending (use sort_array)")
+      v += 1
+    }
     var j = 0
     var nLines = 0L
     var removed = 0L

@@ -883,10 +883,10 @@ object TrainingQueries {
            FROM (SELECT doc_id, source, lang, text, string_split(text, ' ') AS t FROM documents))
          SELECT source, count(*)::BIGINT AS n_docs,
            count(DISTINCT fp)::BIGINT AS n_distinct,
-           floor((1.0 - count(DISTINCT fp)::DOUBLE / count(*)) * 1e6) / 1e6 AS dup_rate,
+           floor((1.0 - count(DISTINCT fp)::DOUBLE / nullif(count(fp), 0)) * 1e6) / 1e6 AS dup_rate,
            sum(wc)::BIGINT AS n_tokens,
-           floor(sum(wc)::DOUBLE / count(*) * 1e6) / 1e6 AS avg_tokens,
-           floor(sum(q)::DOUBLE / count(*) * 1e6) / 1e6 AS avg_quality,
+           floor(sum(wc)::DOUBLE / nullif(count(fp), 0) * 1e6) / 1e6 AS avg_tokens,
+           floor(sum(q)::DOUBLE / nullif(count(fp), 0) * 1e6) / 1e6 AS avg_quality,
            count(DISTINCT lang)::BIGINT AS n_langs
          FROM q GROUP BY source ORDER BY source""",
 

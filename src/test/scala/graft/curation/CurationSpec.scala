@@ -258,6 +258,28 @@ class CurationSpec extends SparkSpec {
     assert(keys.take(7).map(_._1).toSet === (a -- (100L until 103L)))
   }
 
+  test("capPerGroup/shuffleShards: caller columns named like the temps survive intact") {
+    val s = spark
+    import s.implicits._
+    // withColumn replaces in place — a caller column named `_key`/`_rk`
+    // must come through untouched, not overwritten-then-dropped
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"src${i % 2}", s"payload$i", s"rank$i"))
+      .toDF("doc_id", "source", "_key", "_rk")
+    val capped = Curation.capPerGroup(docs, "doc_id", "source", cap = 5)
+    assert(capped.columns.toSeq === docs.columns.toSeq)
+    assert(capped.count() === 10)
+    capped.collect().foreach { r =>
+      val i = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("_key") === s"payload$i")
+      assert(r.getAs[String]("_rk") === s"rank$i")
+    }
+    val sharded = Curation.shuffleShards(docs, "doc_id", numShards = 4)
+    sharded.collect().foreach { r =>
+      assert(r.getAs[String]("_key") === s"payload${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("corpusReport: volumes, dup rate, decimal-exact mean quality per source") {
     val s = spark
     import s.implicits._

@@ -257,6 +257,28 @@ class DedupSpec extends SparkSpec {
     assert(sh2 === Set("a b", "b a")) // duplicates removed
   }
 
+  test("collapsePairsBy fails loudly when a paired doc is missing from scores") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 0.9), (2L, 0.5)).toDF("doc_id", "score") // 3 missing
+    // the raise_error guard must survive optimizer passes (conjunct
+    // reordering / null-filter inference turning the left joins inner
+    // would silently drop the edge instead) — pin the behavior
+    val e = intercept[Throwable](Dedup.collapsePairsBy(pairs, scores).collect())
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("missing from scores")),
+      s"expected the fail-loudly guard, got: ${chain(e).mkString(" | ")}")
+    // and the complete-scores case still collapses normally: only 2
+    // is outranked (by both neighbors; the best, 1, keeps it)
+    val full = Seq((1L, 0.9), (2L, 0.5), (3L, 0.7)).toDF("doc_id", "score")
+    val got = Dedup.collapsePairsBy(pairs, full)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap // drop -> keep
+    assert(got === Map(2L -> 1L))
+  }
+
   test("minhashLshPairs bucket df-cap: hot-template pairs dropped, tail pairs kept") {
     val s = spark
     import s.implicits._

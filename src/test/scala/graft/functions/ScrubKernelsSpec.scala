@@ -68,4 +68,26 @@ class ScrubKernelsSpec extends SparkSpec {
     assert(got(3L) === (("a", 2L, 1L)))
     assert(got(4L) === (("", 1L, 0L)))
   }
+
+  test("scrub_lines rejects unsorted and non-1-based positions loudly") {
+    val s = spark
+    import s.implicits._
+    def run(ps: Seq[Long]): Unit =
+      Seq(("a\nb\nc", ps)).toDF("text", "ps")
+        .withColumn("r", SketchFunctions.scrub_lines(col("text"), col("ps"), "\n"))
+        .select(col("r.clean_text")).collect()
+    def rootMessage(t: Throwable): String = {
+      var cur = t
+      while (cur.getCause != null) cur = cur.getCause
+      String.valueOf(cur.getMessage)
+    }
+    // unsorted: the forward-only pointer would silently skip position 1
+    val e1 = intercept[Throwable](run(Seq(3L, 1L)))
+    assert(rootMessage(e1).contains("sorted ascending"))
+    // zero/negative positions can never match a 1-based line counter
+    val e2 = intercept[Throwable](run(Seq(0L, 2L)))
+    assert(rootMessage(e2).contains("1-based"))
+    // sorted duplicates stay legal (a position may repeat)
+    run(Seq(2L, 2L))
+  }
 }
