@@ -117,7 +117,8 @@ object Dedup {
   def jaccardPairsAgainst(
       ref: DataFrame, refIdCol: String, refTextCol: String,
       batch: DataFrame, batchIdCol: String, batchTextCol: String,
-      n: Int, tau: Double): DataFrame = {
+      n: Int, tau: Double,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val eps = 1e-9
     def prefixes(df: DataFrame, id: String, text: String, as: String) = {
       val arrs = df.select(col(id).as(as),
@@ -128,8 +129,25 @@ object Dedup {
       arrs.select(col(as), col(s"nsh_$as"),
         explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
     }
-    val refPfx = prefixes(ref, refIdCol, refTextCol, "ref_id")
-    val batchPfx = prefixes(batch, batchIdCol, batchTextCol, "new_id")
+    // stop-shingle cap, df counted over BOTH corpora's full postings —
+    // a hot shingle blows up |ref posting| × |batch posting|; the 100 TB
+    // reference side is where that product turns into a straggler.
+    // Same exactness caveat as jaccardPairs' cap.
+    def fullPostings(df: DataFrame, id: String, text: String) =
+      df.select(graft.functions.SketchFunctions
+        .sorted_shingle_hashes(col(text), n).as("shs"))
+        .select(explode(col("shs")).as("sh"))
+    val dropHot: DataFrame => DataFrame = maxShingleDocFreq match {
+      case Some(cap) =>
+        val hot = fullPostings(ref, refIdCol, refTextCol)
+          .unionByName(fullPostings(batch, batchIdCol, batchTextCol))
+          .groupBy(col("sh")).agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > cap).select(col("sh"))
+        pfx => pfx.join(hot, Seq("sh"), "left_anti")
+      case None => identity
+    }
+    val refPfx = dropHot(prefixes(ref, refIdCol, refTextCol, "ref_id"))
+    val batchPfx = dropHot(prefixes(batch, batchIdCol, batchTextCol, "new_id"))
     val candidates = refPfx
       .join(batchPfx.hint("shuffle_hash"),
         refPfx("sh") === batchPfx("sh") &&
@@ -162,9 +180,10 @@ object Dedup {
   def dedupAgainst(
       ref: DataFrame, refIdCol: String, refTextCol: String,
       batch: DataFrame, batchIdCol: String, batchTextCol: String,
-      n: Int, tau: Double): DataFrame = {
+      n: Int, tau: Double,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val dup = jaccardPairsAgainst(ref, refIdCol, refTextCol,
-        batch, batchIdCol, batchTextCol, n, tau)
+        batch, batchIdCol, batchTextCol, n, tau, maxShingleDocFreq)
       .select(col("new_id").as(batchIdCol)).distinct()
     batch.join(dup, Seq(batchIdCol), "left_anti")
   }
@@ -312,6 +331,11 @@ object Dedup {
     * Wider hamming (e.g. 9 -> 6-bit pieces) collapses to 64 bucket values
     * and the candidate set degenerates toward |D|^2 when sketches are
     * correlated (shared vocabulary) — measured 13s vs ~1s at sf0.1.
+    *
+    * @param maxBucketDocFreq drop piece buckets holding more than this
+    *   many docs — same hot-template guard and recall caveat as
+    *   [[minhashLshPairs]] (a boilerplate template shares all its
+    *   pieces, filling 4 buckets to the template count).
     */
   def simhashPairs(
       df: DataFrame,
@@ -319,20 +343,22 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       maxHamming: Int = 3,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5,
+      maxBucketDocFreq: Option[Int] = None): DataFrame = {
     val pieces = maxHamming + 1
     require(60 % pieces == 0, s"pieces=$pieces must divide 60")
     val width = 60 / pieces
     val mask = (1L << width) - 1
     val sh = df.select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), n).as("sh"))
       .withColumn("sim", simhash60(col("sh")))
-    val pieceKeys = sh.select(
+    val pieceKeys0 = sh.select(
       col("doc"), col("sim"),
       explode(array((0 until pieces).map { p =>
         concat_ws(":", lit(p),
           shiftrightunsigned(col("sim"), p * width).bitwiseAND(mask))
       }: _*)).as("piece"))
       .select(col("doc"), col("sim"), col("piece"))
+    val pieceKeys = graft.core.Skew.dropHotKeys(pieceKeys0, "piece", maxBucketDocFreq)
     val candidates = pieceKeys.as("l")
       .join(pieceKeys.as("r").hint("shuffle_hash"), col("l.piece") === col("r.piece"))
       .filter(col("l.doc") < col("r.doc"))

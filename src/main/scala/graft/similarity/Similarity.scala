@@ -240,18 +240,16 @@ object Similarity {
   def semDedupIndexed(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      tau: Double): DataFrame = {
+      tau: Double,
+      saltCellRows: Int = 1 << 13,
+      maxSalts: Int = 64): DataFrame = {
+    require(saltCellRows >= 1 && maxSalts >= 1)
     val assigned = spark.read.parquet(path)
       .select(col("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
-    assigned.as("x")
-      .join(assigned.as("y").hint("shuffle_hash"),
-        col("x.list_id") === col("y.list_id") && col("x.c_id") < col("y.c_id"))
-      .withColumn("cos", cosineWithNorms(
-        col("x.c_emb"), col("y.c_emb"), col("x.c_norm"), col("y.c_norm")))
-      .filter(col("cos") >= tau)
-      .groupBy(col("y.c_id").as("drop_id"))
-      .agg(min(struct(col("x.c_id").as("a_id"), col("cos").as("cos"))).as("k"))
-      .select(col("drop_id"), col("k.a_id").as("keep_id"), col("k.cos").as("cos"))
+    // same cell-salting skew guard as the ad-hoc form: an index cell
+    // the quantizer let grow dense is exactly as much of a straggler
+    // when it is read back from disk
+    cellPairDrops(assigned, tau, saltCellRows, maxSalts)
   }
 
   /** Materialize an IVF index on disk: the corpus stored PARTITIONED
@@ -415,6 +413,18 @@ object Similarity {
             cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
         Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
       .select(col("cent_id").as("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
+    cellPairDrops(assigned, tau, saltCellRows, maxSalts)
+  }
+
+  /** The within-cell pair join + smallest-keeper reduction shared by
+    * [[semDedup]] and [[semDedupIndexed]], with the cell-salting skew
+    * guard. `assigned` = (list_id, c_id, c_emb, c_norm).
+    */
+  private def cellPairDrops(
+      assigned: DataFrame,
+      tau: Double,
+      saltCellRows: Int,
+      maxSalts: Int): DataFrame = {
     // per-cell salt count: 1 for cells within budget (sequence(0,0) =
     // one copy, the un-salted plan), S sub-buckets above it. The size
     // table is ≤ nlist rows — broadcast back onto the assignment.

@@ -300,5 +300,39 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(guarded === Set((100L, 101L)),
       "cap must drop exactly the hot-bucket template pairs")
+    // simhashPairs shares the guard: identical sketches fill all 4
+    // piece buckets to the template count
+    val simGuarded = Dedup.simhashPairs(df, "doc_id", "text", n = 3,
+        maxHamming = 3, tau = 0.5, maxBucketDocFreq = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simGuarded === Set((100L, 101L)))
+  }
+
+  test("jaccardPairsAgainst df-cap: cross-corpus stop-shingle overlap dropped, real dups kept") {
+    val s = spark
+    import s.implicits._
+    // every doc shares the boilerplate prefix (a stop-shingle across
+    // BOTH corpora); one batch doc genuinely duplicates a ref doc
+    val boiler = "all rights reserved copyright notice"
+    val ref = (0L until 12L).map(i => (i, s"$boiler ref article $i body"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"$boiler ref article 7 body"), // near-dup of ref 7
+      (101L, s"$boiler something wholly unrelated instead"))
+      .toDF("doc_id", "text")
+    val unguarded = Dedup.jaccardPairsAgainst(ref, "doc_id", "text",
+        batch, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.contains((7L, 100L)))
+    // cap 13 drops only the shingles present in (nearly) every doc of
+    // the 14-doc union; the (7, 100) pair still shares its body
+    // shingles and survives with the identical jaccard
+    val guarded = Dedup.jaccardPairsAgainst(ref, "doc_id", "text",
+        batch, "doc_id", "text", n = 3, tau = 0.5,
+        maxShingleDocFreq = Some(13))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.contains((7L, 100L)),
+      "body-shingle candidates must survive the stop-shingle cap")
+    assert(guarded.subsetOf(unguarded))
   }
 }

@@ -248,6 +248,11 @@ class SimilaritySpec extends SparkSpec {
     val indexed = Similarity.semDedupIndexed(spark, dir, tau = 0.45)
       .orderBy(col("drop_id")).collect().toSeq
     assert(indexed === adhoc)
+    // and the indexed form's cell salting is output-exact too
+    val indexedSalted = Similarity.semDedupIndexed(spark, dir, tau = 0.45,
+        saltCellRows = 1, maxSalts = 5)
+      .orderBy(col("drop_id")).collect().toSeq
+    assert(indexedSalted === adhoc)
   }
 
   test("semDedup: within-cluster near-dups drop to their smallest keeper") {
