@@ -69,6 +69,52 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("skewprobe")) {
+      // planted-skew probe for the round-6 guards: a boilerplate
+      // template (identical text → one hot LSH bucket per band) and a
+      // collapsed embedding region (one dense centroid cell) grafted
+      // onto the real sf tables; measure guarded vs unguarded.
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, dir, "documents")
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val template = spark.range(stride, stride + 4000L)
+        .select(col("id").as("doc_id"),
+          lit("cookie consent required please accept tracking to continue reading").as("text"))
+      val skewed = docs.select(col("doc_id"), col("text")).unionByName(template)
+      skewed.cache().count()
+      def time(label: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = body
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($rows rows)")
+      }
+      (1 to 2).foreach { pass =>
+        time(s"minhash unguarded p$pass")(graft.dedup.Dedup.minhashLshPairs(
+          skewed, "doc_id", "text", n = 3, tau = 0.5).count())
+        time(s"minhash df-cap p$pass")(graft.dedup.Dedup.minhashLshPairs(
+          skewed, "doc_id", "text", n = 3, tau = 0.5,
+          maxBucketDocFreq = Some(256)).count())
+      }
+      skewed.unpersist(blocking = true)
+      val emb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("c_id"),
+          col("embedding").cast("array<double>").as("c_emb"))
+      val eStride = emb.agg(max(col("c_id"))).head().getLong(0) + 1L
+      val dense = emb.limit(1).crossJoin(spark.range(eStride, eStride + 4000L))
+        .select(col("id").as("c_id2"), col("c_emb"))
+        .select(col("c_id2").as("c_id"), col("c_emb"))
+      val eSkewed = emb.unionByName(dense)
+      eSkewed.cache().count()
+      (1 to 2).foreach { pass =>
+        time(s"semdedup unsalted p$pass")(graft.similarity.Similarity.semDedup(
+          eSkewed, tau = 0.45, nlist = 16,
+          saltCellRows = Int.MaxValue).count())
+        time(s"semdedup salted p$pass")(graft.similarity.Similarity.semDedup(
+          eSkewed, tau = 0.45, nlist = 16,
+          saltCellRows = 512, maxSalts = 32).count())
+      }
+      eSkewed.unpersist(blocking = true)
+      spark.stop(); return
+    }
     if (sys.env.contains("SCRATCH_DEBUGLOG")) spark.sparkContext.setLogLevel("DEBUG")
     val names = args.drop(1)
     val qs = if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
