@@ -38,6 +38,33 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashSampleKey(col(idCol)) < lit(sampleThreshold(fraction)))
 
+  /** Deterministic train/val/test split: every row is labeled with
+    * the name of the hash-key interval its id falls in. Content-keyed
+    * like [[hashSample]], so the assignment is a pure function of the
+    * id: stable across runs, engines, partitionings AND corpus growth
+    * — a document never migrates between splits when new data
+    * arrives, the property that keeps a held-out set held out for the
+    * lifetime of a 100 TB corpus. One map-only projection; `weights`
+    * must sum to 1 (cumulative thresholds over the 2^60 key space,
+    * assignment by first interval containing the key).
+    */
+  def splitByHash(
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must be non-negative and sum to 1")
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(sampleThreshold)
+    val key = hashSampleKey(col(idCol))
+    val label = splits.map(_._1).zip(thresholds)
+      .foldLeft(when(lit(false), lit(""))) {
+        case (acc, (name, th)) => acc.when(key < lit(th), lit(name))
+      }
+      // float-rounding edge: keys at/above the last threshold land in
+      // the final split rather than NULL
+      .otherwise(lit(splits.last._1))
+    df.withColumn("split", label)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions with a
     * default for unlisted strata. One map-only filter — the per-stratum
     * threshold is a CASE over the stratum column, so no split/union and

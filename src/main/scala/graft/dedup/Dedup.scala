@@ -188,6 +188,54 @@ object Dedup {
     batch.join(dup, Seq(batchIdCol), "left_anti")
   }
 
+  /** Approximate exact-duplicate ingestion gate: drop every incoming
+    * batch doc whose text fingerprint is (probably) already in the
+    * reference corpus, tested against a Bloom filter built over the
+    * reference fingerprints — the zero-shuffle prefilter in front of
+    * [[dedupAgainst]]'s near-dup machinery when only EXACT-duplicate
+    * hygiene is needed.
+    *
+    * Guarantees: no false negatives — a batch doc whose text verbatim-
+    * matches any reference doc never survives; false positives drop up
+    * to `fpp` of genuinely-new docs (tunable; 1% default). Exact-match
+    * granularity only (md5 of the text) — near-duplicates pass.
+    *
+    * Scale shape: the filter is ~1.2 bytes/item at 1% fpp (a 10^9-doc
+    * reference corpus ≈ 1.2 GB, broadcastable; shard the reference and
+    * gate per shard above that), built with one aggregation pass over
+    * the reference and applied MAP-SIDE to the batch — the batch never
+    * shuffles and the reference is never re-scanned per batch when the
+    * caller reuses the returned filter via the `prebuilt` overload.
+    */
+  def dedupAgainstBloom(
+      ref: DataFrame, refTextCol: String,
+      batch: DataFrame, batchTextCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame =
+    dedupAgainstBloom(buildRefBloom(ref, refTextCol, expectedItems, fpp),
+      batch, batchTextCol)
+
+  /** Build the reference-fingerprint Bloom filter once (e.g. persist it
+    * alongside the corpus and reuse across arriving batches).
+    */
+  def buildRefBloom(
+      ref: DataFrame, refTextCol: String,
+      expectedItems: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    ref.select(md5(col(refTextCol)).as("fp"))
+      .stat.bloomFilter(col("fp"), expectedItems, fpp)
+
+  /** Apply a prebuilt reference filter to an incoming batch. */
+  def dedupAgainstBloom(
+      filter: org.apache.spark.util.sketch.BloomFilter,
+      batch: DataFrame, batchTextCol: String): DataFrame = {
+    val bc = batch.sparkSession.sparkContext.broadcast(filter)
+    // a UDF is the right tool here: Bloom membership against a
+    // broadcast sketch has no Column-function form, and the call is
+    // one hash probe per row (the md5 argument stays codegen'd)
+    val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+    batch.filter(!mightContain(md5(col(batchTextCol))))
+  }
+
   /** Count-based exact Jaccard pairs — the inverted-index formulation
     * [[jaccardPairs]] replaced as the default: pairs sharing at least
     * one shingle get a shared-shingle count; jaccard = c/(|A|+|B|-c).

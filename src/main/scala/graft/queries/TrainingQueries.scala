@@ -563,6 +563,31 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test split: content-keyed hash-interval
+    // labels (0.8/0.1/0.1), map-only — a doc never migrates between
+    // splits as the corpus grows.
+    "q76_hash_split" -> ((s, dir) => {
+      Curation.splitByHash(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Two-stage ANN: int8-quantized shortlist (20 per query) re-ranked
+    // by the exact cosine to top-5 — coarse-to-fine retrieval. Full
+    // DuckDB oracle: the quantized ranking replays q57's grid, the
+    // rerank replays q27's exact scoring over it.
+    "q77_ann_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      Similarity.refinedTopK(queries, corpus, k = 5, shortlist = 20)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Media transform ops: STUB resize + frame sampling through the
     // batched mapPartitions plumbing (byte-level deterministic, so the
     // truncation length / digest / frame count oracle-check exactly).
@@ -1094,6 +1119,47 @@ object TrainingQueries {
                   * sqrt(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])))), 6) DESC,
                c.vec_id) AS rank
            FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id >= 10)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // Mirrors splitByHash(train 0.8/val 0.1/test 0.1): identical
+    // md5-derived key and the SAME cumulative thresholds (interpolated
+    // from Curation.sampleThreshold so double-rounding can't diverge).
+    "q76_hash_split" -> {
+      val cum = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+        .map(Curation.sampleThreshold)
+      s"""SELECT doc_id,
+           CASE WHEN k < ${cum(0)} THEN 'train'
+                WHEN k < ${cum(1)} THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS k
+               FROM documents)
+         ORDER BY doc_id"""
+    },
+
+    // Mirrors refinedTopK(k=5, shortlist=20): q57's quantized grid
+    // ranks the 20-deep shortlist, q27's exact cosine re-ranks it.
+    "q77_ann_refine" ->
+      s"""$embCte,
+         qz AS (SELECT vec_id,
+                  list_transform(emb, x -> floor(x / s + 0.5)) AS qv
+                FROM (SELECT vec_id, emb,
+                        greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30) / 127 AS s
+                      FROM e)),
+         short AS (SELECT q_id, c_id FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])))), 6) DESC,
+                 c.vec_id) AS r
+             FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id >= 10)
+           WHERE r <= 20)
+         SELECT q_id, c_id, cos, rank FROM (
+           SELECT s.q_id, s.c_id, ${duckCosPre("q", "c")} AS cos,
+             row_number() OVER (PARTITION BY s.q_id
+               ORDER BY ${duckCosPre("q", "c")} DESC, s.c_id) AS rank
+           FROM short s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id)
          WHERE rank <= 5 ORDER BY q_id, rank""",
 
     // Mirrors shuffleShards(numShards=8): same md5-derived 60-bit key,

@@ -350,6 +350,43 @@ object Similarity {
   def int8Dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, x => x * scale)
 
+  /** Two-stage (coarse-to-fine) ANN: an int8-quantized scan shortlists
+    * `shortlist` candidates per query, then the EXACT cosine re-ranks
+    * the shortlist down to top-k — the standard retrieval shape where
+    * the cheap pass touches the whole corpus at 4× less bandwidth and
+    * the full-precision pass touches only |Q|·shortlist vectors.
+    * Recall is governed by shortlist/k (quantization rank inversions
+    * are local; SimilaritySpec measures ≥ 0.8 recall at shortlist=k
+    * already, and growing the shortlist recovers the remainder), while
+    * the reported `cos` is always exact.
+    */
+  def refinedTopK(
+      queries: DataFrame, // (q_id, q_emb: array<double>)
+      corpus: DataFrame, // (c_id, c_emb: array<double>)
+      k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val q8 = int8Quantize(queries, "q_id", "q_emb")
+      .select(col("q_id"), col("qvec").as("q_emb"))
+    val c8 = int8Quantize(corpus, "c_id", "c_emb")
+      .select(col("c_id"), col("qvec").as("c_emb"))
+    val cands = bruteForceTopK(q8, c8, shortlist)
+      .select(col("q_id"), col("c_id"))
+    val qx = queries.withColumn("q_norm", norm(col("q_emb")))
+    val cx = corpus.withColumn("c_norm", norm(col("c_emb")))
+    // the |Q|·shortlist candidate rows (with their query vectors) are
+    // the small side by this operator's premise: broadcast them so the
+    // rerank is a map-side hash join — the corpus never shuffles
+    val shortRows = cands.join(broadcast(qx), Seq("q_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    cx.join(broadcast(shortRows), Seq("c_id"))
+      .withColumn("cos", cosineWithNorms(
+        col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs, EXACT variant: all (a < b) pairs
     * with cosine >= tau via a self cross join — O(n²) flops, the oracle
     * baseline. At corpus scale use [[cosinePairsLsh]] (the default

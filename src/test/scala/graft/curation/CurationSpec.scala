@@ -258,6 +258,30 @@ class CurationSpec extends SparkSpec {
     assert(keys.take(7).map(_._1).toSet === (a -- (100L until 103L)))
   }
 
+  test("splitByHash: complete, disjoint, growth-stable, roughly proportioned") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Curation.splitByHash(docs, "doc_id", splits)
+    val byLabel = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum === 2000L) // complete: every row labeled
+    assert(byLabel("train") > 1400 && byLabel("train") < 1800)
+    assert(byLabel("val") > 100 && byLabel("val") < 320)
+    assert(byLabel("test") > 100 && byLabel("test") < 320)
+    // growth stability: adding rows never relabels an existing doc
+    val grown = Curation.splitByHash(
+      docs.unionByName((2000L until 3000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")),
+      "doc_id", splits)
+    val before = labeled.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    grown.filter(col("doc_id") < 2000).collect().foreach { r =>
+      assert(before(r.getLong(0)) === r.getString(2), s"doc ${r.getLong(0)} migrated")
+    }
+    intercept[IllegalArgumentException](
+      Curation.splitByHash(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2)))
+  }
+
   test("capPerGroup/shuffleShards: caller columns named like the temps survive intact") {
     val s = spark
     import s.implicits._

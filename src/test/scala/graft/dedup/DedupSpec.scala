@@ -308,6 +308,28 @@ class DedupSpec extends SparkSpec {
     assert(simGuarded === Set((100L, 101L)))
   }
 
+  test("dedupAgainstBloom: exact ref duplicates never survive; most new docs pass") {
+    val s = spark
+    import s.implicits._
+    val ref = (0L until 500L).map(i => (i, s"reference document number $i content"))
+      .toDF("doc_id", "text")
+    val batch = ((1000L until 1100L).map(i => (i, s"fresh new document $i payload")) ++
+      (0L until 50L).map(i => (2000L + i, s"reference document number $i content")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstBloom(ref, "text", batch, "text",
+        expectedItems = 500L, fpp = 0.01)
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives: every verbatim ref duplicate is gone
+    assert(kept.forall(_ < 2000L), "a reference duplicate slipped through the gate")
+    // false positives bounded: at 1% fpp, 100 new docs lose at most a few
+    assert(kept.size >= 95, s"gate dropped ${100 - kept.size} of 100 new docs")
+    // the prebuilt-filter path is the same gate
+    val bloom = Dedup.buildRefBloom(ref, "text", 500L, 0.01)
+    val kept2 = Dedup.dedupAgainstBloom(bloom, batch, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 === kept)
+  }
+
   test("jaccardPairsAgainst df-cap: cross-corpus stop-shingle overlap dropped, real dups kept") {
     val s = spark
     import s.implicits._

@@ -297,6 +297,23 @@ class PlanSpec extends SparkSpec {
       "token mass lost map-side partial aggregation")
   }
 
+  test("q76: hash split is map-only — no join, no aggregate, one determinism sort") {
+    val p = plan("q76_hash_split")
+    assert(!p.contains("Join"), "split labeling should not join")
+    assert(!p.contains("HashAggregate"), "split labeling should not aggregate")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "extra shuffle in the split pipeline")
+  }
+
+  test("q77: two-stage ANN broadcasts queries and shortlist — the corpus never shuffles for a join") {
+    val p = plan("q77_ann_refine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus is being shuffled to meet the query/shortlist side")
+    assert(p.contains("BroadcastHashJoin"),
+      "shortlist rerank should be a map-side broadcast hash join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q69: per-group cap prunes to cap rows per group map-side, no join at all") {
     val p = plan("q69_source_cap")
     assert(p.contains("Window"), "cap rank should be a window")

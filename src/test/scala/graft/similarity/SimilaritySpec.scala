@@ -166,6 +166,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 top-k recall $recall below 0.8")
   }
 
+  test("refinedTopK: exact scores, recall grows with the shortlist to 1.0") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val refined = Similarity.refinedTopK(queries, corpus, k = 5, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(refined.length === 50)
+    // every reported score is the exact cosine (the rerank pass)
+    val exactPairs = exact.map(t => (t._1, t._2) -> t._3).toMap
+    refined.filter(t => exactPairs.contains((t._1, t._2)))
+      .foreach(t => assert(t._3 === exactPairs((t._1, t._2))))
+    val recall = refined.count(t => exact.contains(t)).toDouble / exact.size
+    assert(recall >= 0.8, s"20-deep shortlist recall $recall below int8 floor")
+    // a corpus-sized shortlist makes the two-stage form exactly exact
+    val full = Similarity.refinedTopK(queries, corpus, k = 5, shortlist = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full === exact)
+  }
+
   test("cosinePairsExact finds mutually-close vectors above tau only") {
     val s = spark
     import s.implicits._
