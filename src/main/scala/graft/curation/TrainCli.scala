@@ -25,6 +25,8 @@ import graft.text.Pii
   *   chunk       sliding-window chunking
   *   report      per-source dataset-card stats
   *   shards      deterministic shuffle, written as shard files
+  *   split       deterministic train/val/test labeling
+  *   bloomGate   zero-shuffle exact-dup gate vs a reference corpus
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
   * a command overwrites with identical output — crash-and-rerun safe
@@ -127,4 +129,22 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
     Curation.writeTrainingShards(read(in), idCol, out, numShards)
     spark.read.parquet(out).count()
   }
+
+  /** Deterministic split labeling; pair with a partitionBy("split")
+    * writer or downstream filters — the labels never migrate as the
+    * corpus grows.
+    */
+  def split(in: String, out: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): Long =
+    write(Curation.splitByHash(read(in), idCol, splits), out)
+
+  /** Bloom-gate an incoming batch against a reference corpus: the
+    * zero-shuffle exact-duplicate prefilter of incremental ingestion
+    * (compose with `dedup`/`decontam` for near-dup hygiene).
+    */
+  def bloomGate(refIn: String, batchIn: String, out: String,
+      expectedItems: Long, fpp: Double = 0.01): Long =
+    write(Dedup.dedupAgainstBloom(read(refIn), textCol,
+      read(batchIn), textCol, expectedItems, fpp), out)
 }

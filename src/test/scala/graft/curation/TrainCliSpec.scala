@@ -75,4 +75,30 @@ class TrainCliSpec extends SparkSpec {
     assert(cli.mix(s"$root/docs", s"$root/m1", "source",
       Map("a" -> 0.8, "b" -> 0.2), byTokens = true) === kept)
   }
+
+  test("split and bloomGate commands round-trip through parquet") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli3").toString
+    val cli = new TrainCli(spark)
+    (0L until 200L).map(i => (i, s"document body $i", "a"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$root/docs")
+
+    assert(cli.split(s"$root/docs", s"$root/sp") === 200L)
+    val sp = spark.read.parquet(s"$root/sp")
+    assert(sp.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    assert(sp.filter(col("split") === "train").count() > 100L)
+
+    // batch = 30 verbatim ref dups + 20 new docs
+    ((0L until 30L).map(i => (1000L + i, s"document body $i", "a")) ++
+      (0L until 20L).map(i => (2000L + i, s"brand new text $i", "a")))
+      .toDF("doc_id", "text", "source").write.parquet(s"$root/batch")
+    val kept = cli.bloomGate(s"$root/docs", s"$root/batch", s"$root/gated",
+      expectedItems = 200L)
+    val ids = spark.read.parquet(s"$root/gated")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.forall(_ >= 2000L), "a verbatim duplicate survived the gate")
+    assert(kept >= 18L) // 1% fpp on 20 new docs
+  }
 }
