@@ -69,6 +69,32 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("candprobe")) {
+      // candidate-volume probe for jaccardPairs' pruning stack: size
+      // filter alone vs + positional (PPJoin) filter
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, dir, "documents")
+      val eps = 1e-9; val tau = 0.5
+      val arrs = docs.select(col("doc_id").as("doc"),
+          graft.functions.SketchFunctions.sorted_shingle_hashes(col("text"), 3).as("shs"))
+        .select(col("doc"), size(col("shs")).as("nsh"), col("shs"))
+      val prefixLen = (col("nsh") - ceil(col("nsh") * tau - eps) + 1).cast("int")
+      val pfx = arrs.select(col("doc"), col("nsh"),
+          posexplode(slice(col("shs"), lit(1), prefixLen)).as(Seq("p0", "sh")))
+        .select(col("doc"), col("nsh"), (col("p0") + 1).as("p"), col("sh"))
+      val base = pfx.as("l").join(pfx.as("r").hint("shuffle_hash"),
+        col("l.sh") === col("r.sh") && col("l.doc") < col("r.doc") &&
+          col("r.nsh").cast("double") >= col("l.nsh") * tau - eps &&
+          col("l.nsh").cast("double") >= col("r.nsh") * tau - eps)
+      println("cand size-filter only:  " +
+        base.select(col("l.doc"), col("r.doc")).distinct().count())
+      val alpha = (col("l.nsh") + col("r.nsh")) * lit(tau / (1.0 + tau)) - eps
+      println("cand + positional:      " +
+        base.filter((lit(1) + least(col("l.nsh") - col("l.p"), col("r.nsh") - col("r.p")))
+          .cast("double") >= alpha)
+          .select(col("l.doc"), col("r.doc")).distinct().count())
+      spark.stop(); return
+    }
     if (args.lift(1).contains("skewprobe")) {
       // planted-skew probe for the round-6 guards: a boilerplate
       // template (identical text → one hot LSH bucket per band) and a
