@@ -144,7 +144,8 @@ object Dedup {
       val prefixLen =
         (col(s"nsh_$as") - ceil(col(s"nsh_$as") * tau - eps) + 1).cast("int")
       arrs.select(col(as), col(s"nsh_$as"),
-        explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
+        posexplode(slice(col("shs"), lit(1), prefixLen)).as(Seq(s"p0_$as", "sh")))
+        .select(col(as), col(s"nsh_$as"), (col(s"p0_$as") + 1).as(s"p_$as"), col("sh"))
     }
     // stop-shingle cap, df counted over BOTH corpora's full postings —
     // a hot shingle blows up |ref posting| × |batch posting|; the 100 TB
@@ -165,11 +166,16 @@ object Dedup {
     }
     val refPfx = dropHot(prefixes(ref, refIdCol, refTextCol, "ref_id"))
     val batchPfx = dropHot(prefixes(batch, batchIdCol, batchTextCol, "new_id"))
+    // positional (PPJoin) filter, same lossless bound as jaccardPairs:
+    // overlap <= 1 + min(remaining-after-match on each side)
+    val alpha = (col("nsh_ref_id") + col("nsh_new_id")) * lit(tau / (1.0 + tau)) - eps
     val candidates = refPfx
       .join(batchPfx.hint("shuffle_hash"),
         refPfx("sh") === batchPfx("sh") &&
           col("nsh_new_id").cast("double") >= col("nsh_ref_id") * tau - eps &&
-          col("nsh_ref_id").cast("double") >= col("nsh_new_id") * tau - eps)
+          col("nsh_ref_id").cast("double") >= col("nsh_new_id") * tau - eps &&
+          (lit(1) + least(col("nsh_ref_id") - col("p_ref_id"),
+            col("nsh_new_id") - col("p_new_id"))).cast("double") >= alpha)
       .select(col("ref_id"), col("new_id"))
       .distinct()
     val refArrs = ref.select(col(refIdCol).as("ref_id"),
