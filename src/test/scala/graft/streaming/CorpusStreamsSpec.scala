@@ -55,6 +55,36 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === got.size)
   }
 
+  test("map-only curation ops (splitByHash, hashSample) run unchanged on a stream") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("mapstream").toString
+    val in = s"$root/docs"
+    val docs = (0L until 300L).map(i => (i, s"doc body $i"))
+    docs.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+
+    // stateless content-keyed ops need no watermark, no state store —
+    // the SAME Column logic plans on readStream; stream output must
+    // equal the batch run row for row
+    val streamed = graft.curation.Curation.splitByHash(
+      graft.curation.Curation.hashSample(
+        CorpusStreams.docStream(spark, in, maxFilesPerTrigger = 1).toDF(),
+        "doc_id", fraction = 0.5),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+    val out = s"$root/labeled"
+    DerivedStreams.refreshOnce(streamed, out, s"$root/ckpt").awaitTermination()
+
+    val batch = graft.curation.Curation.splitByHash(
+      graft.curation.Curation.hashSample(
+        docs.toDF("doc_id", "text"), "doc_id", fraction = 0.5),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty && got.size < 300, "sample gate vacuous")
+  }
+
   test("contaminationFilter drops probe-overlapping docs on a live stream") {
     val s = spark
     import s.implicits._
