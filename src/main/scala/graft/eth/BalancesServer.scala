@@ -75,8 +75,13 @@ class BalancesServer(cli: Cli, port: Int = 0) {
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             (200, renderMap(f(body)))
           } catch {
-            case e: IllegalArgumentException =>
+            case e @ (_: IllegalArgumentException |
+                      _: com.fasterxml.jackson.core.JacksonException) =>
               (400, s"""{"error": ${mapper.writeValueAsString(e.getMessage)}}""")
+            case scala.util.control.NonFatal(e) =>
+              // a failed Spark action must still answer the request —
+              // an unreplied exchange surfaces as a client-side EOF
+              (500, s"""{"error": ${mapper.writeValueAsString(String.valueOf(e.getMessage))}}""")
           }
       val bytes = payload.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")

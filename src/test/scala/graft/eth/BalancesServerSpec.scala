@@ -85,6 +85,7 @@ class BalancesServerSpec extends SparkSpec {
       assert(getConn.getResponseCode === 405)
       getConn.disconnect()
       assert(post(s"$base/balances/", """{"not": "an array"}""")._1 === 400)
+      assert(post(s"$base/balances/", """not json at all""")._1 === 400)
       assert(post(s"$base/token_balances/", """["0x1"]""")._1 === 400)
     } finally server.stop()
   }
