@@ -40,13 +40,19 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
     spark.read.parquet(out).count()
   }
 
-  def dedup(in: String, out: String, n: Int = 3, tau: Double = 0.5): Long = {
+  /** `maxShingleDocFreq` is the web-scale stop-shingle cap (see
+    * [[graft.dedup.Dedup.jaccardPairs]]) — exact dedup has already
+    * collapsed the verbatim-duplicate mass by this stage, so capped
+    * hot shingles cost only pairs overlapping on nothing else.
+    */
+  def dedup(in: String, out: String, n: Int = 3, tau: Double = 0.5,
+      maxShingleDocFreq: Option[Int] = None): Long = {
     val docs = read(in)
     val exact = Dedup.exactDedupSurvivors(docs, idCol, textCol)
       .select(col("survivor_id").as(idCol))
     val kept = docs.join(exact, Seq(idCol), "left_semi")
     val drops = Dedup.collapsePairs(
-        Dedup.jaccardPairs(kept, idCol, textCol, n, tau))
+        Dedup.jaccardPairs(kept, idCol, textCol, n, tau, maxShingleDocFreq))
       .select(col("drop").as(idCol))
     write(kept.join(drops, Seq(idCol), "left_anti"), out)
   }
