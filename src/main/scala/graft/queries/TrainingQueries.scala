@@ -588,6 +588,19 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Gopher-rules quality gate: the Rae et al. filter heuristics as
+    // per-doc metrics + combined pass flag (map-only; the sf corpus
+    // splits ~half/half on the default thresholds, so both branches
+    // are oracle-exercised).
+    "q78_gopher_rules" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.gopherStats(col("text")).as("g"))
+        .select(col("doc_id"), col("g.word_count"), col("g.mean_word_len"),
+          col("g.symbol_ratio"), col("g.alpha_ratio"), col("g.stop_hits"),
+          col("g.pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Media transform ops: STUB resize + frame sampling through the
     // batched mapPartitions plumbing (byte-level deterministic, so the
     // truncation length / digest / frame count oracle-check exactly).
@@ -1161,6 +1174,23 @@ object TrainingQueries {
                ORDER BY ${duckCosPre("q", "c")} DESC, s.c_id) AS rank
            FROM short s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // Mirrors gopherStats defaults: identical tokenization, truncated
+    // ratios, and flag comparisons on the truncated values.
+    "q78_gopher_rules" ->
+      """WITH g AS (SELECT doc_id,
+             len(t)::BIGINT AS word_count,
+             floor(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) * 1e6) / 1e6 AS mean_word_len,
+             floor(len(list_filter(t, x -> NOT regexp_matches(x, '[a-z0-9]')))::DOUBLE / len(t) * 1e6) / 1e6 AS symbol_ratio,
+             floor(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(t) * 1e6) / 1e6 AS alpha_ratio,
+             len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::BIGINT AS stop_hits
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+         SELECT doc_id, word_count, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+           (word_count >= 50 AND word_count <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+            AND stop_hits >= 2) AS pass
+         FROM g ORDER BY doc_id""",
 
     // Mirrors shuffleShards(numShards=8): same md5-derived 60-bit key,
     // same shard mod, same (key, id)-ordered intra-shard positions.

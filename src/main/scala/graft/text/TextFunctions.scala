@@ -115,6 +115,51 @@ object TextFunctions {
     when(best._2 === 0, lit("und")).otherwise(best._1)
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A filter heuristics):
+    * word-count band, mean-word-length band, symbol-to-word ratio
+    * cap, alphabetic-word floor, and a required-stopword floor.
+    * Returns a struct of the per-document metrics plus the combined
+    * `pass` flag, so callers can gate (`filter($"g.pass")`) or audit
+    * the rule that fired. Pure Column composition — map-only,
+    * whole-stage codegen; ratios are floor-truncated to 6 decimals
+    * (engine-exact, like [[qualityScore]]) and the flags compare the
+    * truncated values.
+    */
+  def gopherStats(
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaRatio: Double = 0.8,
+      minStopHits: Int = 2): Column = {
+    val t = tokens(text)
+    val wc = size(t)
+    def ratio6(c: Column): Column = floor(c * 1e6) / 1e6
+    val meanLen = ratio6(sumTokenLen(text).cast("double") / wc)
+    // symbol word = no alphanumeric at all (the #/ellipsis class)
+    val symbolRatio = ratio6(
+      size(filter(t, x => !x.rlike("[a-z0-9]"))).cast("double") / wc)
+    val alphaRatio = ratio6(
+      size(filter(t, x => x.rlike("[a-z]"))).cast("double") / wc)
+    val stopArr = array(EnStop.map(lit): _*)
+    val stopHits = size(filter(t, x => array_contains(stopArr, x)))
+    val pass = wc >= minWords && wc <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      symbolRatio <= maxSymbolRatio &&
+      alphaRatio >= minAlphaRatio &&
+      stopHits >= minStopHits
+    struct(
+      wc.cast("long").as("word_count"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      stopHits.cast("long").as("stop_hits"),
+      pass.as("pass"))
+  }
+
   /** Exact content fingerprint. */
   def fingerprintMd5(text: Column): Column = md5(text)
 

@@ -166,6 +166,31 @@ class TextSpec extends SparkSpec {
     assert(got === Map("ab" -> 3L, "bc" -> 1L))
   }
 
+  test("gopherStats: hand-computed metrics, each rule able to fail independently") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // 54 words, all alphabetic, stop hits plenty -> pass
+      (1L, ("the quick brown fox jumps over the lazy dog and " * 5).trim + " tail one two more"),
+      // word-count fail: 4 words
+      (2L, "the tiny of doc"),
+      // symbol fail: half the words carry no alphanumerics
+      (3L, ("the of " + "### !!! ,,, ### !!! ,,, " * 4 + "the of and to in a the of and to in a the of and to in a the of and to in a the of ").trim),
+      // stopword fail: 60 plain words, zero markers
+      (4L, ("lorem ipsum dolor sit amet consectetur adipiscing elit sed eiusmod " * 6).trim))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        graft.text.TextFunctions.gopherStats(col("text")).as("g"))
+      .select(col("doc_id"), col("g.word_count"), col("g.stop_hits"),
+        col("g.symbol_ratio"), col("g.pass"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._1 === 54L && got(1L)._4 === true)
+    assert(got(2L)._1 === 4L && got(2L)._4 === false)
+    assert(got(3L)._3 > 0.1 && got(3L)._4 === false)
+    assert(got(4L)._2 === 0L && got(4L)._4 === false)
+  }
+
   test("repetitionFilter keeps low-repetition docs only, rows unchanged") {
     val s = spark
     import s.implicits._
