@@ -73,6 +73,65 @@ object Vocab {
       .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
   }
 
+  /** Apply a trained BPE merge list to one word: start from
+    * characters, repeatedly merge the earliest-ranked adjacent pair
+    * present until none applies — the standard greedy BPE encode.
+    * Deterministic; unknown characters just never merge.
+    */
+  def bpeEncodeWord(word: String, ranks: Map[String, Int]): Seq[String] = {
+    var pieces = word.map(_.toString).toVector
+    var done = pieces.length < 2
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < pieces.length - 1) {
+        val r = ranks.getOrElse(pieces(i) + pieces(i + 1), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        pieces = (pieces.take(best) :+ (pieces(best) + pieces(best + 1))) ++
+          pieces.drop(best + 2)
+        if (pieces.length < 2) done = true
+      }
+    }
+    pieces
+  }
+
+  /** Tokenize the corpus with a trained BPE merge list (the encode
+    * side of the tokenizer whose training statistic is
+    * [[bpePairCounts]]). Returns (doc_id, pieces: array<string>) —
+    * every word's subword pieces, document order preserved.
+    *
+    * Scale shape: the greedy merge loop (irregular, per-word — the
+    * justified-UDF case, like the ABI decoder) runs ONCE PER DISTINCT
+    * WORD over the vocabulary table, never per occurrence: encode cost
+    * is O(|vocab|·merges), corpus cost is the vocab-keyed join that
+    * maps words to their memoized pieces plus a doc-keyed reassembly.
+    * The merge list broadcasts (tokenizers are ~10⁴–10⁵ merges).
+    */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val ranks = merges.zipWithIndex
+      .map { case ((a, b), i) => (a + b) -> i }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val encodeUdf = udf((w: String) =>
+      if (w == null) Seq.empty[String] else bpeEncodeWord(w, bc.value))
+    val positioned = df.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
+    val vocabPieces = positioned.select(col("w")).distinct()
+      .withColumn("pieces", encodeUdf(col("w")))
+    positioned.join(vocabPieces, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("pieces")))),
+        x => x.getField("pieces"))).as("pieces"))
+  }
+
   /** Smooth IDF: ln((N + 1) / (doc_freq + 1)) + 1. */
   def idf(docFreq: Column, corpusSize: Long): Column =
     log((lit(corpusSize + 1d)) / (docFreq + lit(1d))) + lit(1d)

@@ -85,6 +85,34 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < 300, "sample gate vacuous")
   }
 
+  test("bloom ingestion gate runs stateless on a stream and matches the batch gate") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("bloomstream").toString
+    val in = s"$root/batchdocs"
+    val ref = (0L until 200L).map(i => (i, s"reference text $i")).toDF("doc_id", "text")
+    val arriving = ((500L until 540L).map(i => (i, s"novel text $i")) ++
+      (0L until 20L).map(i => (600L + i, s"reference text $i")))
+    arriving.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+
+    // the filter broadcasts once; the per-row probe is stateless, so
+    // the SAME gate plans on readStream with no state store
+    val bloom = graft.dedup.Dedup.buildRefBloom(ref, "text", 200L, 0.01)
+    val out = s"$root/gated"
+    DerivedStreams.refreshOnce(
+      graft.dedup.Dedup.dedupAgainstBloom(bloom,
+        CorpusStreams.docStream(spark, in, maxFilesPerTrigger = 1).toDF(), "text"),
+      out, s"$root/ckpt").awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val batch = graft.dedup.Dedup.dedupAgainstBloom(bloom,
+        arriving.toDF("doc_id", "text"), "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed === batch)
+    assert(streamed.forall(_ < 600L), "a verbatim ref duplicate passed the stream gate")
+    assert(streamed.size >= 38) // 1% fpp on 40 novel docs
+  }
+
   test("contaminationFilter drops probe-overlapping docs on a live stream") {
     val s = spark
     import s.implicits._

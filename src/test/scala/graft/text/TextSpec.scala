@@ -191,6 +191,23 @@ class TextSpec extends SparkSpec {
     assert(got(4L)._2 === 0L && got(4L)._4 === false)
   }
 
+  test("bpeEncode: greedy merges by rank, document order preserved, vocab-memoized") {
+    val s = spark
+    import s.implicits._
+    // merges ranked: lo (0), then low (1)
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    assert(Vocab.bpeEncodeWord("lower", merges.zipWithIndex
+      .map { case ((a, b), i) => (a + b) -> i }.toMap) === Seq("low", "e", "r"))
+    val docs = Seq(
+      (1L, "lower slow xyz"),
+      (2L, "lo lo"))
+      .toDF("doc_id", "text")
+    val got = Vocab.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("low", "e", "r", "s", "low", "x", "y", "z"))
+    assert(got(2L) === Seq("lo", "lo")) // repeated word: memoized pieces, kept twice
+  }
+
   test("repetitionFilter keeps low-repetition docs only, rows unchanged") {
     val s = spark
     import s.implicits._
