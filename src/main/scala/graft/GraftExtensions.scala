@@ -117,6 +117,9 @@ object GraftExtensions {
     },
     reg("pii_redact") { a =>
       toExpr(graft.text.Pii.redact(toCol(arity("pii_redact", a, 1).head)))
+    },
+    reg("gopher_stats") { a =>
+      toExpr(TextFunctions.gopherStats(toCol(arity("gopher_stats", a, 1).head)))
     })
 
   /** Register everything into a live session (the non-config path). */

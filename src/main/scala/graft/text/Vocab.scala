@@ -121,8 +121,11 @@ object Vocab {
     val bc = spark.sparkContext.broadcast(ranks)
     val encodeUdf = udf((w: String) =>
       if (w == null) Seq.empty[String] else bpeEncodeWord(w, bc.value))
+    // NULL text coalesces to "" (one empty word -> zero pieces): the
+    // doc keeps its output row instead of vanishing from the explode
     val positioned = df.select(col(idCol).as("doc_id"),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
+      posexplode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+        .as(Seq("pos", "w")))
     val vocabPieces = positioned.select(col("w")).distinct()
       .withColumn("pieces", encodeUdf(col("w")))
     positioned.join(vocabPieces, Seq("w"))

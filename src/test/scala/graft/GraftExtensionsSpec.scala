@@ -64,4 +64,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(names.distinct.size === names.size)
     assert(names.contains("uint256_lo128") && names.contains("hash_sample_key"))
   }
+
+  test("gopher_stats from SQL matches the Scala API struct") {
+    GraftExtensions.registerAll(spark)
+    val s = spark
+    import s.implicits._
+    Seq(("the quick brown fox of the land and more words here", 1))
+      .toDF("text", "one").createOrReplaceTempView("gdocs")
+    val sql = spark.sql(
+      "SELECT gopher_stats(text).word_count AS wc, gopher_stats(text).pass AS p FROM gdocs")
+      .head()
+    val api = Seq(("the quick brown fox of the land and more words here", 1))
+      .toDF("text", "one")
+      .select(TextFunctions.gopherStats(col("text")).as("g"))
+      .select(col("g.word_count"), col("g.pass")).head()
+    assert(sql.getLong(0) === api.getLong(0))
+    assert(sql.getBoolean(1) === api.getBoolean(1))
+  }
 }
