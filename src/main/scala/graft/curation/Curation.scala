@@ -38,6 +38,25 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashSampleKey(col(idCol)) < lit(sampleThreshold(fraction)))
 
+  /** Weighted deterministic sample: keep a row with probability
+    * `baseFraction · weight` (clamped to [0, 1]) — the selection step
+    * of importance-weighted data curation (e.g. keep-probability ∝ a
+    * DSIR weight or quality score), with [[hashSample]]'s properties:
+    * content-keyed, engine-reproducible, stable under partitioning and
+    * corpus growth. Map-only. Exactness note: the threshold is one
+    * double multiply + compare (IEEE-identical across engines) —
+    * no transcendentals, so the DuckDB oracle replays the decision
+    * bit-for-bit.
+    */
+  def weightedHashSample(
+      df: DataFrame, idCol: String, weight: Column,
+      baseFraction: Double): DataFrame = {
+    require(baseFraction >= 0.0)
+    val threshold = least(greatest(weight * baseFraction, lit(0.0)), lit(1.0)) *
+      lit((1L << 60).toDouble)
+    df.filter(hashSampleKey(col(idCol)).cast("double") < threshold)
+  }
+
   /** Deterministic train/val/test split: every row is labeled with
     * the name of the hash-key interval its id falls in. Content-keyed
     * like [[hashSample]], so the assignment is a pure function of the

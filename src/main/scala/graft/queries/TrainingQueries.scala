@@ -588,6 +588,17 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Importance-weighted deterministic sampling: keep probability =
+    // 0.6 x qualityScore per doc (quality-proportional selection, the
+    // DSIR-style resampling step) — map-only, content-keyed, exact
+    // double arithmetic end to end.
+    "q79_weighted_sample" -> ((s, dir) => {
+      Curation.weightedHashSample(t(s, dir, "documents"), "doc_id",
+        TextFunctions.qualityScore(col("text")), baseFraction = 0.6)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-rules quality gate: the Rae et al. filter heuristics as
     // per-doc metrics + combined pass flag (map-only; the sf corpus
     // splits ~half/half on the default thresholds, so both branches
@@ -1174,6 +1185,23 @@ object TrainingQueries {
                ORDER BY ${duckCosPre("q", "c")} DESC, s.c_id) AS rank
            FROM short s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // Mirrors weightedHashSample(qualityScore, 0.6): q20's truncated
+    // quality formula drives the keep threshold over the same
+    // md5-derived key space — one double multiply + compare, so the
+    // decision replays bit-for-bit.
+    "q79_weighted_sample" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+             floor((0.3 * least(1.0, len(t) / 50)
+                  + 0.3 * (len(list_distinct(t))::DOUBLE / len(t))
+                  + 0.2 * least(1.0, (list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t)) / 8)
+                  + 0.2 * (len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t))) * 1e6) / 1e6 AS qs,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS k
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents))
+         SELECT doc_id, source FROM q
+         WHERE k::DOUBLE < least(greatest(qs * 0.6, 0.0), 1.0) * 1152921504606846976.0
+         ORDER BY doc_id""",
 
     // Mirrors gopherStats defaults: identical tokenization, truncated
     // ratios, and flag comparisons on the truncated values.

@@ -258,6 +258,25 @@ class CurationSpec extends SparkSpec {
     assert(keys.take(7).map(_._1).toSet === (a -- (100L until 103L)))
   }
 
+  test("weightedHashSample: clamped thresholds, per-row monotone in the weight") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 500L).map(i => (i, (i % 10).toDouble / 10.0))
+      .toDF("doc_id", "w")
+    // weight 0 -> nothing; clamp at 1 -> everything
+    assert(Curation.weightedHashSample(docs, "doc_id", lit(0.0), 0.9).count() === 0L)
+    assert(Curation.weightedHashSample(docs, "doc_id", lit(5.0), 0.5).count() === 500L)
+    // a row kept at weight w stays kept at any higher weight (same key)
+    val lo = Curation.weightedHashSample(docs, "doc_id", col("w"), 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val hi = Curation.weightedHashSample(docs, "doc_id", col("w") * 2, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+    assert(lo.nonEmpty && hi.size < 500, "fixture vacuous")
+    // and the weighted keep-rate tracks the weight: w=0 rows never kept
+    assert(lo.forall(_ % 10 != 0))
+  }
+
   test("splitByHash: complete, disjoint, growth-stable, roughly proportioned") {
     val s = spark
     import s.implicits._
