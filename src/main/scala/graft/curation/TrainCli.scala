@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.dedup.Dedup
-import graft.text.Pii
+import graft.text.{Pii, Vocab}
 
 /** Thin CLI over the training-data plane — the counterpart of
   * [[graft.eth.Cli]] for corpus work: each command is one pipeline
@@ -27,6 +27,8 @@ import graft.text.Pii
   *   shards      deterministic shuffle, written as shard files
   *   split       deterministic train/val/test labeling
   *   bloomGate   zero-shuffle exact-dup gate vs a reference corpus
+  *   sample      quality-proportional weighted selection
+  *   encode      BPE-tokenize with a trained merge list
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
   * a command overwrites with identical output — crash-and-rerun safe
@@ -153,4 +155,25 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
       expectedItems: Long, fpp: Double = 0.01): Long =
     write(Dedup.dedupAgainstBloom(read(refIn), textCol,
       read(batchIn), textCol, expectedItems, fpp), out)
+
+  /** Quality/importance-proportional selection
+    * ([[Curation.weightedHashSample]] with the composite quality score
+    * as the weight).
+    */
+  def sample(in: String, out: String, baseFraction: Double): Long =
+    write(Curation.weightedHashSample(read(in), idCol,
+      graft.text.TextFunctions.qualityScore(col(textCol)), baseFraction), out)
+
+  /** Tokenize with a trained BPE merge list stored as a 2-column
+    * (left, right) parquet in rank order (`rank` column if present,
+    * else input order is undefined — write one).
+    */
+  def encode(in: String, mergesIn: String, out: String): Long = {
+    val m = read(mergesIn)
+    require(m.columns.contains("rank"),
+      "merges parquet needs a rank column (merge order is the tokenizer)")
+    val merges = m.orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    write(Vocab.bpeEncode(read(in), idCol, textCol, merges), out)
+  }
 }

@@ -612,6 +612,29 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-plane composition: the multimodal plane's embeddings feed
+    // the similarity plane's near-dup pairs — media whose byte
+    // histograms nearly coincide. Components round to 6 decimals
+    // FIRST (both engines then run IEEE-identical mul/add/sqrt on
+    // identical inputs); the exact pair form is the oracle baseline
+    // like q26 — cosinePairsLsh (q48's pinned shape) is the scale
+    // path for a real media corpus.
+    "q80_media_neardup" -> ((s, dir) => {
+      // media_id % 3 subset: the exact pair stage is quadratic AND its
+      // input arrives from the row-encoder (boxed arrays — ~10x the
+      // per-pair cost of parquet-backed vectors), so the oracle
+      // baseline runs on a deterministic slice; the full-corpus scale
+      // path is cosinePairsLsh over a PERSISTED embedding table
+      // (write mediaEmbeddings to parquet first — then q48's shape).
+      val media = Multimodal.synthesizeFromText(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      val emb = Multimodal.mediaEmbeddings(s, media, dim = 16)
+        .select(col("media_id"),
+          transform(col("embedding"), x => round(x, 6)).as("emb"))
+      Similarity.cosinePairsExact(emb, "media_id", "emb", tau = 0.999)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Media transform ops: STUB resize + frame sampling through the
     // batched mapPartitions plumbing (byte-level deterministic, so the
     // truncation length / digest / frame count oracle-check exactly).
@@ -1185,6 +1208,31 @@ object TrainingQueries {
                ORDER BY ${duckCosPre("q", "c")} DESC, s.c_id) AS rank
            FROM short s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // Mirrors q80: q66's embedding derivation (rounded components),
+    // then the q26-style exact pair join at tau 0.999.
+    "q80_media_neardup" ->
+      """WITH chars AS (SELECT doc_id AS media_id,
+             unnest([ascii(substr(text, i, 1)) % 16 FOR i IN range(1, strlen(text)+1)]) AS bucket
+           FROM documents WHERE doc_id % 3 = 0),
+         h AS (SELECT media_id, bucket, count(*)::DOUBLE AS c
+               FROM chars GROUP BY media_id, bucket),
+         spine AS (SELECT doc_id AS media_id, unnest(range(0, 16)) AS bucket
+                   FROM documents WHERE doc_id % 3 = 0),
+         fullh AS (SELECT s.media_id, s.bucket, coalesce(h.c, 0.0) AS c
+                   FROM spine s LEFT JOIN h
+                     ON s.media_id = h.media_id AND s.bucket = h.bucket),
+         nn AS (SELECT media_id, sqrt(sum(c * c)) AS nrm FROM fullh GROUP BY media_id),
+         e AS (SELECT f.media_id, list(round(f.c / nn.nrm, 6) ORDER BY f.bucket) AS emb
+               FROM fullh f JOIN nn ON f.media_id = nn.media_id GROUP BY f.media_id),
+         v AS (SELECT media_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e)
+         SELECT id_a, id_b, cos FROM (
+           SELECT a.media_id AS id_a, b.media_id AS id_b,
+             round(list_sum(list_transform(range(1, 17), i -> a.emb[i] * b.emb[i]))
+               / (a.nrm * b.nrm), 6) AS cos
+           FROM v a JOIN v b ON a.media_id < b.media_id)
+         WHERE cos >= 0.999 ORDER BY id_a, id_b""",
 
     // Mirrors weightedHashSample(qualityScore, 0.6): q20's truncated
     // quality formula drives the keep threshold over the same

@@ -101,4 +101,25 @@ class TrainCliSpec extends SparkSpec {
     assert(ids.forall(_ >= 2000L), "a verbatim duplicate survived the gate")
     assert(kept >= 18L) // 1% fpp on 20 new docs
   }
+
+  test("sample and encode commands round-trip through parquet") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli4").toString
+    val cli = new TrainCli(spark)
+    (0L until 100L).map(i => (i, "lower slow the of and in to a words here"))
+      .toDF("doc_id", "text").write.parquet(s"$root/docs")
+
+    val kept = cli.sample(s"$root/docs", s"$root/s1", baseFraction = 0.5)
+    assert(kept > 0L && kept < 100L)
+    // rerun-safe: identical selection
+    assert(cli.sample(s"$root/docs", s"$root/s1", baseFraction = 0.5) === kept)
+
+    Seq(("l", "o", 0L), ("lo", "w", 1L)).toDF("left", "right", "rank")
+      .write.parquet(s"$root/merges")
+    assert(cli.encode(s"$root/docs", s"$root/merges", s"$root/enc") === 100L)
+    val pieces = spark.read.parquet(s"$root/enc")
+      .filter(col("doc_id") === 0L).head().getSeq[String](1)
+    assert(pieces.take(5) === Seq("low", "e", "r", "s", "low"))
+  }
 }

@@ -314,6 +314,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q78/q79: rule gate and weighted sample are map-only — no join, no aggregate") {
+    Seq("q78_gopher_rules", "q79_weighted_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q should not join")
+      assert(!p.contains("HashAggregate"), s"$q should not aggregate")
+      assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+        s"$q grew an extra shuffle beyond the determinism sort")
+    }
+  }
+
   test("q69: per-group cap prunes to cap rows per group map-side, no join at all") {
     val p = plan("q69_source_cap")
     assert(p.contains("Window"), "cap rank should be a window")
