@@ -40,6 +40,41 @@ class DedupSpec extends SparkSpec {
     assert(got(1)._3 > 0.5 && got(1)._3 < 1.0) // edited pair
   }
 
+  test("jaccardPairs prefix+positional filters are lossless on seeded random corpora") {
+    val s = spark
+    import s.implicits._
+    // random word soup with planted mutation families: the positional
+    // (PPJoin) bound must never drop a true pair at ANY tau; seeded
+    // loops stand in for scalacheck (offline bridge)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    (0 until 12).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      def doc(len: Int): String =
+        Seq.fill(len)(words(rng.nextInt(words.length))).mkString(" ")
+      val bases = (0 until 12).map(i => (i.toLong, doc(6 + rng.nextInt(10))))
+      // each base spawns 0-2 mutants (token replaced / appended)
+      val mutants = bases.flatMap { case (id, text) =>
+        (0 until rng.nextInt(3)).map { m =>
+          val ts = text.split(" ").toVector
+          val mutated =
+            if (rng.nextBoolean()) ts.updated(rng.nextInt(ts.length),
+              words(rng.nextInt(words.length)))
+            else ts :+ words(rng.nextInt(words.length))
+          (100L + id * 10 + m, mutated.mkString(" "))
+        }
+      }
+      val docs = (bases ++ mutants).toDF("doc_id", "text")
+      Seq(0.3, 0.5, 0.8).foreach { tau =>
+        val fast = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, tau = tau)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val slow = Dedup.jaccardPairsByCount(docs, "doc_id", "text", n = 2, tau = tau)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(fast === slow, s"seed=$seed tau=$tau: filtered pairs diverged")
+      }
+    }
+  }
+
   test("prefix-filtered jaccardPairs equals the count-based twin on real data") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val prefix = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
