@@ -631,7 +631,7 @@ object TrainingQueries {
       val emb = Multimodal.mediaEmbeddings(s, media, dim = 16)
         .select(col("media_id"),
           transform(col("embedding"), x => round(x, 6)).as("emb"))
-      Similarity.cosinePairsExact(emb, "media_id", "emb", tau = 0.999)
+      Similarity.cosinePairsExact(emb, "media_id", "emb", tau = 0.995)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1232,7 +1232,7 @@ object TrainingQueries {
              round(list_sum(list_transform(range(1, 17), i -> a.emb[i] * b.emb[i]))
                / (a.nrm * b.nrm), 6) AS cos
            FROM v a JOIN v b ON a.media_id < b.media_id)
-         WHERE cos >= 0.999 ORDER BY id_a, id_b""",
+         WHERE cos >= 0.995 ORDER BY id_a, id_b""",
 
     // Mirrors weightedHashSample(qualityScore, 0.6): q20's truncated
     // quality formula drives the keep threshold over the same
