@@ -72,6 +72,36 @@ class MultimodalSpec extends SparkSpec {
     assert(dups.toSeq === Seq((2L, 1L)))
   }
 
+  test("persisted media embeddings drive the LSH pair join — q80's corpus-scale path") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .filter(col("doc_id") % 3 === 0)
+    val emb = mediaEmbeddings(s,
+      synthesizeFromText(docs, "doc_id", "text"), dim = 16)
+      .select(col("media_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => org.apache.spark.sql.functions.round(x, 6)).as("emb"))
+    // persist like a real pipeline would (parquet-backed vectors, not
+    // row-encoder arrays), then the banded-LSH path over the table
+    val dir = java.nio.file.Files.createTempDirectory("mediaemb").toString + "/emb"
+    emb.write.parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val exact = graft.similarity.Similarity.cosinePairsExact(
+        stored, "media_id", "emb", tau = 0.995)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = graft.similarity.Similarity.cosinePairsLsh(
+        stored, "media_id", "emb", tau = 0.995,
+        dim = 16, planesPerBand = 4, bands = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(exact), "LSH produced a non-exact pair or score")
+    // near-identical vectors (cos >= 0.995) miss a 4-bit band with
+    // prob ~0.06 -> all 24 with prob ~2e-30; assert high recall
+    assert(lsh.size >= (exact.size * 0.9).toInt,
+      s"LSH recall ${lsh.size}/${exact.size} below expectation")
+    assert(exact.nonEmpty)
+  }
+
   test("synthesizeFromText + mediaMetaTable round-trips byte lengths") {
     val s = spark
     import s.implicits._
