@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ClickHouse ANY JOIN semantics (reference:
@@ -85,5 +86,72 @@ object Joins {
       else firstByKey(right, keys, tiebreak)
     val r = if (broadcastRight) broadcast(deduped) else deduped
     left.join(r, keys, joinType)
+  }
+
+  /** AS-OF LEFT JOIN: attach to each left row the single most recent
+    * right row with equal `keys` and right `tsCol` <= left `tsCol`
+    * (DuckDB `ASOF LEFT JOIN` / kdb `aj` semantics).
+    *
+    * Join-free implementation: tag both sides, union, and carry the
+    * right payload forward with `last(_, ignoreNulls)` over
+    * `(PARTITION BY keys ORDER BY ts, side ROWS UNBOUNDED PRECEDING)`.
+    * One shuffle+sort of |L|+|R| rows, partitioned by the equi-keys
+    * exactly like a hash join would be. The naive formulation — a
+    * range-condition join + max-per-left-row — plans as a theta join
+    * (per-key cartesian) and melts down on hot keys at scale; the
+    * window form is linear after the sort and skews only as much as
+    * the key distribution itself.
+    *
+    * Right rows order BEFORE left rows at equal ts (side 0 < 1), so the
+    * bound is inclusive (`>=`). The payload is carried as ONE struct,
+    * not per-column: a genuinely-NULL payload field in the latest right
+    * row must not fall through to an older row.
+    *
+    * @param right     projected right side: `keys`, `tsCol`, payload —
+    *                  payload names must not collide with left columns.
+    * @param tiebreak  orders right rows sharing (keys, ts); the LAST
+    *                  row in this order wins (deterministic). Empty =
+    *                  right already unique per (keys, ts).
+    * @param rightTsAs output column holding the matched right ts
+    *                  (null when no right row precedes the left row).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tiebreak: Seq[Column] = Seq.empty,
+      rightTsAs: String = "asof_ts"): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toIndexedSeq
+    val rightOne =
+      if (tiebreak.isEmpty) right
+      else lastByKey(right, keys :+ tsCol, tiebreak)
+
+    val lCols = left.columns.toIndexedSeq
+    val leftStruct = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val payStruct = org.apache.spark.sql.types.StructType(
+      rightOne.schema.fields.filter(f => payload.contains(f.name) || f.name == tsCol))
+
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(1).as("__side"),
+        struct(lCols.map(col): _*).as("__lrow"),
+        lit(null).cast(payStruct).as("__pay")): _*)
+    val rTagged = rightOne.select(
+      keys.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(leftStruct).as("__lrow"),
+        struct(payStruct.fieldNames.toIndexedSeq.map(col): _*).as("__pay")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rTagged)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col(s"__lrow.$c").as(c)) ++
+        Seq(col(s"__m.$tsCol").as(rightTsAs)) ++
+        payload.map(p => col(s"__m.$p").as(p)): _*)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.core.{Joins, Ranges, Upsert}
+import graft.core.{Joins, Ranges, Sessions, Upsert}
 import graft.functions.GraftFunctions
 
 /** Plane-A relational operators (SURVEY §2.A) expressed over the
@@ -245,6 +245,39 @@ object RelationalQueries {
             col("income") - col("outcome") + col("reward")
               - col("fee") + col("fee_reward")).as("balance"))
         .orderBy(col("user_id"))
+    }),
+
+    // Gap-based sessionization (30-min gap) over the per-user event
+    // timeline: lag + running-sum windows sharing ONE exchange, then a
+    // per-session rollup. Clock is exact integer micros on both
+    // engines.
+    "q82_sessionize" -> ((s, dir) => {
+      Sessions.sessionStats(
+        t(s, dir, "events"),
+        keys = Seq("user_id"),
+        ts = unix_micros(col("ts")),
+        order = Seq(col("event_id")),
+        gap = 1800L * 1000000L,
+        value = col("value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // AS-OF LEFT JOIN: each purchase attributed to the latest click by
+    // the same user at or before it — the union + carry-forward-window
+    // form (one shuffle, no range join). Oracle is DuckDB's native
+    // ASOF LEFT JOIN over a (user, ts)-deduped click side.
+    "q84_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("t_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t_us"), col("value").as("click_value"))
+      Joins.asofJoin(
+        purchases, clicks,
+        keys = Seq("user_id"), tsCol = "t_us",
+        tiebreak = Seq(col("click_value")),
+        rightTsAs = "click_t_us")
+        .orderBy(col("event_id"))
     })
   )
 
@@ -354,6 +387,36 @@ object RelationalQueries {
              coalesce(CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS fee,
              coalesce(CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS fee_reward
            FROM events GROUP BY 1)
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    "q82_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+         flagged AS (
+           SELECT user_id, event_id, t, value,
+             CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         sess AS (
+           SELECT user_id, t, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id::BIGINT AS session_id,
+           count(*) AS n_events,
+           min(t) AS t_start, max(t) AS t_end,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q84_asof_join" ->
+      """WITH q AS (
+           SELECT user_id, epoch_us(ts) AS t_us, max(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.t_us,
+           q.t_us AS click_t_us, q.click_value
+         FROM p ASOF LEFT JOIN q
+           ON p.user_id = q.user_id AND p.t_us >= q.t_us
+         ORDER BY p.event_id"""
   )
 }

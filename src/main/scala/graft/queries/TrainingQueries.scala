@@ -8,7 +8,7 @@ import graft.curation.Curation
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.{Pii, Repetition, TextFunctions, Vocab}
+import graft.text.{NaiveBayes, Pii, Repetition, Search, TextFunctions, Vocab}
 
 /** Training-data pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over the `documents` /
@@ -643,6 +643,28 @@ object TrainingQueries {
       Multimodal.mediaTransformTable(s, media,
         width = 32, height = 64, stride = 2, frameBytes = 64)
         .orderBy(col("media_id"))
+    }),
+
+    // BM25 retrieval: posting list filtered to the query terms BEFORE
+    // any shuffle; df + corpus stats ride broadcasts; one doc_id
+    // aggregate. Fixed-point per-term scores sum in int64 (exact).
+    "q81_bm25" -> ((s, dir) => {
+      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"), k = 25)
+    }),
+
+    // In-engine trained classifier: multinomial Naive Bayes fit on the
+    // (lang-labeled) corpus in two aggregations, then argmax-scored
+    // back over the same docs — the retrainable language/quality-filter
+    // slot of a curation pipeline (complements the static-marker q21).
+    "q83_nb_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = NaiveBayes.fit(docs, "text", "lang")
+      NaiveBayes.predict(model, docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred"),
+          (col("pred") === col("lang")).as("correct"), col("score_fx"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1396,6 +1418,76 @@ object TrainingQueries {
          32 AS resized_bytes,
          md5(substr(text, 1, 32)) AS resized_md5,
          ((((strlen(text) + 63) // 64) + 1) // 2)::INT AS n_frames_sampled
-         FROM documents ORDER BY media_id"""
+         FROM documents ORDER BY media_id""",
+    // q81: same BM25 arithmetic tree as Search.bm25TopK — constants
+    // written as the SAME foldable expressions ((1.2 + 1.0), not 2.2:
+    // both engines fold in double, so the bits match the Scala-side
+    // lit(K1 + 1.0)); per-term scores floored to 1e-9 int64, summed
+    // exactly.
+    "q81_bm25" ->
+      """WITH docs AS (
+           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+                  string_split(text, ' ') AS t
+           FROM documents),
+         stats AS (
+           SELECT count(*)::BIGINT AS n,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+         posting AS (
+           SELECT doc_id, dl, tok AS term, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS tok FROM docs)
+           WHERE tok IN ('spark', 'join', 'window')
+           GROUP BY 1, 2, 3),
+         dfs AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY 1),
+         scored AS (
+           SELECT p.doc_id,
+             CAST(floor(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / s.avgdl)))
+               * 1e9) AS BIGINT) AS fx
+           FROM posting p JOIN dfs f ON p.term = f.term CROSS JOIN stats s),
+         agg AS (SELECT doc_id, CAST(sum(fx) AS BIGINT) AS score_fx
+                 FROM scored GROUP BY 1)
+         SELECT doc_id,
+           floor(CAST(score_fx AS DOUBLE) / 1000.0) / 1e6 AS score,
+           score_fx
+         FROM agg ORDER BY score_fx DESC, doc_id LIMIT 25""",
+    // q83: add-1-smoothed multinomial NB over the dense vocab × lang
+    // grid; counts exact ints, log-likelihoods floored to 1e-9 int64 at
+    // the leaf, int64 sums — bit-identical to NaiveBayes.fit/predict.
+    "q83_nb_lang" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         occ AS (SELECT doc_id, lang, unnest(t) AS tok FROM d),
+         cnt AS (SELECT lang, tok, count(*)::BIGINT AS c FROM occ GROUP BY 1, 2),
+         vocab AS (SELECT DISTINCT tok FROM occ),
+         vsize AS (SELECT count(*)::BIGINT AS v FROM vocab),
+         cls AS (SELECT lang, count(*)::BIGINT AS ndocs,
+                        CAST(sum(len(t)) AS BIGINT) AS ntok FROM d GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS n FROM d),
+         mat AS (
+           SELECT cl.lang, v.tok,
+             CAST(floor(ln((coalesce(c.c, 0) + 1)::DOUBLE / (cl.ntok + s.v)) * 1e9) AS BIGINT) AS lp
+           FROM cls cl CROSS JOIN vocab v CROSS JOIN vsize s
+           LEFT JOIN cnt c ON c.lang = cl.lang AND c.tok = v.tok),
+         prior AS (
+           SELECT cl.lang,
+             CAST(floor(ln(cl.ndocs::DOUBLE / t.n) * 1e9) AS BIGINT) AS lprior
+           FROM cls cl CROSS JOIN tot t),
+         doctok AS (SELECT doc_id, tok, count(*)::BIGINT AS k FROM occ GROUP BY 1, 2),
+         score AS (
+           SELECT dt.doc_id, m.lang, CAST(sum(dt.k * m.lp) AS BIGINT) AS s
+           FROM doctok dt JOIN mat m ON dt.tok = m.tok
+           GROUP BY 1, 2),
+         post AS (
+           SELECT sc.doc_id, sc.lang, sc.s + p.lprior AS score_fx
+           FROM score sc JOIN prior p ON sc.lang = p.lang),
+         pred AS (
+           SELECT doc_id, lang AS pred, score_fx,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_fx DESC, lang) AS r
+           FROM post)
+         SELECT d2.doc_id, d2.lang, pr.pred,
+           pr.pred = d2.lang AS correct, pr.score_fx
+         FROM pred pr JOIN documents d2 ON pr.doc_id = d2.doc_id
+         WHERE pr.r = 1 ORDER BY d2.doc_id"""
   )
 }

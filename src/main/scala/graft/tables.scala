@@ -20,9 +20,13 @@ object Tables {
     // nanos→micros is lossless.
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
+        // INTEGER division (`div`), not `/`: long `/` promotes to double,
+        // and doubles can't hold epoch-nanos (~1.7e18 > 2^53) — the
+        // round-trip drifts the last microsecond digit vs DuckDB's
+        // exact epoch_us truncation.
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case None => df
     }
   }

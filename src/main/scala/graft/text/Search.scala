@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over a document corpus — the inverted-index
+  * ranking a training-data pipeline uses for targeted corpus probes
+  * ("find the docs most about X") and retrieval-based decontamination.
+  *
+  * Scale shape: the corpus is tokenized and FILTERED TO THE QUERY TERMS
+  * before anything aggregates — the posting list that shuffles is
+  * O(docs containing a query term), not O(corpus tokens). Corpus-level
+  * scalars (N, avgdl) and the per-term document frequencies (≤ |query|
+  * rows) ride broadcast joins, so the big side shuffles exactly once,
+  * on doc_id, for the per-doc score sum.
+  *
+  * Determinism: tf/df/dl are exact integers; each (doc, term) partial
+  * score is a pure double expression over them, fixed to 1e-9 via
+  * floor, and summed as int64 — the cross-engine-exact idiom used by
+  * the LM scorers (Curation.lmCrossEntropy).
+  */
+object Search {
+
+  /** Okapi BM25 defaults. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Top-`k` docs by BM25 score for `queryTerms`, ties broken by
+    * ascending id. Output: idCol, score (1e-6-floored double),
+    * score_fx (the exact int64 fixed-point the ranking sorts on).
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    val toks = docs.select(
+      col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    val withDl = toks.select(col(idCol), size(col("__t")).cast("long").as("dl"), col("__t"))
+
+    // One row of corpus stats; broadcast, never collected.
+    val stats = withDl.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+    // Posting list: only query-term occurrences survive the explode.
+    val posting = withDl
+      .select(col(idCol), col("dl"), explode(col("__t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+    // posting is already unique per (doc, term), so df is a plain
+    // count — no count-distinct expand needed.
+    val dfs = posting.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+
+    val scored = posting
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__fx",
+        floor(
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(K1 + 1.0)) /
+            (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * (col("dl") / col("avgdl")))) *
+            lit(1e9)).cast("long"))
+
+    scored.groupBy(col(idCol))
+      .agg(sum(col("__fx")).as("score_fx"))
+      .orderBy(col("score_fx").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        (floor(col("score_fx").cast("double") / lit(1000.0)) / lit(1e6)).as("score"),
+        col("score_fx"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Temporal operators: AS-OF join (union + carry-forward window) and
+  * gap sessionization — semantics pinned on handcrafted timelines
+  * covering the boundary cases the oracle data rarely hits exactly
+  * (equal-ts inclusivity, gap == threshold, equal-ts tiebreaks).
+  */
+class TemporalSpec extends SparkSpec {
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq((1L, "k", 100L), (2L, "k", 205L), (3L, "k", 50L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("k", 90L, 1.0), ("k", 100L, 2.0), ("k", 200L, 3.0))
+      .toDF("sym", "t", "px")
+    val got = Joins.asofJoin(trades, quotes, Seq("sym"), "t", rightTsAs = "qt")
+      .orderBy("trade_id")
+      .collect()
+      .map(r => (r.getAs[Long]("trade_id"), Option(r.getAs[Any]("qt")), Option(r.getAs[Any]("px"))))
+    assert(got(0) === ((1L, Some(100L), Some(2.0))), "equal ts must match (inclusive bound)")
+    assert(got(1) === ((2L, Some(200L), Some(3.0))))
+    assert(got(2) === ((3L, None, None)), "no preceding quote -> nulls")
+  }
+
+  test("asofJoin: keys never match across partitions; equal-ts right dups resolve by tiebreak") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "k", "t")
+    val right = Seq(("a", 10L, 5.0), ("a", 10L, 9.0), ("b", 5L, 1.0))
+      .toDF("k", "t", "v")
+    val got = Joins.asofJoin(left, right, Seq("k"), "t",
+      tiebreak = Seq(col("v")), rightTsAs = "rt")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Double]("v") === 9.0, "tiebreak keeps the greatest v")
+    assert(got(1).getAs[Double]("v") === 1.0, "key b must not see key a's quotes")
+  }
+
+  test("asofJoin carries the whole right row atomically (null payload fields do not fall through)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "k", 100L)).toDF("id", "k", "t")
+    val right = Seq(("k", 10L, java.lang.Double.valueOf(7.0)), ("k", 90L, null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "t", "v")
+    val row = Joins.asofJoin(left, right, Seq("k"), "t").head()
+    assert(row.getAs[Long]("asof_ts") === 90L)
+    assert(row.isNullAt(row.fieldIndex("v")),
+      "latest right row's NULL must win — not an older non-null value")
+  }
+
+  test("sessionize splits strictly-greater-than-gap boundaries, 1-based per key") {
+    val s = spark
+    import s.implicits._
+    // gaps: 10 (cont), 11 (new), exactly 10 (cont) — threshold is >gap.
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 21L), (1L, 4L, 31L),
+      (2L, 5L, 1000L))
+      .toDF("uid", "eid", "t")
+    val got = Sessions.sessionize(ev, Seq("uid"), col("t"), Seq(col("eid")), gap = 10L)
+      .orderBy("eid").collect()
+      .map(r => (r.getAs[Long]("eid"), r.getAs[Long]("session_id")))
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L)))
+  }
+
+  test("sessionStats rolls up count/min/max/sum per session") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 1L, 0L, 1.5), (1L, 2L, 5L, 2.5), (1L, 3L, 100L, 4.0))
+      .toDF("uid", "eid", "t", "v")
+    val got = Sessions.sessionStats(ev, Seq("uid"), col("t"), Seq(col("eid")),
+      gap = 10L, value = col("v"))
+      .orderBy("session_id").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n_events") === 2L)
+    assert(got(0).getAs[Long]("t_start") === 0L && got(0).getAs[Long]("t_end") === 5L)
+    assert(got(0).getAs[Double]("sum_v") === 4.0)
+    assert(got(1).getAs[Long]("n_events") === 1L)
+    assert(got(1).getAs[Double]("sum_v") === 4.0)
+  }
+}

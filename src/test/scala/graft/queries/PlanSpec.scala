@@ -337,4 +337,36 @@ class PlanSpec extends SparkSpec {
       "rank filter did not become a map-side group limit")
     assert(!p.contains("Join"), "per-group cap should not join anything")
   }
+
+  test("q84: as-of join is join-free — union + carry-forward window, no range join") {
+    val p = plan("q84_asof_join")
+    assert(p.contains("Window"), "as-of carry-forward should be a window")
+    assert(p.contains("Union"), "both sides should union into one pass")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must not plan as a join — a range-condition join melts down on hot keys")
+  }
+
+  test("q82: sessionize windows share one user_id exchange (no per-window reshuffle)") {
+    val p = plan("q82_sessionize")
+    // lag + running-sum + rollup: the only hash exchanges are the
+    // window partitioning and the (user_id, session_id) rollup.
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange hashpartitioning.*""")) <= 2,
+      "sessionization grew extra shuffles:\n" + p)
+    assert(!p.contains("Join"))
+  }
+
+  test("q81: BM25 stats and dfs ride broadcasts; corpus shuffles only on doc_id") {
+    val p = plan("q81_bm25")
+    assert(p.contains("BroadcastHashJoin"), "df join should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffle join for the <= |query|-row df side is wrong at any scale")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q83: NB training/scoring contains no cartesian product") {
+    val p = plan("q83_nb_lang")
+    assert(!p.contains("CartesianProduct"),
+      "vocab x class grid must be broadcast-nested-loop, not cartesian")
+  }
 }

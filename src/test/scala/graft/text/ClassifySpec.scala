@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 retrieval + in-engine Naive Bayes: ranking and decision
+  * semantics on handcrafted corpora where the right answer is
+  * derivable by hand.
+  */
+class ClassifySpec extends SparkSpec {
+
+  test("bm25TopK ranks higher-tf/shorter docs first and omits docs without query terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark filler"),        // tf=3, short
+      (2L, "spark filler filler filler filler filler filler filler"), // tf=1, long
+      (3L, "filler filler filler filler"),     // no query term
+      (4L, "spark spark filler filler"))       // tf=2
+      .toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 4L, 2L),
+      "expected tf-desc ranking with the termless doc absent")
+    assert(got.forall(_.getAs[Double]("score") > 0.0))
+    // fixed-point and the rounded double agree to 1e-6
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("score") -
+        r.getAs[Long]("score_fx").toDouble / 1e9) < 1e-6)
+    }
+  }
+
+  test("bm25TopK breaks exact score ties by ascending doc id") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (7L, "a b"), (3L, "a b"), (5L, "a b"), (1L, "c d"))
+      .toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("a"), k = 2)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(got.toSeq === Seq(3L, 5L), "identical docs must rank id-ascending")
+  }
+
+  test("NaiveBayes learns disjoint marker vocabularies and predicts them back") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "en", "the cat sat"),
+      (2L, "en", "the dog ran"),
+      (3L, "de", "der hund lief"),
+      (4L, "de", "der katze sass"))
+      .toDF("doc_id", "lang", "text")
+    val model = NaiveBayes.fit(docs, "text", "lang")
+    val pred = NaiveBayes.predict(model, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("pred"))
+    assert(pred.toSeq === Seq("en", "en", "de", "de"))
+  }
+
+  test("NaiveBayes model matrix is dense: unseen (token, class) pairs carry the smoothing floor") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x", "aa bb"), (2L, "y", "cc"))
+      .toDF("doc_id", "lang", "text")
+    val model = NaiveBayes.fit(docs, "text", "lang")
+    val mat = model.mat.collect()
+    assert(mat.length === 6, "3 vocab tokens x 2 classes")
+    // class y never saw 'aa': lp = floor(ln(1/(1+3))*1e9)
+    val unseen = mat.find(r => r.getAs[String]("lang") == "y" && r.getAs[String]("token") == "aa").get
+    assert(unseen.getAs[Long]("lp") === math.floor(math.log(1.0 / 4.0) * 1e9).toLong)
+  }
+
+  test("NaiveBayes equal-evidence docs fall back to priors; exact ties break label-ascending") {
+    val s = spark
+    import s.implicits._
+    // Balanced classes, shared vocabulary, symmetric counts: every
+    // score ties, so the prediction must be the smallest label.
+    val docs = Seq(
+      (1L, "b", "w w"), (2L, "a", "w w"))
+      .toDF("doc_id", "lang", "text")
+    val model = NaiveBayes.fit(docs, "text", "lang")
+    val pred = NaiveBayes.predict(model, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("pred"))
+    assert(pred.toSeq === Seq("a", "a"))
+  }
+}
