@@ -344,6 +344,38 @@ object Curation {
         col("n_langs"))
   }
 
+  /** Pairwise corpus overlap: exact shingle-set Jaccard between every
+    * pair of sources — the "did crawl B re-scrape crawl A" diagnostic
+    * that decides whether two corpus snapshots need cross-corpus dedup
+    * (Dedup.jaccardPairsAgainst) before mixing.
+    *
+    * Scale shape: the corpus collapses to distinct (source, shingle)
+    * pairs FIRST (a map-side-combined aggregate — the heavy text scan
+    * happens once); the self-join runs on the shingle key, fanning out
+    * at most |sources|² per shingle — sources number in the hundreds
+    * when corpora are crawl snapshots, so the bucket bound is the small
+    * constant that keeps this safe at 100 TB. Source sizes (|sources|
+    * rows) ride a broadcast. Pairs with an empty intersection are
+    * omitted (inner-join semantics, same on both engines).
+    */
+  def corpusOverlap(
+      df: DataFrame, textCol: String, sourceCol: String, n: Int = 3): DataFrame = {
+    val ss = df.select(col(sourceCol).as("source"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = ss.as("a")
+      .join(ss.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("_sza"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("_szb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("_sza") + col("_szb") - col("inter")), 6).as("jaccard"))
+  }
+
   /** Deterministic per-group cap (the Gopher-style "at most N documents
     * per domain" gate): within every group keep EXACTLY the `cap` rows
     * with the smallest content hash keys (id tiebreak; whole group when

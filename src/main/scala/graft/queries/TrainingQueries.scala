@@ -665,6 +665,14 @@ object TrainingQueries {
         .select(col("doc_id"), col("lang"), col("pred"),
           (col("pred") === col("lang")).as("correct"), col("score_fx"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level overlap diagnostic: exact shingle-set Jaccard for
+    // every source pair — distinct (source, shingle) first, then a
+    // shingle-keyed join whose fan-out is bounded by |sources|².
+    "q85_corpus_overlap" -> ((s, dir) => {
+      Curation.corpusOverlap(t(s, dir, "documents"), "text", "source", n = 3)
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
 
@@ -1488,6 +1496,28 @@ object TrainingQueries {
          SELECT d2.doc_id, d2.lang, pr.pred,
            pr.pred = d2.lang AS correct, pr.score_fx
          FROM pred pr JOIN documents d2 ON pr.doc_id = d2.doc_id
-         WHERE pr.r = 1 ORDER BY d2.doc_id"""
+         WHERE pr.r = 1 ORDER BY d2.doc_id""",
+    // q85: same 3-word shingle definition as the jaccard family
+    // (shingleCteBody), but keyed by source with a corpus-wide
+    // distinct; empty intersections drop out on both engines.
+    "q85_corpus_overlap" ->
+      """WITH ss AS (
+           SELECT DISTINCT source, sh FROM (
+             SELECT source,
+               unnest(CASE WHEN len(t) < 3 THEN [text]
+                 ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END) AS sh
+             FROM (SELECT source, text, string_split(text, ' ') AS t FROM documents))),
+         sz AS (SELECT source, count(*)::BIGINT AS n FROM ss GROUP BY 1),
+         inter AS (
+           SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS inter
+           FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT i.src_a, i.src_b, i.inter,
+           round(i.inter::DOUBLE / (x.n + y.n - i.inter), 6) AS jaccard
+         FROM inter i
+         JOIN sz x ON i.src_a = x.source
+         JOIN sz y ON i.src_b = y.source
+         ORDER BY 1, 2"""
   )
 }

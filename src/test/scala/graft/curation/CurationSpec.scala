@@ -389,4 +389,20 @@ class CurationSpec extends SparkSpec {
       .filter(col("doc_id") === 2L).head().getLong(2)
     assert(n === 5L)
   }
+
+  test("corpusOverlap: exact pairwise shingle Jaccard; empty intersections omitted") {
+    val s = spark
+    import s.implicits._
+    // srcA: shingles {a b c, b c d}; srcB: {b c d, c d e}; srcC: {x y z}
+    val docs = Seq(
+      (1L, "A", "a b c d"),
+      (2L, "B", "b c d e"),
+      (3L, "C", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.corpusOverlap(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(("A", "B", 1L, 0.333333)),
+      "A∩B = {b c d}, |A∪B| = 3; C shares nothing and must not appear")
+  }
 }
