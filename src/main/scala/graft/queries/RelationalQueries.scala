@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.core.{Joins, Ranges, Sessions, Upsert}
+import graft.core.{Funnels, Joins, Ranges, Sessions, Upsert}
 import graft.functions.GraftFunctions
 
 /** Plane-A relational operators (SURVEY §2.A) expressed over the
@@ -278,6 +278,26 @@ object RelationalQueries {
         tiebreak = Seq(col("click_value")),
         rightTsAs = "click_t_us")
         .orderBy(col("event_id"))
+    }),
+
+    // Ordered funnel signup → click → purchase: chained running-min
+    // windows over ONE (user, time) sort — no per-stage self-joins.
+    "q86_funnel" -> ((s, dir) => {
+      Funnels.stageTimes(
+        t(s, dir, "events"),
+        keys = Seq("user_id"),
+        ts = unix_micros(col("ts")),
+        order = Seq(col("event_id")),
+        typeCol = col("event_type"),
+        stages = Seq("signup", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Retention cohorts: first-seen day × day-offset distinct-user
+    // matrix; the cohort join reuses the first agg's user partitioning.
+    "q87_retention" -> ((s, dir) => {
+      Funnels.retentionMatrix(t(s, dir, "events"), "user_id", col("ts"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     })
   )
 
@@ -417,6 +437,43 @@ object RelationalQueries {
            q.t_us AS click_t_us, q.click_value
          FROM p ASOF LEFT JOIN q
            ON p.user_id = q.user_id AND p.t_us >= q.t_us
-         ORDER BY p.event_id"""
+         ORDER BY p.event_id""",
+    "q86_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+         s1 AS (
+           SELECT user_id, event_id, event_type, t,
+             CASE WHEN event_type = 'signup' THEN t END AS c0,
+             min(CASE WHEN event_type = 'signup' THEN t END) OVER w AS r0
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING)),
+         s2 AS (
+           SELECT user_id, event_id, event_type, t, c0,
+             CASE WHEN event_type = 'click' AND r0 IS NOT NULL THEN t END AS c1,
+             min(CASE WHEN event_type = 'click' AND r0 IS NOT NULL THEN t END)
+               OVER w AS r1
+           FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING)),
+         s3 AS (
+           SELECT user_id, c0, c1,
+             CASE WHEN event_type = 'purchase' AND r1 IS NOT NULL THEN t END AS c2
+           FROM s2)
+         SELECT user_id,
+           min(c0) AS t_signup, min(c1) AS t_click, min(c2) AS t_purchase,
+           (CASE WHEN min(c2) IS NOT NULL THEN 3
+                 WHEN min(c1) IS NOT NULL THEN 2
+                 WHEN min(c0) IS NOT NULL THEN 1 ELSE 0 END)::INT AS stage_reached
+         FROM s3 GROUP BY 1 ORDER BY 1""",
+    "q87_retention" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('day', ts) AS d FROM events),
+         first AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+         j AS (
+           SELECT e.user_id,
+             strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+             date_diff('day', f.cohort, e.d)::INT AS day_offset
+           FROM e JOIN first f ON e.user_id = f.user_id)
+         SELECT cohort_day, day_offset, count(DISTINCT user_id) AS n_users
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

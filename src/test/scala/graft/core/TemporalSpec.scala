@@ -66,6 +66,45 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L)))
   }
 
+  test("funnel stageTimes: stages count only at-or-after the previous stage's first completion") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: click BEFORE signup must not count; full funnel after
+      (1L, 1L, 10L, "click"), (1L, 2L, 20L, "signup"),
+      (1L, 3L, 30L, "click"), (1L, 4L, 40L, "purchase"),
+      // user 2: signup only
+      (2L, 5L, 10L, "signup"),
+      // user 3: purchase with no qualifying click -> stage 1
+      (3L, 6L, 10L, "signup"), (3L, 7L, 20L, "purchase"),
+      // user 4: never signed up -> stage 0
+      (4L, 8L, 10L, "click"), (4L, 9L, 20L, "purchase"))
+      .toDF("uid", "eid", "t", "etype")
+    val got = Funnels.stageTimes(ev, Seq("uid"), col("t"), Seq(col("eid")),
+      col("etype"), Seq("signup", "click", "purchase"))
+      .orderBy("uid").collect()
+      .map(r => (r.getAs[Long]("uid"), Option(r.getAs[Any]("t_click")), r.getAs[Int]("stage_reached")))
+    assert(got.toSeq === Seq(
+      (1L, Some(30L), 3), (2L, None, 1), (3L, None, 1), (4L, None, 0)))
+  }
+
+  test("retentionMatrix: first-seen day cohorts x day offsets, distinct users") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 23:00:00"),
+      (1L, "2024-01-03 05:00:00"),
+      (2L, "2024-01-01 01:00:00"),
+      (3L, "2024-01-02 09:00:00"))
+      .toDF("user_id", "t")
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"))
+    val got = Funnels.retentionMatrix(ev, "user_id", col("ts"))
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L), ("2024-01-02", 0, 1L)))
+  }
+
   test("sessionStats rolls up count/min/max/sum per session") {
     val s = spark
     import s.implicits._

@@ -369,4 +369,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "vocab x class grid must be broadcast-nested-loop, not cartesian")
   }
+
+  test("q86: funnel is one sorted pass — chained windows, no per-stage self-join") {
+    val p = plan("q86_funnel")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"),
+      "k-stage funnel must not become k event-table self-joins")
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Sort .*""")) <= 2,
+      "stage windows should share one sort (plus the output order):\n" + p)
+  }
 }
