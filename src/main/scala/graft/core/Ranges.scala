@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range-predicate builder (reference: `make_range_query`,
@@ -27,5 +27,38 @@ object Ranges {
   def rangesPredicate(field: Column, ranges: Seq[(Option[Long], Option[Long])]): Column = {
     require(ranges.nonEmpty, "at least one range required")
     ranges.map { case (a, b) => rangePredicate(field, a, b) }.reduce(_ || _)
+  }
+
+  /** Bucketized INTERVAL JOIN: points `pointCol` ∈ [loCol, hiCol) —
+    * the scale-safe form of a range-condition join. Spark plans a raw
+    * `p >= lo AND p < hi` join as BroadcastNestedLoop (or a per-key
+    * cartesian with equi-keys), which is quadratic on hot keys; here
+    * each interval is exploded to the fixed-width buckets it covers
+    * and each point to its one bucket, so the join is a plain hash
+    * join on (keys, bucket) with a residual range filter. Interval
+    * copies fan out by ceil(width / bucket) — pick `bucket` near the
+    * typical interval width so the blow-up is a small constant.
+    *
+    * Inner join only: an unmatched interval would surface once per
+    * bucket copy under outer semantics — aggregate or anti-join on the
+    * result instead. Domain must be non-negative (epochs, block
+    * numbers): `div` truncates toward zero, which is floor only there.
+    */
+  def intervalJoin(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucket: Long,
+      keys: Seq[String] = Seq.empty): DataFrame = {
+    require(bucket > 0, "bucket width must be positive")
+    val iv = intervals.filter(col(hiCol) > col(loCol))
+      .withColumn("__b",
+        explode(sequence(expr(s"$loCol div ${bucket}L"), expr(s"($hiCol - 1) div ${bucket}L"))))
+    val pt = points.withColumn("__b", expr(s"$pointCol div ${bucket}L"))
+    iv.join(pt, keys :+ "__b")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__b")
   }
 }

@@ -298,6 +298,22 @@ object RelationalQueries {
     "q87_retention" -> ((s, dir) => {
       Funnels.retentionMatrix(t(s, dir, "events"), "user_id", col("ts"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Bucketized interval join: events attributed to the 1-hour window
+    // after each signup — a hash join on (user, 15-min bucket) with a
+    // residual range filter, never a nested-loop range join.
+    "q88_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("t_us", unix_micros(col("ts")))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("t_us").as("lo"), (col("t_us") + lit(3600000000L)).as("hi"))
+      val points = ev.select(col("user_id"), col("t_us"))
+      Ranges.intervalJoin(points, "t_us", windows, "lo", "hi",
+        bucket = 900000000L, keys = Seq("user_id"))
+        .groupBy(col("signup_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("signup_id"))
     })
   )
 
@@ -474,6 +490,16 @@ object RelationalQueries {
              date_diff('day', f.cohort, e.d)::INT AS day_offset
            FROM e JOIN first f ON e.user_id = f.user_id)
          SELECT cohort_day, day_offset, count(DISTINCT user_id) AS n_users
-         FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q88_interval_join" ->
+      """WITH s AS (
+           SELECT user_id, event_id AS signup_id, epoch_us(ts) AS lo,
+             epoch_us(ts) + 3600000000 AS hi
+           FROM events WHERE event_type = 'signup'),
+         e AS (SELECT user_id, epoch_us(ts) AS t FROM events)
+         SELECT s.signup_id, s.user_id, count(*) AS n_events
+         FROM s JOIN e ON s.user_id = e.user_id
+           AND e.t >= s.lo AND e.t < s.hi
+         GROUP BY 1, 2 ORDER BY 1"""
   )
 }

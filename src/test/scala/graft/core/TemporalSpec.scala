@@ -66,6 +66,23 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L)))
   }
 
+  test("intervalJoin: half-open containment, key isolation, bucket-boundary spans") {
+    val s = spark
+    import s.implicits._
+    // interval [10, 30) with bucket 8 spans buckets 1..3; points probe
+    // the lo (inclusive) and hi (exclusive) edges and a foreign key.
+    val iv = Seq(("k", 100L, 10L, 30L)).toDF("key", "iv_id", "lo", "hi")
+    val pts = Seq(
+      ("k", 9L), ("k", 10L), ("k", 29L), ("k", 30L), ("z", 15L))
+      .toDF("key", "p")
+    val got = Ranges.intervalJoin(pts, "p", iv, "lo", "hi", bucket = 8L, keys = Seq("key"))
+      .select("p").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(10L, 29L),
+      "exactly lo (inclusive) and hi-1 survive; hi, below-lo, and foreign keys do not")
+    // no duplicate matches from multi-bucket intervals
+    assert(got.length === got.distinct.length)
+  }
+
   test("funnel stageTimes: stages count only at-or-after the previous stage's first completion") {
     val s = spark
     import s.implicits._

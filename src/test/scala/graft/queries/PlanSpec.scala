@@ -370,6 +370,12 @@ class PlanSpec extends SparkSpec {
       "vocab x class grid must be broadcast-nested-loop, not cartesian")
   }
 
+  test("q88: interval join is a hash join on (key, bucket) — no nested-loop range join") {
+    val p = plan("q88_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range condition must ride a bucketized equi-join, not a nested loop")
+  }
+
   test("q86: funnel is one sorted pass — chained windows, no per-stage self-join") {
     val p = plan("q86_funnel")
     assert(p.contains("Window"))
