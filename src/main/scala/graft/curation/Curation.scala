@@ -351,12 +351,14 @@ object Curation {
     *
     * Scale shape: the corpus collapses to distinct (source, shingle)
     * pairs FIRST (a map-side-combined aggregate — the heavy text scan
-    * happens once); the self-join runs on the shingle key, fanning out
-    * at most |sources|² per shingle — sources number in the hundreds
-    * when corpora are crawl snapshots, so the bucket bound is the small
-    * constant that keeps this safe at 100 TB. Source sizes (|sources|
-    * rows) ride a broadcast. Pairs with an empty intersection are
-    * omitted (inner-join semantics, same on both engines).
+    * happens once); intersections then come from ONE shingle-keyed
+    * aggregate whose per-shingle source set explodes into at most
+    * |sources|² pairs — no self-join, so the (source, shingle) table
+    * shuffles once, not twice. Sources number in the hundreds when
+    * corpora are crawl snapshots, so the per-shingle bound is the
+    * small constant that keeps this safe at 100 TB. Source sizes
+    * (|sources| rows) ride a broadcast. Pairs with an empty
+    * intersection are omitted (same on both engines).
     */
   def corpusOverlap(
       df: DataFrame, textCol: String, sourceCol: String, n: Int = 3): DataFrame = {
@@ -364,9 +366,11 @@ object Curation {
         explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .distinct()
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("sz"))
-    val inter = ss.as("a")
-      .join(ss.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val inter = ss.groupBy(col("sh")).agg(collect_set(col("source")).as("__srcs"))
+      .select(explode(col("__srcs")).as("src_a"), col("__srcs"))
+      .select(col("src_a"), explode(col("__srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("_sza"))), "src_a")

@@ -314,6 +314,34 @@ object RelationalQueries {
         .groupBy(col("signup_id"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("signup_id"))
+    }),
+
+    // ROLLUP subtotals: one aggregate producing detail + per-flag +
+    // grand-total rows (Spark's Expand feeds one hash aggregate — no
+    // N-pass union of separate GROUP BYs). Rolled-up keys surface as
+    // 'ALL' so both engines hash identical values.
+    "q89_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("gid"), col("sum_price"), col("n"))
+        .orderBy(col("gid"), col("flag"), col("status"))
+    }),
+
+    // ntile decile bucketing of users by exact DECIMAL spend; the
+    // total (spend desc, user) order makes bucket edges deterministic.
+    "q90_ntile" -> ((s, dir) => {
+      val spend = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(moneySum(col("value")).as("spend"))
+      spend.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("spend").desc, col("user_id"))).cast("long"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -500,6 +528,22 @@ object RelationalQueries {
          SELECT s.signup_id, s.user_id, count(*) AS n_events
          FROM s JOIN e ON s.user_id = e.user_id
            AND e.t >= s.lo AND e.t < s.hi
-         GROUP BY 1, 2 ORDER BY 1"""
+         GROUP BY 1, 2 ORDER BY 1""",
+    "q89_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS gid,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, flag, status""",
+    "q90_ntile" ->
+      """WITH spend AS (
+           SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+           FROM events GROUP BY 1)
+         SELECT user_id, spend,
+           ntile(10) OVER (ORDER BY spend DESC, user_id)::BIGINT AS decile
+         FROM spend ORDER BY user_id"""
   )
 }
