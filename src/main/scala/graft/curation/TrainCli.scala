@@ -29,6 +29,9 @@ import graft.text.{Pii, Vocab}
   *   bloomGate   zero-shuffle exact-dup gate vs a reference corpus
   *   sample      quality-proportional weighted selection
   *   encode      BPE-tokenize with a trained merge list
+  *   search      BM25 top-k corpus probe
+  *   classify    train + apply a Naive Bayes label classifier
+  *   overlap     pairwise source shingle-overlap report
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
   * a command overwrites with identical output — crash-and-rerun safe
@@ -176,4 +179,22 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
     write(Vocab.bpeEncode(read(in), idCol, textCol, merges), out)
   }
+
+  /** BM25 probe: top-`k` docs for the query terms ([[graft.text.Search]]). */
+  def search(in: String, out: String, terms: Seq[String], k: Int = 100): Long =
+    write(graft.text.Search.bm25TopK(read(in), idCol, textCol, terms, k), out)
+
+  /** Train a Naive Bayes classifier on `labelCol` and write per-doc
+    * predictions — fit and scoring are one lazy plan, nothing is
+    * materialized in between ([[graft.text.NaiveBayes]]).
+    */
+  def classify(in: String, out: String, labelCol: String): Long = {
+    val docs = read(in)
+    val model = graft.text.NaiveBayes.fit(docs, textCol, labelCol)
+    write(graft.text.NaiveBayes.predict(model, docs, idCol, textCol), out)
+  }
+
+  /** Pairwise source shingle-overlap report ([[Curation.corpusOverlap]]). */
+  def overlap(in: String, out: String, sourceCol: String = "source", n: Int = 3): Long =
+    write(Curation.corpusOverlap(read(in), textCol, sourceCol, n), out)
 }

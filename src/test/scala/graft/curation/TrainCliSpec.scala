@@ -122,4 +122,32 @@ class TrainCliSpec extends SparkSpec {
       .filter(col("doc_id") === 0L).head().getSeq[String](1)
     assert(pieces.take(5) === Seq("low", "e", "r", "s", "low"))
   }
+
+  test("search, classify, and overlap commands round-trip through parquet") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli5").toString
+    val cli = new TrainCli(spark)
+    Seq(
+      (1L, "spark spark engines", "en", "a"),
+      (2L, "boring filler text", "en", "a"),
+      (3L, "der schnelle hund", "de", "b"),
+      (4L, "spark engines der", "de", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$root/docs")
+
+    assert(cli.search(s"$root/docs", s"$root/hits", Seq("spark"), k = 5) === 2L)
+    val top = spark.read.parquet(s"$root/hits")
+      .orderBy(col("score_fx").desc).head().getAs[Long]("doc_id")
+    assert(top === 1L)
+
+    assert(cli.classify(s"$root/docs", s"$root/pred", "lang") === 4L)
+    val pred3 = spark.read.parquet(s"$root/pred")
+      .filter(col("doc_id") === 3L).head().getAs[String]("pred")
+    assert(pred3 === "de")
+
+    assert(cli.overlap(s"$root/docs", s"$root/ov") >= 0L)
+    // rerun-safe
+    assert(cli.classify(s"$root/docs", s"$root/pred", "lang") === 4L)
+  }
 }
