@@ -37,15 +37,22 @@ object NaiveBayes {
   final case class Model(mat: DataFrame, prior: DataFrame, labelCol: String)
 
   def fit(docs: DataFrame, textCol: String, labelCol: String): Model = {
-    val toks = docs.select(col(labelCol), TextFunctions.tokens(col(textCol)).as("__t"))
-    val occ = toks.select(col(labelCol), explode(col("__t")).as("token"))
+    val occ = docs.select(col(labelCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
 
+    // Everything token-shaped derives from the ONE corpus-tokenizing
+    // aggregate `cnt`: vocab, vocab size, and per-class token totals
+    // are rollups of its |V|·|C|-row output, so the heavy text scan
+    // happens once (shared subtree → exchange reuse), not once per
+    // statistic. Only ndocs needs a second pass, and that one reads
+    // the label column alone.
     val cnt = occ.groupBy(col(labelCol), col("token")).agg(count(lit(1)).as("c"))
-    val vocab = occ.select(col("token")).distinct()
+    val vocab = cnt.select(col("token")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
-    val classes = toks.groupBy(col(labelCol))
-      .agg(count(lit(1)).as("ndocs"), sum(size(col("__t")).cast("long")).as("ntok"))
-    val total = docs.agg(count(lit(1)).as("n"))
+    val ntoks = cnt.groupBy(col(labelCol)).agg(sum(col("c")).as("ntok"))
+    val ndocs = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("ndocs"))
+    val classes = ndocs.join(ntoks, labelCol)
+    val total = ndocs.agg(sum(col("ndocs")).as("n"))
 
     // Dense vocab × classes grid: |V|·|C| rows, both factors broadcast-
     // small next to the corpus that produced them.
