@@ -342,6 +342,34 @@ object RelationalQueries {
       spend.withColumn("decile",
         ntile(10).over(Window.orderBy(col("spend").desc, col("user_id"))).cast("long"))
         .orderBy(col("user_id"))
+    }),
+
+    // PIVOT: day × event_type spend matrix. Explicit value list keeps
+    // it one pass (no distinct-collect pre-query) and pins the schema.
+    "q91_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(moneySum(col("value")))
+        .orderBy(col("day"))
+    }),
+
+    // SCD2 dimension build: each user's event_type change log becomes
+    // validity intervals — change-detect with lag, then close each
+    // interval with lead over the FILTERED change rows. Two window
+    // layers over one (user, time) sort; null valid_to = current row.
+    "q93_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val changes = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+          col("event_type"))
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead(col("t"), 1).over(w))
+        .select(col("user_id"), col("event_type"), col("t").as("valid_from"),
+          col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"))
     })
   )
 
@@ -544,6 +572,27 @@ object RelationalQueries {
            FROM events GROUP BY 1)
          SELECT user_id, spend,
            ntile(10) OVER (ORDER BY spend DESC, user_id)::BIGINT AS decile
-         FROM spend ORDER BY user_id"""
+         FROM spend ORDER BY user_id""",
+    "q91_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q93_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events),
+         c AS (
+           SELECT user_id, event_id, t, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+           FROM e),
+         f AS (
+           SELECT user_id, event_id, t, event_type FROM c
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, t AS valid_from,
+           lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to
+         FROM f ORDER BY user_id, valid_from"""
   )
 }

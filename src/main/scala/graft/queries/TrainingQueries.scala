@@ -673,6 +673,15 @@ object TrainingQueries {
     "q85_corpus_overlap" -> ((s, dir) => {
       Curation.corpusOverlap(t(s, dir, "documents"), "text", "source", n = 3)
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Collocation mining: document-level PMI over token pairs; top-50
+    // by co-occurrence count with exact-integer inputs and 1e-9-fixed
+    // scores.
+    "q92_pmi" -> ((s, dir) => {
+      Vocab.cooccurrencePmi(t(s, dir, "documents"), "doc_id", "text", minPairDocs = 2L)
+        .orderBy(col("c_ab").desc, col("tok_a"), col("tok_b"))
+        .limit(50)
     })
   )
 
@@ -1518,6 +1527,30 @@ object TrainingQueries {
          FROM inter i
          JOIN sz x ON i.src_a = x.source
          JOIN sz y ON i.src_b = y.source
-         ORDER BY 1, 2"""
+         ORDER BY 1, 2""",
+    // q92: doc-level PMI — distinct token sets, pair counts via a
+    // doc-keyed self-join (equivalent to the engine's sorted-set double
+    // explode), ln fixed at 1e-9 like the other scorers.
+    "q92_pmi" ->
+      """WITH d AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents),
+         dt AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         n AS (SELECT count(*)::BIGINT AS n FROM d),
+         ca AS (SELECT tok, count(*)::BIGINT AS c FROM dt GROUP BY 1),
+         pairs AS (
+           SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS c_ab
+           FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT p.tok_a, p.tok_b, p.c_ab,
+             CAST(floor(ln((p.c_ab::DOUBLE * n.n) / (x.c::DOUBLE * y.c)) * 1e9) AS BIGINT) AS pmi_fx
+           FROM pairs p
+           JOIN ca x ON p.tok_a = x.tok
+           JOIN ca y ON p.tok_b = y.tok
+           CROSS JOIN n
+           WHERE p.c_ab >= 2)
+         SELECT tok_a, tok_b, c_ab, pmi_fx FROM scored
+         ORDER BY c_ab DESC, tok_a, tok_b LIMIT 50"""
   )
 }

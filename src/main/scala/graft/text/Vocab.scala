@@ -160,4 +160,38 @@ object Vocab {
       .filter(col("rank") <= k)
       .select(col("doc"), col("term"), col("score"), col("rank"))
   }
+
+  /** Document-level PMI collocations: for token pairs co-occurring in
+    * at least `minPairDocs` documents,
+    * pmi = ln(docs(a,b)·N / (docs(a)·docs(b))), 1e-9-fixed int64.
+    *
+    * Pairs come from exploding each doc's SORTED distinct-token set
+    * twice with an a<b filter — per-doc fan-out is distinct-tokens²,
+    * so on open-vocabulary corpora gate the input through a per-doc
+    * distinct-token cap first (the quality filters already bound doc
+    * length); no corpus-level self-join ever forms. Unigram doc
+    * frequencies are a vocab-keyed join; the doc count broadcasts.
+    */
+  def cooccurrencePmi(
+      df: DataFrame, idCol: String, textCol: String,
+      minPairDocs: Long = 2L): DataFrame = {
+    val toksSorted = array_sort(TextFunctions.tokenSet(col(textCol)))
+    val docTok = df.select(col(idCol).as("doc"),
+      explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val ca = docTok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairs = df.select(toksSorted.as("__toks"))
+      .select(explode(col("__toks")).as("tok_a"), col("__toks"))
+      .select(col("tok_a"), explode(col("__toks")).as("tok_b"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairDocs)
+    pairs
+      .join(ca.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(ca.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        floor(log((col("c_ab").cast("double") * col("n")) /
+          (col("c_a").cast("double") * col("c_b"))) * lit(1e9)).cast("long").as("pmi_fx"))
+  }
 }

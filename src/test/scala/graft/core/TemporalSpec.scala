@@ -122,6 +122,26 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-01", 0, 2L), ("2024-01-01", 2, 1L), ("2024-01-02", 0, 1L)))
   }
 
+  test("q93-shape SCD2: consecutive duplicate states collapse, intervals chain, last is open") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "a"), (1L, 3L, 30L, "b"), (1L, 4L, 40L, "a"))
+      .toDF("user_id", "event_id", "tt", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tt"), col("event_id"))
+    val changes = ev
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("tt"), 1).over(w))
+      .select(col("event_type"), col("tt"), col("valid_to"))
+      .orderBy(col("tt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getAs[Any]("valid_to"))))
+    assert(changes.toSeq === Seq(
+      ("a", 10L, Some(30L)), ("b", 30L, Some(40L)), ("a", 40L, None)),
+      "the repeat at t=20 must collapse; intervals must chain without gaps")
+  }
+
   test("sessionStats rolls up count/min/max/sum per session") {
     val s = spark
     import s.implicits._

@@ -219,4 +219,21 @@ class TextSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).toSeq === Seq(2L))
     assert(kept.head.getString(1).startsWith("a genuinely"))
   }
+
+  test("cooccurrencePmi: hand-computed counts and score; within-doc repeats count once") {
+    val s = spark
+    import s.implicits._
+    // (x,y) co-occur in docs 1,2; x alone in 3; z only with x in 1.
+    // doc 1 repeats x — document-level counting must ignore that.
+    val docs = Seq(
+      (1L, "x y z x"), (2L, "x y"), (3L, "x w")).toDF("doc_id", "text")
+    val got = Vocab.cooccurrencePmi(docs, "doc_id", "text", minPairDocs = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set(("x", "y")), "only (x,y) reaches 2 docs")
+    val (cab, fx) = got(("x", "y"))
+    assert(cab === 2L)
+    // pmi = ln(2*3 / (3*2)) = 0
+    assert(fx === 0L)
+  }
 }
