@@ -12,8 +12,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  // The testdata dirs are immutable, but every spark.read.parquet call
+  // re-lists the directory and re-reads footers to infer the schema —
+  // a fixed driver-side cost paid once per table REFERENCE (a query
+  // touching three tables pays it three times). Memoize the resolved
+  // DataFrame per (session, path); entries die with their session.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      (k: (SparkSession, String)) => doLoad(k._1, k._2))
+
+  private def doLoad(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
     // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as
     // Long (spark.sql.legacy.parquet.nanosAsLong=true, set in every
     // session builder here). The data is µs-resolution, so converting
