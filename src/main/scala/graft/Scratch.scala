@@ -65,6 +65,25 @@ object Scratch {
         time("scrubContam")(graft.dedup.Dedup.scrubContaminatedSpans(
           big, "doc_id", "text",
           docs.filter(col("doc_id") % 29 === 0), "text", n = 8).count())
+        // the analytics-widening family: retrieval, classifier fit+
+        // predict, collocations, source overlap — all expected FLAT-
+        // slope (per-doc or vocab-keyed work, no pair blow-up)
+        val bigLabeled = (0 until k).map(i => Tables.load(spark, dir, "documents")
+            .select((col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
+              col("text"), col("lang"), col("source")))
+          .reduce(_ unionByName _)
+        bigLabeled.cache().count()
+        time("bm25")(graft.text.Search.bm25TopK(bigLabeled, "doc_id", "text",
+          Seq("spark", "join", "window"), k = 25).count())
+        time("nbFitPredict") {
+          val m = graft.text.NaiveBayes.fit(bigLabeled, "text", "lang")
+          graft.text.NaiveBayes.predict(m, bigLabeled, "doc_id", "text").count()
+        }
+        time("pmi")(graft.text.Vocab.cooccurrencePmi(
+          bigLabeled, "doc_id", "text").count())
+        time("overlap")(graft.curation.Curation.corpusOverlap(
+          bigLabeled, "text", "source").count())
+        bigLabeled.unpersist(blocking = true)
         big.unpersist(blocking = true)
       }
       spark.stop(); return
