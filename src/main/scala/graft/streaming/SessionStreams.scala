@@ -1,8 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.TimestampType
+
+/** A funnel-stage advance for one key: `stage` is 1-based, `t` the
+  * exact-integer clock of the event that completed it.
+  */
+case class FunnelProgress(key: Long, stage: Int, t: Long)
 
 /** Streaming sessionization: the engine-managed session-window state
   * (`session_window`) instead of the batch lag+running-sum pass
@@ -47,5 +53,53 @@ object SessionStreams {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_v")): _*)
+  }
+
+  /** Streaming funnel: the [[graft.core.Funnels.stageTimes]] state
+    * machine as `flatMapGroupsWithState` — per-key state is one long
+    * per stage (first completion clock), emitted as an append-safe
+    * stage-advance row the moment a stage first completes, across
+    * micro-batches. State is |stages| longs per ACTIVE key, bounded by
+    * the key population, not stream length.
+    *
+    * Ordering contract: rows are event-time sorted WITHIN each batch;
+    * across batches the machine is forward-only (a late event cannot
+    * retro-improve an earlier stage time the way a batch recompute
+    * would) — the standard streaming-funnel trade; run the batch
+    * operator for the exact backfill.
+    *
+    * @param stream columns: key (long), t (exact-integer clock),
+    *               stage type (string).
+    */
+  def funnelProgress(
+      stream: DataFrame,
+      keyCol: String,
+      tCol: String,
+      typeCol: String,
+      stages: Seq[String]): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val s = stream.sparkSession
+    import s.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    stream
+      .select(col(keyCol).cast("long"), col(tCol).cast("long"), col(typeCol))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, String)], state: GroupState[Array[Long]]) => {
+          val times = state.getOption.getOrElse(Array.fill(stages.size)(-1L))
+          val out = Seq.newBuilder[FunnelProgress]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, t, tp) =>
+            stageIdx.get(tp).foreach { i =>
+              if (times(i) < 0L &&
+                  (i == 0 || (times(i - 1) >= 0L && t >= times(i - 1)))) {
+                times(i) = t
+                out += FunnelProgress(key, i + 1, t)
+              }
+            }
+          }
+          state.update(times)
+          out.result().iterator
+        })
   }
 }

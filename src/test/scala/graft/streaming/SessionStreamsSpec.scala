@@ -62,4 +62,42 @@ class SessionStreamsSpec extends SparkSpec {
     DerivedStreams.refreshOnce(stream(), out, s"$root/ckpt").awaitTermination()
     assert(spark.read.parquet(out).count() === got.size)
   }
+
+  test("funnelProgress: stage state survives micro-batches; each advance emitted once") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("funnelstream").toString
+    val in = s"$root/events"
+
+    // batch 1: user 1 clicks (pre-signup, must not count) then signs up;
+    // user 2 signs up.
+    Seq((1L, 10L, "click"), (1L, 20L, "signup"), (2L, 15L, "signup"))
+      .toDF("uid", "t", "etype").coalesce(1).write.mode("append").parquet(in)
+
+    def stream() = SessionStreams.funnelProgress(
+      CorpusStreams.docStream(spark, in, maxFilesPerTrigger = 1),
+      "uid", "t", "etype", Seq("signup", "click", "purchase")).toDF()
+
+    val out = s"$root/progress"
+    DerivedStreams.refreshOnce(stream(), out, s"$root/ckpt").awaitTermination()
+    val p1 = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(p1 === Set((1L, 1, 20L), (2L, 1, 15L)),
+      "pre-signup click must not advance; both signups emit stage 1")
+
+    // batch 2: user 1 completes click+purchase — stage-1 state must
+    // have survived the first batch's checkpoint.
+    Seq((1L, 30L, "click"), (1L, 40L, "purchase"), (2L, 5L, "click"))
+      .toDF("uid", "t", "etype").coalesce(1).write.mode("append").parquet(in)
+    DerivedStreams.refreshOnce(stream(), out, s"$root/ckpt").awaitTermination()
+    val p2 = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // user 2's click at t=5 predates their signup time 15: forward-only
+    // state machine requires t >= stage-1 time, so no advance.
+    assert(p2 === p1 ++ Set((1L, 2, 30L), (1L, 3, 40L)))
+
+    // restart with no new data: nothing re-emitted
+    DerivedStreams.refreshOnce(stream(), out, s"$root/ckpt").awaitTermination()
+    assert(spark.read.parquet(out).count() === p2.size)
+  }
 }
