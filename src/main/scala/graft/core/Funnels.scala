@@ -39,16 +39,19 @@ object Funnels {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ts +: order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    var df = events.withColumn("__c0", when(typeCol === stages.head, ts))
+    // collision-free temps (withColumn replaces same-named input cols)
+    val cN = Names.fresh(events, stages.indices.map(i => s"__c$i"))
+    val rN = Names.fresh(events, stages.indices.map(i => s"__r$i"))
+    var df = events.withColumn(cN(0), when(typeCol === stages.head, ts))
     stages.indices.drop(1).foreach { i =>
       df = df
-        .withColumn(s"__r${i - 1}", min(col(s"__c${i - 1}")).over(w))
-        .withColumn(s"__c$i",
-          when(typeCol === stages(i) && col(s"__r${i - 1}").isNotNull, ts))
+        .withColumn(rN(i - 1), min(col(cN(i - 1))).over(w))
+        .withColumn(cN(i),
+          when(typeCol === stages(i) && col(rN(i - 1)).isNotNull, ts))
     }
 
     val stageTimesAgg = stages.indices.map(i =>
-      min(col(s"__c$i")).as(s"t_${stages(i)}"))
+      min(col(cN(i))).as(s"t_${stages(i)}"))
     // highest non-null stage wins: fold from stage 0 up so later
     // stages' `when` branches wrap (and beat) earlier ones.
     val reached = stages.indices.foldLeft(lit(0)) { (acc, i) =>

@@ -122,6 +122,8 @@ object Joins {
       tsCol: String,
       tiebreak: Seq[Column] = Seq.empty,
       rightTsAs: String = "asof_ts"): DataFrame = {
+    val reserved = Set("__ts", "__side", "__lrow", "__pay", "__m")
+    require(!keys.exists(reserved), s"key names may not be in $reserved")
     val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toIndexedSeq
     val rightOne =
       if (tiebreak.isEmpty) right

@@ -53,12 +53,16 @@ object Ranges {
       bucket: Long,
       keys: Seq[String] = Seq.empty): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
+    // one bucket name free in BOTH frames (it is the join key)
+    val taken = (points.columns ++ intervals.columns).toSet
+    var b = "__b"
+    while (taken.contains(b)) b += "_"
     val iv = intervals.filter(col(hiCol) > col(loCol))
-      .withColumn("__b",
+      .withColumn(b,
         explode(sequence(expr(s"$loCol div ${bucket}L"), expr(s"($hiCol - 1) div ${bucket}L"))))
-    val pt = points.withColumn("__b", expr(s"$pointCol div ${bucket}L"))
-    iv.join(pt, keys :+ "__b")
+    val pt = points.withColumn(b, expr(s"$pointCol div ${bucket}L"))
+    iv.join(pt, keys :+ b)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("__b")
+      .drop(b)
   }
 }

@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
-  /** Adds `session_id` (1-based per key). `ts` must be an exact
+  /** Adds `session_id` (1-based per key) — a RESERVED output name: an
+    * input column called session_id is replaced. `ts` must be an exact
     * integer clock (e.g. `unix_micros(timestamp)`) so gap arithmetic is
     * bit-deterministic across engines; `order` breaks equal-ts ties
     * (pass a unique id for reproducible numbering).
@@ -53,12 +54,14 @@ object Sessions {
       ts: Column,
       order: Seq[Column],
       gap: Long,
-      value: Column): DataFrame =
-    sessionize(df.withColumn("__t", ts), keys, col("__t"), order, gap)
+      value: Column): DataFrame = {
+    val t = Names.fresh(df, "__t")
+    sessionize(df.withColumn(t, ts), keys, col(t), order, gap)
       .groupBy((keys :+ "session_id").map(col): _*)
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("__t")).as("t_start"),
-        max(col("__t")).as("t_end"),
+        min(col(t)).as("t_start"),
+        max(col(t)).as("t_end"),
         sum(value.cast("decimal(18,2)")).cast("double").as("sum_v"))
+  }
 }
