@@ -29,6 +29,7 @@ import graft.text.{Pii, Vocab}
   *   bloomGate   zero-shuffle exact-dup gate vs a reference corpus
   *   sample      quality-proportional weighted selection
   *   encode      BPE-tokenize with a trained merge list
+  *   trainBpe    learn a BPE merge list from the corpus
   *   search      BM25 top-k corpus probe
   *   classify    train + apply a Naive Bayes label classifier
   *   overlap     pairwise source shingle-overlap report
@@ -178,6 +179,20 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
     val merges = m.orderBy(col("rank")).collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
     write(Vocab.bpeEncode(read(in), idCol, textCol, merges), out)
+  }
+
+  /** Train a BPE merge list and write it as the (left, right, rank)
+    * parquet [[encode]] consumes — train + encode is the full
+    * tokenizer loop ([[graft.text.Vocab.trainBpeMerges]]).
+    */
+  def trainBpe(in: String, mergesOut: String, numMerges: Int,
+      maxWords: Int = 100000): Long = {
+    val s = spark
+    import s.implicits._
+    val merges = Vocab.trainBpeMerges(read(in), textCol, numMerges, maxWords)
+    write(merges.zipWithIndex
+      .map { case ((l, r), i) => (l, r, i.toLong) }
+      .toDF("left", "right", "rank"), mergesOut)
   }
 
   /** BM25 probe: top-`k` docs for the query terms ([[graft.text.Search]]). */

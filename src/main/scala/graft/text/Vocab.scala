@@ -73,6 +73,64 @@ object Vocab {
       .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
   }
 
+  /** Train a BPE merge list end-to-end: the corpus contributes ONE
+    * distributed aggregation (distinct words + frequencies, capped to
+    * the `maxWords` most frequent — the standard trainer working set:
+    * the head of the word distribution carries almost all pair mass),
+    * then the merge loop runs sequentially over that bounded table —
+    * exactly how production tokenizer trainers split the work, so the
+    * 100 TB cost is one word-count shuffle, not `numMerges` corpus
+    * passes. Deterministic: ties break (count desc, left asc,
+    * right asc); word-table truncation ties break (freq desc, word).
+    *
+    * Returns merges in rank order, composable with [[bpeEncode]].
+    */
+  def trainBpeMerges(
+      df: DataFrame, textCol: String,
+      numMerges: Int, maxWords: Int = 100000): Seq[(String, String)] = {
+    val wordFreq = df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var words: Array[(Vector[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (pieces, f) =>
+        var i = 0
+        while (i < pieces.length - 1) {
+          val k = (pieces(i), pieces(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        val joined = best._1 + best._2
+        words = words.map { case (pieces, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < pieces.length) {
+            if (i < pieces.length - 1 &&
+                pieces(i) == best._1 && pieces(i + 1) == best._2) {
+              out += joined; i += 2
+            } else { out += pieces(i); i += 1 }
+          }
+          (out.result(), f)
+        }
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Apply a trained BPE merge list to one word: start from
     * characters, repeatedly merge the earliest-ranked adjacent pair
     * present until none applies — the standard greedy BPE encode.

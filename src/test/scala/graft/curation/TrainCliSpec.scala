@@ -150,4 +150,18 @@ class TrainCliSpec extends SparkSpec {
     // rerun-safe
     assert(cli.classify(s"$root/docs", s"$root/pred", "lang") === 4L)
   }
+
+  test("trainBpe writes the rank parquet encode consumes — the full tokenizer loop") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli6").toString
+    val cli = new TrainCli(spark)
+    Seq((1L, "ab ab ab"), (2L, "abc")).toDF("doc_id", "text")
+      .write.parquet(s"$root/docs")
+    assert(cli.trainBpe(s"$root/docs", s"$root/merges", numMerges = 2) === 2L)
+    assert(cli.encode(s"$root/docs", s"$root/merges", s"$root/enc") === 2L)
+    val pieces = spark.read.parquet(s"$root/enc")
+      .filter(col("doc_id") === 2L).head().getSeq[String](1)
+    assert(pieces === Seq("abc"))
+  }
 }

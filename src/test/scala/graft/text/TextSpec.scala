@@ -220,6 +220,37 @@ class TextSpec extends SparkSpec {
     assert(kept.head.getString(1).startsWith("a genuinely"))
   }
 
+  test("trainBpeMerges: classic merge order on a hand-checkable corpus; encode round-trip") {
+    val s = spark
+    import s.implicits._
+    // "ab" dominates (freq-weighted): 5+3 = 8; then "abc" via (ab, c).
+    val docs = Seq(
+      (1L, "ab ab ab ab ab"), (2L, "abc abc abc")).toDF("doc_id", "text")
+    val merges = Vocab.trainBpeMerges(docs, "text", numMerges = 3)
+    assert(merges.take(2) === Seq(("a", "b"), ("ab", "c")),
+      "first merge joins the heaviest pair, second builds on the merged piece")
+    // merges stop when no pairs remain (every word one piece)
+    assert(merges.size <= 3)
+    // the learned list drives the encoder to whole-word pieces
+    val enc = Vocab.bpeEncode(docs, "doc_id", "text", merges)
+      .filter(col("doc_id") === 2L).head().getSeq[String](1)
+    assert(enc === Seq("abc", "abc", "abc"))
+  }
+
+  test("trainBpeMerges ties break deterministically and maxWords caps the table") {
+    val s = spark
+    import s.implicits._
+    // "xy" and "yz" both appear twice (via xyz x2): tie breaks to the
+    // lexicographically smaller left piece.
+    val docs = Seq((1L, "xyz xyz")).toDF("doc_id", "text")
+    val merges = Vocab.trainBpeMerges(docs, "text", numMerges = 1)
+    assert(merges === Seq(("x", "y")))
+    // maxWords = 1 keeps only the most frequent word
+    val docs2 = Seq((1L, "aa aa bb")).toDF("doc_id", "text")
+    assert(Vocab.trainBpeMerges(docs2, "text", numMerges = 1, maxWords = 1)
+      === Seq(("a", "a")))
+  }
+
   test("cooccurrencePmi: hand-computed counts and score; within-doc repeats count once") {
     val s = spark
     import s.implicits._
