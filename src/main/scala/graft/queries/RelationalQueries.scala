@@ -354,6 +354,42 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
+    // Correlation from integer-exact moments: corr(value, hour) per
+    // event_type over CENTS (value·100 as int64), so every moment is
+    // an exact long and the one final double expression is
+    // bit-identical across engines — no dependence on either engine's
+    // streaming-covariance accumulator, and int64→double conversion is
+    // a single IEEE-defined rounding everywhere (wide DECIMAL→double
+    // is not). Moment magnitudes stay under int64 up to ~1e9 rows of
+    // 1e6-cent values per group.
+    "q94_corr" -> ((s, dir) => {
+      val xc = round(col("value") * lit(100.0)).cast("long")
+      val y = hour(col("ts")).cast("long")
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(xc).as("sx"), sum(y).as("sy"),
+          sum(xc * xc).as("sxx"), sum(y * y).as("syy"),
+          sum(xc * y).as("sxy"))
+        .select(col("event_type"), col("n"),
+          (floor(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")) * lit(1e6)) / lit(1e6))
+            .as("corr_vh"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Fixed-width histogram: integer bucket arithmetic end-to-end.
+    "q95_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / lit(10.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // SCD2 dimension build: each user's event_type change log becomes
     // validity intervals — change-detect with lag, then close each
     // interval with lead over the FILTERED change rows. Two window
@@ -593,6 +629,30 @@ object RelationalQueries {
            WHERE prev IS NULL OR prev <> event_type)
          SELECT user_id, event_type, t AS valid_from,
            lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to
-         FROM f ORDER BY user_id, valid_from"""
+         FROM f ORDER BY user_id, valid_from""",
+    "q94_corr" ->
+      """WITH m AS (
+           SELECT event_type,
+             count(*)::BIGINT AS n,
+             CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(xc * xc) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(xc * y) AS BIGINT) AS sxy
+           FROM (
+             SELECT event_type,
+               CAST(round(value * 100.0) AS BIGINT) AS xc,
+               CAST(hour(ts) AS BIGINT) AS y
+             FROM events)
+           GROUP BY 1)
+         SELECT event_type, n,
+           floor((n * sxy - sx * sy)::DOUBLE
+             / sqrt(((n * sxx - sx * sx)::DOUBLE) * ((n * syy - sy * sy)::DOUBLE))
+             * 1e6) / 1e6 AS corr_vh
+         FROM m ORDER BY event_type""",
+    "q95_histogram" ->
+      """SELECT event_type,
+           CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+           count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
