@@ -37,7 +37,9 @@ object Bench {
     val results = names.map(n => n -> passes.map(_(n)).min)
     // millisecond precision keeps the one-line JSON inside the
     // driver's bounded tail capture (9-decimal doubles overflowed it)
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma decimal separator would corrupt the one-line JSON.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

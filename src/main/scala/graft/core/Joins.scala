@@ -125,9 +125,13 @@ object Joins {
     val reserved = Set("__ts", "__side", "__lrow", "__pay", "__m")
     require(!keys.exists(reserved), s"key names may not be in $reserved")
     val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toIndexedSeq
+    // A NULL right ts would sort nulls-first — "earlier than
+    // everything" — and leak its payload into every left row. ASOF
+    // semantics (p.ts >= q.ts) never match NULL: drop such rows.
+    val rightNonNull = right.filter(col(tsCol).isNotNull)
     val rightOne =
-      if (tiebreak.isEmpty) right
-      else lastByKey(right, keys :+ tsCol, tiebreak)
+      if (tiebreak.isEmpty) rightNonNull
+      else lastByKey(rightNonNull, keys :+ tsCol, tiebreak)
 
     val lCols = left.columns.toIndexedSeq
     val leftStruct = org.apache.spark.sql.types.StructType(left.schema.fields)

@@ -53,14 +53,21 @@ object Ranges {
       bucket: Long,
       keys: Seq[String] = Seq.empty): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
+    // `div` needs SQL text; backtick-quote the spliced names so
+    // "window start" or "a-b" resolve as columns, not expressions
+    Seq(pointCol, loCol, hiCol).foreach(c =>
+      require(!c.contains("`"), s"backticks unsupported in column name '$c'"))
+    def q(c: String) = s"`$c`"
     // one bucket name free in BOTH frames (it is the join key)
     val taken = (points.columns ++ intervals.columns).toSet
     var b = "__b"
     while (taken.contains(b)) b += "_"
     val iv = intervals.filter(col(hiCol) > col(loCol))
       .withColumn(b,
-        explode(sequence(expr(s"$loCol div ${bucket}L"), expr(s"($hiCol - 1) div ${bucket}L"))))
-    val pt = points.withColumn(b, expr(s"$pointCol div ${bucket}L"))
+        explode(sequence(
+          expr(s"${q(loCol)} div ${bucket}L"),
+          expr(s"(${q(hiCol)} - 1) div ${bucket}L"))))
+    val pt = points.withColumn(b, expr(s"${q(pointCol)} div ${bucket}L"))
     iv.join(pt, keys :+ b)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(b)

@@ -410,15 +410,9 @@ object Curation {
       .drop(key, rk)
   }
 
-  /** A column name not present in `df` (suffix underscores until
-    * free) — for operator-internal temp columns that must never
-    * shadow caller data.
-    */
-  private def freshName(df: DataFrame, base: String): String = {
-    var n = base
-    while (df.columns.contains(n)) n += "_"
-    n
-  }
+  /** Collision-free temp name — the shared helper ([[graft.core.Names]]). */
+  private def freshName(df: DataFrame, base: String): String =
+    graft.core.Names.fresh(df, base)
 
   /** Sliding-window document chunking — the tokenize-and-chunk pass
     * that turns documents into training/RAG sequences: word windows of

@@ -355,28 +355,32 @@ object RelationalQueries {
     }),
 
     // Correlation from integer-exact moments: corr(value, hour) per
-    // event_type over CENTS (value·100 as int64), so every moment is
-    // an exact long and the one final double expression is
-    // bit-identical across engines — no dependence on either engine's
-    // streaming-covariance accumulator, and int64→double conversion is
-    // a single IEEE-defined rounding everywhere (wide DECIMAL→double
-    // is not). Moment magnitudes stay under int64 up to ~1e9 rows of
-    // 1e6-cent values per group.
+    // event_type over CENTS (value·100), moments summed as
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so no sum or product
+    // can wrap int64 — Spark's non-ANSI long arithmetic wraps
+    // SILENTLY where DuckDB errors, so staying in int64 would let the
+    // engines diverge at scale. Each exact moment then converts to
+    // double ONCE (a correctly-rounded conversion in both engines)
+    // and the single final double expression is bit-identical — no
+    // dependence on either engine's streaming-covariance accumulator.
     "q94_corr" -> ((s, dir) => {
       val xc = round(col("value") * lit(100.0)).cast("long")
+      val xd = xc.cast("decimal(38,0)")
       val y = hour(col("ts")).cast("long")
+      val yd = y.cast("decimal(38,0)")
+      def m(c: org.apache.spark.sql.Column) = sum(c).cast("double")
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(xc).as("sx"), sum(y).as("sy"),
-          sum(xc * xc).as("sxx"), sum(y * y).as("syy"),
-          sum(xc * y).as("sxy"))
+          m(xd).as("sx"), m(yd).as("sy"),
+          m(xd * xd).as("sxx"), m(yd * yd).as("syy"),
+          m(xd * yd).as("sxy"))
         .select(col("event_type"), col("n"),
           (floor(
-            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")) * lit(1e6)) / lit(1e6))
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))) * lit(1e6)) / lit(1e6))
             .as("corr_vh"))
         .orderBy(col("event_type"))
     }),
@@ -634,10 +638,10 @@ object RelationalQueries {
       """WITH m AS (
            SELECT event_type,
              count(*)::BIGINT AS n,
-             CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(xc * xc) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy,
-             CAST(sum(xc * y) AS BIGINT) AS sxy
+             sum(xc)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+             sum(xc::HUGEINT * xc)::DOUBLE AS sxx,
+             sum(y::HUGEINT * y)::DOUBLE AS syy,
+             sum(xc::HUGEINT * y)::DOUBLE AS sxy
            FROM (
              SELECT event_type,
                CAST(round(value * 100.0) AS BIGINT) AS xc,
@@ -645,8 +649,8 @@ object RelationalQueries {
              FROM events)
            GROUP BY 1)
          SELECT event_type, n,
-           floor((n * sxy - sx * sy)::DOUBLE
-             / sqrt(((n * sxx - sx * sx)::DOUBLE) * ((n * syy - sy * sy)::DOUBLE))
+           floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
              * 1e6) / 1e6 AS corr_vh
          FROM m ORDER BY event_type""",
     "q95_histogram" ->

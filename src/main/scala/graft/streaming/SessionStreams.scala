@@ -89,7 +89,13 @@ object SessionStreams {
         (key: Long, rows: Iterator[(Long, Long, String)], state: GroupState[Array[Long]]) => {
           val times = state.getOption.getOrElse(Array.fill(stages.size)(-1L))
           val out = Seq.newBuilder[FunnelProgress]
-          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, t, tp) =>
+          // equal-ts ties process in STAGE order (signup before click
+          // at the same instant), matching the batch operator's
+          // inclusive >= bound — never by accidental stage-name
+          // spelling. Non-stage events sort last and are ignored.
+          rows.toArray
+            .sortBy(r => (r._2, stageIdx.getOrElse(r._3, Int.MaxValue)))
+            .foreach { case (_, t, tp) =>
             stageIdx.get(tp).foreach { i =>
               if (times(i) < 0L &&
                   (i == 0 || (times(i - 1) >= 0L && t >= times(i - 1)))) {

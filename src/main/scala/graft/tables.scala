@@ -16,13 +16,18 @@ object Tables {
   // re-lists the directory and re-reads footers to infer the schema —
   // a fixed driver-side cost paid once per table REFERENCE (a query
   // touching three tables pays it three times). Memoize the resolved
-  // DataFrame per (session, path); entries die with their session.
+  // DataFrame per (session, path). DataFrames strongly reference
+  // their session, so stopped sessions' entries are purged on the
+  // next load (the map is tiny — a handful of paths per session) to
+  // keep a long-lived multi-session JVM from accumulating dead plans.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       (k: (SparkSession, String)) => doLoad(k._1, k._2))
+  }
 
   private def doLoad(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)

@@ -87,13 +87,25 @@ object NaiveBayes {
 
   /** Argmax class per doc (ties broken by ascending label), with the
     * winning score. Output: idCol, pred, score_fx.
+    *
+    * COMPLETE over the input: a doc with NULL text or no model-vocab
+    * token produces no evidence rows, so it falls back to the prior
+    * argmax instead of silently vanishing from the output (scoring a
+    * fresh batch against an old model hits this constantly).
     */
   def predict(model: Model, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_fx").desc, col(model.labelCol))
-    score(model, docs, idCol, textCol)
+    val scored = score(model, docs, idCol, textCol)
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
       .select(col(idCol), col(model.labelCol).as("pred"), col("score_fx"))
+    val priorBest = model.prior
+      .orderBy(col("lprior").desc, col(model.labelCol)).limit(1)
+      .select(col(model.labelCol).as("pred"), col("lprior").as("score_fx"))
+    val missing = docs.select(col(idCol)).distinct()
+      .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+      .crossJoin(broadcast(priorBest))
+    scored.unionByName(missing)
   }
 }

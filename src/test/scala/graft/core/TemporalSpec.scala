@@ -40,6 +40,23 @@ class TemporalSpec extends SparkSpec {
     assert(got(1).getAs[Double]("v") === 1.0, "key b must not see key a's quotes")
   }
 
+  test("asofJoin ignores NULL-ts right rows (ASOF semantics never match NULL)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "k", 100L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("k", null.asInstanceOf[java.lang.Long], 9.0),
+      ("k", java.lang.Long.valueOf(50L), 1.0))
+      .toDF("k", "t", "v")
+    val row = Joins.asofJoin(left, right, Seq("k"), "t").head()
+    assert(row.getAs[Double]("v") === 1.0,
+      "a NULL-ts right row must not shadow the genuine latest quote")
+    val noQuote = Joins.asofJoin(left,
+      right.filter(col("t").isNull), Seq("k"), "t").head()
+    assert(noQuote.isNullAt(noQuote.fieldIndex("v")),
+      "only NULL-ts right rows -> no match at all")
+  }
+
   test("asofJoin carries the whole right row atomically (null payload fields do not fall through)") {
     val s = spark
     import s.implicits._

@@ -100,4 +100,25 @@ class SessionStreamsSpec extends SparkSpec {
     DerivedStreams.refreshOnce(stream(), out, s"$root/ckpt").awaitTermination()
     assert(spark.read.parquet(out).count() === p2.size)
   }
+
+  test("funnelProgress equal-ts ties process in stage order, not stage-name order") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("funneltie").toString
+    val in = s"$root/events"
+    // "click" < "signup" lexicographically — a name-ordered sort would
+    // discard the click; stage order must process signup first.
+    Seq((1L, 10L, "click"), (1L, 10L, "signup"))
+      .toDF("uid", "t", "etype").coalesce(1).write.mode("append").parquet(in)
+    val out = s"$root/progress"
+    DerivedStreams.refreshOnce(
+      SessionStreams.funnelProgress(
+        CorpusStreams.docStream(spark, in, maxFilesPerTrigger = 1),
+        "uid", "t", "etype", Seq("signup", "click")).toDF(),
+      out, s"$root/ckpt").awaitTermination()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(got === Set((1, 10L), (2, 10L)),
+      "same-instant signup+click must complete both stages")
+  }
 }

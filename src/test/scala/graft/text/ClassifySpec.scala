@@ -70,6 +70,24 @@ class ClassifySpec extends SparkSpec {
     assert(unseen.getAs[Long]("lp") === math.floor(math.log(1.0 / 4.0) * 1e9).toLong)
   }
 
+  test("NaiveBayes.predict is complete: null-text and out-of-vocab docs fall back to the prior argmax") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "a", "x x"), (2L, "a", "x"), (3L, "b", "y"))
+      .toDF("doc_id", "lang", "text")
+    val model = NaiveBayes.fit(train, "text", "lang")
+    val fresh = Seq(
+      (10L, "zz qq"),                      // fully out-of-vocab
+      (11L, null.asInstanceOf[String]),    // null text
+      (12L, "x"))                          // scorable
+      .toDF("doc_id", "text")
+    val got = NaiveBayes.predict(model, fresh, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred")).toMap
+    assert(got.keySet === Set(10L, 11L, 12L), "no doc may vanish from predictions")
+    assert(got(11L) === "a", "prior argmax (class a has 2 of 3 docs)")
+    assert(got(12L) === "a")
+  }
+
   test("NaiveBayes equal-evidence docs fall back to priors; exact ties break label-ascending") {
     val s = spark
     import s.implicits._
