@@ -385,6 +385,24 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Semi-structured JSON: typed extraction from the props column via
+    // from_json (schema projection — the codegen'd, scale path; a JSON
+    // string survives the scan but only the projected field is kept)
+    // then plain integer aggregation.
+    "q96_json" -> ((s, dir) => {
+      val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+        .orderBy(col("event_type"))
+    }),
+
     // Fixed-width histogram: integer bucket arithmetic end-to-end.
     "q95_histogram" -> ((s, dir) => {
       t(s, dir, "events")
@@ -657,6 +675,16 @@ object RelationalQueries {
       """SELECT event_type,
            CAST(floor(value / 10.0) AS BIGINT) AS bucket,
            count(*) AS n
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q96_json" ->
+      """SELECT event_type,
+           count(k) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k,
+           count(CASE WHEN k > 50 THEN 1 END) AS n_high
+         FROM (
+           SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
+           FROM events)
+         GROUP BY 1 ORDER BY 1"""
   )
 }
