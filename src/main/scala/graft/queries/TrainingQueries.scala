@@ -675,6 +675,24 @@ object TrainingQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // Large-lexicon blocklist: the broadcast-table semi-join form of
+    // q75's literal-array gate — the shape that still works at 10^5+
+    // blocked words.
+    "q97_blocklist_join" -> ((s, dir) => {
+      val lexicon = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("the"),
+          org.apache.spark.sql.Row("spark"),
+          org.apache.spark.sql.Row("join")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("word",
+            org.apache.spark.sql.types.StringType))))
+      TextFunctions.blocklistGateLarge(
+        t(s, dir, "documents"), "doc_id", "text", lexicon)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Collocation mining: document-level PMI over token pairs; top-50
     // by co-occurrence count with exact-integer inputs and 1e-9-fixed
     // scores.
@@ -1528,6 +1546,11 @@ object TrainingQueries {
          JOIN sz x ON i.src_a = x.source
          JOIN sz y ON i.src_b = y.source
          ORDER BY 1, 2""",
+    "q97_blocklist_join" ->
+      """SELECT doc_id, source FROM documents
+         WHERE len(list_intersect(string_split(text, ' '),
+                   ['the', 'spark', 'join'])) = 0
+         ORDER BY doc_id""",
     // q92: doc-level PMI — distinct token sets, pair counts via a
     // doc-keyed self-join (equivalent to the engine's sorted-set double
     // explode), ln fixed at 1e-9 like the other scorers.

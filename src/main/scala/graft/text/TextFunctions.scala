@@ -69,6 +69,28 @@ object TextFunctions {
     arrays_overlap(tokens(text), array(words.map(lit): _*))
   }
 
+  /** The large-lexicon blocklist gate: [[containsBlocklisted]] inlines
+    * the word list as a codegen literal, which stops scaling around
+    * 10^3 words; this form broadcasts the lexicon as a TABLE and
+    * semi-joins the exploded distinct token stream against it —
+    * 10^5+ words are a few MB broadcast, the match itself is map-side,
+    * and the only shuffles are the hit-id distinct (hits only) and the
+    * doc-keyed anti join back. Returns the surviving documents.
+    *
+    * @param lexicon one string column of blocked words.
+    */
+  def blocklistGateLarge(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      lexicon: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val word = lexicon.columns.head
+    val w = graft.core.Names.fresh(df, "__w")
+    val hits = df
+      .select(col(idCol), explode(tokenSet(col(textCol))).as(w))
+      .join(broadcast(lexicon.select(col(word).as(w))), Seq(w), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Composite quality score in [0,1]: word count (saturating at 50),
     * lexical diversity, mean word length (saturating at 8), stopword
     * presence. Weights are fixed; result truncated (not rounded) to 6

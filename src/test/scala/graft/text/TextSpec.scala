@@ -220,6 +220,28 @@ class TextSpec extends SparkSpec {
     assert(kept.head.getString(1).startsWith("a genuinely"))
   }
 
+  test("blocklistGateLarge == literal-array gate; lexicon rides a broadcast semi-join") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "contains the banned term"),
+      (3L, "another clean document")).toDF("doc_id", "text")
+    val lexicon = Seq("banned", "unused").toDF("word")
+    val got = TextFunctions.blocklistGateLarge(docs, "doc_id", "text", lexicon)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 3L))
+    // equivalence with the literal-array form on the same lexicon
+    val literal = docs.filter(
+      !TextFunctions.containsBlocklisted(col("text"), Seq("banned", "unused")))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === literal.toSeq)
+    val plan = TextFunctions.blocklistGateLarge(docs, "doc_id", "text", lexicon)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "lexicon must broadcast, never shuffle the corpus for the match")
+  }
+
   test("trainBpeMerges: classic merge order on a hand-checkable corpus; encode round-trip") {
     val s = spark
     import s.implicits._
