@@ -412,6 +412,62 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // Winsorized mean from EXACT discrete percentiles: rank per type
+    // (one exchange+sort), pick the p05/p95 order statistics (ties
+    // broken by id — deterministic), broadcast the 5-row bounds back,
+    // clamp, DECIMAL-exact mean. The full per-type sort is the exact
+    // form; approx_percentile (q09/q34) is the documented 100 TB path.
+    "q98_winsorize" -> ((s, dir) => {
+      val byVal = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val n = Window.partitionBy(col("event_type"))
+      val ranked = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(n))
+      val bounds = ranked
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rk") === greatest(lit(1L), ceil(lit(0.05) * col("n"))),
+            col("value"))).as("lo"),
+          max(when(col("rk") === least(col("n"), ceil(lit(0.95) * col("n"))),
+            col("value"))).as("hi"))
+      t(s, dir, "events")
+        .join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(least(greatest(col("value"), col("lo")), col("hi"))
+            .cast("decimal(18,2)")).cast("double") / count(lit(1)) * lit(1e6)) / lit(1e6))
+            .as("wmean"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"), col("wmean"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Time-series gap fill: per-user daily scaffold (date sequence
+    // explode bounded by the global [min, max] day) left-joined to the
+    // sparse actuals, then carry-forward via last(_, ignoreNulls) —
+    // the densification pass a dashboard needs before charting.
+    "q99_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("day_v"))
+      val span = ev.agg(
+        date_trunc("day", min(col("ts"))).as("d0"),
+        date_trunc("day", max(col("ts"))).as("d1"))
+      val scaffold = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"),
+            expr("INTERVAL 1 DAY"))).as("d"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scaffold.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_v"), ignoreNulls = true).over(w).as("filled_v"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // SCD2 dimension build: each user's event_type change log becomes
     // validity intervals — change-detect with lag, then close each
     // interval with lead over the FILTERED change rows. Two window
@@ -676,6 +732,42 @@ object RelationalQueries {
            CAST(floor(value / 10.0) AS BIGINT) AS bucket,
            count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q98_winsorize" ->
+      """WITH r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         b AS (
+           SELECT event_type,
+             max(CASE WHEN rk = greatest(1, ceil(0.05 * n)) THEN value END) AS lo,
+             max(CASE WHEN rk = least(n, ceil(0.95 * n)) THEN value END) AS hi
+           FROM r GROUP BY 1)
+         SELECT e.event_type, count(*) AS n, b.lo, b.hi,
+           floor(CAST(sum(CAST(least(greatest(e.value, b.lo), b.hi) AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) * 1e6) / 1e6 AS wmean
+         FROM events e JOIN b ON e.event_type = b.event_type
+         GROUP BY 1, b.lo, b.hi ORDER BY 1""",
+    "q99_gapfill" ->
+      """WITH daily AS (
+           SELECT user_id, date_trunc('day', ts) AS d,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_v
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+           FROM events),
+         scaffold AS (
+           SELECT u.user_id, unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS d
+           FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN span s)
+         SELECT sc.user_id, strftime(sc.d, '%Y-%m-%d') AS day,
+           coalesce(dl.n_events, 0) AS n_events,
+           last_value(dl.day_v IGNORE NULLS) OVER (
+             PARTITION BY sc.user_id ORDER BY sc.d
+             ROWS UNBOUNDED PRECEDING) AS filled_v
+         FROM scaffold sc LEFT JOIN daily dl
+           ON sc.user_id = dl.user_id AND sc.d = dl.d
+         ORDER BY sc.user_id, day""",
     "q96_json" ->
       """SELECT event_type,
            count(k) AS n,
