@@ -376,6 +376,15 @@ class PlanSpec extends SparkSpec {
       "range condition must ride a bucketized equi-join, not a nested loop")
   }
 
+  test("q98/q99: winsorize bounds broadcast; gap fill has no cartesian blow-up") {
+    val p98 = plan("q98_winsorize")
+    assert(p98.contains("BroadcastHashJoin"),
+      "the 5-row bounds side must broadcast, never shuffle the events for the clamp join")
+    val p99 = plan("q99_gapfill")
+    assert(!p99.contains("CartesianProduct"),
+      "the 1-row span must reach the scaffold as a broadcast, not a cartesian")
+  }
+
   test("q86: funnel is one sorted pass — chained windows, no per-stage self-join") {
     val p = plan("q86_funnel")
     assert(p.contains("Window"))
