@@ -54,7 +54,9 @@ object Ranges {
       keys: Seq[String] = Seq.empty): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
     // `div` needs SQL text; backtick-quote the spliced names so
-    // "window start" or "a-b" resolve as columns, not expressions
+    // "window start", "a-b", or "p.x" resolve as columns, not
+    // expressions — and use the SAME quoted references in the residual
+    // filter, where a bare col("p.x") would parse as field access.
     Seq(pointCol, loCol, hiCol).foreach(c =>
       require(!c.contains("`"), s"backticks unsupported in column name '$c'"))
     def q(c: String) = s"`$c`"
@@ -62,14 +64,14 @@ object Ranges {
     val taken = (points.columns ++ intervals.columns).toSet
     var b = "__b"
     while (taken.contains(b)) b += "_"
-    val iv = intervals.filter(col(hiCol) > col(loCol))
+    val iv = intervals.filter(expr(s"${q(hiCol)} > ${q(loCol)}"))
       .withColumn(b,
         explode(sequence(
           expr(s"${q(loCol)} div ${bucket}L"),
           expr(s"(${q(hiCol)} - 1) div ${bucket}L"))))
     val pt = points.withColumn(b, expr(s"${q(pointCol)} div ${bucket}L"))
     iv.join(pt, keys :+ b)
-      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .filter(expr(s"${q(pointCol)} >= ${q(loCol)} AND ${q(pointCol)} < ${q(hiCol)}"))
       .drop(b)
   }
 }

@@ -360,9 +360,14 @@ object RelationalQueries {
     // can wrap int64 — Spark's non-ANSI long arithmetic wraps
     // SILENTLY where DuckDB errors, so staying in int64 would let the
     // engines diverge at scale. Each exact moment then converts to
-    // double ONCE (a correctly-rounded conversion in both engines)
-    // and the single final double expression is bit-identical — no
-    // dependence on either engine's streaming-covariance accumulator.
+    // double ONCE and the single final double expression is
+    // bit-identical — no dependence on either engine's streaming-
+    // covariance accumulator. Conversion caveat: the two engines'
+    // big-int→double casts are both exact single roundings while a
+    // moment fits int64 (~9e18, i.e. ~1e6 rows of 1e6-cent values per
+    // group); above that DuckDB's HUGEINT→double composes two
+    // roundings and can differ in the last ulp — fixed-point compare
+    // beyond that scale needs a decimal-string oracle instead.
     "q94_corr" -> ((s, dir) => {
       val xc = round(col("value") * lit(100.0)).cast("long")
       val xd = xc.cast("decimal(38,0)")

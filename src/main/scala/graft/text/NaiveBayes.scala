@@ -94,16 +94,20 @@ object NaiveBayes {
     * fresh batch against an old model hits this constantly).
     */
   def predict(model: Model, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the id IS the prediction key: NULL-id rows would either
+    // double-emit (scored + NULL-unsafe anti-join fallback) or
+    // half-emit — drop them up front instead.
+    val keyed = docs.filter(col(idCol).isNotNull)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_fx").desc, col(model.labelCol))
-    val scored = score(model, docs, idCol, textCol)
+    val scored = score(model, keyed, idCol, textCol)
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
       .select(col(idCol), col(model.labelCol).as("pred"), col("score_fx"))
     val priorBest = model.prior
       .orderBy(col("lprior").desc, col(model.labelCol)).limit(1)
       .select(col(model.labelCol).as("pred"), col("lprior").as("score_fx"))
-    val missing = docs.select(col(idCol)).distinct()
+    val missing = keyed.select(col(idCol)).distinct()
       .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
       .crossJoin(broadcast(priorBest))
     scored.unionByName(missing)

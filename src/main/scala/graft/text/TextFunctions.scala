@@ -84,11 +84,15 @@ object TextFunctions {
       lexicon: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val word = lexicon.columns.head
     val w = graft.core.Names.fresh(df, "__w")
-    val hits = df
+    // NULL-text docs drop, matching the literal gate: filter(!overlap)
+    // evaluates NULL -> dropped there, and a doc that can't be
+    // inspected shouldn't silently pass a safety gate here either.
+    val inspectable = df.filter(col(textCol).isNotNull)
+    val hits = inspectable
       .select(col(idCol), explode(tokenSet(col(textCol))).as(w))
       .join(broadcast(lexicon.select(col(word).as(w))), Seq(w), "left_semi")
       .select(col(idCol)).distinct()
-    df.join(hits, Seq(idCol), "left_anti")
+    inspectable.join(hits, Seq(idCol), "left_anti")
   }
 
   /** Composite quality score in [0,1]: word count (saturating at 50),

@@ -100,6 +100,18 @@ class TemporalSpec extends SparkSpec {
     assert(got.length === got.distinct.length)
   }
 
+  test("intervalJoin accepts awkward column names (spaces, dashes, dots)") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(("k", 10L, 30L)).toDF("key", "lo bound", "hi-bound")
+    val pts = Seq(("k", 15L), ("k", 35L)).toDF("key", "p.x")
+    val got = Ranges.intervalJoin(pts, "p.x", iv, "lo bound", "hi-bound",
+      bucket = 8L, keys = Seq("key"))
+      .select(col("`p.x`")).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(15L),
+      "quoted name handling must cover the residual filter, not just the div expr")
+  }
+
   test("funnel stageTimes: stages count only at-or-after the previous stage's first completion") {
     val s = spark
     import s.implicits._

@@ -86,6 +86,13 @@ class ClassifySpec extends SparkSpec {
     assert(got.keySet === Set(10L, 11L, 12L), "no doc may vanish from predictions")
     assert(got(11L) === "a", "prior argmax (class a has 2 of 3 docs)")
     assert(got(12L) === "a")
+
+    // NULL ids drop (the id is the prediction key) — and never
+    // double-emit through the fallback branch
+    val withNullId = fresh.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "x")).toDF("doc_id", "text"))
+    val rows = NaiveBayes.predict(model, withNullId, "doc_id", "text").collect()
+    assert(rows.length === 3 && rows.forall(!_.isNullAt(0)))
   }
 
   test("NaiveBayes equal-evidence docs fall back to priors; exact ties break label-ascending") {

@@ -240,6 +240,12 @@ class TextSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "lexicon must broadcast, never shuffle the corpus for the match")
+    // NULL text drops, exactly like filter(!containsBlocklisted) would
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val gated = TextFunctions.blocklistGateLarge(withNull, "doc_id", "text", lexicon)
+      .collect().map(_.getLong(0)).sorted
+    assert(gated.toSeq === Seq(1L, 3L), "an uninspectable doc must not pass the gate")
   }
 
   test("trainBpeMerges: classic merge order on a hand-checkable corpus; encode round-trip") {
