@@ -653,6 +653,26 @@ object TrainingQueries {
         queryTerms = Seq("spark", "join", "window"), k = 25)
     }),
 
+    // Search + dedup composition: BM25 shortlist, collapse exact-dup
+    // result texts keeping the best-scored representative, re-rank —
+    // the de-duplicated retrieval a corpus probe actually wants. The
+    // shortlist is 100 rows, so the text join broadcasts it.
+    "q100_search_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val short = Search.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"), k = 100)
+        .select(col("doc_id"), col("score_fx"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("score_fx").desc, col("doc_id"))
+      broadcast(short)
+        .join(docs.select(col("doc_id"), md5(col("text")).as("fp")), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("score_fx"))
+        .orderBy(col("score_fx").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // In-engine trained classifier: multinomial Naive Bayes fit on the
     // (lang-labeled) corpus in two aggregations, then argmax-scored
     // back over the same docs — the retrainable language/quality-filter
@@ -1486,6 +1506,41 @@ object TrainingQueries {
            floor(CAST(score_fx AS DOUBLE) / 1000.0) / 1e6 AS score,
            score_fx
          FROM agg ORDER BY score_fx DESC, doc_id LIMIT 25""",
+    // q100: q81's BM25 CTE stack, then exact-dup collapse of the
+    // shortlist keeping the best-scored representative per text.
+    "q100_search_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+                  string_split(text, ' ') AS t
+           FROM documents),
+         stats AS (
+           SELECT count(*)::BIGINT AS n,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+         posting AS (
+           SELECT doc_id, dl, tok AS term, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS tok FROM docs)
+           WHERE tok IN ('spark', 'join', 'window')
+           GROUP BY 1, 2, 3),
+         dfs AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY 1),
+         scored AS (
+           SELECT p.doc_id,
+             CAST(floor(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / s.avgdl)))
+               * 1e9) AS BIGINT) AS fx
+           FROM posting p JOIN dfs f ON p.term = f.term CROSS JOIN stats s),
+         agg AS (SELECT doc_id, CAST(sum(fx) AS BIGINT) AS score_fx
+                 FROM scored GROUP BY 1),
+         short AS (
+           SELECT doc_id, score_fx FROM agg
+           ORDER BY score_fx DESC, doc_id LIMIT 100),
+         tagged AS (
+           SELECT sh.doc_id, sh.score_fx, md5(d.text) AS fp,
+             row_number() OVER (PARTITION BY md5(d.text)
+                                ORDER BY sh.score_fx DESC, sh.doc_id) AS rn
+           FROM short sh JOIN documents d ON sh.doc_id = d.doc_id)
+         SELECT doc_id, score_fx FROM tagged WHERE rn = 1
+         ORDER BY score_fx DESC, doc_id LIMIT 20""",
     // q83: add-1-smoothed multinomial NB over the dense vocab × lang
     // grid; counts exact ints, log-likelihoods floored to 1e-9 int64 at
     // the leaf, int64 sums — bit-identical to NaiveBayes.fit/predict.
