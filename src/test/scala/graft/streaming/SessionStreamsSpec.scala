@@ -101,6 +101,40 @@ class SessionStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === p2.size)
   }
 
+  test("sessionStats merges two open sessions when a late bridging event arrives") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("sessmerge").toString
+    val in = s"$root/events"
+
+    def rows(xs: Seq[(Long, String, Double)]) =
+      xs.toDF("uid", "t", "v")
+        .select(col("uid"), col("t").cast("timestamp").as("ts"), col("v"))
+
+    // batch 1: two events 50 min apart — two separate open sessions
+    rows(Seq((1L, "2024-01-01 09:00:00", 1.0), (1L, "2024-01-01 09:50:00", 2.0)))
+      .coalesce(1).write.mode("append").parquet(in)
+    // batch 2: a bridge at 09:25 (inside the 1h watermark) joins them
+    rows(Seq((1L, "2024-01-01 09:25:00", 4.0)))
+      .coalesce(1).write.mode("append").parquet(in)
+    // batch 3: far-future sentinel closes everything earlier
+    rows(Seq((9L, "2024-01-02 12:00:00", 0.0)))
+      .coalesce(1).write.mode("append").parquet(in)
+
+    def stream() = SessionStreams.sessionStats(
+      CorpusStreams.docStream(spark, in, maxFilesPerTrigger = 1),
+      keys = Seq("uid"), tsCol = "ts", value = col("v"))
+
+    val out = s"$root/sessions"
+    DerivedStreams.refreshOnce(stream(), out, s"$root/ckpt").awaitTermination()
+    DerivedStreams.refreshOnce(stream(), out, s"$root/ckpt").awaitTermination()
+
+    val got = spark.read.parquet(out).filter(col("uid") === 1L)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(("2024-01-01 09:00:00.0", 3L, 7.0)),
+      "the bridge must merge both open sessions into ONE emitted row")
+  }
+
   test("funnelProgress equal-ts ties process in stage order, not stage-name order") {
     val s = spark
     import s.implicits._
