@@ -88,6 +88,52 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("temporalprobe")) {
+      // runtime slope of the temporal/window family as per-key
+      // timelines DEEPEN (same users, k months of history) — the
+      // stress axis for window chains: partitions grow, key count
+      // doesn't, so this measures the per-key sequential scan cost.
+      import org.apache.spark.sql.functions._
+      val ev0 = Tables.load(spark, dir, "events")
+      Seq(1, 2, 4).foreach { k =>
+        val big = (0 until k).map(i => ev0.select(
+            (col("event_id") + lit(i.toLong * 1000000L)).as("event_id"),
+            col("user_id"),
+            (unix_micros(col("ts")) + lit(i.toLong * 3000000000000L)).as("t_us"),
+            col("event_type"), col("value")))
+          .reduce(_ unionByName _)
+        big.cache().count()
+        def time(label: String)(body: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = body
+          println(f"$label x$k: ${(System.nanoTime() - t0) / 1e9}%.3f s ($rows rows)")
+        }
+        time("sessionize")(graft.core.Sessions.sessionStats(big,
+          Seq("user_id"), col("t_us"), Seq(col("event_id")),
+          gap = 1800L * 1000000L, value = col("value")).count())
+        time("asof") {
+          val p = big.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("t_us"))
+          val c = big.filter(col("event_type") === "click")
+            .select(col("user_id"), col("t_us"), col("value").as("cv"))
+          graft.core.Joins.asofJoin(p, c, Seq("user_id"), "t_us",
+            tiebreak = Seq(col("cv"))).count()
+        }
+        time("funnel")(graft.core.Funnels.stageTimes(big, Seq("user_id"),
+          col("t_us"), Seq(col("event_id")), col("event_type"),
+          Seq("signup", "click", "purchase")).count())
+        time("interval") {
+          val wnd = big.filter(col("event_type") === "signup")
+            .select(col("user_id"), col("event_id").as("sid"),
+              col("t_us").as("lo"), (col("t_us") + lit(3600000000L)).as("hi"))
+          graft.core.Ranges.intervalJoin(
+            big.select(col("user_id"), col("t_us")), "t_us",
+            wnd, "lo", "hi", bucket = 900000000L, keys = Seq("user_id")).count()
+        }
+        big.unpersist(blocking = true)
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("candprobe")) {
       // candidate-volume probe for jaccardPairs' pruning stack: size
       // filter alone vs + positional (PPJoin) filter
