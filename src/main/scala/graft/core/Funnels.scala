@@ -36,6 +36,14 @@ object Funnels {
       typeCol: Column,
       stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages,
+      s"duplicate stage names would produce duplicate t_<stage> columns: $stages")
+    // outputs are keys ++ t_<stage>... ++ stage_reached — a key named
+    // like an output would collide silently
+    val outNames = stages.map(s => s"t_$s") :+ "stage_reached"
+    val clash = keys.filter(outNames.toSet)
+    require(clash.isEmpty,
+      s"key columns $clash collide with output names t_<stage>/stage_reached")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ts +: order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

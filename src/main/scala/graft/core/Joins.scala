@@ -125,6 +125,13 @@ object Joins {
     val reserved = Set("__ts", "__side", "__lrow", "__pay", "__m")
     require(!keys.exists(reserved), s"key names may not be in $reserved")
     val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toIndexedSeq
+    // the output is left.columns ++ rightTsAs ++ payload — enforce the
+    // scaladoc's disjointness instead of emitting ambiguous columns
+    val payClash = payload.filter(left.columns.toSet)
+    require(payClash.isEmpty,
+      s"right payload columns $payClash collide with left columns; rename before joining")
+    require(!payload.contains(rightTsAs) && !left.columns.contains(rightTsAs),
+      s"rightTsAs '$rightTsAs' collides with an output column; pick another name")
     // A NULL right ts would sort nulls-first — "earlier than
     // everything" — and leak its payload into every left row. ASOF
     // semantics (p.ts >= q.ts) never match NULL: drop such rows.

@@ -60,10 +60,14 @@ class BalancesServer(cli: Cli, port: Int = 0) {
     }
   }
 
-  private def renderMap(m: Map[String, Double]): String =
-    m.toSeq.sortBy(_._1)
-      .map { case (a, b) => s"${mapper.writeValueAsString(a)}: $b" }
-      .mkString("{", ", ", "}")
+  private def renderMap(m: Map[String, Double]): String = {
+    // serialize the whole map through the mapper (sorted for stable
+    // output) — hand-concatenated Double.toString would emit bare
+    // NaN/Infinity, which is not JSON
+    val sorted = new java.util.LinkedHashMap[String, java.lang.Double]()
+    m.toSeq.sortBy(_._1).foreach { case (a, b) => sorted.put(a, b) }
+    mapper.writeValueAsString(sorted)
+  }
 
   private def handle(ex: HttpExchange)(f: String => Map[String, Double]): Unit = {
     try {

@@ -1483,7 +1483,7 @@ object TrainingQueries {
       """WITH docs AS (
            SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
                   string_split(text, ' ') AS t
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          stats AS (
            SELECT count(*)::BIGINT AS n,
                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
@@ -1512,7 +1512,7 @@ object TrainingQueries {
       """WITH docs AS (
            SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
                   string_split(text, ' ') AS t
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          stats AS (
            SELECT count(*)::BIGINT AS n,
                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
@@ -1574,11 +1574,20 @@ object TrainingQueries {
            SELECT doc_id, lang AS pred, score_fx,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY score_fx DESC, lang) AS r
-           FROM post)
-         SELECT d2.doc_id, d2.lang, pr.pred,
-           pr.pred = d2.lang AS correct, pr.score_fx
-         FROM pred pr JOIN documents d2 ON pr.doc_id = d2.doc_id
-         WHERE pr.r = 1 ORDER BY d2.doc_id""",
+           FROM post),
+         pbest AS (
+           SELECT lang AS pred, lprior AS score_fx FROM prior
+           ORDER BY lprior DESC, lang LIMIT 1)
+         SELECT d2.doc_id, d2.lang,
+           coalesce(pr.pred, pb.pred) AS pred,
+           coalesce(pr.pred, pb.pred) = d2.lang AS correct,
+           coalesce(pr.score_fx, pb.score_fx) AS score_fx
+         FROM documents d2
+         LEFT JOIN (SELECT doc_id, pred, score_fx FROM pred WHERE r = 1) pr
+           ON pr.doc_id = d2.doc_id
+         CROSS JOIN pbest pb
+         WHERE d2.doc_id IS NOT NULL
+         ORDER BY d2.doc_id""",
     // q85: same 3-word shingle definition as the jaccard family
     // (shingleCteBody), but keyed by source with a corpus-wide
     // distinct; empty intersections drop out on both engines.

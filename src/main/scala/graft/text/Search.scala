@@ -35,7 +35,11 @@ object Search {
       textCol: String,
       queryTerms: Seq[String],
       k: Int): DataFrame = {
-    val toks = docs.select(
+    // NULL text must not poison the corpus stats: size(NULL tokens) is
+    // -1 under legacy sizeOfNull, which would subtract from sum(dl)
+    // while count(*) still counts the row. Such docs carry no terms and
+    // can never score — drop them before anything aggregates.
+    val toks = docs.filter(col(textCol).isNotNull).select(
       col(idCol),
       TextFunctions.tokens(col(textCol)).as("__t"))
     val withDl = toks.select(col(idCol), size(col("__t")).cast("long").as("dl"), col("__t"))

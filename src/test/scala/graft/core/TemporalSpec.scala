@@ -134,6 +134,38 @@ class TemporalSpec extends SparkSpec {
       (1L, Some(30L), 3), (2L, None, 1), (3L, None, 1), (4L, None, 0)))
   }
 
+  test("stageTimes rejects duplicate stage names and key/output collisions") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 1L, 10L, "a")).toDF("uid", "eid", "t", "etype")
+    intercept[IllegalArgumentException] {
+      Funnels.stageTimes(ev, Seq("uid"), col("t"), Seq(col("eid")),
+        col("etype"), Seq("a", "b", "a"))
+    }
+    val clash = ev.withColumnRenamed("uid", "t_a")
+    intercept[IllegalArgumentException] {
+      Funnels.stageTimes(clash, Seq("t_a"), col("t"), Seq(col("eid")),
+        col("etype"), Seq("a", "b"))
+    }
+  }
+
+  test("asofJoin rejects payload/left and rightTsAs collisions up front") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("k", 10L, "x")).toDF("k", "t", "px")
+    val rightClash = Seq(("k", 5L, "y")).toDF("k", "t", "px")
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, rightClash, Seq("k"), "t")
+    }
+    val right = Seq(("k", 5L, "y")).toDF("k", "t", "quote")
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, Seq("k"), "t", rightTsAs = "quote")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, Seq("k"), "t", rightTsAs = "px")
+    }
+  }
+
   test("retentionMatrix: first-seen day cohorts x day offsets, distinct users") {
     val s = spark
     import s.implicits._

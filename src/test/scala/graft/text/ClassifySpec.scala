@@ -42,6 +42,21 @@ class ClassifySpec extends SparkSpec {
     assert(got.toSeq === Seq(3L, 5L), "identical docs must rank id-ascending")
   }
 
+  test("bm25TopK excludes NULL-text docs from corpus stats (no -1 dl poisoning)") {
+    val s = spark
+    import s.implicits._
+    val clean = Seq((1L, Some("a b")), (2L, Some("a c")))
+      .toDF("doc_id", "text")
+    val withNull = Seq((1L, Some("a b")), (2L, Some("a c")),
+      (3L, None: Option[String]), (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val a = Search.bm25TopK(clean, "doc_id", "text", Seq("a"), k = 10).collect()
+    val b = Search.bm25TopK(withNull, "doc_id", "text", Seq("a"), k = 10).collect()
+    assert(a.map(r => (r.getLong(0), r.getAs[Long]("score_fx"))).toSeq ===
+      b.map(r => (r.getLong(0), r.getAs[Long]("score_fx"))).toSeq,
+      "NULL-text rows must not change n/avgdl or scores")
+  }
+
   test("NaiveBayes learns disjoint marker vocabularies and predicts them back") {
     val s = spark
     import s.implicits._
