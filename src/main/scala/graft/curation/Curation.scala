@@ -502,6 +502,55 @@ object Curation {
         (floor(-col("slp").cast("double") / col("n_tokens") * 1e6) / 1e6).as("xent"))
   }
 
+  /** Interpolated bigram cross-entropy (the CCNet/KenLM filter one
+    * order up from [[crossEntropyScores]]): each transition scores
+    * `ln(λ·P_mle(w2|w1) + (1-λ)·P_add1(w2))` — the bigram MLE backed
+    * off to the add-one unigram, so unseen transitions never hit
+    * log(0). Returns (doc_id, n_bigrams, xent_bi); docs with fewer
+    * than two tokens have no transitions and no row.
+    *
+    * Engine-exact: counts are exact ints, each transition's log rounds
+    * to 6 decimals and sums as DECIMAL (order-independent), the final
+    * mean divides once and floor-truncates — the [[crossEntropyScores]]
+    * discipline with one more aggregate.
+    *
+    * Scale shape: bigram pairs derive MAP-SIDE from the token array
+    * (slice+zip, no window sort, no self-join); the model is two
+    * vocab-keyed count aggregates (observed bigrams + unigrams) folded
+    * into one (w1, w2, lp) stats table that occurrences join
+    * postings-style; totals ride a 1-row broadcast.
+    */
+  def bigramCrossEntropyScores(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    val toks = graft.text.TextFunctions.tokens(col(textCol))
+    val pairs = df.select(col(idCol).as("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = df.select(explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val stats = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"),
+        round(log(
+          lit(lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
+            lit(1.0 - lambda) *
+              ((col("c2") + 1).cast("double") / (col("n") + col("v")).cast("double"))), 6)
+          .cast("decimal(16,6)").as("lp"))
+    pairs.join(stats, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp")).as("slp"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(-col("slp").cast("double") / col("n_bigrams") * 1e6) / 1e6).as("xent_bi"))
+  }
+
   /** CCNet head/middle/tail assignment from fixed cross-entropy
     * cutoffs (derived offline, like CCNet's per-language percentile
     * tables) — a map-only CASE, no global sort/ntile at scale.

@@ -501,6 +501,52 @@ object Dedup {
       .filter(col("_dup"))
       .select(col("doc_id"), col("pos"), col("gram"))
 
+  /** Variable-length exact-substring duplication (the suffix-array
+    * result of Lee et al. ACL'22 re-expressed relationally): the
+    * MAXIMAL runs of words two documents share, found by chaining
+    * their shared n-grams along match diagonals. A shared n-gram at
+    * positions (pa, pb) extended by one at (pa+1, pb+1) is the same
+    * underlying substring one word longer, so a maximal shared
+    * substring of w >= n words is exactly a maximal diagonal run of
+    * w-n+1 shared grams — detected with one window, no per-length
+    * re-scan. Output: (doc_a, doc_b, start_a, start_b, span_words),
+    * one row per maximal run with span_words >= minSpanWords.
+    *
+    * Scale shape: grams are md5-keyed BEFORE the self-join (32-char
+    * hashes cross the shuffle, never gram text), the join is
+    * gram-keyed and df-capped (`maxGramOcc` drops grams occurring more
+    * than that many times corpus-wide — stopword runs — before they
+    * fan out quadratically; None = exact), and run merging is one
+    * window over (pair, diagonal) — per-pair work bounded by the
+    * shorter document, never corpus-wide.
+    */
+  def maximalSharedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minSpanWords: Int,
+      maxGramOcc: Option[Int] = Some(1024)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSpanWords >= n, s"a span of < $n words is below the gram resolution")
+    val grams = graft.core.Skew.dropHotKeys(
+      spanGrams(df, idCol, textCol, n)
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh")),
+      "gh", maxGramOcc)
+    val matches = grams.select(col("gh"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(grams.select(col("gh"), col("doc_id").as("doc_b"), col("pos").as("pos_b")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+    // consecutive grams on a diagonal share (pos_a - row_number): the
+    // classic gaps-and-islands grouping, one sort per (pair, diagonal)
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("pos_a") - col("pos_b"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("_grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("pos_a") - col("pos_b"), col("_grp"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + lit(n.toLong - 1)).as("span_words"))
+      .filter(col("span_words") >= minSpanWords)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_words"))
+  }
+
   /** Span-level scrubbing — the full Lee et al. ACL'22 operation: cut
     * every word covered by a cross-document duplicated n-gram span and
     * re-emit the cleaned text (plus the cut count, the signal a

@@ -258,6 +258,21 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Paragraph-granularity dedup (the RefinedWeb boilerplate unit):
+    // dedupLines with sep="\n\n" — a repeated MULTI-LINE footer
+    // paragraph cuts as one unit. Same one-exchange md5-keyed shape
+    // as q67, coarser granularity.
+    "q102_paragraph_dedup" -> ((s, dir) => {
+      val input = concat_ws("\n\n",
+        concat(lit("intro "), col("doc_id")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("legal footer line\nall rights reserved"))
+          .otherwise(concat(lit("tail "), col("doc_id"))))
+      val para = t(s, dir, "documents").select(col("doc_id"), input.as("text"))
+      Dedup.dedupLines(para, "doc_id", "text", minDocs = 2, sep = "\n\n")
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-budget data mixing: q65's mixture recomputed over token
     // mass — sources contribute the target share of TOKENS, budget
     // capped by the scarcest source in token space.
@@ -653,6 +668,16 @@ object TrainingQueries {
         queryTerms = Seq("spark", "join", "window"), k = 25)
     }),
 
+    // Variable-length exact-substring dedup: maximal cross-doc shared
+    // word runs via diagonal gram-chain merging (no df-cap here — the
+    // oracle demands exact output; the cap is one knob at scale).
+    "q101_maximal_spans" -> ((s, dir) => {
+      Dedup.maximalSharedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minSpanWords = 12, maxGramOcc = None)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+          col("span_words"))
+    }),
+
     // Search + dedup composition: BM25 shortlist, collapse exact-dup
     // result texts keeping the best-scored representative, re-rank —
     // the de-duplicated retrieval a corpus probe actually wants. The
@@ -934,6 +959,31 @@ object TrainingQueries {
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
 
+    // q102: q67's cut-and-reassemble shape at paragraph granularity —
+    // split on the double newline, same >=2-distinct-docs test.
+    "q102_paragraph_dedup" ->
+      """WITH f AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
+             'intro ' || doc_id,
+             text,
+             CASE WHEN doc_id % 3 = 0 THEN 'legal footer line'||chr(10)||'all rights reserved'
+                  ELSE 'tail ' || doc_id END) AS input
+           FROM documents),
+         l AS (SELECT doc_id, u['p']::BIGINT AS pos, u['l'] AS line FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(ls)+1), i -> {'p': i, 'l': ls[i]})) AS u
+             FROM (SELECT doc_id, string_split(input, chr(10)||chr(10)) AS ls FROM f))),
+         dup AS (SELECT line FROM l WHERE len(line) >= 1
+                 GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+         cuts AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM l
+                  WHERE len(line) >= 1 AND line IN (SELECT line FROM dup)
+                  GROUP BY doc_id),
+         t2 AS (SELECT f.doc_id, string_split(f.input, chr(10)||chr(10)) AS ls, coalesce(c.ps, []) AS ps
+                FROM f LEFT JOIN cuts c ON f.doc_id = c.doc_id)
+         SELECT doc_id,
+           coalesce(array_to_string([ls[i] FOR i IN range(1, len(ls)+1)
+                      IF NOT list_contains(ps, i)], chr(10)||chr(10)), '') AS clean_text,
+           len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
+         FROM t2 ORDER BY doc_id""",
+
     // Mirrors mixCorpusBy(tokenCountWs): q65's budget arithmetic with
     // n = summed whitespace token counts (integer-exact before the
     // double cast), same md5 sample key, same floor-then-cast.
@@ -1090,6 +1140,32 @@ object TrainingQueries {
          SELECT doc_id, pos, gram FROM e
          WHERE gram IN (SELECT gram FROM dup)
          ORDER BY doc_id, pos""",
+
+    // q101: same 8-gram extraction as q59, then the gaps-and-islands
+    // diagonal merge — pos_a - row_number() over (pair, diagonal)
+    // groups consecutive shared grams into one maximal span.
+    "q101_maximal_spans" ->
+      """WITH e AS (SELECT doc_id, s['pos']::BIGINT AS pos, s['gram'] AS gram FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t)-7,0)+1),
+                 i -> {'pos': i, 'gram': array_to_string(list_slice(t, i, i+7), ' ')})) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+         m AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pos_a, b.pos AS pos_b
+           FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         g AS (
+           SELECT doc_a, doc_b, pos_a, pos_b,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                        ORDER BY pos_a) AS grp
+           FROM m),
+         spans AS (
+           SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+             (count(*) + 7)::BIGINT AS span_words
+           FROM g GROUP BY doc_a, doc_b, pos_a - pos_b, grp)
+         SELECT doc_a, doc_b, start_a, start_b, span_words
+         FROM spans WHERE span_words >= 12
+         ORDER BY doc_a, doc_b, start_a, start_b, span_words""",
 
     // Mirrors mixCorpus: same budget arithmetic (double ops in the
     // same order), same md5-derived sample key, floor() before the

@@ -276,6 +276,47 @@ class DedupSpec extends SparkSpec {
       .filter(col("n_removed") > 0).count() === 3L)
   }
 
+  test("maximalSharedSpans chains adjacent shared grams into ONE maximal span") {
+    val s = spark
+    import s.implicits._
+    // docs 1/2 share a 9-word (3×n) run in different surroundings;
+    // doc 3 shares only a 3-word run with each
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma delta"),
+      (2L, s"prefix words here $run suffix tail"),
+      (3L, "unrelated stuff w1 w2 w3 totally different end"))
+      .toDF("doc_id", "text")
+    val got = Dedup.maximalSharedSpans(docs, "doc_id", "text", n = 3, minSpanWords = 3)
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 3L, 4L, 9L), // one maximal span, not seven 3-gram fragments
+      (1L, 3L, 3L, 3L, 3L),
+      (2L, 3L, 4L, 3L, 3L)))
+    // raising the floor past the short spans keeps only the long run
+    assert(Dedup.maximalSharedSpans(docs, "doc_id", "text", n = 3, minSpanWords = 4)
+      .count() === 1L)
+  }
+
+  test("dedupLines at paragraph granularity cuts a multi-line paragraph as one unit") {
+    val s = spark
+    import s.implicits._
+    val boiler = "footer line one\nfooter line two"
+    val docs = Seq(
+      (1L, s"real content here\n\n$boiler"),
+      (2L, s"different body text\n\n$boiler"),
+      (3L, "just a unique paragraph"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", sep = "\n\n")
+      .orderBy(col("doc_id")).collect()
+    assert(got(0).getString(1) === "real content here")
+    assert(got(1).getString(1) === "different body text")
+    assert(got(0).getLong(3) === 1L,
+      "the repeated paragraph must cut as ONE unit, not per line")
+    assert(got(2).getString(1) === "just a unique paragraph")
+  }
+
   test("shingles kernel: distinct, short-doc collapse, set semantics") {
     val s = spark
     import s.implicits._
