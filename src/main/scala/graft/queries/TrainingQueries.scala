@@ -258,6 +258,14 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated bigram LM scoring (the CCNet/KenLM filter one order
+    // up from unigram q74): map-side bigram pairs, vocab-keyed model,
+    // DECIMAL log sums.
+    "q103_bigram_xent" -> ((s, dir) => {
+      Curation.bigramCrossEntropyScores(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Paragraph-granularity dedup (the RefinedWeb boilerplate unit):
     // dedupLines with sep="\n\n" — a repeated MULTI-LINE footer
     // paragraph cuts as one unit. Same one-exchange md5-keyed shape
@@ -958,6 +966,32 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q103: same bigram model arithmetic as bigramCrossEntropyScores —
+    // (1.0 - 0.7) written as the SAME foldable expression the Scala
+    // side computes (a 0.3 literal differs in the last bit), ln
+    // rounded to 6dp DECIMAL at the leaf, summed exactly.
+    "q103_bigram_xent" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         pairs AS (
+           SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2 FROM (
+             SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1,0)+1),
+               i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+             FROM toks)),
+         uni AS (SELECT w, count(*)::BIGINT AS c
+                 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM uni),
+         bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+         stats AS (
+           SELECT b.w1, b.w2,
+             round(ln(0.7 * (b.c12::DOUBLE / u1.c::DOUBLE) +
+                      (1.0 - 0.7) * ((u2.c + 1)::DOUBLE / (t.n + t.v)::DOUBLE)), 6)::DECIMAL(16,6) AS lp
+           FROM bi b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+           CROSS JOIN tot t)
+         SELECT p.doc_id, count(*)::BIGINT AS n_bigrams,
+           floor(-CAST(sum(s.lp) AS DOUBLE) / count(*) * 1e6) / 1e6 AS xent_bi
+         FROM pairs p JOIN stats s ON p.w1 = s.w1 AND p.w2 = s.w2
+         GROUP BY p.doc_id ORDER BY p.doc_id""",
 
     // q102: q67's cut-and-reassemble shape at paragraph granularity —
     // split on the double newline, same >=2-distinct-docs test.

@@ -368,6 +368,38 @@ class CurationSpec extends SparkSpec {
     assert(buckets === Map(1L -> "head", 3L -> "middle", 2L -> "tail"))
   }
 
+  test("bigramCrossEntropyScores: repeated transitions score lower than novel ones") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b a b"),  // one dominant transition pattern
+      (2L, "a b c d e f g h"),  // every transition unique
+      (3L, "a b a b c d e f"),  // mixed
+      (4L, "solo"))             // < 2 tokens: no transitions, no row
+      .toDF("doc_id", "text")
+    val got = Curation.bigramCrossEntropyScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(4L))
+    assert(got(1L)._1 === 7L && got(2L)._1 === 7L)
+    // the b->a / a->b loop is high-probability; the singleton chain is
+    // backed off to unigrams and scores strictly higher
+    assert(got(1L)._2 < got(3L)._2 && got(3L)._2 < got(2L)._2)
+    // ordering sanity vs unigram: two docs with the IDENTICAL unigram
+    // bag (3 a's, 3 b's each) tie under the unigram model; the bigram
+    // model separates them by transition structure
+    val bagDocs = Seq(
+      (10L, "a b a b a b"),   // the common ab transition dominates
+      (11L, "a a a b b b"))   // mostly transitions seen once or twice
+      .toDF("doc_id", "text")
+    val uni = Curation.crossEntropyScores(bagDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(10L) === uni(11L), "identical bags must tie under unigram")
+    val bg = Curation.bigramCrossEntropyScores(bagDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bg(10L) < bg(11L),
+      "bigram structure must separate docs word frequency cannot")
+  }
+
   test("dsirLogWeights: target-domain docs outscore off-domain ones") {
     val s = spark
     import s.implicits._
