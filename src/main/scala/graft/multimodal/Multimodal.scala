@@ -62,6 +62,32 @@ object Multimodal {
       payload.grouped(frameBytes).zipWithIndex.collect {
         case (frame, i) if i % stride == 0 => frame
       }.toSeq
+
+    /** STUB perceptual hash (the pHash slot: real impl = downscale →
+      * DCT → sign-vs-median bits): bit i of the fingerprint is set iff
+      * decoded-byte histogram bucket i sits at or above the bucket
+      * mean (`hist(i)·bits >= total`, exact integer compare). Small
+      * perturbations move one bucket by one count and almost never
+      * cross the mean, so near-identical payloads collide — the
+      * property perceptual dedup needs — while the fingerprint stays a
+      * pure function of the payload.
+      */
+    def perceptualHash(payload: Array[Byte], bits: Int = 16): Long = {
+      val hist = new Array[Long](bits)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) % bits) += 1L
+        i += 1
+      }
+      val total = payload.length.toLong
+      var fp = 0L
+      var b = 0
+      while (b < bits) {
+        if (hist(b) * bits >= total) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    }
   }
 
   case class TransformedRow(
@@ -146,6 +172,31 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Perceptual fingerprint per media row (the image-dedup companion
+    * to [[mediaEmbeddings]]: exact-fingerprint collapse is the cheap
+    * first pass, the embedding path catches what it misses). Same
+    * batched per-partition plumbing as the other codec calls.
+    */
+  def mediaFingerprints(spark: SparkSession, media: DataFrame,
+      bits: Int = 16): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val codec = FakeCodec
+      rows.map(r => (r.media_id, codec.perceptualHash(r.payload, bits)))
+    }.toDF("media_id", "fp")
+  }
+
+  /** Collapse [[mediaFingerprints]] output: one survivor (min id) per
+    * fingerprint — byte-identical AND perceptually-near-identical
+    * payloads share a fingerprint, so both collapse in one
+    * fingerprint-keyed aggregate (no pair join at all; the standard
+    * pHash-bucket image dedup). Output: (fp, survivor_id, n_copies).
+    */
+  def collapseByFingerprint(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp"))
+      .agg(min(col("media_id")).as("survivor_id"),
+        count(lit(1)).as("n_copies"))
 
   /** DataFrame-level metadata projection of the decoded dataset. */
   def mediaMetaTable(spark: SparkSession, media: DataFrame): DataFrame = {

@@ -258,6 +258,15 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual media fingerprint dedup: pHash-style histogram-mean
+    // bit signature per payload, one fingerprint-keyed collapse — no
+    // pair join. Byte-identical and near-identical payloads share fp.
+    "q104_media_phash" -> ((s, dir) => {
+      val media = Multimodal.synthesizeFromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.collapseByFingerprint(Multimodal.mediaFingerprints(s, media, bits = 16))
+        .orderBy(col("survivor_id"))
+    }),
+
     // Interpolated bigram LM scoring (the CCNet/KenLM filter one order
     // up from unigram q74): map-side bigram pairs, vocab-keyed model,
     // DECIMAL log sums.
@@ -966,6 +975,29 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q104: the same ascii%16 byte-bucket histogram as q66, thresholded
+    // at the bucket mean (c·16 >= n, exact ints) into a 16-bit
+    // fingerprint, then a fingerprint-keyed collapse.
+    "q104_media_phash" ->
+      """WITH chars AS (SELECT doc_id AS media_id,
+             unnest([ascii(substr(text, i, 1)) % 16 FOR i IN range(1, strlen(text)+1)]) AS bucket
+           FROM documents),
+         h AS (SELECT media_id, bucket, count(*)::BIGINT AS c
+               FROM chars GROUP BY media_id, bucket),
+         spine AS (SELECT doc_id AS media_id, unnest(range(0, 16)) AS bucket
+                   FROM documents),
+         fullh AS (SELECT s.media_id, s.bucket, coalesce(h.c, 0)::BIGINT AS c
+                   FROM spine s LEFT JOIN h
+                     ON s.media_id = h.media_id AND s.bucket = h.bucket),
+         tot AS (SELECT media_id, sum(c)::BIGINT AS n FROM fullh GROUP BY media_id),
+         fps AS (
+           SELECT f.media_id,
+             sum(CASE WHEN f.c * 16 >= t.n THEN 1::BIGINT << f.bucket ELSE 0 END)::BIGINT AS fp
+           FROM fullh f JOIN tot t ON f.media_id = t.media_id
+           GROUP BY f.media_id)
+         SELECT fp, min(media_id)::BIGINT AS survivor_id, count(*)::BIGINT AS n_copies
+         FROM fps GROUP BY fp ORDER BY survivor_id""",
 
     // q103: same bigram model arithmetic as bigramCrossEntropyScores —
     // (1.0 - 0.7) written as the SAME foldable expression the Scala

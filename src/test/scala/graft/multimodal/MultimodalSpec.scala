@@ -102,6 +102,32 @@ class MultimodalSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("perceptual fingerprint collapses byte-identical AND near-identical media") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    // 'a' -> 'q' is a same-bucket (97%16 == 113%16) substitution: a
+    // perceptually-invisible edit with an identical byte histogram
+    val nearDup = base.replaceFirst("lazy", "lqzy")
+    assert(nearDup !== base)
+    val media = Seq(
+      (1L, "image", base.getBytes("UTF-8")),
+      (2L, "image", base.getBytes("UTF-8")),   // byte-identical
+      (3L, "image", nearDup.getBytes("UTF-8")),// near-identical
+      (4L, "image", "0123456789".getBytes("UTF-8"))) // different content
+      .toDF("media_id", "kind", "payload")
+    val fps = mediaFingerprints(s, media)
+    val got = collapseByFingerprint(fps).orderBy(col("survivor_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L), (4L, 1L)),
+      "docs 1/2/3 must share a fingerprint; doc 4 must not")
+    // determinism: recomputing yields identical fingerprints
+    val f1 = fps.orderBy(col("media_id")).collect().map(_.getLong(1))
+    val f2 = mediaFingerprints(s, media).orderBy(col("media_id"))
+      .collect().map(_.getLong(1))
+    assert(f1.toSeq === f2.toSeq)
+  }
+
   test("synthesizeFromText + mediaMetaTable round-trips byte lengths") {
     val s = spark
     import s.implicits._
