@@ -258,6 +258,23 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Topic clustering + cluster-proportional mixing: md5-seeded
+    // cosine clusters labeled t1..t4, then the mixCorpus budget
+    // arithmetic keyed on the TOPIC instead of a source column — the
+    // domain-balancing step past source-level mixing.
+    "q105_topic_mix" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val topics = Similarity.topicClusters(
+        emb.select(col("vec_id").as("c_id"), col("emb").as("c_emb")), nlist = 4)
+      Curation.mixCorpus(
+        topics.select(col("c_id").as("vec_id"), col("topic")),
+        "vec_id", "topic",
+        Map("t1" -> 0.4, "t2" -> 0.3, "t3" -> 0.2, "t4" -> 0.1))
+        .select(col("vec_id"), col("topic"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Perceptual media fingerprint dedup: pHash-style histogram-mean
     // bit signature per payload, one fingerprint-keyed collapse — no
     // pair join. Byte-identical and near-identical payloads share fp.
@@ -975,6 +992,34 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q105: q40's md5-seeded assignment CTE labeled by cent_id rank,
+    // then q65's mixture arithmetic keyed on the topic (weights-left
+    // join + coalesce replicates the zero-row-source collapse).
+    "q105_topic_mix" ->
+      s"""$embCte,
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+                  FROM n ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 4),
+         lab AS (SELECT cent_id, cent_emb, cent_nrm,
+                   't' || row_number() OVER (ORDER BY cent_id) AS topic FROM cent),
+         assigned AS (SELECT c_id AS vec_id, topic FROM (
+           SELECT c.vec_id AS c_id, l.topic,
+             row_number() OVER (PARTITION BY c.vec_id ORDER BY
+               round(list_sum(list_transform(range(1, 65), i -> c.emb[i] * l.cent_emb[i]))
+                 / (c.nrm * l.cent_nrm), 6) DESC, l.cent_id) AS rn
+           FROM n c CROSS JOIN lab l) WHERE rn = 1),
+         w(src, w) AS (VALUES ('t1', 0.4), ('t2', 0.3), ('t3', 0.2), ('t4', 0.1)),
+         sizes AS (SELECT w.src, coalesce(s.n, 0.0) AS n, w.w FROM w
+                   LEFT JOIN (SELECT topic AS src, count(*)::DOUBLE AS n
+                              FROM assigned GROUP BY topic) s ON w.src = s.src),
+         b AS (SELECT min(n / w) AS b FROM sizes),
+         f AS (SELECT src, CASE WHEN n = 0.0 THEN 0.0
+                                ELSE least(1.0, w * b / n) END AS f
+               FROM sizes CROSS JOIN b)
+         SELECT a.vec_id, a.topic FROM assigned a JOIN f ON a.topic = f.src
+         WHERE ('0x' || substr(md5(a.vec_id::VARCHAR), 1, 15))::BIGINT
+               < floor(f.f * 1152921504606846976)::BIGINT
+         ORDER BY a.vec_id""",
 
     // q104: the same ascii%16 byte-bucket histogram as q66, thresholded
     // at the bucket mean (c·16 >= n, exact ints) into a 16-bit

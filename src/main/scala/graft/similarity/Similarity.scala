@@ -144,6 +144,39 @@ object Similarity {
     corpus.orderBy(md5(col("c_id").cast("string")), col("c_id")).limit(nlist)
       .select(col("c_id").cast("long").as("cent_id"), col("c_emb").as("cent_emb"))
 
+  /** Corpus topic clustering (the domain-discovery step a
+    * DoReMi/DSIR-style mixture needs when documents carry no source
+    * label): every vector assigned to its nearest centroid by cosine,
+    * clusters labeled "t1".."t<nlist>" in ascending cent_id order so
+    * the label set is stable and enumerable by a mixture spec
+    * (cent_ids themselves are corpus ids — data-dependent names no
+    * static weights map could reference). Returns (c_id, topic).
+    * Default centroids = the deterministic md5 seed; pass
+    * [[kmeansCentroids]] output for refined clusters.
+    *
+    * Scale shape: the nlist-row centroid table broadcasts (its label
+    * window sorts nlist rows, nothing more); the corpus never
+    * shuffles — assignment is the same broadcast crossJoin +
+    * per-row argmax as [[ivfTopK]].
+    */
+  def topicClusters(
+      corpus: DataFrame, // (c_id, c_emb: array<double>)
+      nlist: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val labeled = centroids.getOrElse(seedCentroids(corpus, nlist))
+      .select(col("cent_id"), col("cent_emb"))
+      .withColumn("cent_norm", norm(col("cent_emb")))
+      .withColumn("topic",
+        concat(lit("t"), row_number().over(Window.orderBy(col("cent_id"))).cast("string")))
+    val c = corpus.withColumn("c_norm", norm(col("c_emb")))
+    graft.core.Joins.lastByKey(
+      c.crossJoin(broadcast(labeled))
+        .withColumn("a_score",
+          cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
+      Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+      .select(col("c_id"), col("topic"))
+  }
+
   /** Distributed Lloyd refresh of the IVF coarse quantizer (spherical
     * k-means: assign by max cosine, update by element-wise mean — the
     * mean's scale is irrelevant to cosine assignment). Returns

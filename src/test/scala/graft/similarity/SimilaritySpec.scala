@@ -133,6 +133,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf, "refreshed IVF with nprobe=1 should be exact on separable clusters")
   }
 
+  test("topicClusters: complete assignment, stable t-labels, direction-faithful with given centroids") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    def jitter(base: Seq[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (v, i) => v + (if (i % 2 == 0) eps else -eps) }
+    val corpus = ((0L to 4L).map(i => (i, jitter(a, 0.01 * (i + 1)))) ++
+      (5L to 9L).map(i => (i, jitter(b, 0.01 * (i - 4))))).toDF("c_id", "c_emb")
+    // explicit centroids: labels follow cent_id rank, rows follow direction
+    val cent = Seq((100L, a), (200L, b)).toDF("cent_id", "cent_emb")
+    val got = Similarity.topicClusters(corpus, nlist = 2, centroids = Some(cent))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 10, "every vector must be assigned exactly once")
+    assert((0L to 4L).forall(got(_) == "t1") && (5L to 9L).forall(got(_) == "t2"))
+    // default md5 seed: deterministic across invocations, labels dense
+    val d1 = Similarity.topicClusters(corpus, nlist = 3)
+      .orderBy(col("c_id")).collect().map(_.getString(1))
+    val d2 = Similarity.topicClusters(corpus, nlist = 3)
+      .orderBy(col("c_id")).collect().map(_.getString(1))
+    assert(d1.toSeq === d2.toSeq)
+    assert(d1.toSet.subsetOf(Set("t1", "t2", "t3")))
+  }
+
   test("int8Quantize: bounded reconstruction error, high top-k recall on real embeddings") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
