@@ -258,6 +258,31 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // URL canonicalization + host-level caps: messy synthetic URLs
+    // (case, www, default ports, tracking params, fragments, trailing
+    // slashes) canonicalize map-side, then capPerGroup keys on the
+    // canonical host — the per-site budget of a web-corpus pipeline.
+    "q106_url_host_cap" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          element_at(array(lit("https://WWW.Example.COM"), lit("http://example.com:80"),
+            lit("https://News.Site.org"), lit("https://blog.hub.net")),
+            (col("doc_id") % 4 + 1).cast("int")),
+          lit("/Page/"), (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&utm_medium=rss&id="), col("doc_id")))
+            .when(col("doc_id") % 3 === 2,
+              concat(lit("?id="), col("doc_id"), lit("&fbclid=XYZ")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit(""))).as("url"))
+      val canon = urls.select(col("doc_id"),
+          TextFunctions.canonicalizeUrl(col("url")).as("canon_url"))
+        .withColumn("host", TextFunctions.urlHost(col("canon_url")))
+      Curation.capPerGroup(canon, "doc_id", "host", cap = 50)
+        .orderBy(col("doc_id"))
+    }),
+
     // Topic clustering + cluster-proportional mixing: md5-seeded
     // cosine clusters labeled t1..t4, then the mixCorpus budget
     // arithmetic keyed on the TOPIC instead of a source column — the
@@ -992,6 +1017,58 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q106: the canonicalization steps replayed CTE-by-CTE (fragment,
+    // tracking-param rebuild, prefix lowering/www/port strip, trailing
+    // slash), then q69's hash-ranked cap keyed on the host.
+    "q106_url_host_cap" ->
+      """WITH u AS (SELECT doc_id,
+             (CASE doc_id % 4 WHEN 0 THEN 'https://WWW.Example.COM'
+               WHEN 1 THEN 'http://example.com:80'
+               WHEN 2 THEN 'https://News.Site.org'
+               ELSE 'https://blog.hub.net' END)
+             || '/Page/' || (doc_id % 7)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss&id=' || doc_id
+                      WHEN doc_id % 3 = 2 THEN '?id=' || doc_id || '&fbclid=XYZ'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+           FROM documents),
+         nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS s FROM u),
+         sp AS (SELECT doc_id, s,
+             CASE WHEN strpos(s, '?') > 0 THEN substr(s, 1, strpos(s, '?') - 1) ELSE s END AS base,
+             CASE WHEN strpos(s, '?') > 0 THEN substr(s, strpos(s, '?') + 1) ELSE '' END AS qs
+           FROM nf),
+         rq AS (SELECT doc_id,
+             CASE WHEN strpos(s, '?') = 0 THEN s
+                  WHEN len(kept) > 0 THEN base || '?' || array_to_string(kept, '&')
+                  ELSE base END AS s
+           FROM (SELECT doc_id, s, base,
+                   list_filter(string_split(qs, '&'),
+                     p -> NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=')) AS kept
+                 FROM sp)),
+         pf AS (SELECT doc_id, s,
+             regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS prefix
+           FROM rq),
+         cn AS (SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(prefix), '^(https?://)www\.', '\1')
+                   , '^(http://[^/:]+):80$', '\1')
+                 , '^(https://[^/:]+):443$', '\1')
+               || substr(s, len(prefix) + 1), '/$', '') AS canon_url
+           FROM pf),
+         h AS (SELECT doc_id, canon_url,
+             regexp_replace(lower(regexp_extract(canon_url,
+               '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]+@)?([^/?#:]+)', 1)),
+               '^www\.', '') AS host
+           FROM cn),
+         r AS (SELECT doc_id, canon_url, host,
+             row_number() OVER (PARTITION BY host ORDER BY
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rk
+           FROM h)
+         SELECT doc_id, canon_url, host FROM r WHERE rk <= 50 ORDER BY doc_id""",
 
     // q105: q40's md5-seeded assignment CTE labeled by cent_id rank,
     // then q65's mixture arithmetic keyed on the topic (weights-left

@@ -196,4 +196,49 @@ object TextFunctions {
     */
   def winnowFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** Query parameters a canonical URL drops: per-click tracking noise
+    * that makes one page look like thousands of distinct documents.
+    */
+  val TrackingParamRe = "^(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)="
+
+  /** Canonical form of a messy URL, pure built-in composition (stays
+    * in codegen, so a web corpus can key joins/caps on it):
+    *  1. the #fragment goes;
+    *  2. tracking params ([[TrackingParamRe]]) go, the query rebuilds
+    *     from the surviving params in order;
+    *  3. scheme://host[:port] lowercases, a `www.` prefix and the
+    *     default :80/:443 ports go — the PATH keeps its case;
+    *  4. one trailing slash goes.
+    * Scheme-less strings pass through steps 1/2/4 unchanged in the
+    * host step (the prefix regex extracts nothing).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val base = substring_index(noFrag, "?", 1)
+    val qs = noFrag.substr(length(base) + lit(2), length(noFrag))
+    val kept = filter(split(qs, "&"), p => !p.rlike(TrackingParamRe))
+    val rebuilt = when(!noFrag.contains("?"), noFrag)
+      .otherwise(when(size(kept) > 0,
+        concat(base, lit("?"), array_join(kept, "&"))).otherwise(base))
+    val prefix = regexp_extract(rebuilt, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val rest = rebuilt.substr(length(prefix) + lit(1), length(rebuilt))
+    val canonPrefix =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(prefix), "^(https?://)www\\.", "$1"),
+          "^(http://[^/:]+):80$", "$1"),
+        "^(https://[^/:]+):443$", "$1")
+    regexp_replace(concat(canonPrefix, rest), "/$", "")
+  }
+
+  /** Registrable host of a URL (lowercased, `www.` stripped) — the
+    * per-site cap/group key. Works on raw or canonicalized URLs and on
+    * scheme-less host/path strings; empty when no host-like prefix.
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url,
+        "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]+@)?([^/?#:]+)", 1)),
+      "^www\\.", "")
 }

@@ -208,6 +208,36 @@ class TextSpec extends SparkSpec {
     assert(got(2L) === Seq("lo", "lo")) // repeated word: memoized pieces, kept twice
   }
 
+  test("canonicalizeUrl + urlHost normalize the messy-URL zoo") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // case + www + fragment
+      ("https://WWW.Example.COM/Path/One#frag", "https://example.com/Path/One", "example.com"),
+      // default ports strip; non-default ports stay
+      ("http://example.com:80/a", "http://example.com/a", "example.com"),
+      ("https://example.com:443/a", "https://example.com/a", "example.com"),
+      ("http://example.com:8080/a", "http://example.com:8080/a", "example.com"),
+      // tracking params go, real params survive in order
+      ("https://a.io/p?utm_source=x&id=7&utm_medium=y", "https://a.io/p?id=7", "a.io"),
+      ("https://a.io/p?id=7&fbclid=zz", "https://a.io/p?id=7", "a.io"),
+      ("https://a.io/p?utm_source=x", "https://a.io/p", "a.io"),
+      // trailing slash; path case preserved
+      ("https://b.net/Dir/", "https://b.net/Dir", "b.net"),
+      // userinfo skipped by the host extractor; scheme-less input
+      ("https://user:pw@c.org/x", "https://user:pw@c.org/x", "c.org"),
+      ("www.d.com/path", "www.d.com/path", "d.com"))
+    val rows = cases.map(_._1).toDF("url")
+      .select(col("url"),
+        graft.text.TextFunctions.canonicalizeUrl(col("url")).as("canon"),
+        graft.text.TextFunctions.urlHost(col("url")).as("host"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    cases.foreach { case (raw, canon, host) =>
+      assert(rows(raw)._1 === canon, s"canon of $raw")
+      assert(rows(raw)._2 === host, s"host of $raw")
+    }
+  }
+
   test("repetitionFilter keeps low-repetition docs only, rows unchanged") {
     val s = spark
     import s.implicits._
