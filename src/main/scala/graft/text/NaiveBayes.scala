@@ -41,12 +41,15 @@ object NaiveBayes {
       explode(TextFunctions.tokens(col(textCol))).as("token"))
 
     // Everything token-shaped derives from the ONE corpus-tokenizing
-    // aggregate `cnt`: vocab, vocab size, and per-class token totals
-    // are rollups of its |V|·|C|-row output, so the heavy text scan
-    // happens once (shared subtree → exchange reuse), not once per
-    // statistic. Only ndocs needs a second pass, and that one reads
-    // the label column alone.
+    // aggregate `cnt`: vocab, vocab size, per-class token totals, and
+    // the model matrix are rollups of its (observed |V|·|C|)-row
+    // output. PERSISTED: four consumers otherwise re-run the corpus
+    // explode+aggregate each (exchange reuse does not cross the
+    // separate action-subtrees the broadcasts spawn) — the cache holds
+    // model-sized rows, never corpus rows, and is released by the
+    // session's next cache clear or an explicit unpersist.
     val cnt = occ.groupBy(col(labelCol), col("token")).agg(count(lit(1)).as("c"))
+      .persist()
     val vocab = cnt.select(col("token")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
     val ntoks = cnt.groupBy(col(labelCol)).agg(sum(col("c")).as("ntok"))
@@ -95,8 +98,8 @@ object NaiveBayes {
     */
   def predict(model: Model, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // the id IS the prediction key: NULL-id rows would either
-    // double-emit (scored + NULL-unsafe anti-join fallback) or
-    // half-emit — drop them up front instead.
+    // double-emit (scored + NULL-unsafe fallback) or half-emit — drop
+    // them up front instead.
     val keyed = docs.filter(col(idCol).isNotNull)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_fx").desc, col(model.labelCol))
@@ -106,10 +109,18 @@ object NaiveBayes {
       .select(col(idCol), col(model.labelCol).as("pred"), col("score_fx"))
     val priorBest = model.prior
       .orderBy(col("lprior").desc, col(model.labelCol)).limit(1)
-      .select(col(model.labelCol).as("pred"), col("lprior").as("score_fx"))
-    val missing = keyed.select(col(idCol)).distinct()
-      .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(model.labelCol).as("__bpred"), col("lprior").as("__bscore"))
+    // completeness via ONE left join + coalesce, not an anti-join
+    // union: the anti-join's column-pruned right side canonicalizes
+    // differently from the output branch, so Catalyst cannot reuse the
+    // exchange and the whole scoring pipeline (model join included)
+    // ran twice. Here the scored subtree is consumed once, already
+    // hash-partitioned on the id by its own window.
+    keyed.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
       .crossJoin(broadcast(priorBest))
-    scored.unionByName(missing)
+      .select(col(idCol),
+        coalesce(col("pred"), col("__bpred")).as("pred"),
+        coalesce(col("score_fx"), col("__bscore")).as("score_fx"))
   }
 }
