@@ -274,9 +274,9 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       tau: Double,
-      saltCellRows: Int = 1 << 13,
+      saltCellRows: Int = 0,
       maxSalts: Int = 64): DataFrame = {
-    require(saltCellRows >= 1 && maxSalts >= 1)
+    require(saltCellRows >= 0 && maxSalts >= 1)
     val assigned = spark.read.parquet(path)
       .select(col("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
     // same cell-salting skew guard as the ad-hoc form: an index cell
@@ -464,15 +464,23 @@ object Similarity {
     * exactly once, at the right row's sub-bucket. Deterministic
     * (salt = xxhash64 of the id, never rand()), so retries repartition
     * identically.
+    *
+    * `saltCellRows = 0` (default) AUTO-TUNES the threshold from the
+    * observed cell-size distribution: [[autoSaltRows]] of the mean
+    * cell size, computed inside the size aggregate the guard already
+    * runs — a static number is wrong in both directions (too low
+    * salt-splits healthy cells when nlist is small, too high lets a
+    * hot cell straggle when cells are tiny). Pass a positive value to
+    * pin it.
     */
   def semDedup(
       corpus: DataFrame, // (c_id, c_emb: array<double>)
       tau: Double,
       nlist: Int = 16,
       centroids: Option[DataFrame] = None,
-      saltCellRows: Int = 1 << 13,
+      saltCellRows: Int = 0,
       maxSalts: Int = 64): DataFrame = {
-    require(saltCellRows >= 1 && maxSalts >= 1)
+    require(saltCellRows >= 0 && maxSalts >= 1)
     val cent = centroids.getOrElse(seedCentroids(corpus, nlist))
       .select(col("cent_id"), col("cent_emb"))
       .withColumn("cent_norm", norm(col("cent_emb")))
@@ -490,6 +498,14 @@ object Similarity {
     * [[semDedup]] and [[semDedupIndexed]], with the cell-salting skew
     * guard. `assigned` = (list_id, c_id, c_emb, c_norm).
     */
+  /** The auto-tuned salting threshold: sub-buckets sized at 4× the
+    * mean cell (a cell under that is not skewed enough to be worth
+    * splitting), floored at 1024 rows (under ~half a million pairs a
+    * single task is cheaper than the replication).
+    */
+  def autoSaltRows(meanCellRows: Double): Long =
+    math.max(1024L, math.ceil(meanCellRows * 4.0).toLong)
+
   private def cellPairDrops(
       assigned: DataFrame,
       tau: Double,
@@ -498,10 +514,21 @@ object Similarity {
     // per-cell salt count: 1 for cells within budget (sequence(0,0) =
     // one copy, the un-salted plan), S sub-buckets above it. The size
     // table is ≤ nlist rows — broadcast back onto the assignment.
-    val sizes = assigned.groupBy(col("list_id"))
+    val counts = assigned.groupBy(col("list_id"))
       .agg(count(lit(1)).as("_cell_rows"))
+    // threshold: pinned, or derived from the distribution the size
+    // aggregate already observes ([[autoSaltRows]] as an expression —
+    // same ops, same rounding). The 1-row mean shares counts' exchange
+    // (identical canonical subtree), so the assignment still computes
+    // once.
+    val (sized0, thr) =
+      if (saltCellRows > 0) (counts, lit(saltCellRows.toLong))
+      else (counts.crossJoin(broadcast(
+          counts.agg(avg(col("_cell_rows")).as("_mean")))),
+        greatest(lit(1024L), ceil(col("_mean") * lit(4.0)).cast("long")))
+    val sizes = sized0
       .withColumn("_nsalt",
-        least(ceil(col("_cell_rows").cast("double") / lit(saltCellRows)),
+        least(ceil(col("_cell_rows").cast("double") / thr),
           lit(maxSalts.toLong)).cast("long"))
       .select(col("list_id"), col("_nsalt"))
     // identical subtree (assigned ⋈ sizes) on both sides so the

@@ -340,6 +340,25 @@ class SimilaritySpec extends SparkSpec {
     assert(plain.nonEmpty, "fixture produced no near-dup pairs — vacuous test")
   }
 
+  test("auto-tuned saltCellRows: derivation rule, and auto output == pinned/unsalted") {
+    assert(Similarity.autoSaltRows(10.0) === 1024L)   // floor wins for tiny cells
+    assert(Similarity.autoSaltRows(256.0) === 1024L)  // boundary: 4x mean == floor
+    assert(Similarity.autoSaltRows(256.25) === 1025L) // ceil, not truncate
+    assert(Similarity.autoSaltRows(1000.0) === 4000L) // 4x the mean cell
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id").cast("long").as("c_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    // default (auto) threshold derives in-plan; the output must equal
+    // both the never-salt and the everything-salts plans
+    val auto = Similarity.semDedup(emb, tau = 0.45, nlist = 4)
+      .orderBy(col("drop_id")).collect().toSeq
+    val unsalted = Similarity.semDedup(emb, tau = 0.45, nlist = 4,
+        saltCellRows = Int.MaxValue)
+      .orderBy(col("drop_id")).collect().toSeq
+    assert(auto === unsalted)
+    assert(auto.nonEmpty)
+  }
+
   test("hyperplane: md5-derived, ±1 components, deterministic") {
     val p0 = Similarity.hyperplane(0, 64)
     val p1 = Similarity.hyperplane(1, 64)
