@@ -231,7 +231,12 @@ object Curation {
       lang: String = "en"): DataFrame = {
     val survivors = Dedup.exactDedupSurvivors(docs, idCol, textCol)
       .select(col("survivor_id").as(idCol))
-    val exactKept = docs.join(survivors, Seq(idCol), "left_semi")
+    // persisted: BOTH the pair generation and the final anti-join
+    // consume the exact survivors, and the two consumers sit under
+    // different action subtrees (the chain probe inside collapsePairs
+    // fires first), so without the cache the scan + content-hash
+    // aggregate + semi-join run twice end to end
+    val exactKept = docs.join(survivors, Seq(idCol), "left_semi").persist()
     val pairs = Dedup.jaccardPairs(exactKept, idCol, textCol, n, tau)
     val drops = Dedup.collapsePairs(pairs).select(col("drop").as(idCol))
     val kept = exactKept.join(drops, Seq(idCol), "left_anti")
