@@ -166,9 +166,10 @@ class PlanSpec extends SparkSpec {
     // the only nested-loops are the bounded nlist-row centroid
     // broadcasts (corpus × 16 rows — linear): the static plan lists
     // the shared assignment subtree under each self-join side AND
-    // under the cell-size aggregate (4 listings), but they are one
-    // subtree — exchange reuse executes it once
-    assert(p.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 4)
+    // under the cell-size aggregate and its 1-row auto-salt mean
+    // (8 listings), but they are one subtree — exchange reuse
+    // executes it once
+    assert(p.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) <= 8)
   }
 
   test("semDedup cell salting keeps the bounded-key join shape — no cartesian, no corpus broadcast") {
@@ -392,5 +393,34 @@ class PlanSpec extends SparkSpec {
       "k-stage funnel must not become k event-table self-joins")
     assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Sort .*""")) <= 2,
       "stage windows should share one sort (plus the output order):\n" + p)
+  }
+
+  test("q101: maximal spans self-join on the 32-char gram hash, never text; diagonal merge is one window") {
+    val p = plan("q101_maximal_spans")
+    assert(!p.contains("CartesianProduct"), "gram join degenerated to a cartesian")
+    assert(p.contains("Window"), "diagonal run merge should be gaps-and-islands, not a join")
+    // the join keys on the md5 hash so gram text never crosses the wire
+    assert(p.contains("md5"), "grams should be hash-keyed before the shuffle")
+  }
+
+  test("q103: bigram pairs derive map-side — no window sort before the model join") {
+    val p = plan("q103_bigram_xent")
+    assert(!p.contains("CartesianProduct"), "only the 1-row totals may nest")
+    // pair extraction is slice+zip inside a Generate, not lag-over-window
+    assert(!p.contains("Window"), "bigrams must not need a per-doc window sort")
+  }
+
+  test("q104: fingerprint dedup is aggregate-only — no join anywhere") {
+    val p = plan("q104_media_phash")
+    assert(!p.contains("Join"), "perceptual collapse must be one fp-keyed aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q106: canonicalization is map-side; the only wide ops are the cap window and output sort") {
+    val p = plan("q106_url_host_cap")
+    assert(!p.contains("Join"), "canonicalize/host-extract must not join")
+    assert(p.contains("Window"), "the per-host cap should be a rank window")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      "host cap should cost one hash exchange plus the output range sort")
   }
 }
