@@ -761,6 +761,56 @@ object Dedup {
       .select(col("y").as("keep"), col("x").as("drop")))
   }
 
+  /** Connected components over a (doc_a, doc_b) pair set — the FULL
+    * dedup-cluster resolution. [[collapsePairs]] is the greedy
+    * min-keeper (every paired doc maps to a smaller neighbor); this
+    * labels every node of every component with the component's MINIMUM
+    * id at any diameter, the cluster identity a dedup report or a
+    * cluster-level sampler needs. Returns (doc_id, component_id), one
+    * row per distinct node in `pairs`.
+    *
+    * Algorithm: distributed hash-min label propagation with a
+    * pointer-jumping compression step each round (label ← label of
+    * label), so rounds are O(log diameter), not O(diameter). Each
+    * round is two keyed joins sized by the PAIR set — dedup
+    * neighborhoods, never the corpus — plus one emptiness probe on
+    * the changed-label set. Deterministic: min is order-free.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      .distinct().persist()
+    var labels = edges.groupBy(col("x"))
+      .agg(min(col("y")).as("_mn"))
+      .select(col("x").as("node"), least(col("x"), col("_mn")).as("label"))
+      .persist()
+    var changed = true
+    var it = 0
+    while (changed && it < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("node").as("y"), col("label").as("_ly")), Seq("y"))
+        .groupBy(col("x").as("node")).agg(min(col("_ly")).as("_nmin"))
+      val stepped = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
+      // compression: a label is itself a node id of the component, so
+      // label-of-label is defined and never larger
+      val jumped = stepped
+        .join(stepped.select(col("label").as("_pl"), col("node").as("label")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("_pl"), col("label")).as("label"))
+        .persist()
+      changed = !jumped.select(col("node"), col("label").as("_new"))
+        .join(labels.select(col("node"), col("label").as("_old")), Seq("node"))
+        .filter(col("_new") =!= col("_old")).isEmpty
+      labels.unpersist(blocking = false)
+      labels = jumped
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+  }
+
   /** Follow keeper chains in a (keep, drop) mapping to their roots by
     * POINTER JUMPING: each pass re-points a drop at its keeper's
     * keeper, halving every chain, so a chain of length L needs

@@ -258,6 +258,16 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Full dedup-cluster resolution: near-dup pairs → connected
+    // components (hash-min + pointer jumping, exact at any diameter —
+    // the collapse operators' greedy min-keeper is diameter<=2).
+    "q107_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5)
+      Dedup.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization + host-level caps: messy synthetic URLs
     // (case, www, default ports, tracking params, fragments, trailing
     // slashes) canonicalize map-side, then capPerGroup keys on the
@@ -1017,6 +1027,21 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q107: q23's pair CTE, then exact reachability — the recursive
+    // walk enumerates reachable nodes (UNION dedups), min(reach) is
+    // the component label the pointer-jumping engine converges to.
+    "q107_dedup_components" ->
+      s"""WITH RECURSIVE $shingleCteBody, $jaccardPairsCte,
+         e AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT x AS node FROM e),
+         walk(node, reach) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT w.node, e.y FROM walk w JOIN e ON w.reach = e.x)
+         SELECT node AS doc_id, min(reach)::BIGINT AS component_id
+         FROM walk GROUP BY node ORDER BY doc_id""",
 
     // q106: the canonicalization steps replayed CTE-by-CTE (fragment,
     // tracking-param rebuild, prefix lowering/www/port strip, trailing

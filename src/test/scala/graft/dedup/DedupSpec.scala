@@ -276,6 +276,29 @@ class DedupSpec extends SparkSpec {
       .filter(col("n_removed") > 0).count() === 3L)
   }
 
+  test("connectedComponents labels every node with its component min at any diameter") {
+    val s = spark
+    import s.implicits._
+    // a 6-node path (diameter 5 — beyond the greedy collapse), a
+    // triangle, and an isolated pair
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), // path
+      (20L, 21L), (21L, 22L), (20L, 22L),                          // triangle
+      (30L, 31L))                                                  // pair
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+    // a 40-node path converges well inside the iteration guard
+    val chain = (0L until 39L).map(i => (100L + i, 101L + i)).toDF("doc_a", "doc_b")
+    val labs = Dedup.connectedComponents(chain)
+      .collect().map(_.getLong(1)).distinct
+    assert(labs.toSeq === Seq(100L))
+  }
+
   test("maximalSharedSpans chains adjacent shared grams into ONE maximal span") {
     val s = spark
     import s.implicits._
