@@ -761,6 +761,47 @@ object Dedup {
       .select(col("y").as("keep"), col("x").as("drop")))
   }
 
+  /** Edit-distance-1 near-key pairs (the entity-resolution fuzzy
+    * match): all (a < b) id pairs whose strings are within levenshtein
+    * distance 1, via DELETION NEIGHBORHOODS (FastSS): two strings
+    * within distance 1 — substitution, insertion, or deletion — share
+    * at least one member of {s} ∪ {s minus char i}, so an equi-join on
+    * the md5 of those |s|+1 variants is a sound AND complete candidate
+    * generator; the exact levenshtein then verifies. No thresholds, no
+    * recall loss.
+    *
+    * Scale shape: the variant explosion is map-side and linear in
+    * string length; candidates join on 32-char hashes (never the
+    * strings); `maxVariantFreq` drops degenerate hot variants (the
+    * empty string, single chars) before they fan out quadratically —
+    * the same df-cap discipline as the shingle joins. Distance > 1
+    * wants the recursive variant tree; at that radius use
+    * [[jaccardPairs]] on character n-grams instead.
+    */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String,
+      maxVariantFreq: Option[Int] = None): DataFrame = {
+    val s = col("_s")
+    val dels = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    val vars = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .filter(s.isNotNull)
+      .select(col("_id"), col("_s"),
+        explode(array_distinct(
+          when(length(s) >= 1, array_union(array(s), dels))
+            .otherwise(array(s)))).as("_v"))
+      .select(col("_id"), col("_s"), md5(col("_v")).as("_vh"))
+    val capped = graft.core.Skew.dropHotKeys(vars, "_vh", maxVariantFreq)
+    capped.select(col("_vh"), col("_id").as("id_a"), col("_s").as("_sa"))
+      .join(capped.select(col("_vh"), col("_id").as("id_b"), col("_s").as("_sb")),
+        Seq("_vh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_sa"), col("_sb")).distinct()
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Connected components over a (doc_a, doc_b) pair set — the FULL
     * dedup-cluster resolution. [[collapsePairs]] is the greedy
     * min-keeper (every paired doc maps to a smaller neighbor); this

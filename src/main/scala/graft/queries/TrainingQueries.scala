@@ -258,6 +258,14 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Fuzzy entity matching: supplier names within edit distance 1 —
+    // deletion-neighborhood candidates (exact, FastSS), hash-keyed
+    // join, levenshtein verify.
+    "q108_fuzzy_match" -> ((s, dir) => {
+      Dedup.editDistancePairs(t(s, dir, "supplier"), "s_suppkey", "s_name")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Full dedup-cluster resolution: near-dup pairs → connected
     // components (hash-min + pointer jumping, exact at any diameter —
     // the collapse operators' greedy min-keeper is diameter<=2).
@@ -1027,6 +1035,24 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q108: the same deletion-neighborhood construction (self plus
+    // each single-char deletion), variant equi-join, levenshtein
+    // verify — DuckDB's levenshtein is the same classic DP.
+    "q108_fuzzy_match" ->
+      """WITH s AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier
+                    WHERE s_name IS NOT NULL),
+         v AS (SELECT id, nm, unnest(list_distinct(list_append(
+                 list_transform(range(1, len(nm)+1),
+                   i -> substr(nm, 1, i-1) || substr(nm, i+1)),
+                 nm))) AS var
+               FROM s),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                    a.nm AS na, b.nm AS nb
+                  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id)
+         SELECT id_a, id_b, levenshtein(na, nb)::BIGINT AS dist
+         FROM cand WHERE levenshtein(na, nb) <= 1
+         ORDER BY id_a, id_b""",
 
     // q107: q23's pair CTE, then exact reachability — the recursive
     // walk enumerates reachable nodes (UNION dedups), min(reach) is

@@ -276,6 +276,25 @@ class DedupSpec extends SparkSpec {
       .filter(col("n_removed") > 0).count() === 3L)
   }
 
+  test("editDistancePairs finds substitution, insertion, AND deletion neighbors at k=1") {
+    val s = spark
+    import s.implicits._
+    val names = Seq(
+      (1L, "kitten"), (2L, "sitten"),  // substitution
+      (3L, "kitte"),                   // deletion
+      (4L, "kittten"),                 // insertion
+      (5L, "zebra"))                   // unrelated
+      .toDF("id", "name")
+    val got = Dedup.editDistancePairs(names, "id", "name")
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L)))
+    // identical strings pair at distance 0
+    val dup = Dedup.editDistancePairs(
+      Seq((1L, "same"), (2L, "same")).toDF("id", "name"), "id", "name").head()
+    assert((dup.getLong(0), dup.getLong(1), dup.getLong(2)) === ((1L, 2L, 0L)))
+  }
+
   test("connectedComponents labels every node with its component min at any diameter") {
     val s = spark
     import s.implicits._
