@@ -565,6 +565,32 @@ object Curation {
       .when(xent < middleBelow, lit("middle"))
       .otherwise(lit("tail"))
 
+  /** The full CCNet resample: LM-score, bucket at the fixed cutoffs,
+    * keep each bucket at its own rate via the content-keyed hash
+    * sample — the perplexity-stratified subsample CCNet emits (keep
+    * the head, thin the middle, sliver of tail for diversity).
+    * Returns kept (doc_id, n_tokens, xent, bucket).
+    *
+    * Scale shape: [[crossEntropyScores]]' vocab-keyed model + postings
+    * join, then a map-only CASE for the bucket and a map-only hash
+    * threshold for the keep — the stratified sampling itself adds ZERO
+    * shuffles, and the keep decision is reproducible across engines,
+    * runs, and cluster sizes (no RNG state).
+    */
+  def perplexityResample(
+      df: DataFrame, idCol: String, textCol: String,
+      headBelow: Double, middleBelow: Double,
+      headRate: Double = 1.0, middleRate: Double = 0.5,
+      tailRate: Double = 0.1): DataFrame = {
+    val scored = crossEntropyScores(df, idCol, textCol)
+      .withColumn("bucket", perplexityBucket(col("xent"), headBelow, middleBelow))
+    val rate = when(col("bucket") === "head", lit(headRate))
+      .when(col("bucket") === "middle", lit(middleRate))
+      .otherwise(lit(tailRate))
+    scored.filter(hashSampleKey(col("doc_id")) <
+      floor(rate * lit((1L << 60).toDouble)).cast("long"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
     * score every document by how much more likely its words are under
     * a unigram model of the TARGET domain than under the corpus model,

@@ -258,6 +258,15 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet perplexity-stratified resample: q74's scoring + buckets,
+    // then per-bucket hash-keyed keep rates — zero extra shuffles.
+    "q109_ppl_resample" -> ((s, dir) => {
+      Curation.perplexityResample(t(s, dir, "documents"), "doc_id", "text",
+        headBelow = 3.40, middleBelow = 3.41,
+        headRate = 1.0, middleRate = 0.5, tailRate = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     // Fuzzy entity matching: supplier names within edit distance 1 —
     // deletion-neighborhood candidates (exact, FastSS), hash-keyed
     // join, levenshtein verify.
@@ -1035,6 +1044,29 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q109: q74's xent/bucket CTE + the q65-style md5 keep threshold,
+    // rates by bucket.
+    "q109_ppl_resample" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+         t AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+         lp AS (SELECT w, round(ln((c + 1)::DOUBLE / (n + v)::DOUBLE), 6)::DECIMAL(16,6) AS lp
+                FROM c CROSS JOIN t),
+         d AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 floor(-sum(lp)::DOUBLE / count(*) * 1e6) / 1e6 AS xent
+               FROM w JOIN lp USING (w) GROUP BY doc_id),
+         b AS (SELECT doc_id, n_tokens, xent,
+                 CASE WHEN xent < 3.40 THEN 'head'
+                      WHEN xent < 3.41 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+               FROM d)
+         SELECT doc_id, n_tokens, xent, bucket FROM b
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               < floor(CASE bucket WHEN 'head' THEN 1.0
+                                   WHEN 'middle' THEN 0.5
+                                   ELSE 0.1 END * 1152921504606846976)::BIGINT
+         ORDER BY doc_id""",
 
     // q108: the same deletion-neighborhood construction (self plus
     // each single-char deletion), variant equi-join, levenshtein

@@ -368,6 +368,27 @@ class CurationSpec extends SparkSpec {
     assert(buckets === Map(1L -> "head", 3L -> "middle", 2L -> "tail"))
   }
 
+  test("perplexityResample: rate-1 buckets keep everything, rate-0 buckets drop everything") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the the the the cat"),
+      (2L, "zyx qwv jkl pqr mno"),
+      (3L, "the cat and the dog"))
+      .toDF("doc_id", "text")
+    val x = Curation.crossEntropyScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // cutoffs put 1=head, 3=middle, 2=tail (x(1) < x(3) < x(2))
+    val kept = Curation.perplexityResample(docs, "doc_id", "text",
+        headBelow = x(3L), middleBelow = x(2L),
+        headRate = 1.0, middleRate = 1.0, tailRate = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    assert(kept.toSeq === Seq((1L, "head"), (3L, "middle")))
+    // all-rate-1 is the identity on rows
+    assert(Curation.perplexityResample(docs, "doc_id", "text",
+      x(3L), x(2L), 1.0, 1.0, 1.0).count() === 3L)
+  }
+
   test("bigramCrossEntropyScores: repeated transitions score lower than novel ones") {
     val s = spark
     import s.implicits._
