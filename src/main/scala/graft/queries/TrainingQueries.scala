@@ -258,6 +258,20 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Mergeable heavy-hitters sketch (Misra-Gries as a native
+    // TypedImperativeAggregate): capacity 64 > |vocab| = exact-regime,
+    // so the summary IS the count table — the oracle checks that; the
+    // N/(capacity+1) undercount bound is the 100 TB regime (spec).
+    "q110_heavy_hitters" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .agg(graft.functions.AggregateFunctions.heavyHitters(col("tok"), 64).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("e.token").as("token"), col("e.c").as("c"))
+        .orderBy(col("rank"))
+    }),
+
     // CCNet perplexity-stratified resample: q74's scoring + buckets,
     // then per-bucket hash-keyed keep rates — zero extra shuffles.
     "q109_ppl_resample" -> ((s, dir) => {
@@ -1044,6 +1058,16 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q110: in the exact regime the sketch equals the plain count
+    // table sorted (c desc, token).
+    "q110_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+                    WHERE text IS NOT NULL),
+         c AS (SELECT tok, count(*)::BIGINT AS c FROM w GROUP BY tok)
+         SELECT row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS rank,
+           tok AS token, c
+         FROM c ORDER BY rank""",
 
     // q109: q74's xent/bucket CTE + the q65-style md5 keep threshold,
     // rates by bucket.
