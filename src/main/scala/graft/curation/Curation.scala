@@ -525,16 +525,24 @@ object Curation {
     * into one (w1, w2, lp) stats table that occurrences join
     * postings-style; totals ride a 1-row broadcast.
     */
-  def bigramCrossEntropyScores(
-      df: DataFrame, idCol: String, textCol: String,
-      lambda: Double = 0.7): DataFrame = {
+  /** Map-side (doc_id, w1, w2) transition rows — slice+zip over the
+    * token array, no window sort, no self-join. Shared by the bigram
+    * scorers.
+    */
+  private def bigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = graft.text.TextFunctions.tokens(col(textCol))
-    val pairs = df.select(col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id"),
         explode(zip_with(
           slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
           slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  def bigramCrossEntropyScores(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    val pairs = bigramPairs(df, idCol, textCol)
     val uni = df.select(explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totals = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
@@ -554,6 +562,51 @@ object Curation {
       .agg(sum(col("lp")).as("slp"), count(lit(1)).as("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"),
         (floor(-col("slp").cast("double") / col("n_bigrams") * 1e6) / 1e6).as("xent_bi"))
+  }
+
+  /** Interpolated Kneser-Ney bigram cross-entropy — the smoothing the
+    * KenLM models CCNet actually ships use (Kneser & Ney 1995;
+    * Chen & Goodman 1998 eq. 4.25, bigram order): absolute-discount
+    * the bigram MLE and back off to the CONTINUATION probability (how
+    * many distinct left-contexts a word follows, not how often it
+    * occurs — "Francisco" is frequent but follows only "San", so its
+    * continuation mass is tiny where add-one smoothing overweights
+    * it). Scoring the training corpus itself, every transition is
+    * observed, so the discounted term is always positive. Returns
+    * (doc_id, n_bigrams, xent_kn); docs under two tokens have no row.
+    *
+    * P(w2|w1) = (c12 - d)/c1 + (d·N1+(w1·)/c1) · (N1+(·w2)/|types|)
+    *
+    * Engine-exact: every statistic is an exact integer count; each
+    * transition's ln rounds to 6dp DECIMAL and sums exactly. Scale
+    * shape: identical to [[bigramCrossEntropyScores]] — the model
+    * table derives from ONE observed-bigram aggregate (its three
+    * context statistics are rollups of it), joined postings-style.
+    */
+  def kneserNeyBigramScores(
+      df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "absolute discount must be in (0,1)")
+    val pairs = bigramPairs(df, idCol, textCol)
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist() // model-sized; four rollups below would re-tokenize the corpus
+    val left = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val right = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val types = bi.agg(count(lit(1)).as("types"))
+    val stats = bi.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"),
+        round(log(
+          (col("c12").cast("double") - lit(discount)) / col("c1").cast("double") +
+            (lit(discount) * col("n1f").cast("double") / col("c1").cast("double")) *
+              (col("n1b").cast("double") / col("types").cast("double"))), 6)
+          .cast("decimal(16,6)").as("lp"))
+    pairs.join(stats, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp")).as("slp"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(-col("slp").cast("double") / col("n_bigrams") * 1e6) / 1e6).as("xent_kn"))
   }
 
   /** CCNet head/middle/tail assignment from fixed cross-entropy

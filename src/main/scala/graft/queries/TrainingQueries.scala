@@ -258,6 +258,14 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Kneser-Ney bigram LM scoring — the KenLM smoothing (absolute
+    // discount + continuation-probability backoff) one rung above
+    // q103's simple interpolation.
+    "q111_kneser_ney" -> ((s, dir) => {
+      Curation.kneserNeyBigramScores(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Mergeable heavy-hitters sketch (Misra-Gries as a native
     // TypedImperativeAggregate): capacity 64 > |vocab| = exact-regime,
     // so the summary IS the count table — the oracle checks that; the
@@ -1058,6 +1066,31 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q111: the KN statistics as rollups of the observed-bigram count
+    // table; the P expression written in the identical op order.
+    "q111_kneser_ney" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         pairs AS (
+           SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2 FROM (
+             SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1,0)+1),
+               i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+             FROM toks)),
+         bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+         l AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1f
+               FROM bi GROUP BY 1),
+         r AS (SELECT w2, count(*)::BIGINT AS n1b FROM bi GROUP BY 1),
+         ty AS (SELECT count(*)::BIGINT AS types FROM bi),
+         stats AS (
+           SELECT b.w1, b.w2,
+             round(ln((b.c12::DOUBLE - 0.75) / l.c1::DOUBLE +
+               (0.75 * l.n1f::DOUBLE / l.c1::DOUBLE) *
+                 (r.n1b::DOUBLE / ty.types::DOUBLE)), 6)::DECIMAL(16,6) AS lp
+           FROM bi b JOIN l ON b.w1 = l.w1 JOIN r ON b.w2 = r.w2 CROSS JOIN ty)
+         SELECT p.doc_id, count(*)::BIGINT AS n_bigrams,
+           floor(-CAST(sum(s.lp) AS DOUBLE) / count(*) * 1e6) / 1e6 AS xent_kn
+         FROM pairs p JOIN stats s ON p.w1 = s.w1 AND p.w2 = s.w2
+         GROUP BY p.doc_id ORDER BY p.doc_id""",
 
     // q110: in the exact regime the sketch equals the plain count
     // table sorted (c desc, token).

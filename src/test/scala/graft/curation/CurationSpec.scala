@@ -421,6 +421,32 @@ class CurationSpec extends SparkSpec {
       "bigram structure must separate docs word frequency cannot")
   }
 
+  test("kneserNeyBigramScores: hand-computed probabilities; repeated transitions score lower") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b"), (2L, "c b"), (3L, "d b"), (4L, "q z q z q z"))
+      .toDF("doc_id", "text")
+    val got = Curation.kneserNeyBigramScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // bigram table: ab/cb/db ×1, qz ×3, zq ×2 → types=5
+    // P(b|a) = (1-.75)/1 + (.75·1/1)·(n1b(b)=3/5)
+    // P(z|q) = (3-.75)/3 + (.75·1/3)·(n1b(z)=1/5)
+    // P(q|z) = (2-.75)/2 + (.75·1/2)·(n1b(q)=1/5)
+    def lp6(p: Double): BigDecimal =
+      BigDecimal(math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pAB = (1.0 - 0.75) / 1.0 + (0.75 * 1.0 / 1.0) * (3.0 / 5.0)
+    val pQZ = (3.0 - 0.75) / 3.0 + (0.75 * 1.0 / 3.0) * (1.0 / 5.0)
+    val pZQ = (2.0 - 0.75) / 2.0 + (0.75 * 1.0 / 2.0) * (1.0 / 5.0)
+    def xent(lps: Seq[BigDecimal]): Double =
+      math.floor(-(lps.sum.toDouble) / lps.size * 1e6) / 1e6
+    assert(got(1L) === ((1L, xent(Seq(lp6(pAB))))))
+    assert(got(4L)._1 === 5L)
+    assert(got(4L)._2 ===
+      xent(Seq(lp6(pQZ), lp6(pZQ), lp6(pQZ), lp6(pZQ), lp6(pQZ))))
+    // the dominant-transition doc reads as lower cross-entropy
+    assert(got(4L)._2 < got(1L)._2)
+  }
+
   test("dsirLogWeights: target-domain docs outscore off-domain ones") {
     val s = spark
     import s.implicits._
