@@ -618,6 +618,42 @@ object Curation {
       .when(xent < middleBelow, lit("middle"))
       .otherwise(lit("tail"))
 
+  /** Per-source quality calibration: the composite quality score
+    * standardized WITHIN each source (z = (q - mean_s)/std_s) — a
+    * fixed threshold tuned on one domain misfires on another (code
+    * scores low on stopword ratio, encyclopedic text high on
+    * everything), while one z-threshold transfers. Returns
+    * (doc_id, source, quality, zq).
+    *
+    * Engine-exact: quality is the 6dp-floored composite; per-source
+    * moments sum its DECIMAL(18,6) cast (and the decimal SQUARE — a
+    * double square would round before the sum) exactly, then one
+    * fixed-order double expression per row; z rounds to 6dp.
+    * Degenerate sources (zero variance) pin z = 0.
+    *
+    * Scale shape: one source-keyed moment aggregate (map-side
+    * partials, |sources| rows) broadcast back onto the corpus — the
+    * standardization itself is map-only, no second corpus shuffle.
+    */
+  def qualityZScores(
+      df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val q = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      graft.text.TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val qd = col("quality").cast("decimal(18,6)")
+    val stats = q.groupBy(col("source")).agg(
+      sum(qd).as("s"), sum(qd * qd).as("ssq"), count(lit(1)).as("n"))
+    q.join(broadcast(stats), Seq("source"))
+      .withColumn("_mean", col("s").cast("double") / col("n"))
+      .withColumn("_var",
+        (col("ssq").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) / col("n"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        when(col("_var") <= 0.0, lit(0.0))
+          .otherwise(round((col("quality") - col("_mean")) / sqrt(col("_var")), 6))
+          .as("zq"))
+  }
+
   /** The full CCNet resample: LM-score, bucket at the fixed cutoffs,
     * keep each bucket at its own rate via the content-keyed hash
     * sample — the perplexity-stratified subsample CCNet emits (keep

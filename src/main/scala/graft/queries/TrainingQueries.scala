@@ -258,6 +258,14 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source quality calibration: z-standardize the composite
+    // quality within each source (one threshold transfers across
+    // domains); moments DECIMAL-exact, z a fixed-order double.
+    "q112_quality_zscore" -> ((s, dir) => {
+      Curation.qualityZScores(t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("doc_id"))
+    }),
+
     // Kneser-Ney bigram LM scoring — the KenLM smoothing (absolute
     // discount + continuation-probability backoff) one rung above
     // q103's simple interpolation.
@@ -1066,6 +1074,37 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q112: q20's quality expression, per-source DECIMAL moments
+    // (decimal square BEFORE the sum), the identical z expression.
+    "q112_quality_zscore" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+             floor((0.3 * least(1.0, wc / 50)
+                  + 0.3 * ttr
+                  + 0.2 * least(1.0, mean_len / 8)
+                  + 0.2 * stop_ratio) * 1e6) / 1e6 AS quality
+           FROM (
+             SELECT doc_id, source,
+               len(t)::BIGINT AS wc,
+               len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t) AS stop_ratio,
+               len(list_distinct(t))::DOUBLE / len(t) AS ttr,
+               list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) AS mean_len
+             FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents))),
+         st AS (SELECT source,
+                  sum(quality::DECIMAL(18,6)) AS s,
+                  sum(quality::DECIMAL(18,6) * quality::DECIMAL(18,6)) AS ssq,
+                  count(*)::BIGINT AS n
+                FROM q GROUP BY source),
+         z AS (SELECT q.doc_id, q.source, q.quality,
+                 CAST(st.s AS DOUBLE) / st.n AS m,
+                 (CAST(st.ssq AS DOUBLE) -
+                   CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n) / st.n AS v
+               FROM q JOIN st ON q.source = st.source)
+         SELECT doc_id, source, quality,
+           CASE WHEN v <= 0.0 THEN 0.0
+                ELSE round((quality - m) / sqrt(v), 6) END AS zq
+         FROM z ORDER BY doc_id""",
 
     // q111: the KN statistics as rollups of the observed-bigram count
     // table; the P expression written in the identical op order.

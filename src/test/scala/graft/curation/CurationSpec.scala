@@ -421,6 +421,25 @@ class CurationSpec extends SparkSpec {
       "bigram structure must separate docs word frequency cannot")
   }
 
+  test("qualityZScores standardizes within source; constant sources pin z = 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", "the cat sat on the mat with a dog and a bird today here"),
+      (2L, "a", "zz"),
+      (3L, "a", "the quick brown fox jumps over the lazy dog near a river"),
+      (4L, "b", "same text"), (5L, "b", "same text"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.qualityZScores(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3))).toMap
+    // constant-quality source: zero variance, z pinned to 0
+    assert(got(4L)._2 === 0.0 && got(5L)._2 === 0.0)
+    // within source a, z orders like quality and sums to ~0
+    assert(got(2L)._2 < 0.0, "the junk doc must sit below its source mean")
+    val zs = Seq(got(1L)._2, got(2L)._2, got(3L)._2)
+    assert(math.abs(zs.sum) < 1e-4, "per-source z-scores must center on 0")
+  }
+
   test("kneserNeyBigramScores: hand-computed probabilities; repeated transitions score lower") {
     val s = spark
     import s.implicits._
