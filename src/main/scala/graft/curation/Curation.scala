@@ -618,6 +618,38 @@ object Curation {
       .when(xent < middleBelow, lit("middle"))
       .otherwise(lit("tail"))
 
+  /** EXACT stratified train/val/test split: within each stratum, rows
+    * rank by the content hash key (ties by id) and cut at
+    * floor(n_s·frac) boundaries — exact per-stratum proportions, the
+    * split a FROZEN benchmark snapshot wants. [[splitByHash]] stays
+    * the growing-corpus path (map-only, growth-stable, but
+    * proportions only approximate per stratum); this costs one rank
+    * window per stratum and re-deals assignments when the corpus
+    * changes. Appends a `split` column.
+    */
+  def stratifiedSplit(
+      df: DataFrame, idCol: String, strataCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      "fractions must be positive and sum to at most 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashSampleKey(col(idCol)), col(idCol))
+    val wn = Window.partitionBy(col(strataCol))
+    val rk = freshName(df, "_rk")
+    val n = freshName(df, "_n")
+    // thresholds as COLUMN arithmetic (lit + lit), so both engines
+    // fold the same double addition — a Scala-side sum can differ in
+    // the last bit from the SQL fold
+    df.withColumn(rk, row_number().over(w))
+      .withColumn(n, count(lit(1)).over(wn))
+      .withColumn("split",
+        when(col(rk) <= floor(col(n) * lit(trainFrac)), lit("train"))
+          .when(col(rk) <= floor(col(n) * (lit(trainFrac) + lit(valFrac))), lit("val"))
+          .otherwise(lit("test")))
+      .drop(rk, n)
+  }
+
   /** Per-source quality calibration: the composite quality score
     * standardized WITHIN each source (z = (q - mean_s)/std_s) — a
     * fixed threshold tuned on one domain misfires on another (code

@@ -258,6 +258,15 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact stratified split: per-source hash-rank cut at exact
+    // floor(n_s*frac) boundaries (q76's map-only split is the
+    // growing-corpus path; this is the frozen-snapshot one).
+    "q113_stratified_split" -> ((s, dir) => {
+      Curation.stratifiedSplit(t(s, dir, "documents")
+          .select(col("doc_id"), col("source")), "doc_id", "source")
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source quality calibration: z-standardize the composite
     // quality within each source (one threshold transfers across
     // domains); moments DECIMAL-exact, z a fixed-order double.
@@ -1074,6 +1083,22 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q113: same md5 rank key as the cap/sample family, count window,
+    // thresholds via the (0.8 + 0.1) fold.
+    "q113_stratified_split" ->
+      """WITH k AS (SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS key
+           FROM documents),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY source) AS n
+               FROM k)
+         SELECT doc_id, source,
+           CASE WHEN rk <= floor(n * 0.8) THEN 'train'
+                WHEN rk <= floor(n * (0.8 + 0.1)) THEN 'val'
+                ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
 
     // q112: q20's quality expression, per-source DECIMAL moments
     // (decimal square BEFORE the sum), the identical z expression.

@@ -421,6 +421,24 @@ class CurationSpec extends SparkSpec {
       "bigram structure must separate docs word frequency cannot")
   }
 
+  test("stratifiedSplit: exact per-stratum counts, deterministic, disjoint and complete") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 100L).map(i => (i, if (i <= 60) "a" else "b")).toDF("doc_id", "src")
+    val got = Curation.stratifiedSplit(docs, "doc_id", "src", 0.8, 0.1)
+    val counts = got.groupBy(col("src"), col("split")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // exact floors: a(60) -> 48/6/6; b(40) -> 32/4/4
+    assert(counts === Map(
+      ("a", "train") -> 48L, ("a", "val") -> 6L, ("a", "test") -> 6L,
+      ("b", "train") -> 32L, ("b", "val") -> 4L, ("b", "test") -> 4L))
+    // deterministic across invocations
+    val again = Curation.stratifiedSplit(docs, "doc_id", "src", 0.8, 0.1)
+      .orderBy(col("doc_id")).collect().map(_.getString(2))
+    val first = got.orderBy(col("doc_id")).collect().map(_.getString(2))
+    assert(first.toSeq === again.toSeq)
+  }
+
   test("qualityZScores standardizes within source; constant sources pin z = 0") {
     val s = spark
     import s.implicits._
