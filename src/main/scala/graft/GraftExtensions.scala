@@ -120,6 +120,17 @@ object GraftExtensions {
     },
     reg("gopher_stats") { a =>
       toExpr(TextFunctions.gopherStats(toCol(arity("gopher_stats", a, 1).head)))
+    },
+    reg("canonicalize_url") { a =>
+      toExpr(TextFunctions.canonicalizeUrl(toCol(arity("canonicalize_url", a, 1).head)))
+    },
+    reg("url_host") { a =>
+      toExpr(TextFunctions.urlHost(toCol(arity("url_host", a, 1).head)))
+    },
+    // native aggregate (functions/aggregateExpressions.scala)
+    reg("misra_gries") { a =>
+      arity("misra_gries", a, 2)
+      MisraGriesAgg(a(0), intArg("misra_gries", a(1))).toAggregateExpression()
     })
 
   /** Register everything into a live session (the non-config path). */

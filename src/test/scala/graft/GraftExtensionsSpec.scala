@@ -65,6 +65,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(names.contains("uint256_lo128") && names.contains("hash_sample_key"))
   }
 
+  test("misra_gries / canonicalize_url / url_host are SQL-callable and match the Scala API") {
+    GraftExtensions.registerAll(spark)
+    val s = spark
+    import s.implicits._
+    Seq("a", "a", "b", "a").toDF("tok").createOrReplaceTempView("hhtoks")
+    val hh = spark.sql(
+      "SELECT misra_gries(tok, 8) AS hh FROM hhtoks").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) === Seq(("a", 3L), ("b", 1L)))
+    val u = spark.sql(
+      """SELECT canonicalize_url('https://WWW.Example.COM/P?utm_source=x&id=1#f') AS c,
+                url_host('https://WWW.Example.COM/P') AS h""").head()
+    assert(u.getString(0) === "https://example.com/P?id=1")
+    assert(u.getString(1) === "example.com")
+  }
+
   test("gopher_stats from SQL matches the Scala API struct") {
     GraftExtensions.registerAll(spark)
     val s = spark
