@@ -33,6 +33,10 @@ import graft.text.{Pii, Vocab}
   *   search      BM25 top-k corpus probe
   *   classify    train + apply a Naive Bayes label classifier
   *   overlap     pairwise source shingle-overlap report
+  *   components  full near-dup cluster labels (connected components)
+  *   fuzzy       edit-distance-1 key matching
+  *   resample    CCNet perplexity-stratified subsample
+  *   stratify    exact per-stratum split labeling
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
   * a command overwrites with identical output — crash-and-rerun safe
@@ -212,4 +216,36 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
   /** Pairwise source shingle-overlap report ([[Curation.corpusOverlap]]). */
   def overlap(in: String, out: String, sourceCol: String = "source", n: Int = 3): Long =
     write(Curation.corpusOverlap(read(in), textCol, sourceCol, n), out)
+
+  /** Full dedup-cluster labels: near-dup pairs → connected components
+    * ([[graft.dedup.Dedup.connectedComponents]]); writes
+    * (doc_id, component_id) for every paired doc.
+    */
+  def components(in: String, out: String, n: Int = 3, tau: Double = 0.5,
+      maxShingleDocFreq: Option[Int] = None): Long =
+    write(Dedup.connectedComponents(
+      Dedup.jaccardPairs(read(in), idCol, textCol, n, tau, maxShingleDocFreq)
+        .select(col("doc_a"), col("doc_b"))), out)
+
+  /** Edit-distance-1 fuzzy key matching over `keyCol`
+    * ([[graft.dedup.Dedup.editDistancePairs]]).
+    */
+  def fuzzy(in: String, out: String, keyCol: String,
+      maxVariantFreq: Option[Int] = None): Long =
+    write(Dedup.editDistancePairs(read(in), idCol, keyCol, maxVariantFreq), out)
+
+  /** CCNet perplexity-stratified resample
+    * ([[Curation.perplexityResample]]).
+    */
+  def resample(in: String, out: String, headBelow: Double, middleBelow: Double,
+      rates: (Double, Double, Double) = (1.0, 0.5, 0.1)): Long =
+    write(Curation.perplexityResample(read(in), idCol, textCol,
+      headBelow, middleBelow, rates._1, rates._2, rates._3), out)
+
+  /** Exact per-stratum split labeling ([[Curation.stratifiedSplit]] —
+    * frozen-snapshot counterpart of [[split]]).
+    */
+  def stratify(in: String, out: String, strataCol: String = "source",
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): Long =
+    write(Curation.stratifiedSplit(read(in), idCol, strataCol, trainFrac, valFrac), out)
 }

@@ -151,6 +151,44 @@ class TrainCliSpec extends SparkSpec {
     assert(cli.classify(s"$root/docs", s"$root/pred", "lang") === 4L)
   }
 
+  test("components, fuzzy, resample, and stratify commands round-trip through parquet") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli7").toString
+    val cli = new TrainCli(spark)
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog near the shore", "a"),
+      (3L, "the quick brown fox jumps over the lazy dog near the creek", "a"),
+      (4L, "completely unrelated content about spark shuffles and joins", "b"),
+      (5L, "zz qq vv kk jj pp ww", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$root/docs")
+
+    assert(cli.components(s"$root/docs", s"$root/cc") === 3L)
+    val comps = spark.read.parquet(s"$root/cc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    Seq((1L, "Widget#01"), (2L, "Widget#02"), (3L, "Gadget#99"))
+      .toDF("doc_id", "name").write.parquet(s"$root/keys")
+    assert(cli.fuzzy(s"$root/keys", s"$root/fz", "name") === 1L)
+
+    // resample with all-keep head cutoff high enough: everything head
+    assert(cli.resample(s"$root/docs", s"$root/rs",
+      headBelow = 100.0, middleBelow = 200.0) === 5L)
+
+    assert(cli.stratify(s"$root/docs", s"$root/st",
+      trainFrac = 0.5, valFrac = 0.25) === 5L)
+    val bySplit = spark.read.parquet(s"$root/st")
+      .groupBy(col("source"), col("split")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a(3): floor(1.5)=1 train, floor(2.25)-1=1 val, 1 test; b(2): 1/0/1
+    assert(bySplit === Map(
+      ("a", "train") -> 1L, ("a", "val") -> 1L, ("a", "test") -> 1L,
+      ("b", "train") -> 1L, ("b", "test") -> 1L))
+  }
+
   test("trainBpe writes the rank parquet encode consumes — the full tokenizer loop") {
     val s = spark
     import s.implicits._
