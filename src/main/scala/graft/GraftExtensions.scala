@@ -127,6 +127,9 @@ object GraftExtensions {
     reg("url_host") { a =>
       toExpr(TextFunctions.urlHost(toCol(arity("url_host", a, 1).head)))
     },
+    // unicode normalization kernels (functions/textExpressions.scala)
+    reg("nfc_normalize") { a => arity("nfc_normalize", a, 1); NfcNormalize(a(0)) },
+    reg("strip_accents") { a => arity("strip_accents", a, 1); StripAccentsExpr(a(0)) },
     // native aggregate (functions/aggregateExpressions.scala)
     reg("misra_gries") { a =>
       arity("misra_gries", a, 2)

@@ -258,6 +258,20 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode canonicalization: combining sequences injected into the
+    // fixture text, NFC recomposition + accent folding as codegen'd
+    // kernels — the pre-dedup normalization a multi-crawler corpus
+    // needs (same visible string, different code points, different
+    // md5).
+    "q114_text_normalize" -> ((s, dir) => {
+      val messy = regexp_replace(col("text"), "e", "é")
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.TextNormFunctions.nfcNormalize(messy).as("norm"))
+        .withColumn("folded",
+          graft.functions.TextNormFunctions.stripAccents(col("norm")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact stratified split: per-source hash-rank cut at exact
     // floor(n_s*frac) boundaries (q76's map-only split is the
     // growing-corpus path; this is the frozen-snapshot one).
@@ -1083,6 +1097,15 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q114: the same combining-mark injection (chr(769) = U+0301),
+    // DuckDB's nfc_normalize/strip_accents match Java Normalizer
+    // NFC / NFD-minus-Mn semantics.
+    "q114_text_normalize" ->
+      """SELECT doc_id,
+           nfc_normalize(replace(text, 'e', 'e' || chr(769))) AS norm,
+           strip_accents(nfc_normalize(replace(text, 'e', 'e' || chr(769)))) AS folded
+         FROM documents ORDER BY doc_id""",
 
     // q113: same md5 rank key as the cap/sample family, count window,
     // thresholds via the (0.8 + 0.1) fold.

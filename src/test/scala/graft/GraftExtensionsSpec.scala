@@ -81,6 +81,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(u.getString(1) === "example.com")
   }
 
+  test("nfc_normalize composes combining marks; strip_accents folds them away") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('é') AS n, strip_accents('éüño') AS s")
+      .head()
+    assert(r.getString(0) === "é", "e + U+0301 must compose to U+00E9")
+    assert(r.getString(1) === "euno")
+    // idempotent on plain ASCII
+    val plain = spark.sql("SELECT nfc_normalize('plain'), strip_accents('plain')").head()
+    assert(plain.getString(0) === "plain" && plain.getString(1) === "plain")
+  }
+
   test("gopher_stats from SQL matches the Scala API struct") {
     GraftExtensions.registerAll(spark)
     val s = spark
