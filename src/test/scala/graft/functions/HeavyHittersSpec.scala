@@ -55,6 +55,30 @@ class HeavyHittersSpec extends SparkSpec {
     assert(hot.get <= 600L && hot.get >= 600L - (1000L / 9L) - 1L)
   }
 
+  test("streams: the sketch aggregates across micro-batches in complete mode") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hhstream").toString
+    val in = s"$root/toks"
+    (Seq.fill(3)("a") ++ Seq("b")).toDF("tok").coalesce(1)
+      .write.mode("append").parquet(in)
+    (Seq.fill(2)("a") ++ Seq.fill(4)("c")).toDF("tok").coalesce(1)
+      .write.mode("append").parquet(in)
+    val stream = spark.readStream
+      .schema("tok STRING").parquet(in)
+      .agg(AggregateFunctions.heavyHitters(col("tok"), 8).as("hh"))
+    val q = stream.writeStream
+      .format("memory").queryName("hhmem").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT hh FROM hhmem").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got === Seq(("a", 5L), ("c", 4L), ("b", 1L)),
+      "the typed buffer must serialize/merge across micro-batch state")
+  }
+
   test("NULL inputs are skipped, empty input yields an empty summary") {
     val s = spark
     import s.implicits._

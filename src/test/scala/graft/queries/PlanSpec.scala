@@ -416,6 +416,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q108: fuzzy candidates join on the variant hash — no cartesian, verify after the join") {
+    val p = plan("q108_fuzzy_match")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("md5"), "variants should be hash-keyed before the shuffle")
+    assert(p.contains("levenshtein"), "exact verify must be in the plan")
+  }
+
+  test("q110: the sketch is one ObjectHashAggregate pair — partials merge, no sort-based fallback") {
+    val p = plan("q110_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate should plan as ObjectHashAggregate")
+    assert(!p.contains("Join"))
+  }
+
+  test("q111/q112: model tables derive from rollups; only 1-row/stats broadcasts nest") {
+    val kn = plan("q111_kneser_ney")
+    assert(!kn.contains("CartesianProduct"))
+    assert(!kn.contains("Window"), "KN stats must not need a window sort")
+    val z = plan("q112_quality_zscore")
+    assert(!z.contains("CartesianProduct"))
+    assert(z.contains("BroadcastHashJoin") || z.contains("BroadcastExchange"),
+      "per-source stats must broadcast back onto the corpus")
+  }
+
+  test("q113/q114: split is two windows over one exchange; normalization is map-only") {
+    val sp = plan("q113_stratified_split")
+    assert(!sp.contains("Join"))
+    assert(sp.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      "rank + count windows must share the stratum exchange (plus output sort)")
+    val tn = plan("q114_text_normalize")
+    assert(!tn.contains("Join") && !tn.contains("Window"))
+    assert(tn.contains("nfc_normalize") && tn.contains("strip_accents"))
+  }
+
   test("q106: canonicalization is map-side; the only wide ops are the cap window and output sort") {
     val p = plan("q106_url_host_cap")
     assert(!p.contains("Join"), "canonicalize/host-extract must not join")
