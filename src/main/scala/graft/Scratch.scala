@@ -83,6 +83,18 @@ object Scratch {
           bigLabeled, "doc_id", "text").count())
         time("overlap")(graft.curation.Curation.corpusOverlap(
           bigLabeled, "text", "source").count())
+        // the round-7 family: components ride the (pair-sized) edge
+        // set; maximal spans are the gram join + one window; KN is
+        // the vocab-keyed bigram rollup stack — all expected flat-to-
+        // linear (the copies are mutual near-dups, so the PAIR-fed
+        // probes are pessimistic like jaccard above)
+        time("components")(graft.dedup.Dedup.connectedComponents(
+          graft.dedup.Dedup.jaccardPairs(big, "doc_id", "text", n = 3, tau = 0.5)
+            .select(col("doc_a"), col("doc_b"))).count())
+        time("maxspans")(graft.dedup.Dedup.maximalSharedSpans(
+          big, "doc_id", "text", n = 8, minSpanWords = 12).count())
+        time("kneserney")(graft.curation.Curation.kneserNeyBigramScores(
+          big, "doc_id", "text").count())
         bigLabeled.unpersist(blocking = true)
         big.unpersist(blocking = true)
       }
