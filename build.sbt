@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 100+-query suite generates enough codegen classes to exhaust
+  // the default 240m JIT code cache mid-run; HotSpot then deoptimizes
+  // hot Catalyst analysis paths and plan construction slows 5-10x
+  // (measured: Scratch agingprobe). Size it so compilation never stops.
+  "-XX:ReservedCodeCacheSize=1g",
 )

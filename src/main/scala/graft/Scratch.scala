@@ -218,15 +218,60 @@ object Scratch {
       eSkewed.unpersist(blocking = true)
       spark.stop(); return
     }
+    if (args.lift(1).contains("agingprobe")) {
+      // Does a session that has executed the whole query suite time a
+      // query worse than a fresh one? Separates JVM aging (codegen
+      // cache, JIT) from SparkSession aging (sessionState, listeners).
+      val probes = Seq("q45_dedup_clusters", "q107_dedup_components", "q50_corpus_curation")
+      def timeIn(s: org.apache.spark.sql.SparkSession, label: String): Unit =
+        probes.foreach { q =>
+          (1 to 2).foreach { i =>
+            s.catalog.clearCache()
+            val t0 = System.nanoTime()
+            val n = SparkEntry.queries(q)(s, dir).count()
+            println(f"[aging] $label $q run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          }
+        }
+      def timeVariant(label: String, clear: Boolean, rebuild: Boolean): Unit =
+        probes.foreach { q =>
+          val built = SparkEntry.queries(q)(spark, dir)
+          (1 to 3).foreach { i =>
+            if (clear) spark.catalog.clearCache()
+            val df = if (rebuild) SparkEntry.queries(q)(spark, dir) else built
+            val t0 = System.nanoTime()
+            val n = df.count()
+            println(f"[aging] $label $q run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+          }
+        }
+      (1 to 12).foreach { i =>
+        probes.foreach { q =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(q)(spark, dir)
+          val t1 = System.nanoTime()
+          val n = df.count()
+          val t2 = System.nanoTime()
+          println(f"[aging] iter$i%02d $q build ${(t1 - t0) / 1e9}%.3f exec ${(t2 - t1) / 1e9}%.3f ($n rows)")
+        }
+      }
+      timeIn(spark, "tail")
+      spark.stop(); return
+    }
     if (sys.env.contains("SCRATCH_DEBUGLOG")) spark.sparkContext.setLogLevel("DEBUG")
     val names = args.drop(1)
     val qs = if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
     qs.foreach { q =>
-      val df = SparkEntry.queries(q)(spark, dir)
-      if (sys.env.contains("SCRATCH_EXPLAIN")) df.explain("formatted")
+      if (sys.env.contains("SCRATCH_EXPLAIN"))
+        SparkEntry.queries(q)(spark, dir).explain("formatted")
+      // Bench semantics: cache cleared, the query REBUILT inside the
+      // clock each run. Operators that resolve chains (collapse,
+      // components) run distributed probes during construction, so a
+      // build-outside-the-clock loop under-measures them — r6's
+      // "warm 1.7 s" q50 numbers were exactly that artifact.
       (1 to 3).foreach { i =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val n = df.count()
+        val n = SparkEntry.queries(q)(spark, dir).count()
         println(f"$q run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
       }
     }
