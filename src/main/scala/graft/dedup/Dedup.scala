@@ -817,10 +817,62 @@ object Dedup {
     * neighborhoods, never the corpus — plus one emptiness probe on
     * the changed-label set. Deterministic: min is order-free.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 64,
+      localLimit: Long = LocalResolveRows): DataFrame = {
     val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
       .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
       .distinct().persist()
+    // size-adaptive local fast path (see LocalResolveRows): a bounded
+    // edge set resolves with one collect + union-find instead of
+    // per-round probe/join jobs whose scheduling floor dwarfs the data
+    val ecount = edges.count()
+    if (ecount <= localLimit) {
+      val rows = edges.collect()
+      val spark = edges.sparkSession
+      val idType = edges.schema("x").dataType
+      edges.unpersist(blocking = false)
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(a0: Any): Any = {
+        var a = a0
+        while (parent.containsKey(a) && parent.get(a) != a) a = parent.get(a)
+        var b = a0 // path compression
+        while (parent.containsKey(b) && parent.get(b) != b) {
+          val nxt = parent.get(b); parent.put(b, a); b = nxt
+        }
+        a
+      }
+      rows.foreach { r =>
+        val (x, y) = (r.get(0), r.get(1))
+        if (!parent.containsKey(x)) parent.put(x, x)
+        if (!parent.containsKey(y)) parent.put(y, y)
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent.put(rx, ry)
+      }
+      // component label = MIN id of the component (same total order as
+      // the distributed hash-min: ids are Long or String, both
+      // Comparable)
+      val minOf = new java.util.HashMap[Any, Any]()
+      val it = parent.keySet().iterator()
+      while (it.hasNext) {
+        val node = it.next()
+        val root = find(node)
+        val cur = minOf.get(root)
+        if (cur == null ||
+          node.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
+          minOf.put(root, node)
+      }
+      val out: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList(parent.size())
+      val it2 = parent.keySet().iterator()
+      while (it2.hasNext) {
+        val node = it2.next()
+        out.add(org.apache.spark.sql.Row(node, minOf.get(find(node))))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType),
+        org.apache.spark.sql.types.StructField("component_id", idType)))
+      return spark.createDataFrame(out, schema)
+    }
     var labels = edges.groupBy(col("x"))
       .agg(min(col("y")).as("_mn"))
       .select(col("x").as("node"), least(col("x"), col("_mn")).as("label"))
@@ -861,13 +913,43 @@ object Dedup {
     * makes chains acyclic. The fast path costs a single semi-join
     * emptiness probe.
     */
-  private def resolveChains(mapping0: DataFrame): DataFrame = {
-    // The mapping is persisted BEFORE the chain probe: the probe then
-    // materializes the (small — one row per dropped doc) survivor map
-    // once and every later pass plus the caller's own consumption read
-    // the cache — without it the probe would re-run the whole upstream
-    // pair generation a second time.
+  /** Survivor maps at or under this row count resolve driver-side (one
+    * collect + an in-memory walk) instead of spawning per-round probe
+    * and join jobs whose fixed scheduling cost dwarfs the data — the
+    * same size-adaptive switch AQE applies to broadcast joins. A
+    * million (keep, drop) pairs is a few tens of MB on the driver;
+    * above it the distributed pointer jumping takes over unchanged.
+    */
+  private[dedup] val LocalResolveRows: Long = 1L << 20
+
+  private[dedup] def resolveChains(mapping0: DataFrame,
+      localLimit: Long = LocalResolveRows): DataFrame = {
+    // The mapping is persisted BEFORE anything probes it: the count
+    // then materializes the (small — one row per dropped doc) survivor
+    // map once, and every later pass plus the caller's own consumption
+    // read the cache — without it each probe would re-run the whole
+    // upstream pair generation.
     var mapping = mapping0.persist()
+    val n = mapping.count()
+    if (n <= localLimit) {
+      val rows = mapping.collect()
+      val spark = mapping.sparkSession
+      val schema = mapping.schema
+      mapping.unpersist(blocking = false)
+      val keepOf = new java.util.HashMap[Any, Any](rows.length * 2)
+      rows.foreach(r => keepOf.put(r.get(1), r.get(0))) // drop -> keep
+      val resolved: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList(rows.length)
+      rows.foreach { r =>
+        var k = r.get(0)
+        var hops = 0
+        // keeper rank strictly improves along a chain => acyclic; 64
+        // is unreachable armor matching the distributed loop
+        while (hops < 64 && keepOf.containsKey(k)) { k = keepOf.get(k); hops += 1 }
+        resolved.add(org.apache.spark.sql.Row(k, r.get(1)))
+      }
+      return spark.createDataFrame(resolved, schema)
+    }
     def parents(m: DataFrame): DataFrame =
       m.select(col("drop").as("keep"), col("keep").as("_parent"))
     def hasChain(m: DataFrame): Boolean =

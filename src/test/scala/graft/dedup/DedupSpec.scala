@@ -316,6 +316,30 @@ class DedupSpec extends SparkSpec {
     val labs = Dedup.connectedComponents(chain)
       .collect().map(_.getLong(1)).distinct
     assert(labs.toSeq === Seq(100L))
+    // the distributed label-propagation path (localLimit = 0 forces
+    // it) produces the identical labeling
+    val dist = Dedup.connectedComponents(pairs, localLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === got)
+    val distChain = Dedup.connectedComponents(chain, localLimit = 0L)
+      .collect().map(_.getLong(1)).distinct
+    assert(distChain.toSeq === Seq(100L))
+  }
+
+  test("resolveChains local and distributed paths agree on deep keeper chains") {
+    val s = spark
+    import s.implicits._
+    // 1<-2<-3<-...<-8 chain plus a flat pair — every drop must resolve
+    // to root 1 (or 20)
+    val mapping = ((1L to 7L).map(i => (i, i + 1)) :+ (20L, 21L))
+      .toDF("keep", "drop")
+    val local = Dedup.resolveChains(mapping)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val dist = Dedup.resolveChains(mapping, localLimit = 0L)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val want = (2L to 8L).map(_ -> 1L).toMap + (21L -> 20L)
+    assert(local === want)
+    assert(dist === want)
   }
 
   test("maximalSharedSpans chains adjacent shared grams into ONE maximal span") {
