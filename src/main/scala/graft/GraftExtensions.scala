@@ -130,10 +130,15 @@ object GraftExtensions {
     // unicode normalization kernels (functions/textExpressions.scala)
     reg("nfc_normalize") { a => arity("nfc_normalize", a, 1); NfcNormalize(a(0)) },
     reg("strip_accents") { a => arity("strip_accents", a, 1); StripAccentsExpr(a(0)) },
-    // native aggregate (functions/aggregateExpressions.scala)
+    // native aggregate (functions/aggregateExpressions.scala); the
+    // child casts to string like the Scala wrapper — without it a
+    // bigint column passes analysis and CCEs mid-execution
     reg("misra_gries") { a =>
       arity("misra_gries", a, 2)
-      MisraGriesAgg(a(0), intArg("misra_gries", a(1))).toAggregateExpression()
+      MisraGriesAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a(0), org.apache.spark.sql.types.StringType),
+        intArg("misra_gries", a(1))).toAggregateExpression()
     })
 
   /** Register everything into a live session (the non-config path). */

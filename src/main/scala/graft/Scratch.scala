@@ -232,17 +232,6 @@ object Scratch {
             println(f"[aging] $label $q run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
           }
         }
-      def timeVariant(label: String, clear: Boolean, rebuild: Boolean): Unit =
-        probes.foreach { q =>
-          val built = SparkEntry.queries(q)(spark, dir)
-          (1 to 3).foreach { i =>
-            if (clear) spark.catalog.clearCache()
-            val df = if (rebuild) SparkEntry.queries(q)(spark, dir) else built
-            val t0 = System.nanoTime()
-            val n = df.count()
-            println(f"[aging] $label $q run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
-          }
-        }
       (1 to 12).foreach { i =>
         probes.foreach { q =>
           spark.catalog.clearCache()

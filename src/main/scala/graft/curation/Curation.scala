@@ -543,8 +543,13 @@ object Curation {
       df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
     val pairs = bigramPairs(df, idCol, textCol)
+    // persisted: vocab-sized, and referenced three times (totals +
+    // both stats joins) — without the cache each reference re-runs
+    // the corpus tokenize+explode (the KN sibling persists its bigram
+    // table for the same reason)
     val uni = df.select(explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist()
     val totals = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val stats = bi
@@ -632,6 +637,9 @@ object Curation {
       trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
       "fractions must be positive and sum to at most 1")
+    require(!df.columns.contains("split"),
+      "input already carries a 'split' column; drop or rename it first " +
+        "(silently clobbering previous assignments loses them)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashSampleKey(col(idCol)), col(idCol))
@@ -673,9 +681,12 @@ object Curation {
     val q = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
       graft.text.TextFunctions.qualityScore(col(textCol)).as("quality"))
     val qd = col("quality").cast("decimal(18,6)")
-    val stats = q.groupBy(col("source")).agg(
+    val stats = q.groupBy(col("source").as("_src")).agg(
       sum(qd).as("s"), sum(qd * qd).as("ssq"), count(lit(1)).as("n"))
-    q.join(broadcast(stats), Seq("source"))
+    // null-SAFE join: unlabeled docs (NULL source) form their own
+    // stats group and must not silently vanish through an inner
+    // equi-join that never matches NULL = NULL
+    q.join(broadcast(stats), col("source") <=> col("_src"))
       .withColumn("_mean", col("s").cast("double") / col("n"))
       .withColumn("_var",
         (col("ssq").cast("double") -

@@ -787,9 +787,9 @@ object Dedup {
     val vars = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
       .filter(s.isNotNull)
       .select(col("_id"), col("_s"),
-        explode(array_distinct(
+        explode(
           when(length(s) >= 1, array_union(array(s), dels))
-            .otherwise(array(s)))).as("_v"))
+            .otherwise(array(s))).as("_v"))
       .select(col("_id"), col("_s"), md5(col("_v")).as("_vh"))
     val capped = graft.core.Skew.dropHotKeys(vars, "_vh", maxVariantFreq)
     capped.select(col("_vh"), col("_id").as("id_a"), col("_s").as("_sa"))
@@ -816,6 +816,11 @@ object Dedup {
     * round is two keyed joins sized by the PAIR set — dedup
     * neighborhoods, never the corpus — plus one emptiness probe on
     * the changed-label set. Deterministic: min is order-free.
+    *
+    * Cache lifecycle: above the local threshold the returned labels
+    * stay persisted (the caller's consumption reads them); release
+    * with unpersist/clearCache when done, like the collapse family's
+    * survivor maps.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 64,
       localLimit: Long = LocalResolveRows): DataFrame = {
@@ -938,16 +943,29 @@ object Dedup {
       mapping.unpersist(blocking = false)
       val keepOf = new java.util.HashMap[Any, Any](rows.length * 2)
       rows.foreach(r => keepOf.put(r.get(1), r.get(0))) // drop -> keep
+      // walk every chain to its ROOT (keeper rank strictly improves
+      // along a chain => acyclic, so the walk terminates), memoizing
+      // resolved roots so a long chain costs linear total work — a
+      // fixed hop cap here would silently emit non-root survivors for
+      // chains longer than the cap
+      val rootOf = new java.util.HashMap[Any, Any](rows.length * 2)
+      def root(k0: Any): Any = {
+        val memo = rootOf.get(k0)
+        if (memo != null) return memo
+        val path = new java.util.ArrayList[Any]()
+        var k = k0
+        while (rootOf.get(k) == null && keepOf.containsKey(k)) {
+          path.add(k)
+          k = keepOf.get(k)
+        }
+        val r = if (rootOf.get(k) != null) rootOf.get(k) else k
+        val it = path.iterator()
+        while (it.hasNext) rootOf.put(it.next(), r)
+        r
+      }
       val resolved: java.util.List[org.apache.spark.sql.Row] =
         new java.util.ArrayList(rows.length)
-      rows.foreach { r =>
-        var k = r.get(0)
-        var hops = 0
-        // keeper rank strictly improves along a chain => acyclic; 64
-        // is unreachable armor matching the distributed loop
-        while (hops < 64 && keepOf.containsKey(k)) { k = keepOf.get(k); hops += 1 }
-        resolved.add(org.apache.spark.sql.Row(k, r.get(1)))
-      }
+      rows.foreach(r => resolved.add(org.apache.spark.sql.Row(root(r.get(0)), r.get(1))))
       return spark.createDataFrame(resolved, schema)
     }
     def parents(m: DataFrame): DataFrame =

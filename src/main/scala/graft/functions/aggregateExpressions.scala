@@ -50,9 +50,17 @@ case class MisraGriesAgg(
     */
   private def reduce(m: mutable.HashMap[String, Long]): Unit = {
     if (m.size > capacity) {
-      val counts = m.values.toArray
-      java.util.Arrays.sort(counts)
-      val sub = counts(counts.length - (capacity + 1))
+      // the update path overflows by exactly one, so the
+      // (capacity+1)-th largest IS the minimum — one allocation-free
+      // scan instead of a sort per inserted new key; only a merge can
+      // overflow further and pay the sort
+      val sub =
+        if (m.size == capacity + 1) m.valuesIterator.min
+        else {
+          val counts = m.values.toArray
+          java.util.Arrays.sort(counts)
+          counts(counts.length - (capacity + 1))
+        }
       val dead = m.iterator.filter(_._2 <= sub).map(_._1).toList
       dead.foreach(m.remove)
       if (sub > 0L) m.mapValuesInPlace((_, v) => v - sub)

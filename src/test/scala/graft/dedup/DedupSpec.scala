@@ -340,6 +340,13 @@ class DedupSpec extends SparkSpec {
     val want = (2L to 8L).map(_ -> 1L).toMap + (21L -> 20L)
     assert(local === want)
     assert(dist === want)
+    // regression: a 200-link chain must fully resolve on the local
+    // path too (a fixed hop cap would emit a non-root survivor)
+    val deep = (1L to 200L).map(i => (i, i + 1)).toDF("keep", "drop")
+    val deepLocal = Dedup.resolveChains(deep)
+      .collect().map(r => r.getLong(0)).distinct
+    assert(deepLocal.toSeq === Seq(1L),
+      "every drop in one chain must map to the single root")
   }
 
   test("maximalSharedSpans chains adjacent shared grams into ONE maximal span") {
