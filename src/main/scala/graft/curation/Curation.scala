@@ -697,6 +697,28 @@ object Curation {
           .as("zq"))
   }
 
+  /** Per-source quality PERCENTILES — the rank-based sibling of
+    * [[qualityZScores]]: each doc's quality mapped to its exact
+    * within-source percent rank ((rank-1)/(n-1), ties share a rank),
+    * distribution-free where z-scores assume rough normality. Returns
+    * (doc_id, source, quality, q_pct). One rank window per stratum;
+    * the count window shares its exchange.
+    */
+  def qualityPercentiles(
+      df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      graft.text.TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"))
+    val wn = Window.partitionBy(col("source"))
+    q.withColumn("_rk", rank().over(w))
+      .withColumn("_n", count(lit(1)).over(wn))
+      .select(col("doc_id"), col("source"), col("quality"),
+        round((col("_rk") - 1).cast("double") /
+          greatest(col("_n") - 1, lit(1)).cast("double"), 6).as("q_pct"))
+  }
+
   /** The full CCNet resample: LM-score, bucket at the fixed cutoffs,
     * keep each bucket at its own rate via the content-keyed hash
     * sample — the perplexity-stratified subsample CCNet emits (keep

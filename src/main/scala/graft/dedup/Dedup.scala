@@ -547,6 +547,32 @@ object Dedup {
         col("span_words"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word n-grams that appear in no other document — the memorization/
+    * novelty diagnostic of dataset analyses (high = original content,
+    * low = assembled from corpus-common material). Returns
+    * (doc_id, n_grams, n_novel, novelty) with novelty floored to 6dp.
+    *
+    * Scale shape: one (gram, doc) distinct explode feeds an in-place
+    * [[crossDocTest]] window — same one-exchange shape as
+    * [[docDuplicatedSpans]], no self-join, no second gram scan; grams
+    * cross the shuffle md5-keyed.
+    */
+  def ngramNovelty(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+        explode(graft.text.TextFunctions.shingles(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    grams
+      .withColumn("_shared", crossDocTest(col("gh"), col("doc_id"), 2))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_shared"), 0L).otherwise(1L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (floor(col("n_novel").cast("double") / col("n_grams") * 1e6) / 1e6)
+          .as("novelty"))
+  }
+
   /** Span-level scrubbing — the full Lee et al. ACL'22 operation: cut
     * every word covered by a cross-document duplicated n-gram span and
     * re-emit the cleaned text (plus the cut count, the signal a

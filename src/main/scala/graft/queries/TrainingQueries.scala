@@ -258,6 +258,32 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // N-gram novelty: fraction of a doc's distinct shingles appearing
+    // in no other doc — the memorization/originality diagnostic. Same
+    // one-exchange in-place window shape as q59.
+    "q115_ngram_novelty" -> ((s, dir) => {
+      Dedup.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dedup-cluster size distribution: components rolled up twice —
+    // the dataset-card "how big are my duplicate families" histogram.
+    "q116_cluster_report" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5)
+      Dedup.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+        .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // Rank-based per-source quality calibration (the distribution-free
+    // sibling of q112's z-scores): exact within-source percent ranks.
+    "q117_quality_pct" -> ((s, dir) => {
+      Curation.qualityPercentiles(t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode canonicalization: combining sequences injected into the
     // fixture text, NFC recomposition + accent folding as codegen'd
     // kernels — the pre-dedup normalization a multi-crawler corpus
@@ -1097,6 +1123,60 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q115: q85's shingle definition (short docs collapse to one
+    // whole-text shingle), gram doc-frequency >= 2 = shared.
+    "q115_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(CASE WHEN len(t) < 3 THEN [text]
+               ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END) AS g
+           FROM d),
+         f AS (SELECT g, count(DISTINCT doc_id) AS nd FROM sh GROUP BY g)
+         SELECT s.doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN f.nd >= 2 THEN 0 ELSE 1 END)::BIGINT AS n_novel,
+           floor(sum(CASE WHEN f.nd >= 2 THEN 0 ELSE 1 END)::DOUBLE
+                 / count(*) * 1e6) / 1e6 AS novelty
+         FROM sh s JOIN f ON s.g = f.g
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
+
+    // q116: q107's component labeling rolled up to a size histogram.
+    "q116_cluster_report" ->
+      s"""WITH RECURSIVE $shingleCteBody, $jaccardPairsCte,
+         e AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT x AS node FROM e),
+         walk(node, reach) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT w.node, e.y FROM walk w JOIN e ON w.reach = e.x),
+         comp AS (SELECT node, min(reach) AS component_id FROM walk GROUP BY node),
+         sz AS (SELECT component_id, count(*)::BIGINT AS cluster_size
+                FROM comp GROUP BY component_id)
+         SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // q117: q20's quality, exact percent ranks (ties share a rank),
+    // the explicit (rank-1)/greatest(n-1,1) form on both engines.
+    "q117_quality_pct" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+             floor((0.3 * least(1.0, wc / 50)
+                  + 0.3 * ttr
+                  + 0.2 * least(1.0, mean_len / 8)
+                  + 0.2 * stop_ratio) * 1e6) / 1e6 AS quality
+           FROM (
+             SELECT doc_id, source,
+               len(t)::BIGINT AS wc,
+               len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t) AS stop_ratio,
+               len(list_distinct(t))::DOUBLE / len(t) AS ttr,
+               list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) AS mean_len
+             FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)))
+         SELECT doc_id, source, quality,
+           round((rank() OVER (PARTITION BY source ORDER BY quality) - 1)::DOUBLE
+                 / greatest(count(*) OVER (PARTITION BY source) - 1, 1), 6) AS q_pct
+         FROM q ORDER BY doc_id""",
 
     // q114: the same combining-mark injection (chr(769) = U+0301),
     // DuckDB's nfc_normalize/strip_accents match Java Normalizer

@@ -439,6 +439,24 @@ class CurationSpec extends SparkSpec {
     assert(first.toSeq === again.toSeq)
   }
 
+  test("qualityPercentiles: 0..1 within source, rank order follows quality, ties share") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", "the cat sat on the mat with a dog and a bird today here"),
+      (2L, "a", "zz"),
+      (3L, "a", "the quick brown fox jumps over the lazy dog near a river"),
+      (4L, "b", "same text"), (5L, "b", "same text"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.qualityPercentiles(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(2L)._2 === 0.0, "worst doc of its source sits at percentile 0")
+    assert(Seq(got(1L), got(3L)).maxBy(_._1)._2 === 1.0,
+      "best doc of a 3-doc source sits at percentile 1")
+    assert(got(4L)._2 === 0.0 && got(5L)._2 === 0.0,
+      "identical-quality docs share the tied bottom rank")
+  }
+
   test("qualityZScores standardizes within source; constant sources pin z = 0") {
     val s = spark
     import s.implicits._

@@ -276,6 +276,14 @@ class DedupSpec extends SparkSpec {
       .filter(col("n_removed") > 0).count() === 3L)
   }
 
+  test("ngramNovelty: duplicated docs score 0, unique docs score 1, partial shares in between") {
+    val got = Dedup.ngramNovelty(corpus, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(0L) === 0.0 && got(1L) === 0.0, "exact dups share every gram")
+    assert(got(3L) === 1.0 && got(4L) === 1.0 && got(5L) === 1.0)
+    assert(got(2L) > 0.0 && got(2L) < 1.0, "the edited near-dup shares most grams")
+  }
+
   test("editDistancePairs finds substitution, insertion, AND deletion neighbors at k=1") {
     val s = spark
     import s.implicits._
