@@ -573,6 +573,38 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** Cross-corpus novelty — [[ngramNovelty]] against a REFERENCE
+    * corpus: what fraction of an incoming document's distinct shingles
+    * the existing corpus has never seen (the data-valuation signal of
+    * incremental ingestion: a batch that scores low adds nothing).
+    * Returns (doc_id, n_grams, n_known, novelty).
+    *
+    * Scale shape: the reference's distinct gram hashes BROADCAST as a
+    * semi-join probe (the decontamination pattern — the reference is
+    * aggregated to distinct hashes first); the batch explodes once and
+    * aggregates doc-keyed. The batch never self-joins and the
+    * reference never shuffles.
+    */
+  def crossCorpusNovelty(
+      batch: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, n: Int): DataFrame = {
+    val refGrams = reference
+      .select(explode(graft.text.TextFunctions.shingles(col(refTextCol), n)).as("g"))
+      .select(md5(col("g")).as("gh")).distinct()
+    val batchGrams = batch.select(col(idCol).as("doc_id"),
+        explode(graft.text.TextFunctions.shingles(col(textCol), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    batchGrams
+      .join(broadcast(refGrams.select(col("gh"), lit(1L).as("_known"))),
+        Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_known"), lit(0L))).as("n_known"))
+      .select(col("doc_id"), col("n_grams"), col("n_known"),
+        (floor((col("n_grams") - col("n_known")).cast("double") /
+          col("n_grams") * 1e6) / 1e6).as("novelty"))
+  }
+
   /** Span-level scrubbing — the full Lee et al. ACL'22 operation: cut
     * every word covered by a cross-document duplicated n-gram span and
     * re-emit the cleaned text (plus the cut count, the signal a

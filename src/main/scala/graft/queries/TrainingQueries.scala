@@ -258,6 +258,19 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-corpus novelty (data valuation of an incoming batch):
+    // fraction of each new doc's shingles the existing corpus has
+    // never seen — reference grams broadcast, batch explodes once.
+    // Split: doc_id % 5 == 0 is the incoming batch, the rest is the
+    // standing corpus.
+    "q118_batch_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusNovelty(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 5 =!= 0), "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // N-gram novelty: fraction of a doc's distinct shingles appearing
     // in no other doc — the memorization/originality diagnostic. Same
     // one-exchange in-place window shape as q59.
@@ -1123,6 +1136,25 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q118: q115's shingle definition on both sides; known = the gram
+    // exists in the standing (doc_id % 5 != 0) corpus.
+    "q118_batch_novelty" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(CASE WHEN len(t) < 3 THEN [text]
+               ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END) AS g
+           FROM d),
+         ref AS (SELECT DISTINCT g FROM sh WHERE doc_id % 5 <> 0),
+         b AS (SELECT s.doc_id, s.g,
+                 CASE WHEN r.g IS NULL THEN 0 ELSE 1 END AS known
+               FROM sh s LEFT JOIN ref r ON s.g = r.g
+               WHERE s.doc_id % 5 = 0)
+         SELECT doc_id, count(*)::BIGINT AS n_grams,
+           sum(known)::BIGINT AS n_known,
+           floor((count(*) - sum(known))::DOUBLE / count(*) * 1e6) / 1e6 AS novelty
+         FROM b GROUP BY doc_id ORDER BY doc_id""",
 
     // q115: q85's shingle definition (short docs collapse to one
     // whole-text shingle), gram doc-frequency >= 2 = shared.

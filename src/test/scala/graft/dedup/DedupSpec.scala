@@ -284,6 +284,25 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) > 0.0 && got(2L) < 1.0, "the edited near-dup shares most grams")
   }
 
+  test("crossCorpusNovelty: batch copies of reference docs score 0, fresh content 1") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "an unrelated reference document about query engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // verbatim known
+      (2L, "completely novel words nobody wrote before anywhere"),
+      (3L, "the quick brown fox discusses query engines")) // mixed
+      .toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNovelty(batch, "doc_id", "text", ref, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) === 0.0)
+    assert(got(2L) === 1.0)
+    assert(got(3L) > 0.0 && got(3L) < 1.0)
+  }
+
   test("editDistancePairs finds substitution, insertion, AND deletion neighbors at k=1") {
     val s = spark
     import s.implicits._
