@@ -450,6 +450,16 @@ class PlanSpec extends SparkSpec {
     assert(tn.contains("nfc_normalize") && tn.contains("strip_accents"))
   }
 
+  test("q115/q118: novelty is one in-place window; batch novelty broadcasts the reference probe") {
+    val nv = plan("q115_ngram_novelty")
+    assert(!nv.contains("Join"), "in-corpus novelty must not self-join")
+    assert(nv.contains("Window") && nv.contains("md5"))
+    val bn = plan("q118_batch_novelty")
+    assert(bn.contains("BroadcastHashJoin"),
+      "the reference gram set must broadcast — the batch never shuffles for the probe")
+    assert(!bn.contains("SortMergeJoin"))
+  }
+
   test("q106: canonicalization is map-side; the only wide ops are the cap window and output sort") {
     val p = plan("q106_url_host_cap")
     assert(!p.contains("Join"), "canonicalize/host-extract must not join")
