@@ -697,6 +697,31 @@ object Curation {
           .as("zq"))
   }
 
+  /** At-most-N-TOKENS-per-group gate — [[capPerGroup]] in the budget
+    * unit corpora are actually specced in: rows are taken in the
+    * deterministic hash order and a group keeps a row while the
+    * running token total BEFORE it is under the budget (so one row may
+    * overshoot, never undershoot — a zero-overshoot rule would
+    * permanently starve a group whose next doc exceeds the remainder).
+    * One rank window per group, sharing its exchange with the running
+    * sum. Returns the surviving rows.
+    */
+  def capTokensPerGroup(
+      df: DataFrame, idCol: String, groupCol: String,
+      sizeCol: Column, maxTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTokens >= 1)
+    val key = freshName(df, "_key")
+    val cum = freshName(df, "_cum")
+    df.withColumn(key, hashSampleKey(col(idCol)))
+      .withColumn(cum,
+        coalesce(sum(sizeCol).over(
+          Window.partitionBy(col(groupCol)).orderBy(col(key), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col(cum) < maxTokens)
+      .drop(key, cum)
+  }
+
   /** Per-source quality PERCENTILES — the rank-based sibling of
     * [[qualityZScores]]: each doc's quality mapped to its exact
     * within-source percent rank ((rank-1)/(n-1), ties share a rank),

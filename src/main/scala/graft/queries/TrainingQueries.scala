@@ -258,6 +258,37 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget per-source cap (the unit corpora are specced in):
+    // deterministic hash order, keep while the running token total
+    // BEFORE the row is under budget.
+    "q119_token_cap" -> ((s, dir) => {
+      Curation.capTokensPerGroup(t(s, dir, "documents"), "doc_id", "source",
+        TextFunctions.tokenCountWs(col("text")).cast("long"), maxTokens = 800L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID confusion matrix: the heuristic classifier scored
+    // against the labeled lang column — the quality report any
+    // classifier slot needs before it gates data.
+    "q120_langid_confusion" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
+    // Dataset-card length histogram: log2-bucketed whitespace token
+    // counts per source — map-side bucket key, one aggregate.
+    "q121_length_histogram" -> ((s, dir) => {
+      val wc = TextFunctions.tokenCountWs(col("text")).cast("long")
+      t(s, dir, "documents")
+        .select(col("source"),
+          floor(log2(greatest(wc, lit(1L)).cast("double"))).cast("long").as("len_bucket"))
+        .groupBy(col("source"), col("len_bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("len_bucket"))
+    }),
+
     // Cross-corpus novelty (data valuation of an incoming batch):
     // fraction of each new doc's shingles the existing corpus has
     // never seen — reference grams broadcast, batch explodes once.
@@ -1136,6 +1167,50 @@ object TrainingQueries {
                       IF NOT list_contains(ps, i)], chr(10)), '') AS clean_text,
            len(ls)::BIGINT AS n_lines, len(ps)::BIGINT AS n_removed
          FROM t2 ORDER BY doc_id""",
+
+    // q119: same md5 hash-order key as q69's cap, running-sum-before
+    // via ROWS UNBOUNDED PRECEDING AND 1 PRECEDING.
+    "q119_token_cap" ->
+      """WITH k AS (SELECT doc_id, source,
+             len(string_split(text, ' '))::BIGINT AS wc,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS key
+           FROM documents),
+         r AS (SELECT doc_id, source,
+                 coalesce(sum(wc) OVER (PARTITION BY source ORDER BY key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+               FROM k)
+         SELECT doc_id, source FROM r WHERE cum < 800 ORDER BY doc_id""",
+
+    // q120: q21's marker-count argmax rolled up to a confusion matrix.
+    "q120_langid_confusion" ->
+      """WITH p AS (
+           SELECT lang,
+             CASE WHEN gmax = 0 THEN 'und'
+                  WHEN s_en = gmax THEN 'en'
+                  WHEN s_de = gmax THEN 'de'
+                  WHEN s_fr = gmax THEN 'fr'
+                  WHEN s_es = gmax THEN 'es'
+                  ELSE 'zh' END AS pred
+           FROM (
+             SELECT lang, s_en, s_de, s_fr, s_es, s_zh,
+               greatest(s_en, s_de, s_fr, s_es, s_zh) AS gmax
+             FROM (
+               SELECT lang,
+                 len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x))) AS s_en,
+                 len(list_filter(t, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+                 len(list_filter(t, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+                 len(list_filter(t, x -> list_contains(['el','los','las','es','una'], x))) AS s_es,
+                 len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+               FROM (SELECT lang, string_split(text, ' ') AS t FROM documents))))
+         SELECT lang, pred, count(*)::BIGINT AS n FROM p
+         GROUP BY lang, pred ORDER BY lang, pred""",
+
+    // q121: floor(log2(max(wc,1))) buckets — integer-exact, map-side.
+    "q121_length_histogram" ->
+      """SELECT source,
+           floor(log2(greatest(len(string_split(text, ' ')), 1)::DOUBLE))::BIGINT AS len_bucket,
+           count(*)::BIGINT AS n
+         FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""",
 
     // q118: q115's shingle definition on both sides; known = the gram
     // exists in the standing (doc_id % 5 != 0) corpus.

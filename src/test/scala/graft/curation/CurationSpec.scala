@@ -439,6 +439,27 @@ class CurationSpec extends SparkSpec {
     assert(first.toSeq === again.toSeq)
   }
 
+  test("capTokensPerGroup: budget binds per group, one overshoot row allowed, never starves") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L), (4L, "a", 40L),
+      (5L, "b", 500L)) // single huge doc: budget < size must still keep it
+      .toDF("doc_id", "src", "wc")
+    val kept = Curation.capTokensPerGroup(docs, "doc_id", "src", col("wc"), 100L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // group a: hash order keeps rows while cum-before < 100 → exactly
+    // 3 rows (0, 40, 80 before; the 4th sees 120)
+    assert(kept("a").size === 3)
+    // group b: the first row always survives (cum-before = 0)
+    assert(kept("b") === Set(5L))
+    // determinism
+    val again = Curation.capTokensPerGroup(docs, "doc_id", "src", col("wc"), 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === kept.values.flatten.toSet)
+  }
+
   test("qualityPercentiles: 0..1 within source, rank order follows quality, ties share") {
     val s = spark
     import s.implicits._
