@@ -703,8 +703,8 @@ object Curation {
     * running token total BEFORE it is under the budget (so one row may
     * overshoot, never undershoot — a zero-overshoot rule would
     * permanently starve a group whose next doc exceeds the remainder).
-    * One rank window per group, sharing its exchange with the running
-    * sum. Returns the surviving rows.
+    * One running-sum window per group — the only wide operation.
+    * Returns the surviving rows.
     */
   def capTokensPerGroup(
       df: DataFrame, idCol: String, groupCol: String,
@@ -737,11 +737,14 @@ object Curation {
       graft.text.TextFunctions.qualityScore(col(textCol)).as("quality"))
     val w = Window.partitionBy(col("source")).orderBy(col("quality"))
     val wn = Window.partitionBy(col("source"))
+    // floor, not round: the repo's cross-engine rule — Spark's
+    // BigDecimal HALF_UP and DuckDB's float rounding diverge at
+    // boundary fractions like 41/640 = 0.0640625
     q.withColumn("_rk", rank().over(w))
       .withColumn("_n", count(lit(1)).over(wn))
       .select(col("doc_id"), col("source"), col("quality"),
-        round((col("_rk") - 1).cast("double") /
-          greatest(col("_n") - 1, lit(1)).cast("double"), 6).as("q_pct"))
+        (floor((col("_rk") - 1).cast("double") /
+          greatest(col("_n") - 1, lit(1)).cast("double") * 1e6) / 1e6).as("q_pct"))
   }
 
   /** The full CCNet resample: LM-score, bucket at the fixed cutoffs,

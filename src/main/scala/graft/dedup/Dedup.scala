@@ -579,11 +579,13 @@ object Dedup {
     * incremental ingestion: a batch that scores low adds nothing).
     * Returns (doc_id, n_grams, n_known, novelty).
     *
-    * Scale shape: the reference's distinct gram hashes BROADCAST as a
-    * semi-join probe (the decontamination pattern — the reference is
-    * aggregated to distinct hashes first); the batch explodes once and
-    * aggregates doc-keyed. The batch never self-joins and the
-    * reference never shuffles.
+    * Scale shape: the sides are asymmetric the OTHER way from
+    * decontamination — the reference (the standing corpus) is huge and
+    * the incoming batch small, so the BATCH is the hash-join build
+    * side (`shuffle_hash`, the [[jaccardPairsAgainst]] pattern) and
+    * the reference's distinct gram hashes stream through one
+    * gram-keyed shuffle; nothing reference-sized ever broadcasts or
+    * collects. The batch explodes once and aggregates doc-keyed.
     */
   def crossCorpusNovelty(
       batch: DataFrame, idCol: String, textCol: String,
@@ -594,12 +596,14 @@ object Dedup {
     val batchGrams = batch.select(col(idCol).as("doc_id"),
         explode(graft.text.TextFunctions.shingles(col(textCol), n)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("gh"))
-    batchGrams
-      .join(broadcast(refGrams.select(col("gh"), lit(1L).as("_known"))),
-        Seq("gh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("_known"), lit(0L))).as("n_known"))
+    // ref is distinct on gh, so the inner join hits each batch gram at
+    // most once — known = batch grams present in the reference
+    val known = refGrams
+      .join(batchGrams.hint("shuffle_hash"), Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_known"))
+    batchGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(known, Seq("doc_id"), "left")
+      .withColumn("n_known", coalesce(col("n_known"), lit(0L)))
       .select(col("doc_id"), col("n_grams"), col("n_known"),
         (floor((col("n_grams") - col("n_known")).cast("double") /
           col("n_grams") * 1e6) / 1e6).as("novelty"))

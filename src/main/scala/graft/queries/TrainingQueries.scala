@@ -1281,8 +1281,8 @@ object TrainingQueries {
                list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) AS mean_len
              FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)))
          SELECT doc_id, source, quality,
-           round((rank() OVER (PARTITION BY source ORDER BY quality) - 1)::DOUBLE
-                 / greatest(count(*) OVER (PARTITION BY source) - 1, 1), 6) AS q_pct
+           floor((rank() OVER (PARTITION BY source ORDER BY quality) - 1)::DOUBLE
+                 / greatest(count(*) OVER (PARTITION BY source) - 1, 1) * 1e6) / 1e6 AS q_pct
          FROM q ORDER BY doc_id""",
 
     // q114: the same combining-mark injection (chr(769) = U+0301),

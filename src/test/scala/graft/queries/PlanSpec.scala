@@ -450,13 +450,13 @@ class PlanSpec extends SparkSpec {
     assert(tn.contains("nfc_normalize") && tn.contains("strip_accents"))
   }
 
-  test("q115/q118: novelty is one in-place window; batch novelty broadcasts the reference probe") {
+  test("q115/q118: novelty is one in-place window; batch novelty builds its hash on the batch side") {
     val nv = plan("q115_ngram_novelty")
     assert(!nv.contains("Join"), "in-corpus novelty must not self-join")
     assert(nv.contains("Window") && nv.contains("md5"))
     val bn = plan("q118_batch_novelty")
-    assert(bn.contains("BroadcastHashJoin"),
-      "the reference gram set must broadcast — the batch never shuffles for the probe")
+    assert(bn.contains("ShuffledHashJoin"),
+      "the small BATCH must be the hash build side — nothing reference-sized broadcasts")
     assert(!bn.contains("SortMergeJoin"))
   }
 
