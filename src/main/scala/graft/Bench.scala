@@ -49,15 +49,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // The full per-query map goes to a FILE (committed with the repo):
-    // 100 queries on one stdout line overflowed the driver's bounded
-    // tail capture two rounds running, losing q01-q18's numbers. The
-    // stdout line stays short — total + count + where the map lives.
+    // The full per-query map goes to a FILE (committed with the repo)
+    // AND to stdout when it fits: the 9-decimal map once overflowed the
+    // driver's bounded tail capture, but at ms precision ~120 queries
+    // is ~3.5 KB — well inside it. Guard anyway: past 8 KB fall back to
+    // the short total+count+path line so the tail never truncates JSON.
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
-    java.nio.file.Files.writeString(fullPath,
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_file":"${fullPath.toString}","sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(fullPath, fullLine)
+    if (fullLine.length <= 8192) println(fullLine)
+    else println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_file":"${fullPath.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

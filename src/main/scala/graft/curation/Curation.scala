@@ -713,9 +713,13 @@ object Curation {
     require(maxTokens >= 1)
     val key = freshName(df, "_key")
     val cum = freshName(df, "_cum")
+    // greatest(sizeCol, 0): a NULL-text row's size() is -1 under legacy
+    // sizeOfNull and would DEDUCT from the running budget, while the
+    // oracle's len(string_split(NULL)) is NULL and drops out of its
+    // window sum — clamp to 0 so both engines charge such rows nothing.
     df.withColumn(key, hashSampleKey(col(idCol)))
       .withColumn(cum,
-        coalesce(sum(sizeCol).over(
+        coalesce(sum(greatest(sizeCol, lit(0L))).over(
           Window.partitionBy(col(groupCol)).orderBy(col(key), col(idCol))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col(cum) < maxTokens)

@@ -915,17 +915,29 @@ object Dedup {
         val (rx, ry) = (find(x), find(y))
         if (rx != ry) parent.put(rx, ry)
       }
-      // component label = MIN id of the component (same total order as
-      // the distributed hash-min: ids are Long or String, both
-      // Comparable)
+      // component label = MIN id of the component — under the SAME
+      // total order the distributed path uses. Spark's min/least on
+      // StringType compares UTF8String bytes (unsigned), which is NOT
+      // java String.compareTo (UTF-16 code-unit order): they disagree
+      // when non-BMP code points mix with U+E000–U+FFFF. Compare
+      // Strings by unsigned UTF-8 bytes so both paths label alike.
+      def lessThan(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: String, y: String) =>
+          java.util.Arrays.compareUnsigned(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+        case (x: Comparable[_], _) =>
+          x.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        case _ => throw new IllegalArgumentException(
+          s"connectedComponents requires an orderable id type, got $idType")
+      }
       val minOf = new java.util.HashMap[Any, Any]()
       val it = parent.keySet().iterator()
       while (it.hasNext) {
         val node = it.next()
         val root = find(node)
         val cur = minOf.get(root)
-        if (cur == null ||
-          node.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
+        if (cur == null || lessThan(node, cur))
           minOf.put(root, node)
       }
       val out: java.util.List[org.apache.spark.sql.Row] =
@@ -967,6 +979,12 @@ object Dedup {
       labels = jumped
       it += 1
     }
+    // Pointer jumping converges in O(log diameter) rounds, so the cap
+    // is practically unreachable — but exhausting it would silently
+    // return a labeling where one component carries several ids. Fail
+    // loudly instead (mirrors the resolveChains hop-cap rationale).
+    require(!changed,
+      s"connectedComponents did not converge within $maxIters rounds")
     edges.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
   }

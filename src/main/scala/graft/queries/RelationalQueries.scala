@@ -335,12 +335,15 @@ object RelationalQueries {
 
     // ntile decile bucketing of users by exact DECIMAL spend; the
     // total (spend desc, user) order makes bucket edges deterministic.
+    // Partition-parallel: GlobalRanks replaces the single-task
+    // Window.orderBy plan (exact same tiles, computed from exact
+    // global ranks over range-bucketed parallel sorts).
     "q90_ntile" -> ((s, dir) => {
       val spend = t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(moneySum(col("value")).as("spend"))
-      spend.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("spend").desc, col("user_id"))).cast("long"))
+      graft.core.GlobalRanks.ntileExact(spend, 10, col("spend"),
+        descending = true, tieBreak = Seq(col("user_id")), out = "decile")
         .orderBy(col("user_id"))
     }),
 

@@ -986,7 +986,7 @@ object TrainingQueries {
          ORDER BY doc_id""",
     "q21_langid" ->
       """SELECT doc_id, lang,
-         CASE WHEN gmax = 0 THEN 'und'
+         CASE WHEN gmax IS NULL OR gmax = 0 THEN 'und'
               WHEN s_en = gmax THEN 'en'
               WHEN s_de = gmax THEN 'de'
               WHEN s_fr = gmax THEN 'fr'
@@ -1185,7 +1185,7 @@ object TrainingQueries {
     "q120_langid_confusion" ->
       """WITH p AS (
            SELECT lang,
-             CASE WHEN gmax = 0 THEN 'und'
+             CASE WHEN gmax IS NULL OR gmax = 0 THEN 'und'
                   WHEN s_en = gmax THEN 'en'
                   WHEN s_de = gmax THEN 'de'
                   WHEN s_fr = gmax THEN 'fr'
@@ -2115,7 +2115,7 @@ object TrainingQueries {
              FROM shg a JOIN shg b ON a.doc_id < b.doc_id)
            WHERE jaccard >= 0.5),
          stats AS (SELECT doc_id, wc,
-             CASE WHEN gmax = 0 THEN 'und'
+             CASE WHEN gmax IS NULL OR gmax = 0 THEN 'und'
                   WHEN s_en = gmax THEN 'en'
                   WHEN s_de = gmax THEN 'de'
                   WHEN s_fr = gmax THEN 'fr'

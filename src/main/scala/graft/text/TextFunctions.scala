@@ -143,7 +143,12 @@ object TextFunctions {
     val scores = array(LangMarkers.map { case (_, m) => hits(m) }: _*)
     val names = array(LangMarkers.map { case (lang, _) => lit(lang) }: _*)
     val mx = array_max(scores)
-    when(mx === 0, lit("und"))
+    // NULL text must short-circuit: under legacy sizeOfNull each score is
+    // -1, so mx = -1 and the mx===0 branch would be skipped, leaving
+    // element_at to pick "en" (first index of -1) — while the oracle's
+    // all-NULL comparisons fall through its CASE. Both engines emit "und"
+    // on degenerate input.
+    when(text.isNull || mx <= 0, lit("und"))
       .otherwise(element_at(names, array_position(scores, mx).cast("int")))
   }
 

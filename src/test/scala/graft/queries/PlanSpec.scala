@@ -460,6 +460,18 @@ class PlanSpec extends SparkSpec {
     assert(!bn.contains("SortMergeJoin"))
   }
 
+  test("q90: ntile is partition-parallel — no unpartitioned window anywhere in the plan") {
+    val df = graft.SparkEntry.queries("q90_ntile")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the bucket-partitioned row_number window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "q90 still funnels the ranking through one unpartitioned WindowExec")
+    }
+  }
+
   test("q106: canonicalization is map-side; the only wide ops are the cap window and output sort") {
     val p = plan("q106_url_host_cap")
     assert(!p.contains("Join"), "canonicalize/host-extract must not join")
