@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata travelling alongside. The
   * Spark-side mechanics — schema, batched per-partition processing,
-  * deterministic partitioning of large blobs — are real; the actual
-  * media decode is STUBBED (this environment ships no image/audio
-  * codecs) behind `FakeCodec`, a deterministic byte-level stand-in with
-  * the same signature a real decoder would have.
+  * deterministic partitioning of large blobs — are real. The IMAGE
+  * half of the codec boundary is REAL too: `kind = "image"` payloads
+  * that decode with the JDK's own ImageIO (PNG/JPEG/BMP/GIF/TIFF ship
+  * with Java 17 — see [[ImageCodec]]) get true pixel-backed metadata,
+  * `Graphics2D` resize, raster embeddings, and a pixel-grid
+  * perceptual hash. Only audio/video decode remains STUBBED behind
+  * `FakeCodec` (those codecs genuinely aren't in the JDK), which also
+  * serves as the deterministic fallback for undecodable payloads.
   *
   * Scale notes: blobs never pass through a shuffle wider than needed —
   * metadata extraction is a narrow map; `withMediaMeta` batches rows
@@ -19,14 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Decoded-media metadata a real codec would produce. */
+  /** Decoded-media metadata. `nSamples`/`sampleSum` are the decoded
+    * sample count and exact sum — for images, from the real raster;
+    * for the stub, the payload bytes ARE the "samples".
+    */
   case class MediaMeta(
       kind: String, // "image" | "audio" | "video"
       nBytes: Long,
-      width: Int, // fake: derived from leading bytes
+      width: Int, // image: true decoded width; fake: derived from leading bytes
       height: Int,
-      nFrames: Int, // fake: nBytes / 1024 + 1
-      sha: String)
+      nFrames: Int, // image: 1; fake: nBytes / 1024 + 1
+      sha: String,
+      nSamples: Long, // image: width*height; fake: nBytes
+      sampleSum: Long) // exact integer sum of decoded samples
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   case class DecodedRow(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
@@ -38,6 +47,9 @@ object Multimodal {
   object FakeCodec {
     def decode(kind: String, payload: Array[Byte]): MediaMeta = {
       def b(i: Int): Int = if (payload.length > i) payload(i) & 0xff else 0
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
       MediaMeta(
         kind = kind,
         nBytes = payload.length.toLong,
@@ -45,7 +57,9 @@ object Multimodal {
         height = 16 + (b(2) << 4) + b(3),
         nFrames = payload.length / 1024 + 1,
         sha = java.security.MessageDigest.getInstance("MD5")
-          .digest(payload).map("%02x".format(_)).mkString)
+          .digest(payload).map("%02x".format(_)).mkString,
+        nSamples = payload.length.toLong,
+        sampleSum = sum)
     }
 
     /** STUB resize: a real impl re-encodes; the fake truncates/pads the
@@ -91,8 +105,33 @@ object Multimodal {
   }
 
   case class TransformedRow(
-      media_id: Long, resized_bytes: Int, resized_md5: String,
+      media_id: Long, resized_w: Int, resized_h: Int, resized_n: Long,
       n_frames_sampled: Int)
+
+  /** Decode one row: image payloads that ImageIO accepts get REAL
+    * pixel-backed metadata; everything else (audio/video, or an
+    * image payload that isn't one) falls back to the deterministic
+    * stub. The fallback is what keeps text-bytes fixtures and
+    * corrupted blobs total — a decode error never kills a 100 TB job.
+    */
+  private def decodeOne(r: MediaRow): MediaMeta =
+    if (r.kind == "image") {
+      ImageCodec.tryDecode(r.payload) match {
+        case Some(img) =>
+          val m = ImageCodec.decodeMeta(img)
+          MediaMeta(
+            kind = r.kind,
+            nBytes = r.payload.length.toLong,
+            width = m.width,
+            height = m.height,
+            nFrames = 1,
+            sha = java.security.MessageDigest.getInstance("MD5")
+              .digest(r.payload).map("%02x".format(_)).mkString,
+            nSamples = m.nSamples,
+            sampleSum = m.sampleSum)
+        case None => FakeCodec.decode(r.kind, r.payload)
+      }
+    } else FakeCodec.decode(r.kind, r.payload)
 
   /** Batched per-partition decode: the canonical shape for vectorized
     * media processing (codec initialized once per partition, rows
@@ -101,9 +140,8 @@ object Multimodal {
   def withMediaMeta(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // per-partition init point (real codec handle would live here)
-      val codec = FakeCodec
-      rows.map(r => DecodedRow(r.media_id, r.kind, r.payload, codec.decode(r.kind, r.payload)))
+      // per-partition init point (a heavier codec handle would live here)
+      rows.map(r => DecodedRow(r.media_id, r.kind, r.payload, decodeOne(r)))
     }
   }
 
@@ -118,24 +156,94 @@ object Multimodal {
         (col(idCol) % 3 + 1).cast("int")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
 
+  /** Deterministic gray raster geometry for [[grayImagePayload]]: the
+    * oracle re-derives these from (id, byte length) alone, which is
+    * what lets a REAL PNG round-trip be hash-checked in SQL without
+    * the oracle ever decoding a PNG.
+    */
+  def grayImageDims(id: Long, nBytes: Int): (Int, Int) = {
+    val w = 16 + java.lang.Math.floorMod(id, 17L).toInt
+    val h = math.max(1, (nBytes + w - 1) / w)
+    (w, h)
+  }
+
+  /** A REAL PNG whose gray raster is exactly `bytes` (zero-padded to
+    * the last row): width `16 + id % 17`, height `ceil(len/width)`.
+    * Decoding it returns the source bytes sample-for-sample — the
+    * encode→decode round trip the oracle checks end-to-end.
+    */
+  def grayImagePayload(id: Long, bytes: Array[Byte]): Array[Byte] = {
+    val (w, h) = grayImageDims(id, bytes.length)
+    ImageCodec.encodeGrayPng(java.util.Arrays.copyOf(bytes, w * h), w, h)
+  }
+
+  /** [[synthesizeFromText]] with the image rows REAL: every
+    * `kind = "image"` row (id ≡ 0 mod 3) carries an actual PNG built
+    * by [[grayImagePayload]]; audio/video rows keep raw text bytes
+    * for the stub. Batched per-partition (PNG encoder amortized).
+    */
+  def synthesizeMixedMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val kind = (java.lang.Math.floorMod(id, 3L)).toInt match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          val payload = if (kind == "image") grayImagePayload(id, bytes) else bytes
+          MediaRow(id, kind, payload)
+        }
+      }.toDF()
+  }
+
+  /** Every row as a REAL gray PNG of its text bytes (the all-image
+    * corpus the perceptual-dedup plane runs on).
+    */
+  def synthesizeGrayImages(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          MediaRow(id, "image",
+            grayImagePayload(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }.toDF()
+  }
+
   /** Resize + frame-sample in one batched per-partition pass — the
-    * transform (not just inspect) side of the media pipeline. Same
-    * contract as [[withMediaMeta]]: codec init once per partition,
-    * narrow map, one output row per input row.
+    * transform (not just inspect) side of the media pipeline. Image
+    * rows take the REAL path: `Graphics2D` bilinear resize, PNG
+    * re-encode, and a re-DECODE of the product (so the reported dims
+    * and sample count are read back from actual pixels, not echoed
+    * from the arguments). Audio/video and undecodable payloads use
+    * the stub's byte arithmetic. Same contract as [[withMediaMeta]]:
+    * codec init once per partition, narrow map, one row per input.
     */
   def mediaTransformTable(spark: SparkSession, media: DataFrame,
       width: Int, height: Int, stride: Int, frameBytes: Int = 64): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       val codec = FakeCodec
-      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val resized = codec.resize(r.payload, width, height)
-        md.reset()
-        TransformedRow(
-          r.media_id, resized.length,
-          md.digest(resized).map("%02x".format(_)).mkString,
-          codec.sampleFrames(r.payload, stride, frameBytes).length)
+        val real =
+          if (r.kind == "image") ImageCodec.resizePng(r.payload, width, height)
+          else None
+        real match {
+          case Some(png) =>
+            val m = ImageCodec.decodeMeta(ImageCodec.tryDecode(png).get)
+            TransformedRow(r.media_id, m.width, m.height, m.nSamples, 1)
+          case None =>
+            val resized = codec.resize(r.payload, width, height)
+            TransformedRow(r.media_id, width, height, resized.length.toLong,
+              codec.sampleFrames(r.payload, stride, frameBytes).length)
+        }
       }
     }.toDF()
   }
@@ -157,16 +265,25 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition init point (a real encoder session would load here)
       rows.map { r =>
+        // image rows histogram the DECODED raster samples (real
+        // pixels); everything else histograms payload bytes (the stub
+        // "samples"). Counts are integer-exact either way, so norm +
+        // division replay bit-for-bit in the oracle.
+        val samples: Array[Byte] =
+          if (r.kind == "image")
+            ImageCodec.tryDecode(r.payload)
+              .map(ImageCodec.graySamples).getOrElse(r.payload)
+          else r.payload
         val hist = new Array[Double](dim)
         var i = 0
-        while (i < r.payload.length) {
-          hist((r.payload(i) & 0xff) % dim) += 1.0
+        while (i < samples.length) {
+          hist((samples(i) & 0xff) % dim) += 1.0
           i += 1
         }
         // empty payload: deterministic basis vector, NOT all-zeros — a
         // zero norm would turn every downstream cosine into NaN, and
         // NaN sorts ABOVE all doubles in Spark's desc top-k windows
-        if (r.payload.isEmpty) hist(0) = 1.0
+        if (samples.isEmpty) hist(0) = 1.0
         val nrm = math.sqrt(hist.map(v => v * v).sum)
         EmbeddedRow(r.media_id, r.kind, hist.map(_ / nrm).toSeq)
       }
@@ -183,7 +300,18 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       val codec = FakeCodec
-      rows.map(r => (r.media_id, codec.perceptualHash(r.payload, bits)))
+      rows.map { r =>
+        // image rows: REAL pixel-grid pHash (8×8 cell-mean bits over
+        // the decoded raster — integer-exact, oracle-replayable);
+        // stub histogram hash otherwise.
+        val fp =
+          if (r.kind == "image")
+            ImageCodec.tryDecode(r.payload)
+              .map(img => ImageCodec.perceptualHash(img))
+              .getOrElse(codec.perceptualHash(r.payload, bits))
+          else codec.perceptualHash(r.payload, bits)
+        (r.media_id, fp)
+      }
     }.toDF("media_id", "fp")
   }
 
@@ -208,6 +336,8 @@ object Multimodal {
       col("meta.width").as("width"),
       col("meta.height").as("height"),
       col("meta.nFrames").as("n_frames"),
-      col("meta.sha").as("sha"))
+      col("meta.sha").as("sha"),
+      col("meta.nSamples").as("n_samples"),
+      col("meta.sampleSum").as("px_sum"))
   }
 }

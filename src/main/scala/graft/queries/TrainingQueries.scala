@@ -222,18 +222,27 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // Multimodal plumbing: binary payload synthesized from text, STUB
-    // decode in batched mapPartitions, metadata projected out.
+    // Media metadata with the IMAGE rows REAL: image-kind docs carry an
+    // actual gray PNG of their text bytes (ImageIO encode), and the
+    // decode path reads width/height/sample-sum back from REAL pixels.
+    // The oracle re-derives those values from (doc_id, text) alone —
+    // a sample-exact encode→decode round-trip check that never needs
+    // the oracle to touch a PNG. n_bytes/sha are excluded: PNG byte
+    // streams are encoder-private. Audio/video rows stay on the stub.
     "q29_media_meta" -> ((s, dir) => {
-      val media = Multimodal.synthesizeFromText(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.mediaMetaTable(s, media).orderBy(col("media_id"))
+      val media = Multimodal.synthesizeMixedMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.mediaMetaTable(s, media)
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_frames"), col("n_samples"), col("px_sum"))
+        .orderBy(col("media_id"))
     }),
 
-    // Media feature extraction (STUB encoder, real batched plumbing):
-    // byte-histogram unit-norm embeddings, exploded to scalar rows so
-    // the oracle compare stays component-wise.
+    // Media feature extraction: image rows histogram their REAL
+    // decoded raster (text bytes + the zero pad ImageIO hands back —
+    // the pad lands in bucket 0, which the oracle accounts for
+    // exactly); audio/video rows histogram payload bytes via the stub.
     "q66_media_embed" -> ((s, dir) => {
-      val media = Multimodal.synthesizeFromText(t(s, dir, "documents"), "doc_id", "text")
+      val media = Multimodal.synthesizeMixedMedia(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.mediaEmbeddings(s, media, dim = 16)
         .select(col("media_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
         .select(col("media_id"), col("pos").cast("long").as("pos"),
@@ -454,8 +463,12 @@ object TrainingQueries {
     // bit signature per payload, one fingerprint-keyed collapse — no
     // pair join. Byte-identical and near-identical payloads share fp.
     "q104_media_phash" -> ((s, dir) => {
-      val media = Multimodal.synthesizeFromText(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.collapseByFingerprint(Multimodal.mediaFingerprints(s, media, bits = 16))
+      // every doc as a REAL gray PNG; fp = the pixel-grid pHash read
+      // off the DECODED raster (8×8 cell-mean bits, integer-exact) —
+      // identical texts produce identical rasters, so exact dups
+      // collapse and the oracle replays the bits from the bytes.
+      val media = Multimodal.synthesizeGrayImages(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.collapseByFingerprint(Multimodal.mediaFingerprints(s, media))
         .orderBy(col("survivor_id"))
     }),
 
@@ -850,7 +863,10 @@ object TrainingQueries {
       // baseline runs on a deterministic slice; the full-corpus scale
       // path is cosinePairsLsh over a PERSISTED embedding table
       // (write mediaEmbeddings to parquet first — then q48's shape).
-      val media = Multimodal.synthesizeFromText(
+      // the % 3 == 0 slice is exactly the IMAGE rows, so every payload
+      // here is a real PNG and every embedding comes off a decoded
+      // raster (pad zeros in bucket 0 — mirrored in the oracle).
+      val media = Multimodal.synthesizeMixedMedia(
         t(s, dir, "documents").filter(col("doc_id") % 3 === 0), "doc_id", "text")
       val emb = Multimodal.mediaEmbeddings(s, media, dim = 16)
         .select(col("media_id"),
@@ -859,11 +875,14 @@ object TrainingQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Media transform ops: STUB resize + frame sampling through the
-    // batched mapPartitions plumbing (byte-level deterministic, so the
-    // truncation length / digest / frame count oracle-check exactly).
+    // Media transform ops: image rows take the REAL path — Graphics2D
+    // bilinear resize of an actual PNG, re-encode, then a re-DECODE so
+    // the reported dims/sample-count are read back from product pixels
+    // (the oracle predicts them; pixel-level resize quality is
+    // spec-checked, as bilinear arithmetic isn't SQL-replayable).
+    // Audio/video keep the stub's byte truncation + frame sampling.
     "q41_media_ops" -> ((s, dir) => {
-      val media = Multimodal.synthesizeFromText(t(s, dir, "documents"), "doc_id", "text")
+      val media = Multimodal.synthesizeMixedMedia(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.mediaTransformTable(s, media,
         width = 32, height = 64, stride = 2, frameBytes = 64)
         .orderBy(col("media_id"))
@@ -1115,18 +1134,35 @@ object TrainingQueries {
            SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosPre("a", "b")} AS cos
            FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND list_has_any(a.bk, b.bk))
          WHERE cos >= 0.45 ORDER BY id_a, id_b""",
+    // q29: image rows (doc_id % 3 = 0) carry REAL PNGs — width/height/
+    // n_samples/px_sum re-derived here from (doc_id, text) replicate
+    // what ImageIO reads back from actual pixels (raster = text bytes
+    // zero-padded to w*ceil(len/w)); audio/video rows replay the stub.
+    // n_bytes/sha excluded: PNG byte streams are encoder-private.
     "q29_media_meta" ->
-      """SELECT doc_id AS media_id,
-         (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-         strlen(text)::BIGINT AS n_bytes,
-         16 + ascii(substr(text,1,1)) * 16 + ascii(substr(text,2,1)) AS width,
-         16 + ascii(substr(text,3,1)) * 16 + ascii(substr(text,4,1)) AS height,
-         (strlen(text) // 1024 + 1)::INT AS n_frames,
-         md5(text) AS sha
-         FROM documents ORDER BY media_id""",
-    // Mirrors mediaEmbeddings(dim=16) over synthesizeFromText: ASCII
-    // payload bytes == character codes, so the byte histogram is a
-    // char-code histogram; counts are integer-exact, so the norm and
+      """SELECT media_id, kind,
+         (CASE WHEN kind = 'image' THEN w
+              ELSE 16 + ascii(substr(text,1,1)) * 16 + ascii(substr(text,2,1)) END)::INT AS width,
+         (CASE WHEN kind = 'image' THEN h
+              ELSE 16 + ascii(substr(text,3,1)) * 16 + ascii(substr(text,4,1)) END)::INT AS height,
+         (CASE WHEN kind = 'image' THEN 1 ELSE len // 1024 + 1 END)::INT AS n_frames,
+         (CASE WHEN kind = 'image' THEN w * h ELSE len END)::BIGINT AS n_samples,
+         coalesce(list_sum([ascii(substr(text, i::INT, 1)) FOR i IN range(1, len + 1)]), 0)::BIGINT AS px_sum
+         FROM (
+           SELECT media_id, kind, text, len, w,
+             greatest(1, (len + w - 1) // w) AS h
+           FROM (
+             SELECT doc_id AS media_id,
+               (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+               text, strlen(text)::BIGINT AS len,
+               16 + (doc_id % 17) AS w
+             FROM documents))
+         ORDER BY media_id""",
+    // Mirrors mediaEmbeddings(dim=16) over synthesizeMixedMedia: ASCII
+    // payload bytes == character codes, so the histogram is a
+    // char-code histogram — and IMAGE rows (doc_id % 3 = 0) histogram
+    // their decoded raster, which appends w*h - len zero-pad samples
+    // to bucket 0. Counts are integer-exact, so the norm and
     // per-component division reproduce bit-for-bit.
     "q66_media_embed" ->
       """WITH chars AS (SELECT doc_id AS media_id,
@@ -1134,11 +1170,21 @@ object TrainingQueries {
            FROM documents),
          h AS (SELECT media_id, bucket, count(*)::DOUBLE AS c
                FROM chars GROUP BY media_id, bucket),
+         pad AS (SELECT doc_id AS media_id,
+             (CASE WHEN doc_id % 3 = 0 THEN
+               (16 + (doc_id % 17))
+                 * greatest(1, (strlen(text) + 16 + (doc_id % 17) - 1) // (16 + (doc_id % 17)))
+                 - strlen(text)
+             ELSE 0 END)::DOUBLE AS p
+           FROM documents),
          spine AS (SELECT doc_id AS media_id, unnest(range(0, 16)) AS bucket
                    FROM documents),
-         fullh AS (SELECT s.media_id, s.bucket, coalesce(h.c, 0.0) AS c
-                   FROM spine s LEFT JOIN h
-                     ON s.media_id = h.media_id AND s.bucket = h.bucket),
+         fullh AS (SELECT s.media_id, s.bucket,
+                     coalesce(h.c, 0.0)
+                       + CASE WHEN s.bucket = 0 THEN pd.p ELSE 0.0 END AS c
+                   FROM spine s
+                   LEFT JOIN h ON s.media_id = h.media_id AND s.bucket = h.bucket
+                   JOIN pad pd ON s.media_id = pd.media_id),
          n AS (SELECT media_id, sqrt(sum(c * c)) AS nrm FROM fullh GROUP BY media_id)
          SELECT f.media_id, f.bucket::BIGINT AS pos, round(f.c / n.nrm, 6) AS v
          FROM fullh f JOIN n ON f.media_id = n.media_id
@@ -1512,28 +1558,41 @@ object TrainingQueries {
                < floor(f.f * 1152921504606846976)::BIGINT
          ORDER BY a.vec_id""",
 
-    // q104: the same ascii%16 byte-bucket histogram as q66, thresholded
-    // at the bucket mean (c·16 >= n, exact ints) into a 16-bit
-    // fingerprint, then a fingerprint-keyed collapse.
+    // q104: the REAL pixel-grid pHash replayed from source bytes: the
+    // gray raster is the text bytes zero-padded to w*ceil(len/w); row
+    // r maps to mesh cell r*8//h, col c to c*8//w; bit bi*8+bj set iff
+    // cell-sum · n_total >= total-sum · n_cell (exact ints — the same
+    // cross-product compare ImageCodec.perceptualHash runs on decoded
+    // pixels). Bit 63 wraps HUGEINT → signed BIGINT like Scala's Long.
     "q104_media_phash" ->
-      """WITH chars AS (SELECT doc_id AS media_id,
-             unnest([ascii(substr(text, i, 1)) % 16 FOR i IN range(1, strlen(text)+1)]) AS bucket
+      """WITH geo AS (
+           SELECT doc_id AS media_id, text, strlen(text)::BIGINT AS len,
+             16 + (doc_id % 17) AS w,
+             greatest(1, (strlen(text) + 16 + (doc_id % 17) - 1) // (16 + (doc_id % 17))) AS h
            FROM documents),
-         h AS (SELECT media_id, bucket, count(*)::BIGINT AS c
-               FROM chars GROUP BY media_id, bucket),
-         spine AS (SELECT doc_id AS media_id, unnest(range(0, 16)) AS bucket
-                   FROM documents),
-         fullh AS (SELECT s.media_id, s.bucket, coalesce(h.c, 0)::BIGINT AS c
-                   FROM spine s LEFT JOIN h
-                     ON s.media_id = h.media_id AND s.bucket = h.bucket),
-         tot AS (SELECT media_id, sum(c)::BIGINT AS n FROM fullh GROUP BY media_id),
+         vals AS (
+           SELECT media_id,
+             ((k // w) * 8) // h AS bi,
+             ((k % w) * 8) // w AS bj,
+             CASE WHEN k < len THEN ascii(substr(text, k::INT + 1, 1)) ELSE 0 END AS v
+           FROM (SELECT media_id, text, len, w, h, unnest(range(0, w * h)) AS k FROM geo)),
+         blocks AS (
+           SELECT media_id, bi, bj, sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+           FROM vals GROUP BY 1, 2, 3),
+         tot AS (SELECT media_id, sum(s)::BIGINT AS stot, sum(c)::BIGINT AS ctot
+                 FROM blocks GROUP BY 1),
          fps AS (
-           SELECT f.media_id,
-             sum(CASE WHEN f.c * 16 >= t.n THEN 1::BIGINT << f.bucket ELSE 0 END)::BIGINT AS fp
-           FROM fullh f JOIN tot t ON f.media_id = t.media_id
-           GROUP BY f.media_id)
+           SELECT b.media_id,
+             sum(CASE WHEN b.s * t.ctot >= t.stot * b.c
+                 THEN 1::HUGEINT << (b.bi * 8 + b.bj)::INT ELSE 0::HUGEINT END) AS fph
+           FROM blocks b JOIN tot t ON b.media_id = t.media_id
+           GROUP BY b.media_id),
+         f2 AS (SELECT media_id,
+             (CASE WHEN fph >= 9223372036854775808 THEN fph - 18446744073709551616
+                   ELSE fph END)::BIGINT AS fp
+           FROM fps)
          SELECT fp, min(media_id)::BIGINT AS survivor_id, count(*)::BIGINT AS n_copies
-         FROM fps GROUP BY fp ORDER BY survivor_id""",
+         FROM f2 GROUP BY fp ORDER BY survivor_id""",
 
     // q103: same bigram model arithmetic as bigramCrossEntropyScores —
     // (1.0 - 0.7) written as the SAME foldable expression the Scala
@@ -1964,19 +2023,29 @@ object TrainingQueries {
            FROM short s JOIN n q ON q.vec_id = s.q_id JOIN n c ON c.vec_id = s.c_id)
          WHERE rank <= 5 ORDER BY q_id, rank""",
 
-    // Mirrors q80: q66's embedding derivation (rounded components),
-    // then the q26-style exact pair join at tau 0.999.
+    // Mirrors q80: q66's embedding derivation over REAL decoded
+    // rasters (the % 3 = 0 slice is exactly the image rows — pad
+    // zeros counted into bucket 0), then the q26-style exact pair
+    // join at tau 0.995.
     "q80_media_neardup" ->
       """WITH chars AS (SELECT doc_id AS media_id,
              unnest([ascii(substr(text, i, 1)) % 16 FOR i IN range(1, strlen(text)+1)]) AS bucket
            FROM documents WHERE doc_id % 3 = 0),
          h AS (SELECT media_id, bucket, count(*)::DOUBLE AS c
                FROM chars GROUP BY media_id, bucket),
+         pad AS (SELECT doc_id AS media_id,
+             ((16 + (doc_id % 17))
+               * greatest(1, (strlen(text) + 16 + (doc_id % 17) - 1) // (16 + (doc_id % 17)))
+               - strlen(text))::DOUBLE AS p
+           FROM documents WHERE doc_id % 3 = 0),
          spine AS (SELECT doc_id AS media_id, unnest(range(0, 16)) AS bucket
                    FROM documents WHERE doc_id % 3 = 0),
-         fullh AS (SELECT s.media_id, s.bucket, coalesce(h.c, 0.0) AS c
-                   FROM spine s LEFT JOIN h
-                     ON s.media_id = h.media_id AND s.bucket = h.bucket),
+         fullh AS (SELECT s.media_id, s.bucket,
+                     coalesce(h.c, 0.0)
+                       + CASE WHEN s.bucket = 0 THEN pd.p ELSE 0.0 END AS c
+                   FROM spine s
+                   LEFT JOIN h ON s.media_id = h.media_id AND s.bucket = h.bucket
+                   JOIN pad pd ON s.media_id = pd.media_id),
          nn AS (SELECT media_id, sqrt(sum(c * c)) AS nrm FROM fullh GROUP BY media_id),
          e AS (SELECT f.media_id, list(round(f.c / nn.nrm, 6) ORDER BY f.bucket) AS emb
                FROM fullh f JOIN nn ON f.media_id = nn.media_id GROUP BY f.media_id),
@@ -2143,14 +2212,19 @@ object TrainingQueries {
          WHERE doc_id NOT IN (SELECT doc_id FROM drops)
            AND lang_pred = 'en' AND quality >= 0.5
          ORDER BY doc_id""",
-    // q41: resize target = 32*64/64 = 32 bytes (< min doc length, so
-    // truncation-only and md5 matches a substring digest); frames of 64
-    // bytes sampled at stride 2 -> ceil(ceil(len/64)/2).
+    // q41: image rows (doc_id % 3 = 0) run the REAL resize path —
+    // Graphics2D bilinear to 32×64, PNG re-encode, re-decode — so
+    // resized dims/sample-count are read back from product pixels
+    // (32, 64, 2048, one frame). Stub rows: truncation resize to
+    // 32*64/64 = 32 bytes; frames of 64 bytes sampled at stride 2
+    // -> ceil(ceil(len/64)/2).
     "q41_media_ops" ->
       """SELECT doc_id AS media_id,
-         32 AS resized_bytes,
-         md5(substr(text, 1, 32)) AS resized_md5,
-         ((((strlen(text) + 63) // 64) + 1) // 2)::INT AS n_frames_sampled
+         32 AS resized_w,
+         64 AS resized_h,
+         (CASE WHEN doc_id % 3 = 0 THEN 2048 ELSE 32 END)::BIGINT AS resized_n,
+         (CASE WHEN doc_id % 3 = 0 THEN 1
+              ELSE (((strlen(text) + 63) // 64) + 1) // 2 END)::INT AS n_frames_sampled
          FROM documents ORDER BY media_id""",
     // q81: same BM25 arithmetic tree as Search.bm25TopK — constants
     // written as the SAME foldable expressions ((1.2 + 1.0), not 2.2:

@@ -137,4 +137,67 @@ class MultimodalSpec extends SparkSpec {
     assert(got.getString(1) === "audio") // 7 % 3 == 1
     assert(got.getLong(2) === "some text body".length.toLong)
   }
+
+  test("synthesizeMixedMedia: image rows are REAL PNGs that ImageIO decodes to the text bytes") {
+    val s = spark
+    import s.implicits._
+    val text = "real pixels from text bytes, padded with zeros to the last row"
+    val docs = Seq((6L, text), (7L, text)).toDF("doc_id", "text")
+    val meta = mediaMetaTable(s, synthesizeMixedMedia(docs, "doc_id", "text"))
+      .orderBy(col("media_id")).collect()
+    // id 6: image. w = 16 + 6 % 17 = 22, h = ceil(len/22)
+    val (w, h) = grayImageDims(6L, text.length)
+    assert(w === 22 && h === (text.length + 21) / 22)
+    val img = meta(0)
+    assert(img.getString(1) === "image")
+    assert(img.getInt(3) === w && img.getInt(4) === h) // TRUE decoded dims
+    assert(img.getInt(5) === 1) // one frame
+    assert(img.getLong(7) === w.toLong * h) // n_samples from the raster
+    assert(img.getLong(8) === text.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum,
+      "decoded sample sum must equal the source byte sum (pad adds zero)")
+    // PNG payload, not text bytes
+    assert(img.getLong(2) !== text.length.toLong, "image payload must be the PNG stream")
+    // id 7: audio — stub path, payload = text bytes
+    val aud = meta(1)
+    assert(aud.getString(1) === "audio")
+    assert(aud.getLong(2) === text.length.toLong)
+    assert(aud.getLong(8) === img.getLong(8), "stub sample sum = same byte sum")
+  }
+
+  test("mediaTransformTable: image rows resize through Graphics2D and re-decode to target dims") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((3L, "x" * 200), (4L, "y" * 200)).toDF("doc_id", "text")
+    val out = mediaTransformTable(s, synthesizeMixedMedia(docs, "doc_id", "text"),
+      width = 32, height = 64, stride = 2, frameBytes = 64)
+      .orderBy(col("media_id")).collect()
+    // id 3 = image: dims read back from the re-decoded product
+    assert(out(0).getInt(1) === 32 && out(0).getInt(2) === 64)
+    assert(out(0).getLong(3) === 2048L)
+    assert(out(0).getInt(4) === 1)
+    // id 4 = audio: stub truncation (32*64/64 = 32 bytes) + frame count
+    assert(out(1).getLong(3) === 32L)
+    assert(out(1).getInt(4) === ((200 + 63) / 64 + 1) / 2)
+  }
+
+  test("mediaFingerprints: image rows use the pixel pHash — exact dups and near-dups collide, different content doesn't") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val near = base.replaceFirst("quick", "quicl") // one byte, one level-ish
+    val diff = base.toUpperCase // same length, very different samples
+    // ids 0 and 17 share id % 17 = 0 -> identical geometry -> identical raster
+    val docs = Seq((0L, base), (17L, base), (34L, near), (51L, diff))
+      .toDF("doc_id", "text")
+    val media = synthesizeGrayImages(docs, "doc_id", "text")
+    val fps = mediaFingerprints(s, media).orderBy(col("media_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fps(0L) === fps(17L), "identical text + geometry must collide")
+    assert(fps(0L) === fps(34L), "a one-character edit must not move any cell mean across the global mean")
+    assert(fps(0L) !== fps(51L), "case-flipped content must not collide")
+    // and the Scala value equals ImageCodec applied directly (real decode ran)
+    val direct = ImageCodec.perceptualHash(ImageCodec.tryDecode(
+      grayImagePayload(0L, base.getBytes("UTF-8"))).get)
+    assert(fps(0L) === direct)
+  }
 }
