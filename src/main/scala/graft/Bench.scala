@@ -24,7 +24,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    def timeOnce(name: String): Double = {
+    def timeOnce(name: String): (Double, Boolean) = {
       // clear BEFORE timing, outside the clock: operators that persist
       // an intermediate (the dedup survivor maps) leak their cache
       // entries by design, and ~50 queries of accumulated storage
@@ -33,15 +33,26 @@ object Bench {
       // storage-empty, so the committed minimum reproduces standalone.
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // best of three measured passes per query: single runs swing up
     // to 4x under co-tenant load (r5 caught q53 at 4.4x its warm
-    // cost with best-of-two); the min is the engine's actual cost
+    // cost with best-of-two); the min is the engine's actual cost.
+    // A query that throws in ANY pass is a FAILURE: it is excluded
+    // from the per-query map (an analysis error takes ~2 ms and would
+    // masquerade as a 100x speedup — r8's five dead event queries) and
+    // forces a nonzero exit so the driver records a failed run, not a
+    // smaller-but-plausible success artifact.
     val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
-    val results = names.map(n => n -> passes.map(_(n)).min)
+    val failed = names.filter(n => passes.exists(p => !p(n)._2))
+    val results = names.filterNot(failed.contains)
+      .map(n => n -> passes.map(_(n)._1).min)
     // millisecond precision; Locale.ROOT: the f-interpolator honors
     // the default locale, and a comma decimal separator would corrupt
     // the JSON.
@@ -49,18 +60,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // The full per-query map goes to a FILE (committed with the repo)
-    // AND to stdout when it fits: the 9-decimal map once overflowed the
-    // driver's bounded tail capture, but at ms precision ~120 queries
-    // is ~3.5 KB — well inside it. Guard anyway: past 8 KB fall back to
-    // the short total+count+path line so the tail never truncates JSON.
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Full-name per-query map goes to a FILE (committed with the repo).
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(fullPath, fullLine)
-    if (fullLine.length <= 8192) println(fullLine)
-    else println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_file":"${fullPath.toString}","sf":"$sfDir"}""")
+    // stdout gets a COMPACT line sized for the driver's bounded tail
+    // capture: every BENCH_r{1..8}.json has a 2000-char tail and
+    // parsed:null — the ~3.6 KB full-name map never fit, and sbt's
+    // trailing "[success] Total time" line eats ~70 more chars. Short
+    // keys (the unique qNN prefix) keep 121 queries ≈1.6 KB, so the
+    // whole line survives inside the window; past 1850 chars fall back
+    // to the totals-only line rather than risk mid-line truncation.
+    val shortQs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedArr,"queries":$shortQs,"queries_file":"${fullPath.toString}","sf":"$sfDir"}"""
+    val line = if (compact.length <= 1850) compact
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedArr,"queries_file":"${fullPath.toString}","sf":"$sfDir"}"""
+    println(line)
+    System.out.flush()
     spark.stop()
+    // Incomplete coverage IS a run failure: the driver must never
+    // record a green artifact over a bench where queries died.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

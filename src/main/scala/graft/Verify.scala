@@ -18,6 +18,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Debug aid: SPARK_GRAFT_ONLY=q59_dup_spans,q23_... limits the dump.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A query that throws must be a LOUD failure, not a silently absent
+    // parquet dir (r8: five queries vanished from the correctness
+    // artifact with no failure marker). Record every failure and exit
+    // nonzero so the driver's gate sees an incomplete dump as a failed
+    // run, never as a smaller-but-green one.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,6 +31,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +49,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Explicit per-failure record next to the dump, so a crashed query
+    // is distinguishable from a never-declared one in the artifact dir.
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

@@ -30,21 +30,34 @@ object Tables {
   }
 
   private def doLoad(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(path)
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as
-    // Long (spark.sql.legacy.parquet.nanosAsLong=true, set in every
-    // session builder here). The data is µs-resolution, so converting
-    // nanos→micros is lossless.
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
-        // INTEGER division (`div`), not `/`: long `/` promotes to double,
-        // and doubles can't hold epoch-nanos (~1.7e18 > 2^53) — the
-        // round-trip drifts the last microsecond digit vs DuckDB's
-        // exact epoch_us truncation.
+    // The driver has regenerated events.parquet with different physical
+    // ts types across rounds; normalize them all to the session-TZ
+    // (UTC) TIMESTAMP type here, at the single load point, so every
+    // query can use `unix_micros(ts)` etc. without caring which
+    // generation of testdata it reads.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        // parquet TIMESTAMP(NANOS) read as Long
+        // (spark.sql.legacy.parquet.nanosAsLong=true, set in every
+        // session builder here); the data is µs-resolution so
+        // nanos→micros is lossless. INTEGER division (`div`), not `/`:
+        // long `/` promotes to double, and doubles can't hold
+        // epoch-nanos (~1.7e18 > 2^53) — the round-trip drifts the last
+        // microsecond digit vs DuckDB's exact epoch_us truncation.
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        // parquet timestamp[us] WITHOUT isAdjustedToUTC reads as
+        // TIMESTAMP_NTZ, which unix_micros rejects. Under the UTC
+        // session timezone (set in every builder here) the cast keeps
+        // the wall clock — identical epoch micros to DuckDB's epoch_us
+        // on the same naive value.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 
