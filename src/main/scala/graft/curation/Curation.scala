@@ -236,7 +236,8 @@ object Curation {
     // different action subtrees (the chain probe inside collapsePairs
     // fires first), so without the cache the scan + content-hash
     // aggregate + semi-join run twice end to end
-    val exactKept = docs.join(survivors, Seq(idCol), "left_semi").persist()
+    val exactKept = graft.core.CacheScope.track(
+      docs.join(survivors, Seq(idCol), "left_semi").persist())
     val pairs = Dedup.jaccardPairs(exactKept, idCol, textCol, n, tau)
     val drops = Dedup.collapsePairs(pairs).select(col("drop").as(idCol))
     val kept = exactKept.join(drops, Seq(idCol), "left_anti")
@@ -547,9 +548,10 @@ object Curation {
     // both stats joins) — without the cache each reference re-runs
     // the corpus tokenize+explode (the KN sibling persists its bigram
     // table for the same reason)
-    val uni = df.select(explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .persist()
+    val uni = graft.core.CacheScope.track(
+      df.select(explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .persist())
     val totals = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val stats = bi
@@ -593,8 +595,9 @@ object Curation {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, "absolute discount must be in (0,1)")
     val pairs = bigramPairs(df, idCol, textCol)
-    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .persist() // model-sized; four rollups below would re-tokenize the corpus
+    val bi = graft.core.CacheScope.track(
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .persist()) // model-sized; four rollups below would re-tokenize the corpus
     val left = bi.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val right = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))

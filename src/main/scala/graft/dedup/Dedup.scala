@@ -880,8 +880,10 @@ object Dedup {
     * the changed-label set. Deterministic: min is order-free.
     *
     * Cache lifecycle: above the local threshold the returned labels
-    * stay persisted (the caller's consumption reads them); release
-    * with unpersist/clearCache when done, like the collapse family's
+    * stay persisted (the caller's consumption reads them). Consume
+    * inside [[graft.core.CacheScope.withReleased]] and the storage is
+    * released when the bracket closes; outside a bracket, release with
+    * unpersist/clearCache when done, like the collapse family's
     * survivor maps.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 64,
@@ -986,6 +988,7 @@ object Dedup {
     require(!changed,
       s"connectedComponents did not converge within $maxIters rounds")
     edges.unpersist(blocking = false)
+    graft.core.CacheScope.track(labels)
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
   }
 
@@ -997,6 +1000,10 @@ object Dedup {
     * the drop in some fixed total order (min-id or best-score), which
     * makes chains acyclic. The fast path costs a single semi-join
     * emptiness probe.
+    *
+    * Cache lifecycle: the returned mapping stays persisted for the
+    * caller's consumption; a [[graft.core.CacheScope.withReleased]]
+    * bracket around build-and-consume releases it deterministically.
     */
   /** Survivor maps at or under this row count resolve driver-side (one
     * collect + an in-memory walk) instead of spawning per-round probe
@@ -1067,6 +1074,6 @@ object Dedup {
     // the loop condition materialized the returned mapping's cache, so
     // the second-to-last generation can release its storage
     prev.foreach(_.unpersist(blocking = false))
-    mapping
+    graft.core.CacheScope.track(mapping)
   }
 }

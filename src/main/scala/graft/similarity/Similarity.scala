@@ -339,7 +339,7 @@ object Similarity {
     // collect below and the scoring join — without it the query×
     // centroid stage would run twice. Bounded: |Q|·nprobe rows, the
     // small side by this operator's premise.
-    probes.persist()
+    graft.core.CacheScope.track(probes.persist())
     // bounded collect: the probed-cell union is at most nlist values
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getLong(0)).sorted
