@@ -1,0 +1,183 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** On-disk MinHash-LSH index: write-once / probe-many near-duplicate
+  * detection for INCREMENTAL ingestion — the dedup-plane mirror of
+  * [[graft.similarity.Similarity.writeIvfIndex]].
+  *
+  * [[Dedup.minhashLshPairs]] and [[Dedup.jaccardPairsAgainst]] re-shingle
+  * and re-sign the full reference corpus on every call; at 100 TB an
+  * ingestion service admitting small batches cannot pay that per batch.
+  * [[write]] materializes the expensive per-document work ONCE:
+  *
+  *  - `buckets/` — one (doc, bucket) row per LSH band bucket, stored
+  *    `PARTITIONED BY` a bounded hash of the bucket key (`pb`), so a
+  *    probe whose batch touches few band buckets reads only the matching
+  *    `pb=` directories — partition pruning at the file-listing level,
+  *    the storage analog of an inverted index's posting groups;
+  *  - `sigs/` — each document's sorted shingle-hash array, so candidate
+  *    verification joins stored arrays instead of re-deriving them from
+  *    reference text;
+  *  - `_meta/` — the sketch parameters (n, numHashes, bands,
+  *    numPartitions), read back by [[probe]] and [[append]] so an index
+  *    can never be probed or extended with mismatched parameters.
+  *
+  * [[probe]] computes batch-side sketches (batch-sized work only), prunes
+  * the bucket table to the batch's `pb` values, broadcast-joins the
+  * batch's buckets against the pruned scan (the index side never
+  * shuffles), and verifies candidates by exact Jaccard against `sigs/`.
+  * Output equals the cross-corpus restriction of in-memory
+  * [[Dedup.minhashLshPairs]] over (reference ∪ batch) — same band
+  * buckets, same candidates, same verification (LshIndexSpec asserts
+  * the equality).
+  *
+  * [[append]] folds an admitted batch into the index by appending its
+  * bucket and signature rows — dynamic-partition appends into the same
+  * `pb=` layout, no rewrite of existing data. probe → filter survivors →
+  * append is the incremental-ingestion loop.
+  */
+object LshIndex {
+
+  /** Build the index at `path` from `corpus`. One corpus scan computes
+    * shingles, band keys, and sorted shingle hashes; the exploded
+    * bucket rows and the per-doc signature rows are written side by
+    * side. `numPartitions` bounds the `pb=` directory count — size it
+    * so one partition's bucket rows fit an executor's scan budget
+    * (bucket rows are ~(16 bytes + key) × bands per doc).
+    */
+  def write(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      numPartitions: Int = 64): Unit = {
+    require(numPartitions >= 1)
+    val spark = corpus.sparkSession
+    writeRows(corpus, idCol, textCol, path, n, numHashes, bands,
+      numPartitions, overwrite = true)
+    val meta = spark.createDataFrame(Seq(
+        (n, numHashes, bands, numPartitions)))
+      .toDF("n", "num_hashes", "bands", "num_partitions")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Append `batch` to an existing index — same parameters (from
+    * `_meta/`), dynamic-partition append into the `pb=` layout. The
+    * caller is responsible for id uniqueness across appends (duplicate
+    * ids would double-count their buckets).
+    */
+  def append(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val m = readMeta(spark, path)
+    writeRows(batch, idCol, textCol, path, m.n, m.numHashes, m.bands,
+      m.numPartitions, overwrite = false)
+  }
+
+  /** Near-dup pairs between `batch` and the indexed reference corpus:
+    * (ref_id, new_id, jaccard) with exact Jaccard >= `tau` among LSH
+    * candidates (docs sharing >= 1 band bucket). Within-batch pairs are
+    * NOT emitted (run [[Dedup.minhashLshPairs]] on the batch for those
+    * — it is batch-sized work).
+    *
+    * Scale shape: batch sketches are computed once and persisted
+    * (batch-sized); the index scan is pruned to the batch's `pb`
+    * partitions; the candidate join broadcasts the batch's bucket rows
+    * (the premise of incremental ingestion is batch ≪ reference — for
+    * a reference-sized "batch" use [[Dedup.minhashLshPairs]] on the
+    * union instead); verification joins the bounded candidate list
+    * against stored signatures. The reference corpus is never
+    * re-shingled.
+    *
+    * @param maxBucketDocFreq drop band buckets holding more than this
+    *   many REFERENCE docs (counted on the pruned scan — exact per
+    *   bucket, since a bucket's rows live in exactly one `pb`
+    *   partition): the same hot-template guard and recall caveat as
+    *   [[Dedup.minhashLshPairs]].
+    */
+  def probe(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      tau: Double = 0.5,
+      maxBucketDocFreq: Option[Int] = None): DataFrame = {
+    val m = readMeta(spark, path)
+    val bsh = batch.select(col(idCol).as("new_id"),
+      TextFunctions.shingles(col(textCol), m.n).as("sh"),
+      graft.functions.SketchFunctions
+        .sorted_shingle_hashes(col(textCol), m.n).as("shs"))
+    // persisted: the bucket rows feed the bounded pb-collect AND the
+    // candidate join; without the cache the batch re-shingles per
+    // consumer. Registered with CacheScope, released by the caller's
+    // bracket.
+    val bBuckets = graft.core.CacheScope.track(
+      bsh.select(col("new_id"),
+          explode(Dedup.lshBandKeys(col("sh"), m.numHashes, m.bands)).as("bucket"))
+        .withColumn("pb", pb(col("bucket"), m.numPartitions))
+        .persist())
+    // bounded collect: at most numPartitions distinct values
+    val pbs = bBuckets.select(col("pb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(s"$path/buckets")
+      .filter(col("pb").isin(pbs.map(Integer.valueOf).toIndexedSeq: _*))
+    val guarded = graft.core.Skew.dropHotKeys(idx, "bucket", maxBucketDocFreq)
+    val candidates = guarded
+      .join(broadcast(bBuckets.select(col("new_id"), col("bucket"))), Seq("bucket"))
+      .select(col("doc").as("ref_id"), col("new_id"))
+      .distinct()
+    val refArrs = spark.read.parquet(s"$path/sigs")
+      .select(col("doc").as("ref_id"), col("nsh").as("na"), col("shs").as("sa"))
+    val batchArrs = bsh
+      .select(col("new_id"), size(col("shs")).as("nb"), col("shs").as("sb"))
+    candidates
+      .join(refArrs, "ref_id")
+      .join(batchArrs, "new_id")
+      .withColumn("c",
+        graft.functions.SketchFunctions.intersect_count_sorted(col("sa"), col("sb")))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("ref_id"), col("new_id"), col("jaccard"))
+  }
+
+  private def pb(bucket: org.apache.spark.sql.Column, parts: Int) =
+    pmod(xxhash64(bucket), lit(parts.toLong)).cast("int")
+
+  private def writeRows(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      n: Int, numHashes: Int, bands: Int, numPartitions: Int,
+      overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val sh = df.select(col(idCol).as("doc"),
+      TextFunctions.shingles(col(textCol), n).as("sh"),
+      graft.functions.SketchFunctions
+        .sorted_shingle_hashes(col(textCol), n).as("shs"))
+    sh.select(col("doc"),
+        explode(Dedup.lshBandKeys(col("sh"), numHashes, bands)).as("bucket"))
+      .withColumn("pb", pb(col("bucket"), numPartitions))
+      .write.mode(mode).partitionBy("pb").parquet(s"$path/buckets")
+    sh.select(col("doc"), size(col("shs")).as("nsh"), col("shs"))
+      .write.mode(mode).parquet(s"$path/sigs")
+  }
+
+  private case class Meta(n: Int, numHashes: Int, bands: Int, numPartitions: Int)
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val r = spark.read.parquet(s"$path/_meta")
+      .select(col("n"), col("num_hashes"), col("bands"), col("num_partitions"))
+      .collect()(0)
+    Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+}

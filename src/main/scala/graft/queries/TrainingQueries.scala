@@ -298,6 +298,22 @@ object TrainingQueries {
         .orderBy(col("source"), col("len_bucket"))
     }),
 
+    // On-disk LSH index: write-once band-bucket-partitioned MinHash
+    // postings + signatures, then an incremental batch probe that
+    // prunes to its pb partitions and never re-shingles the reference.
+    // Same split as q55; same exact-Jaccard oracle (LSH recall is 1 on
+    // this corpus's bimodal similarity distribution — q24's argument).
+    "q122_lsh_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("lshidx_q").toString
+      graft.dedup.LshIndex.write(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", tmp, n = 3, numHashes = 64, bands = 16,
+        numPartitions = 16)
+      graft.dedup.LshIndex.probe(s, tmp,
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", tau = 0.5)
+        .orderBy(col("ref_id"), col("new_id"))
+    }),
+
     // Cross-corpus novelty (data valuation of an incoming batch):
     // fraction of each new doc's shingles the existing corpus has
     // never seen — reference grams broadcast, batch explodes once.
@@ -1257,6 +1273,21 @@ object TrainingQueries {
            floor(log2(greatest(len(string_split(text, ' ')), 1)::DOUBLE))::BIGINT AS len_bucket,
            count(*)::BIGINT AS n
          FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""",
+
+    // q122: the indexed probe must equal the exact cross-corpus pair
+    // set (q55's oracle verbatim — same split, same tau).
+    "q122_lsh_index" ->
+      """WITH sh AS (SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [text]
+                  ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS sh
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+         SELECT ref_id, new_id, j AS jaccard FROM (
+           SELECT r.doc_id AS ref_id, b.doc_id AS new_id,
+                  round(len(list_intersect(r.sh, b.sh))::DOUBLE
+                        / len(list_distinct(list_concat(r.sh, b.sh))), 6) AS j
+           FROM sh r JOIN sh b ON r.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
+         WHERE j >= 0.5 ORDER BY ref_id, new_id""",
 
     // q118: q115's shingle definition on both sides; known = the gram
     // exists in the standing (doc_id % 5 != 0) corpus.
