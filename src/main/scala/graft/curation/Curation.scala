@@ -452,6 +452,72 @@ object Curation {
         size(split(col("c.txt"), " ")).cast("long").as("n_words"))
   }
 
+  /** Boundary-aware document chunking: greedy non-overlapping cuts
+    * every `window` tokens, with each cut SNAPPED BACK to the latest
+    * sentence separator (a token matching `sepPattern`, default
+    * `.`/`!`/`?`-terminated) within `tolerance` tokens — the
+    * mid-sentence-cut fix real packing pipelines apply; past the
+    * tolerance the hard cut stands, so a separator-free document
+    * chunks exactly like [[chunkDocuments]] with stride=window. The
+    * next chunk starts right after the snapped cut (no token is lost
+    * or duplicated); the final partial chunk is never snapped.
+    *
+    * Scale shape: map-only like the fixed-grid form — the greedy cut
+    * list folds per document with one `aggregate` HOF over token
+    * positions (no window function, no shuffle, no per-chunk rescan),
+    * then explodes to (doc_id, chunk_id, start_pos, chunk_text,
+    * n_words). Data-dependent cut points are inherently sequential
+    * PER DOCUMENT; the fold keeps that sequence inside one row's
+    * evaluation, so documents still chunk embarrassingly parallel.
+    */
+  def chunkDocumentsSnapped(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int, tolerance: Int,
+      sepPattern: String = "[.!?]$"): DataFrame = {
+    require(window >= 1, "window must be positive")
+    require(tolerance >= 0 && tolerance < window,
+      "tolerance must be in [0, window) — snapping may only shrink a chunk")
+    val sep = sepPattern.replace("'", "''")
+    // fold state: lc = last cut position, ls = latest separator seen,
+    // cuts = emitted cut positions. At i = lc + window the cut lands on
+    // ls when ls is inside (lc, i] and within tolerance of i, else on i
+    // (hard cut). ls refreshes BEFORE the cut test so a separator at
+    // the cut point itself snaps cleanly; stale ls values invalidate
+    // via the ls > lc guard (lc only grows).
+    def e(stLc: String, ls1: String, i: String) =
+      s"IF($ls1 > $stLc AND $i - $ls1 <= $tolerance, $ls1, $i)"
+    val ls1 = s"IF(element_at(t, int(i)) rlike '$sep', i, st.ls)"
+    val foldExpr =
+      s"""IF(size(t) < 1, cast(array() as array<bigint>),
+        aggregate(
+          sequence(bigint(1), bigint(size(t))),
+          struct(bigint(0) as lc, bigint(0) as ls,
+                 cast(array() as array<bigint>) as cuts),
+          (st, i) -> struct(
+            IF(i - st.lc = $window, ${e("st.lc", ls1, "i")}, st.lc) as lc,
+            $ls1 as ls,
+            IF(i - st.lc = $window,
+               concat(st.cuts, array(${e("st.lc", ls1, "i")})),
+               st.cuts) as cuts),
+          st -> IF(bigint(size(t)) > st.lc,
+                   concat(st.cuts, array(bigint(size(t)))), st.cuts)))"""
+    df.select(col(idCol).as("doc_id"),
+        graft.text.TextFunctions.tokens(col(textCol)).as("t"))
+      .withColumn("cuts", expr(foldExpr))
+      .select(col("doc_id"), col("t"),
+        posexplode(expr(
+          """transform(cuts, (c, i) ->
+               struct(IF(i = 0, bigint(1), element_at(cuts, i) + 1) as s,
+                      c as e))"""))
+          .as(Seq("i0", "ch")))
+      .select(col("doc_id"),
+        (col("i0") + 1).cast("long").as("chunk_id"),
+        col("ch.s").as("start_pos"),
+        expr("concat_ws(' ', slice(t, int(ch.s), int(ch.e - ch.s + 1)))")
+          .as("chunk_text"),
+        (col("ch.e") - col("ch.s") + lit(1L)).as("n_words"))
+  }
+
   /** CCNet-style language-model quality scoring (Wenzek et al. 2020,
     * arXiv:1911.00359 — there via KenLM): per-document unigram
     * cross-entropy under the corpus' OWN unigram model with add-one

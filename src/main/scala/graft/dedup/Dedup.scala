@@ -519,6 +519,19 @@ object Dedup {
     * fan out quadratically; None = exact), and run merging is one
     * window over (pair, diagonal) — per-pair work bounded by the
     * shorter document, never corpus-wide.
+    *
+    * Boundary exactness: spans are WORD-exact, not gram-grid-quantized,
+    * because gram extraction is stride-1 (every word position starts a
+    * gram). A maximal shared word run of length L >= n contributes
+    * matching grams at every diagonal offset 0..L-n, so the island's
+    * min(pos) is the run's first word and count+n-1 = L exactly — L
+    * need not be a multiple of n, and no ±(n-1) re-extension against
+    * the token arrays is required (that step belongs to STRIDED/sampled
+    * gram schemes, which trade it for a smaller posting table). Runs
+    * shorter than n are below the gram resolution by construction —
+    * the `minSpanWords >= n` require states that contract.
+    * DedupSpec("maximal shared spans are word-exact...") pins this with
+    * run lengths that are not gram multiples.
     */
   def maximalSharedSpans(
       df: DataFrame, idCol: String, textCol: String,
@@ -990,6 +1003,58 @@ object Dedup {
     edges.unpersist(blocking = false)
     graft.core.CacheScope.track(labels)
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+  }
+
+  /** Fold a NEW edge batch into an existing [[connectedComponents]]
+    * labeling without recomputing from the full edge set — the
+    * streaming-ingest shape: a dedup service holding labels over 100 TB
+    * of resolved pairs cannot re-run every historical pair per admitted
+    * batch.
+    *
+    * Correctness rests on the labeling being a valid graph CONTRACTION:
+    * two old nodes are connected in (oldEdges ∪ newPairs) iff their
+    * components are connected through new edges alone. So each new
+    * edge's endpoints map to their existing component id (unseen nodes
+    * map to themselves), [[connectedComponents]] runs on that
+    * contracted, BATCH-SIZED edge set, and the resulting super-labels
+    * broadcast back over the standing labeling. Labels stay min-id
+    * exact: an old component's id is the min of its members, so the
+    * merged component's min over (component ids ∪ new node ids) equals
+    * the min over all member nodes — identical to a full recompute on
+    * the unioned edge set (spec-asserted, including batches that merge
+    * old components and batches whose new node undercuts an old min).
+    *
+    * Scale shape: two batch-keyed lookup joins to contract endpoints, a
+    * batch-sized CC, one broadcast join to relabel (touched components
+    * ≤ 2·|batch|, so nothing corpus-sized shuffles), and a batch-keyed
+    * anti join admitting genuinely-new nodes. Rows of untouched
+    * components pass through label-unchanged.
+    */
+  def connectedComponentsIncremental(
+      labels: DataFrame, // (doc_id, component_id)
+      newPairs: DataFrame, // (doc_a, doc_b)
+      maxIters: Int = 64,
+      localLimit: Long = LocalResolveRows): DataFrame = {
+    val l = labels.select(col("doc_id"), col("component_id"))
+    val contracted = newPairs
+      .join(l.select(col("doc_id").as("doc_a"), col("component_id").as("_ca")),
+        Seq("doc_a"), "left")
+      .join(l.select(col("doc_id").as("doc_b"), col("component_id").as("_cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("_ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("_cb"), col("doc_b")).as("doc_b"))
+    // (old component id | new node) -> merged super label
+    val superMap = connectedComponents(contracted, maxIters, localLimit)
+      .select(col("doc_id").as("_cid"), col("component_id").as("_super"))
+    val relabeledOld = l
+      .join(broadcast(superMap.withColumnRenamed("_cid", "component_id")),
+        Seq("component_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_super"), col("component_id")).as("component_id"))
+    val newNodes = superMap
+      .join(l.select(col("doc_id").as("_cid")), Seq("_cid"), "left_anti")
+      .select(col("_cid").as("doc_id"), col("_super").as("component_id"))
+    relabeledOld.unionByName(newNodes)
   }
 
   /** Follow keeper chains in a (keep, drop) mapping to their roots by

@@ -433,6 +433,21 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental connected components: the q107 pair set split into a
+    // standing half (hash-even pairs) and an admitted batch (the rest);
+    // the batch folds into the standing labeling through the contracted
+    // batch-sized CC + broadcast relabel — and the result must equal
+    // the full recompute, so q107's recursive-CTE oracle gates it
+    // unchanged.
+    "q123_components_incremental" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5).select(col("doc_a"), col("doc_b"))
+      val split = pmod(xxhash64(col("doc_a"), col("doc_b")), lit(2))
+      val standing = Dedup.connectedComponents(pairs.filter(split === 0))
+      Dedup.connectedComponentsIncremental(standing, pairs.filter(split === 1))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization + host-level caps: messy synthetic URLs
     // (case, www, default ports, tracking params, fragments, trailing
     // slashes) canonicalize map-side, then capPerGroup keys on the
@@ -674,6 +689,16 @@ object TrainingQueries {
     "q64_chunking" -> ((s, dir) => {
       Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
         window = 50, stride = 40)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Boundary-aware chunking: greedy 50-token cuts snapped back (<=8
+    // tokens) to the latest sentence-final token — the mid-sentence-cut
+    // fix; separator-free docs fall back to the hard grid. Map-only
+    // per-doc fold, oracle replays the same greedy walk recursively.
+    "q124_chunk_snapped" -> ((s, dir) => {
+      Curation.chunkDocumentsSnapped(t(s, dir, "documents"), "doc_id", "text",
+        window = 50, tolerance = 8)
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
@@ -1509,6 +1534,20 @@ object TrainingQueries {
          SELECT node AS doc_id, min(reach)::BIGINT AS component_id
          FROM walk GROUP BY node ORDER BY doc_id""",
 
+    // q123: identical final labeling to q107 — incremental fold ==
+    // full recompute is the operator's contract.
+    "q123_components_incremental" ->
+      s"""WITH RECURSIVE $shingleCteBody, $jaccardPairsCte,
+         e AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT x AS node FROM e),
+         walk(node, reach) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT w.node, e.y FROM walk w JOIN e ON w.reach = e.x)
+         SELECT node AS doc_id, min(reach)::BIGINT AS component_id
+         FROM walk GROUP BY node ORDER BY doc_id""",
+
     // q106: the canonicalization steps replayed CTE-by-CTE (fragment,
     // tracking-param rebuild, prefix lowering/www/port strip, trailing
     // slash), then q69's hash-ranked cap keyed on the host.
@@ -1894,6 +1933,35 @@ object TrainingQueries {
          SELECT doc_id, chunk_id, start_pos, chunk_text,
            len(string_split(chunk_text, ' '))::BIGINT AS n_words
          FROM e ORDER BY doc_id, chunk_id""",
+
+    // q124: the greedy snapped walk replayed as a recursive CTE — each
+    // step's cut is the latest separator token inside the tolerance
+    // window of lc+50, else the hard cut; tails never snap.
+    "q124_chunk_snapped" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, string_split(text, ' ') AS t,
+                  len(string_split(text, ' '))::BIGINT AS n
+           FROM documents),
+         ch AS (
+           SELECT doc_id, t, n, 0::BIGINT AS lc, 0::BIGINT AS chunk_id,
+                  NULL::BIGINT AS s, NULL::BIGINT AS e
+           FROM d
+           UNION ALL
+           SELECT doc_id, t, n, e_new, chunk_id + 1, lc + 1, e_new
+           FROM (
+             SELECT doc_id, t, n, lc, chunk_id,
+               CASE WHEN lc + 50 <= n THEN
+                 coalesce(
+                   list_max(list_filter(range(greatest(lc + 1, lc + 50 - 8), lc + 50 + 1),
+                     p -> regexp_matches(t[p::INT], '[.!?]$'))),
+                   lc + 50)
+               ELSE n END AS e_new
+             FROM ch WHERE lc < n))
+         SELECT doc_id, chunk_id, s AS start_pos,
+           array_to_string(list_slice(t, s, e), ' ') AS chunk_text,
+           (e - s + 1)::BIGINT AS n_words
+         FROM ch WHERE chunk_id > 0
+         ORDER BY doc_id, chunk_id""",
 
     // Mirrors dsirLogWeights(target = lang 'de'): per-word smoothed
     // log-ratio rounded to 6dp, summed as DECIMAL for order

@@ -208,6 +208,61 @@ class CurationSpec extends SparkSpec {
       (3L, 2L, 5L, "w5 w6 w7 w8")))
   }
 
+  test("chunkDocumentsSnapped: snap within tolerance, hard cut past it") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // separator at word 6, window 8, tolerance 3: cut 8 snaps back to
+      // 6 (2 <= 3); next chunk starts at 7 — nothing lost or duplicated
+      (1L, "w1 w2 w3 w4 w5 six. w7 w8 w9 w10 w11 w12"),
+      // separator at word 4 is 4 > tolerance away from cut 8: hard cut
+      (2L, "w1 w2 w3 four. w5 w6 w7 w8 w9 w10"),
+      // no separators at all: identical to the fixed grid
+      (3L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      // separator exactly at the cut point: clean sentence boundary
+      (4L, "w1 w2 w3 w4 w5 w6 w7 eight. w9 w10"),
+      // shorter than window: one unsnapped tail chunk even with a sep
+      (5L, "a b. c"))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkDocumentsSnapped(docs, "doc_id", "text",
+        window = 8, tolerance = 3)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1L, "w1 w2 w3 w4 w5 six.", 6L),
+      (1L, 2L, 7L, "w7 w8 w9 w10 w11 w12", 6L),
+      (2L, 1L, 1L, "w1 w2 w3 four. w5 w6 w7 w8", 8L),
+      (2L, 2L, 9L, "w9 w10", 2L),
+      (3L, 1L, 1L, "w1 w2 w3 w4 w5 w6 w7 w8", 8L),
+      (3L, 2L, 9L, "w9 w10", 2L),
+      (4L, 1L, 1L, "w1 w2 w3 w4 w5 w6 w7 eight.", 8L),
+      (4L, 2L, 9L, "w9 w10", 2L),
+      (5L, 1L, 1L, "a b. c", 3L)))
+    // successive snapped cuts chain: each window measures from the
+    // PREVIOUS snapped cut, not the fixed grid
+    val chained = Curation.chunkDocumentsSnapped(
+        Seq((1L, "w1 w2 w3 w4 w5 six. w7 w8 w9 w10 w11 twelve. w13 w14"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", window = 8, tolerance = 3)
+      .orderBy(col("chunk_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(chained.toSeq === Seq(
+      (1L, 1L, "w1 w2 w3 w4 w5 six."),
+      (2L, 7L, "w7 w8 w9 w10 w11 twelve."), // cut 6+8=14 snaps to 12
+      (3L, 13L, "w13 w14")))
+    // tolerance 0 degenerates to the fixed grid
+    val grid = Curation.chunkDocumentsSnapped(docs, "doc_id", "text",
+        window = 8, tolerance = 0)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(grid.toSeq === Seq(
+      (1L, 1L, 8L), (1L, 9L, 4L),
+      (2L, 1L, 8L), (2L, 9L, 2L),
+      (3L, 1L, 8L), (3L, 9L, 2L),
+      (4L, 1L, 8L), (4L, 9L, 2L),
+      (5L, 1L, 3L)))
+  }
+
   test("mixCorpusBy: token mass drives the budget, not row counts") {
     val s = spark
     import s.implicits._

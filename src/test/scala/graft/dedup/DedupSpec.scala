@@ -399,6 +399,39 @@ class DedupSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("maximal shared spans are word-exact when the run is not a gram multiple") {
+    val s = spark
+    import s.implicits._
+    // stride-1 grams make starts and lengths word-exact: a 13-word run
+    // with n=8 (13 = 1×8+5, not a multiple) reports start/length to the
+    // word, with no ±(n-1) grid snap at either end
+    val run13 = (1 to 13).map(i => s"s$i").mkString(" ")
+    val got13 = Dedup.maximalSharedSpans(Seq(
+        (1L, s"p1 p2 p3 p4 p5 $run13 t1 t2 t3 t4"),
+        (2L, s"q1 q2 $run13 u1")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 8, minSpanWords = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got13.toSeq === Seq((1L, 2L, 6L, 3L, 13L)))
+    // runs touching the document edges stay exact (no room to over- or
+    // under-extend): shared 10-word run at doc start / doc end, n=4
+    val run10 = (1 to 10).map(i => s"r$i").mkString(" ")
+    val gotEdge = Dedup.maximalSharedSpans(Seq(
+        (1L, s"$run10 x1 x2"),
+        (2L, s"y1 y2 y3 $run10")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 4, minSpanWords = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(gotEdge.toSeq === Seq((1L, 2L, 1L, 4L, 10L)))
+    // one-word extension shifts the report by exactly one word: the
+    // run grows to 14 and the span follows it, not the gram grid
+    val run14 = s"s0 $run13"
+    val got14 = Dedup.maximalSharedSpans(Seq(
+        (1L, s"p1 p2 p3 p4 $run14 t1 t2 t3 t4"),
+        (2L, s"q1 q2 $run14 u1")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 8, minSpanWords = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got14.toSeq === Seq((1L, 2L, 5L, 3L, 14L)))
+  }
+
   test("dedupLines at paragraph granularity cuts a multi-line paragraph as one unit") {
     val s = spark
     import s.implicits._
