@@ -172,12 +172,21 @@ object LshIndex {
       .write.mode(mode).parquet(s"$path/sigs")
   }
 
-  private case class Meta(n: Int, numHashes: Int, bands: Int, numPartitions: Int)
+  /** The sketch parameters an index was built with (from `_meta/`). */
+  final case class Params(n: Int, numHashes: Int, bands: Int, numPartitions: Int)
+
+  /** Read back an index's parameters — e.g. to run a PARAMETER-MATCHED
+    * within-batch [[Dedup.minhashLshPairs]] beside a cross-index
+    * [[probe]], as the streaming ingestion loop does.
+    */
+  def params(spark: SparkSession, path: String): Params = readMeta(spark, path)
+
+  private type Meta = Params
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val r = spark.read.parquet(s"$path/_meta")
       .select(col("n"), col("num_hashes"), col("bands"), col("num_partitions"))
       .collect()(0)
-    Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    Params(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
   }
 }

@@ -312,6 +312,37 @@ object Similarity {
     cent.write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** Append a vector batch to an existing [[writeIvfIndex]] directory —
+    * the similarity-plane mirror of [[graft.dedup.LshIndex.append]]:
+    * new vectors assign to the index's FROZEN centroids (read back from
+    * `_centroids/`, broadcast) and land in their `list_id=` partitions
+    * via dynamic-partition append — no rewrite of existing cells, no
+    * re-quantization. Identical to having built the index over the
+    * union with the same centroids (spec-asserted), so probes see
+    * appended vectors exactly as original ones. At 100 TB this is the
+    * ingestion path: the coarse quantizer trains once, batches stream
+    * in forever; re-train (a fresh [[writeIvfIndex]]) only when drift
+    * makes cells unbalanced. The caller owns id uniqueness across
+    * appends, as with the LSH index.
+    */
+  def appendIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame // (c_id, c_emb: array<double>)
+  ): Unit = {
+    val centN = spark.read.parquet(s"$path/_centroids")
+      .select(col("cent_id"), col("cent_emb"))
+      .withColumn("cent_norm", norm(col("cent_emb")))
+    val c = batch.withColumn("c_norm", norm(col("c_emb")))
+    graft.core.Joins.lastByKey(
+        c.crossJoin(broadcast(centN))
+          .withColumn("a_score",
+            cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
+        Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+      .select(col("cent_id").as("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
+      .write.mode("append").partitionBy("list_id").parquet(path)
+  }
+
   /** ANN top-k over a [[writeIvfIndex]] directory. Probe cells are
     * chosen per query against the (bounded, nlist-row) centroid table;
     * the UNION of probed cells — at most nlist longs — becomes a

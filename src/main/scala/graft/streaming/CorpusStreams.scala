@@ -87,6 +87,87 @@ object CorpusStreams {
       probeBc, minShared) < minShared)
   }
 
+  /** One micro-batch of the NEAR-dup ingestion loop (the body
+    * [[nearDedupIngest]] wires into `foreachBatch`; public so restart
+    * semantics are directly testable):
+    *
+    *  1. probe the on-disk [[graft.dedup.LshIndex]] — documents
+    *     near-duplicating an already-ADMITTED document drop;
+    *  2. within-batch near-dups collapse by the min-id greedy keeper
+    *     (parameter-matched [[graft.dedup.Dedup.minhashLshPairs]] on
+    *     the batch — batch-sized work);
+    *  3. survivors write to `outPath/batch_id=N/` (overwrite — a
+    *     replayed batch rewrites the same directory) and APPEND to the
+    *     index, becoming the reference for every later batch.
+    *
+    * Exactly-once across restarts: the append is guarded by a marker
+    * in `indexPath/_ingest_log/` written AFTER the appends — a batch
+    * whose marker exists is skipped entirely, so `foreachBatch`'s
+    * at-least-once replay cannot double-admit. (A crash between append
+    * and marker re-appends that batch on replay; duplicate index rows
+    * only fatten future probes' candidate lists — the survivor SET
+    * stays correct because matching is by id.)
+    *
+    * Greedy-chain semantics match the batch operators: a doc can drop
+    * because of a doc that itself dropped (they are transitively
+    * near-dups of an admitted doc) — [[graft.dedup.Dedup.collapsePairs]]'
+    * contract, applied incrementally.
+    */
+  def ingestBatch(
+      batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      indexPath: String, outPath: String,
+      tau: Double = 0.5,
+      maxBucketDocFreq: Option[Int] = None): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_ingest_log/b$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    val m = graft.dedup.LshIndex.params(spark, indexPath)
+    graft.core.CacheScope.withReleased {
+      // the batch feeds four consumers (probe, pair gen, anti-join,
+      // append); persist once, release with the bracket
+      val b = graft.core.CacheScope.track(batch.persist())
+      val crossDrops = graft.dedup.LshIndex.probe(
+          spark, indexPath, b, idCol, textCol, tau, maxBucketDocFreq)
+        .select(col("new_id").as(idCol))
+      val withinDrops = graft.dedup.Dedup.collapsePairs(
+          graft.dedup.Dedup.minhashLshPairs(b, idCol, textCol,
+            n = m.n, tau = tau, numHashes = m.numHashes, bands = m.bands,
+            maxBucketDocFreq = maxBucketDocFreq))
+        .select(col("drop").as(idCol))
+      val survivors = b.join(
+        crossDrops.unionByName(withinDrops).distinct(), Seq(idCol), "left_anti")
+      survivors.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      graft.dedup.LshIndex.append(spark, indexPath,
+        spark.read.parquet(s"$outPath/batch_id=$batchId"), idCol, textCol)
+      fs.create(marker, false).close()
+    }
+  }
+
+  /** Streaming near-dup dedup against an on-disk LSH index — the 24/7
+    * form of the probe → filter → append ingestion loop. Returns the
+    * configured `DataStreamWriter`; the caller picks trigger,
+    * checkpoint location, and starts it. Admitted documents land in
+    * `outPath/batch_id=N/` and in the index; the index must exist and
+    * be built over a NON-EMPTY seed corpus ([[graft.dedup.LshIndex.write]]
+    * — parquet cannot round-trip a zero-row partitioned table's
+    * schema, so bootstrap with the first crawl slice as the seed).
+    */
+  def nearDedupIngest(
+      stream: DataFrame,
+      idCol: String, textCol: String,
+      indexPath: String, outPath: String,
+      tau: Double = 0.5,
+      maxBucketDocFreq: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), batchId, idCol, textCol,
+          indexPath, outPath, tau, maxBucketDocFreq)
+    }
+
   /** Exact first-seen-wins dedup: emits each distinct content exactly
     * once, on the micro-batch that first contains it (smallest id wins
     * inside that batch — deterministic); every later occurrence only

@@ -303,6 +303,39 @@ class SimilaritySpec extends SparkSpec {
     assert(indexedSalted === adhoc)
   }
 
+  test("appendIvfIndex: appended index == index built over the union with frozen centroids") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").cast("long").as("c_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    val queries = emb.filter(col("c_id") < 10)
+      .select(col("c_id").as("q_id"), col("c_emb").as("q_emb"))
+    val seed = emb.filter(col("c_id") >= 10 && col("c_id") % 2 === 0)
+    val batch = emb.filter(col("c_id") >= 10 && col("c_id") % 2 =!= 0)
+    val dirApp = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    Similarity.writeIvfIndex(seed, dirApp, nlist = 16)
+    Similarity.appendIvfIndex(spark, dirApp, batch)
+    // reference: one-shot build over the union with the SAME (seed-
+    // trained) centroids — appending must be indistinguishable from it
+    val cent = spark.read.parquet(s"$dirApp/_centroids")
+    val dirFull = java.nio.file.Files.createTempDirectory("ivffull").toString
+    Similarity.writeIvfIndex(seed.unionByName(batch), dirFull, nlist = 16,
+      centroids = Some(cent))
+    // identical cell assignment row-for-row...
+    val rows = (d: String) => spark.read.parquet(d)
+      .select(col("list_id").cast("long"), col("c_id"))
+      .orderBy("c_id").collect().toSeq
+    assert(rows(dirApp) === rows(dirFull))
+    // ...and identical probe results, appended vectors included
+    val topk = (d: String) =>
+      Similarity.ivfTopKIndexed(spark, d, queries, k = 5, nprobe = 4)
+        .orderBy(col("q_id"), col("rank")).collect().toSeq
+    val got = topk(dirApp)
+    assert(got === topk(dirFull))
+    val batchIds = batch.select("c_id").collect().map(_.getLong(0)).toSet
+    assert(got.exists(r => batchIds.contains(r.getLong(1))),
+      "appended vectors must be reachable through the probe")
+  }
+
   test("semDedup: within-cluster near-dups drop to their smallest keeper") {
     val s = spark
     import s.implicits._

@@ -55,6 +55,98 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === got.size)
   }
 
+  test("ingestBatch: greedy near-dup admission, chains, and replay idempotency") {
+    val s = spark
+    import s.implicits._
+    spark.catalog.clearCache()
+    val root = Files.createTempDirectory("lshingest").toString
+    val (idx, out) = (s"$root/idx", s"$root/out")
+    val A = "the quick brown fox jumps over the lazy dog by the river bank"
+    val B = "structured streaming checkpoints its progress in a write ahead log"
+    val C = "columnar scans prune row groups using min max column statistics"
+    val D = "an original essay about distributed joins and shuffle partitioning"
+    val E = "two peas in a pod share almost every word of this long sentence"
+    val F = "a final novel document closing out the second ingestion batch"
+    graft.dedup.LshIndex.write(
+      Seq((1L, A), (2L, B), (3L, C)).toDF("doc_id", "text"), "doc_id", "text",
+      idx, n = 3, numHashes = 64, bands = 16, numPartitions = 8)
+
+    // b0: 101 near-dups seed A; 102 novel; 103/104 identical (min 103 keeps)
+    CorpusStreams.ingestBatch(
+      Seq((101L, A), (102L, D), (103L, E), (104L, E)).toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx, out)
+    assert(spark.read.parquet(s"$out/batch_id=0").select("doc_id")
+      .as[Long].collect().toSet === Set(102L, 103L))
+
+    // b1: 201 dups admitted 102; 202 dups E — its within-batch keeper
+    // 104 was DROPPED, but admitted 103 catches it (greedy chain);
+    // 203 novel
+    CorpusStreams.ingestBatch(
+      Seq((201L, D), (202L, E), (203L, F)).toDF("doc_id", "text"),
+      1L, "doc_id", "text", idx, out)
+    assert(spark.read.parquet(s"$out/batch_id=1").select("doc_id")
+      .as[Long].collect().toSet === Set(203L))
+
+    // index grew by exactly the admitted docs
+    val sigIds = spark.read.parquet(s"$idx/sigs").select("doc")
+      .as[Long].collect().toSet
+    assert(sigIds === Set(1L, 2L, 3L, 102L, 103L, 203L))
+
+    // replaying batch 1 is a no-op: the _ingest_log marker short-circuits
+    CorpusStreams.ingestBatch(
+      Seq((201L, D), (202L, E), (203L, F)).toDF("doc_id", "text"),
+      1L, "doc_id", "text", idx, out)
+    assert(spark.read.parquet(s"$idx/sigs").count() === 6L)
+    assert(spark.read.parquet(s"$out/batch_id=1").count() === 1L)
+    // every batch's operator caches released by its bracket
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("nearDedupIngest: end-to-end streaming probe -> filter -> append loop") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("lshingeststream").toString
+    val (in, idx, out, ckpt) = (s"$root/docs", s"$root/idx", s"$root/out", s"$root/ckpt")
+    val A = "the quick brown fox jumps over the lazy dog by the river bank"
+    val B = "structured streaming checkpoints its progress in a write ahead log"
+    val C = "columnar scans prune row groups using min max column statistics"
+    graft.dedup.LshIndex.write(
+      Seq((1L, A)).toDF("doc_id", "text"), "doc_id", "text",
+      idx, n = 3, numHashes = 64, bands = 16, numPartitions = 8)
+    // file 1: 10 keeps B, 11 drops (identical, larger id) — same
+    // outcome whether the source splits the files into one batch or two
+    Seq((10L, B), (11L, B)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    // file 2: 20 drops vs seed A, 21 drops vs admitted 10, 22 keeps
+    Seq((20L, A), (21L, B), (22L, C)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+
+    val q = CorpusStreams.nearDedupIngest(
+        CorpusStreams.docStream(spark, in, maxFilesPerTrigger = 1),
+        "doc_id", "text", idx, out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val admitted = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(10L, 22L))
+    val sigIds = spark.read.parquet(s"$idx/sigs").select("doc")
+      .as[Long].collect().toSet
+    assert(sigIds === Set(1L, 10L, 22L))
+
+    // restart with the same checkpoint: no new files, nothing re-admitted
+    val q2 = CorpusStreams.nearDedupIngest(
+        CorpusStreams.docStream(spark, in, maxFilesPerTrigger = 1),
+        "doc_id", "text", idx, out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$idx/sigs").count() === 3L)
+    assert(spark.read.parquet(out).count() === 2L)
+  }
+
   test("map-only curation ops (splitByHash, hashSample) run unchanged on a stream") {
     val s = spark
     import s.implicits._
