@@ -28,6 +28,101 @@ object Scratch {
       pieces.groupBy(col("piece")).count().orderBy(col("count").desc).show(10)
       spark.stop(); return
     }
+    if (args.lift(1).contains("ingestprobe")) {
+      // per-batch cost of the incremental-ingestion paths vs their
+      // recompute baselines: a 1% batch against a 99% standing corpus
+      // (the shape where write-once/probe-many must pay off)
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, dir, "documents")
+      // wall clock at sf0.1 is dominated by the fixed ~0.1-0.3 s/job
+      // scheduling floor, which is NOISE at scale — so also meter the
+      // quantities that DO scale: bytes scanned and shuffle volume
+      val inBytes = new java.util.concurrent.atomic.AtomicLong
+      val shufBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            inBytes.addAndGet(m.inputMetrics.bytesRead)
+            shufBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          }
+        }
+      })
+      def time(label: String)(body: => Long): Unit = {
+        spark.catalog.clearCache()
+        Thread.sleep(300) // drain the async listener bus
+        inBytes.set(0L); shufBytes.set(0L)
+        val t0 = System.nanoTime()
+        val rows = body
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"$label: $secs%.3f s ($rows rows, " +
+          f"scan ${inBytes.get / 1e6}%.1f MB, shuffle ${shufBytes.get / 1e6}%.2f MB)")
+      }
+      // small admitted batch (the continuous-ingestion shape) against a
+      // reference that multiplies k×: the disk index's per-batch cost
+      // should stay near-flat while the re-sign baselines grow with the
+      // reference
+      val batch = docs.filter(col("doc_id") % 500 === 0)
+        .select(col("doc_id"), col("text"))
+      val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      println(s"batch=${batch.count()}")
+      Seq(1, 2, 4).foreach { k =>
+        val ref = (0 until k).map(i => docs
+            .filter(col("doc_id") % 500 =!= 0)
+            .select((col("doc_id") + lit(i.toLong * stride)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionByName _)
+        val idx = java.nio.file.Files.createTempDirectory(s"ingestprobe$k").toString
+        time(s"lsh-index-build x$k (once, amortized)") {
+          graft.dedup.LshIndex.write(ref, "doc_id", "text", idx,
+            n = 3, numHashes = 64, bands = 16, numPartitions = 256); 0L
+        }
+        (1 to 3).foreach { i =>
+          time(s"lsh-index-probe x$k #$i (per batch)")(graft.core.CacheScope.withReleased {
+            graft.dedup.LshIndex.probe(spark, idx, batch, "doc_id", "text", tau = 0.5).count()
+          })
+        }
+        time(s"jaccardPairsAgainst x$k (re-sign baseline, per batch)") {
+          graft.dedup.Dedup.jaccardPairsAgainst(ref, "doc_id", "text",
+            batch, "doc_id", "text", n = 3, tau = 0.5).count()
+        }
+        time(s"minhashLshPairs-union x$k (recompute baseline, per batch)") {
+          graft.dedup.Dedup.minhashLshPairs(ref.unionByName(batch), "doc_id", "text",
+            n = 3, tau = 0.5).count()
+        }
+      }
+      // incremental components: fold a 1%-pair batch into a standing
+      // labeling vs recomputing components from all pairs. Both
+      // contenders read the SAME cached pair set (isolating CC work);
+      // the standing labeling is cached too — the service's steady
+      // state — so the timer here must NOT clear.
+      spark.catalog.clearCache()
+      def timeWarm(label: String)(body: => Long): Unit = {
+        Thread.sleep(300)
+        inBytes.set(0L); shufBytes.set(0L)
+        val t0 = System.nanoTime()
+        val rows = body
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"$label: $secs%.3f s ($rows rows, " +
+          f"scan ${inBytes.get / 1e6}%.1f MB, shuffle ${shufBytes.get / 1e6}%.2f MB)")
+      }
+      val pairs = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.5).select(col("doc_a"), col("doc_b"))
+      pairs.cache().count()
+      val split = pmod(xxhash64(col("doc_a"), col("doc_b")), lit(100))
+      val standing = graft.dedup.Dedup.connectedComponents(pairs.filter(split =!= 0))
+      standing.cache().count()
+      timeWarm("components-incremental (per batch, standing labeling cached)") {
+        graft.dedup.Dedup.connectedComponentsIncremental(
+          standing, pairs.filter(split === 0)).count()
+      }
+      timeWarm("components-full-recompute (per batch)") {
+        graft.dedup.Dedup.connectedComponents(pairs).count()
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scaleprobe")) {
       // runtime slope of the heavy pairwise operators as the corpus
       // multiplies: k copies of documents with disjoint id ranges (the

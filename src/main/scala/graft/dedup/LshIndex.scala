@@ -19,9 +19,11 @@ import graft.text.TextFunctions
   *    probe whose batch touches few band buckets reads only the matching
   *    `pb=` directories — partition pruning at the file-listing level,
   *    the storage analog of an inverted index's posting groups;
-  *  - `sigs/` — each document's sorted shingle-hash array, so candidate
-  *    verification joins stored arrays instead of re-deriving them from
-  *    reference text;
+  *  - `sigs/` — each document's sorted shingle-hash array, stored
+  *    `PARTITIONED BY` a bounded hash of the doc id (`sb`), so candidate
+  *    verification reads only the partitions holding candidate
+  *    reference docs (bounded by batch fan-out) instead of scanning the
+  *    corpus-sized signature table per probe;
   *  - `_meta/` — the sketch parameters (n, numHashes, bands,
   *    numPartitions), read back by [[probe]] and [[append]] so an index
   *    can never be probed or extended with mismatched parameters.
@@ -133,11 +135,21 @@ object LshIndex {
     val idx = spark.read.parquet(s"$path/buckets")
       .filter(col("pb").isin(pbs.map(Integer.valueOf).toIndexedSeq: _*))
     val guarded = graft.core.Skew.dropHotKeys(idx, "bucket", maxBucketDocFreq)
-    val candidates = guarded
+    // persisted: candidates feed the bounded sb-collect AND the verify
+    // join — without the cache the pruned posting join runs twice
+    val candidates = graft.core.CacheScope.track(guarded
       .join(broadcast(bBuckets.select(col("new_id"), col("bucket"))), Seq("bucket"))
       .select(col("doc").as("ref_id"), col("new_id"))
       .distinct()
+      .persist())
+    // prune the signature scan to the candidates' id-hash partitions —
+    // without this every probe scans the corpus-sized sigs table (the
+    // shs array column is the fat one); bounded collect (≤ sigParts)
+    val sbs = candidates
+      .select(pb(col("ref_id").cast("string"), m.numPartitions).as("sb"))
+      .distinct().collect().map(_.getInt(0)).sorted
     val refArrs = spark.read.parquet(s"$path/sigs")
+      .filter(col("sb").isin(sbs.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("doc").as("ref_id"), col("nsh").as("na"), col("shs").as("sa"))
     val batchArrs = bsh
       .select(col("new_id"), size(col("shs")).as("nb"), col("shs").as("sb"))
@@ -168,8 +180,11 @@ object LshIndex {
         explode(Dedup.lshBandKeys(col("sh"), numHashes, bands)).as("bucket"))
       .withColumn("pb", pb(col("bucket"), numPartitions))
       .write.mode(mode).partitionBy("pb").parquet(s"$path/buckets")
+    // sb = id-hash partition key, STRING-cast so any orderable id type
+    // hashes consistently between write and probe
     sh.select(col("doc"), size(col("shs")).as("nsh"), col("shs"))
-      .write.mode(mode).parquet(s"$path/sigs")
+      .withColumn("sb", pb(col("doc").cast("string"), numPartitions))
+      .write.mode(mode).partitionBy("sb").parquet(s"$path/sigs")
   }
 
   /** The sketch parameters an index was built with (from `_meta/`). */
