@@ -96,7 +96,64 @@ object TrainingQueries {
     s"""(CASE WHEN list_sum(list_transform(range(1, 65), i -> emb[i] * (${planeSql(p)})[i])) > 0
          THEN ${hi}::BIGINT ELSE 0::BIGINT END)"""
 
+  /** DuckDB replay of [[graft.text.LogisticRegression]] training: the
+    * fixed `iters` gradient steps unroll as CTE generations (w0..wT),
+    * each repeating the engine-exact arithmetic — scaled-floor
+    * (`floor(x·10^s + 0.5)`) quantization with exact integer sums for
+    * dot products and gradients, 1e-6-quantized sigmoids, and the
+    * identical scalar update w - lr·((g/1e9)/n) — so the ORACLE fits
+    * the same model bit-for-bit and the final scores hash-match.
+    * (Decimal round() would NOT: Spark rounds the shortest decimal
+    * rendering, DuckDB the binary value — they disagree near
+    * boundaries and the divergence compounds through training.)
+    */
+  private def lrOracleSql(
+      buckets: Int, iters: Int, lr: Double, labelSql: String): String = {
+    val k1 = buckets + 1
+    def pExpr = s"""floor((1.0/(1.0 + exp(-(list_sum(list_transform(range(0, $k1),
+        j -> floor(w[j+1] * x[j+1] * 1000000000.0 + 0.5)::BIGINT))::DOUBLE / 1000000000.0)))) * 1000000.0 + 0.5)::DOUBLE / 1000000.0"""
+    val steps = (1 to iters).map { t =>
+      s"""p$t AS (SELECT doc_id, y, x, $pExpr AS p FROM feat, w${t - 1}),
+         g$t AS (SELECT k, sum(floor((p - y) * x[k+1] * 1000000000.0 + 0.5)::BIGINT) AS gv
+                 FROM p$t, range(0, $k1) r(k) GROUP BY k),
+         w$t AS (SELECT list_transform(range(0, $k1), k -> w[k+1] - $lr * ((g[k+1] / 1000000000.0) / n)) AS w
+                 FROM w${t - 1}, (SELECT list(gv::DOUBLE ORDER BY k) AS g FROM g$t), nd)"""
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id,
+           (CASE WHEN $labelSql THEN 1.0 ELSE 0.0 END)::DOUBLE AS y,
+           unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       cnt AS (SELECT doc_id, y,
+           ('0x' || substr(md5(w), 1, 15))::BIGINT % $buckets AS b,
+           count(*)::DOUBLE AS c
+         FROM tok GROUP BY 1, 2, 3),
+       feat AS (SELECT doc_id, y,
+           list_prepend(1.0, list_transform(range(0, $buckets), k ->
+             coalesce(list_sum(list_transform(pairs,
+               pr -> CASE WHEN pr.b = k THEN pr.c ELSE 0.0 END)), 0.0) / n)) AS x
+         FROM (SELECT doc_id, y, list(struct_pack(b := b, c := c)) AS pairs,
+                 sum(c) AS n
+               FROM cnt GROUP BY doc_id, y)),
+       nd AS (SELECT count(*)::DOUBLE AS n FROM feat),
+       w0 AS (SELECT list_transform(range(0, $k1), k -> 0.0::DOUBLE) AS w),
+       $steps
+       SELECT doc_id, $pExpr AS score FROM feat, w$iters ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // In-engine trained DISCRIMINATIVE quality classifier (the
+    // fastText/DCLM filter slot beside q83's Naive Bayes): logistic
+    // regression over md5-hashed token-frequency buckets, fit by 5
+    // full-batch gradient steps — each ONE aggregation over the
+    // persisted feature table — then scored map-side. The oracle
+    // REPLAYS TRAINING (unrolled CTEs), so the hash compare gates the
+    // whole fit, not just the scoring pass.
+    "q125_lr_quality" -> ((s, dir) => {
+      graft.text.LogisticRegression.fitScore(
+        t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 64, iters = 5, lr = 0.25)
+        .orderBy(col("doc_id"))
+    }),
     // Exact dedup: content-hash groupBy, smallest id survives.
     "q18_dedup_exact" -> ((s, dir) => {
       Dedup.exactDedupSurvivors(t(s, dir, "documents"), "doc_id", "text")
@@ -1018,6 +1075,8 @@ object TrainingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q125_lr_quality" ->
+      lrOracleSql(buckets = 64, iters = 5, lr = 0.25, labelSql = "lang = 'en'"),
     "q18_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS survivor_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",
