@@ -37,6 +37,12 @@ import graft.text.{Pii, Vocab}
   *   fuzzy       edit-distance-1 key matching
   *   resample    CCNet perplexity-stratified subsample
   *   stratify    exact per-stratum split labeling
+  *   indexBuild  build the on-disk LSH dedup index (once)
+  *   indexProbe  cross near-dup pairs of a batch vs the index
+  *   ingest      probe -> drop -> append admitted-batch step
+  *   componentsIncremental  fold a pair batch into standing labels
+  *   chunkSnap   boundary-aware (sentence-snapped) chunking
+  *   quality     train + apply the logistic quality classifier
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
   * a command overwrites with identical output — crash-and-rerun safe
@@ -248,4 +254,61 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
   def stratify(in: String, out: String, strataCol: String = "source",
       trainFrac: Double = 0.8, valFrac: Double = 0.1): Long =
     write(Curation.stratifiedSplit(read(in), idCol, strataCol, trainFrac, valFrac), out)
+
+  /** Build the on-disk LSH dedup index from a corpus
+    * ([[graft.dedup.LshIndex.write]]) — run once, probe many.
+    */
+  def indexBuild(in: String, indexPath: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, numPartitions: Int = 64): Unit =
+    graft.dedup.LshIndex.write(read(in), idCol, textCol, indexPath,
+      n, numHashes, bands, numPartitions)
+
+  /** Probe a batch against the LSH index: (ref_id, new_id, jaccard)
+    * cross near-dup pairs, reference never re-shingled.
+    */
+  def indexProbe(indexPath: String, batchIn: String, out: String,
+      tau: Double = 0.5, maxBucketDocFreq: Option[Int] = None): Long =
+    graft.core.CacheScope.withReleased {
+      write(graft.dedup.LshIndex.probe(spark, indexPath, read(batchIn),
+        idCol, textCol, tau, maxBucketDocFreq), out)
+    }
+
+  /** One admitted-batch step of the incremental ingestion loop
+    * ([[graft.streaming.CorpusStreams.ingestBatch]]): probe, drop
+    * near-dups, write survivors, append them to the index. Replay-safe
+    * per batchId.
+    */
+  def ingest(indexPath: String, batchIn: String, out: String, batchId: Long,
+      tau: Double = 0.5, maxBucketDocFreq: Option[Int] = None): Long = {
+    graft.streaming.CorpusStreams.ingestBatch(read(batchIn), batchId,
+      idCol, textCol, indexPath, out, tau, maxBucketDocFreq)
+    spark.read.parquet(s"$out/batch_id=$batchId").count()
+  }
+
+  /** Fold a near-dup pair batch into a standing component labeling
+    * ([[graft.dedup.Dedup.connectedComponentsIncremental]]) — the
+    * labels-maintenance sibling of [[ingest]].
+    */
+  def componentsIncremental(labelsIn: String, pairsIn: String, out: String): Long =
+    graft.core.CacheScope.withReleased {
+      write(Dedup.connectedComponentsIncremental(read(labelsIn), read(pairsIn)), out)
+    }
+
+  /** Boundary-aware chunking ([[Curation.chunkDocumentsSnapped]]):
+    * window cuts snapped back to sentence ends within `tolerance`.
+    */
+  def chunkSnap(in: String, out: String, window: Int, tolerance: Int): Long =
+    write(Curation.chunkDocumentsSnapped(read(in), idCol, textCol,
+      window, tolerance), out)
+
+  /** Train + apply the discriminative quality classifier
+    * ([[graft.text.LogisticRegression]]): fit on a boolean label
+    * column, write (doc_id, score).
+    */
+  def quality(in: String, out: String, labelCol: String,
+      buckets: Int = 64, iters: Int = 5, lr: Double = 0.25): Long =
+    graft.core.CacheScope.withReleased {
+      write(graft.text.LogisticRegression.fitScore(read(in), idCol, textCol,
+        col(labelCol).cast("boolean"), buckets, iters, lr), out)
+    }
 }

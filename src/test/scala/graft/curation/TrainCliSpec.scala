@@ -189,6 +189,51 @@ class TrainCliSpec extends SparkSpec {
       ("b", "train") -> 1L, ("b", "test") -> 1L))
   }
 
+  test("index lifecycle, ingest, incremental labels, chunkSnap, quality commands") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli3").toString
+    val cli = new TrainCli(spark)
+    val A = "the quick brown fox jumps over the lazy dog by the river bank"
+    val B = "structured streaming checkpoints its progress in a write ahead. log"
+    val C = "columnar scans prune row groups using min max column statistics"
+    Seq((1L, A, "web"), (2L, B, "web"), (3L, C, "wiki"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$root/ref")
+    Seq((10L, A, "web"), (11L, "a genuinely new document about bloom gates", "web"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$root/b0")
+
+    cli.indexBuild(s"$root/ref", s"$root/idx", numPartitions = 8)
+    assert(cli.indexProbe(s"$root/idx", s"$root/b0", s"$root/pairs") === 1L)
+    assert(spark.read.parquet(s"$root/pairs").head().getLong(1) === 10L)
+    // ingest admits only the novel doc and is replay-safe
+    assert(cli.ingest(s"$root/idx", s"$root/b0", s"$root/adm", batchId = 0L) === 1L)
+    assert(cli.ingest(s"$root/idx", s"$root/b0", s"$root/adm", batchId = 0L) === 1L)
+    assert(spark.read.parquet(s"$root/idx/sigs").count() === 4L)
+
+    // standing labels + a pair batch fold
+    spark.createDataFrame(Seq((1L, 1L), (2L, 1L))).toDF("doc_id", "component_id")
+      .write.parquet(s"$root/labels")
+    Seq((2L, 5L)).toDF("doc_a", "doc_b").write.parquet(s"$root/newpairs")
+    assert(cli.componentsIncremental(s"$root/labels", s"$root/newpairs",
+      s"$root/labels2") === 3L)
+    assert(spark.read.parquet(s"$root/labels2").filter(col("doc_id") === 5L)
+      .head().getLong(1) === 1L)
+
+    // sentence-snapped chunking: B's separator pulls the cut back
+    assert(cli.chunkSnap(s"$root/ref", s"$root/chunks",
+      window = 8, tolerance = 3) > 0L)
+
+    // quality scores from a labeled corpus
+    spark.read.parquet(s"$root/ref")
+      .withColumn("good", col("source") === "web")
+      .write.parquet(s"$root/labeled")
+    assert(cli.quality(s"$root/labeled", s"$root/scores", "good", iters = 8, lr = 2.0) === 3L)
+    val sc = spark.read.parquet(s"$root/scores")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc(1L) > sc(3L) && sc(2L) > sc(3L),
+      s"web docs must outscore wiki under the web label: $sc")
+  }
+
   test("trainBpe writes the rank parquet encode consumes — the full tokenizer loop") {
     val s = spark
     import s.implicits._
