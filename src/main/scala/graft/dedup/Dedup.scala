@@ -877,6 +877,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Near-dup pairs over any 64-bit fingerprint column by hamming
+    * distance — the generic banded form behind pHash image dedup
+    * ([[graft.multimodal.Multimodal.phashNearDupPairs]]) and any other
+    * bit-sketch. Candidates by pigeonhole: the 64 bits split into
+    * maxHamming+1 disjoint pieces, so a pair within the distance shares
+    * at least one identical (piece index, piece bits) key — a hash
+    * join, never |D|²; verification is an exact popcount of the XOR.
+    * Returns (id_a, id_b, hamming), id_a < id_b.
+    *
+    * @param maxBucketDocFreq the hot-bucket guard: a degenerate
+    *   fingerprint (all-black thumbnails) fills its piece buckets to
+    *   the duplicate-family size — same cap semantics and recall
+    *   caveat as [[simhashPairs]].
+    */
+  def hammingPairs64(
+      df: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3,
+      maxBucketDocFreq: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val pieces = maxHamming + 1
+    val width = 64 / pieces
+    val pieceCols = (0 until pieces).map { p =>
+      val lo = p * width
+      val w = if (p == pieces - 1) 64 - lo else width
+      val bitsv =
+        if (w >= 64) col("fp")
+        else shiftrightunsigned(col("fp"), lo).bitwiseAND(lit((1L << w) - 1L))
+      concat_ws(":", lit(p), bitsv)
+    }
+    val keyed = df.select(col(idCol).as("id"), col(fpCol).cast("long").as("fp"))
+      .select(col("id"), col("fp"), explode(array(pieceCols: _*)).as("bucket"))
+    val b = graft.core.Skew.dropHotKeys(keyed, "bucket", maxBucketDocFreq)
+    b.as("l")
+      .join(b.as("r").hint("shuffle_hash"), col("l.bucket") === col("r.bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.fp").as("_fa"), col("r.fp").as("_fb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("_fa").bitwiseXOR(col("_fb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components over a (doc_a, doc_b) pair set — the FULL
     * dedup-cluster resolution. [[collapsePairs]] is the greedy
     * min-keeper (every paired doc maps to a smaller neighbor); this

@@ -326,6 +326,20 @@ object Multimodal {
       .agg(min(col("media_id")).as("survivor_id"),
         count(lit(1)).as("n_copies"))
 
+  /** NEAR-duplicate media pairs by perceptual-hash hamming distance —
+    * the real-world image dedup one notch past
+    * [[collapseByFingerprint]]'s exact-fp collapse: re-encoded,
+    * slightly-cropped, or brightness-shifted copies land a few bits
+    * apart, not zero. Banded candidate join + exact popcount verify
+    * ([[graft.dedup.Dedup.hammingPairs64]]); input is
+    * [[mediaFingerprints]] output. Returns (media_a, media_b, hamming).
+    */
+  def phashNearDupPairs(fps: DataFrame, maxHamming: Int = 3,
+      maxBucketDocFreq: Option[Int] = None): DataFrame =
+    graft.dedup.Dedup.hammingPairs64(fps, "media_id", "fp",
+        maxHamming, maxBucketDocFreq)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+
   /** DataFrame-level metadata projection of the decoded dataset. */
   def mediaMetaTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._

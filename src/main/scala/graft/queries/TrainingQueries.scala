@@ -140,6 +140,37 @@ object TrainingQueries {
        SELECT doc_id, $pExpr AS score FROM feat, w$iters ORDER BY doc_id"""
   }
 
+  /** q104/q126 shared raster replay: the synthesized gray PNG's pixel
+    * grid rebuilt from text bytes, 8x8 cell-mean pHash bits, and the
+    * unsigned->signed fold to Spark's LongType fingerprint. */
+  private val phashFpsCte: String =
+    """geo AS (
+           SELECT doc_id AS media_id, text, strlen(text)::BIGINT AS len,
+             16 + (doc_id % 17) AS w,
+             greatest(1, (strlen(text) + 16 + (doc_id % 17) - 1) // (16 + (doc_id % 17))) AS h
+           FROM documents),
+         vals AS (
+           SELECT media_id,
+             ((k // w) * 8) // h AS bi,
+             ((k % w) * 8) // w AS bj,
+             CASE WHEN k < len THEN ascii(substr(text, k::INT + 1, 1)) ELSE 0 END AS v
+           FROM (SELECT media_id, text, len, w, h, unnest(range(0, w * h)) AS k FROM geo)),
+         blocks AS (
+           SELECT media_id, bi, bj, sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+           FROM vals GROUP BY 1, 2, 3),
+         tot AS (SELECT media_id, sum(s)::BIGINT AS stot, sum(c)::BIGINT AS ctot
+                 FROM blocks GROUP BY 1),
+         fps AS (
+           SELECT b.media_id,
+             sum(CASE WHEN b.s * t.ctot >= t.stot * b.c
+                 THEN 1::HUGEINT << (b.bi * 8 + b.bj)::INT ELSE 0::HUGEINT END) AS fph
+           FROM blocks b JOIN tot t ON b.media_id = t.media_id
+           GROUP BY b.media_id),
+         f2 AS (SELECT media_id,
+             (CASE WHEN fph >= 9223372036854775808 THEN fph - 18446744073709551616
+                   ELSE fph END)::BIGINT AS fp
+           FROM fps)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // In-engine trained DISCRIMINATIVE quality classifier (the
     // fastText/DCLM filter slot beside q83's Naive Bayes): logistic
@@ -550,6 +581,17 @@ object TrainingQueries {
     // Perceptual media fingerprint dedup: pHash-style histogram-mean
     // bit signature per payload, one fingerprint-keyed collapse — no
     // pair join. Byte-identical and near-identical payloads share fp.
+    // Perceptual NEAR-dup media pairs: pHash hamming <= 3 via the
+    // pigeonhole piece-banded join (recall exactly 1 at the predicate,
+    // like q25's SimHash argument) + exact popcount verify; the oracle
+    // replays the raster fingerprints and evaluates the predicate
+    // quadratically.
+    "q126_phash_neardup" -> ((s, dir) => {
+      val media = Multimodal.synthesizeGrayImages(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.phashNearDupPairs(Multimodal.mediaFingerprints(s, media), maxHamming = 3)
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
     "q104_media_phash" -> ((s, dir) => {
       // every doc as a REAL gray PNG; fp = the pixel-grid pHash read
       // off the DECODED raster (8×8 cell-mean bits, integer-exact) —
@@ -1694,34 +1736,18 @@ object TrainingQueries {
     // cross-product compare ImageCodec.perceptualHash runs on decoded
     // pixels). Bit 63 wraps HUGEINT → signed BIGINT like Scala's Long.
     "q104_media_phash" ->
-      """WITH geo AS (
-           SELECT doc_id AS media_id, text, strlen(text)::BIGINT AS len,
-             16 + (doc_id % 17) AS w,
-             greatest(1, (strlen(text) + 16 + (doc_id % 17) - 1) // (16 + (doc_id % 17))) AS h
-           FROM documents),
-         vals AS (
-           SELECT media_id,
-             ((k // w) * 8) // h AS bi,
-             ((k % w) * 8) // w AS bj,
-             CASE WHEN k < len THEN ascii(substr(text, k::INT + 1, 1)) ELSE 0 END AS v
-           FROM (SELECT media_id, text, len, w, h, unnest(range(0, w * h)) AS k FROM geo)),
-         blocks AS (
-           SELECT media_id, bi, bj, sum(v)::BIGINT AS s, count(*)::BIGINT AS c
-           FROM vals GROUP BY 1, 2, 3),
-         tot AS (SELECT media_id, sum(s)::BIGINT AS stot, sum(c)::BIGINT AS ctot
-                 FROM blocks GROUP BY 1),
-         fps AS (
-           SELECT b.media_id,
-             sum(CASE WHEN b.s * t.ctot >= t.stot * b.c
-                 THEN 1::HUGEINT << (b.bi * 8 + b.bj)::INT ELSE 0::HUGEINT END) AS fph
-           FROM blocks b JOIN tot t ON b.media_id = t.media_id
-           GROUP BY b.media_id),
-         f2 AS (SELECT media_id,
-             (CASE WHEN fph >= 9223372036854775808 THEN fph - 18446744073709551616
-                   ELSE fph END)::BIGINT AS fp
-           FROM fps)
+      s"""WITH $phashFpsCte
          SELECT fp, min(media_id)::BIGINT AS survivor_id, count(*)::BIGINT AS n_copies
          FROM f2 GROUP BY fp ORDER BY survivor_id""",
+
+    // q126: same fingerprints, quadratic hamming predicate.
+    "q126_phash_neardup" ->
+      s"""WITH $phashFpsCte
+         SELECT a.media_id::BIGINT AS media_a, b.media_id::BIGINT AS media_b,
+           bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+         FROM f2 a JOIN f2 b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         ORDER BY media_a, media_b""",
 
     // q103: same bigram model arithmetic as bigramCrossEntropyScores —
     // (1.0 - 0.7) written as the SAME foldable expression the Scala

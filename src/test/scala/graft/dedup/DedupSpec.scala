@@ -432,6 +432,40 @@ class DedupSpec extends SparkSpec {
     assert(got14.toSeq === Seq((1L, 2L, 5L, 3L, 14L)))
   }
 
+  test("hammingPairs64: pigeonhole recall over every piece, exact popcount verify") {
+    val s = spark
+    import s.implicits._
+    val base = 0x0123456789ABCDEFL
+    val fps = Seq(
+      (1L, base),
+      (2L, base),                    // hamming 0
+      (3L, base ^ 1L),               // 1 bit, lowest piece
+      (4L, base ^ (1L << 63)),       // 1 bit, SIGN bit (unsigned shift path)
+      (5L, base ^ 0x7L),             // 3 bits, one piece
+      // one flipped bit in EACH 16-bit piece: hamming 4 from base (not
+      // a pair, and not even a candidate — every piece differs), but
+      // hamming 3 from doc 3, with which it SHARES piece 0 (both flip
+      // bit 0) — the pigeonhole catch working across variants
+      (6L, base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48))),
+      (7L, -1L))                     // far from everything
+      .toDF("media_id", "fp")
+    val got = Dedup.hammingPairs64(fps, "media_id", "fp", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (4,5) is hamming 4 (sign bit + three low bits) — correctly out
+    assert(got.toSeq === Seq(
+      (1L, 2L, 0L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 5L, 3L),
+      (2L, 3L, 1L), (2L, 4L, 1L), (2L, 5L, 3L),
+      (3L, 4L, 2L), (3L, 5L, 2L), (3L, 6L, 3L)))
+    // maxHamming=0 degenerates to exact fingerprint match
+    assert(Dedup.hammingPairs64(fps, "media_id", "fp", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    // the hot-bucket cap drops a degenerate family, like the LSH caps
+    val hot = (1L to 6L).map(i => (i, 0L)).toDF("media_id", "fp")
+    assert(Dedup.hammingPairs64(hot, "media_id", "fp", 3, Some(5)).count() === 0L)
+    assert(Dedup.hammingPairs64(hot, "media_id", "fp", 3, None).count() === 15L)
+  }
+
   test("dedupLines at paragraph granularity cuts a multi-line paragraph as one unit") {
     val s = spark
     import s.implicits._

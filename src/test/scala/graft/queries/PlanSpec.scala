@@ -479,4 +479,43 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
       "host cap should cost one hash exchange plus the output range sort")
   }
+
+  test("q122: index probe is broadcast-only — pruned scans, no shuffle joins, no cartesian") {
+    // build once here (plan() would re-run the write each call)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("lshplan").toString
+    graft.dedup.LshIndex.write(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0),
+      "doc_id", "text", tmp, numPartitions = 16)
+    val probed = graft.core.CacheScope.withReleased {
+      val df = graft.dedup.LshIndex.probe(spark, tmp,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0),
+        "doc_id", "text", tau = 0.5)
+      df.count()
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
+    assert(probed.contains("PartitionFilters") && probed.contains("pb"),
+      "bucket scan not partition-pruned")
+    assert(probed.contains("sb"), "signature scan not partition-pruned")
+    assert(probed.contains("BroadcastHashJoin"), "batch side must broadcast")
+    assert(!probed.contains("CartesianProduct") && !probed.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q124: snapped chunking is map-only — the one exchange is the output sort") {
+    val p = plan("q124_chunk_snapped")
+    assert(!p.contains("Join"), "per-doc fold must not join")
+    assert(!p.contains("Window"), "per-doc fold must not window")
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "snapped chunking should cost only the output range sort")
+  }
+
+  test("q125: classifier featurization aggregates with map-side partials, no cartesian") {
+    // the fit runs eagerly inside the query builder; assert on the
+    // SCORING plan it returns
+    val p = plan("q125_lr_quality")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "feature counts must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Join"), "scoring is a map-only projection over featurization")
+  }
 }
