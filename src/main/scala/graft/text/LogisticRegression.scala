@@ -97,8 +97,13 @@ object LogisticRegression {
       df: DataFrame, idCol: String, textCol: String, label: Column,
       buckets: Int = 64, iters: Int = 5, lr: Double = 0.25): Array[Double] = {
     require(buckets >= 1 && iters >= 0 && lr > 0)
-    val f = graft.core.CacheScope.track(
-      featurize(df, idCol, textCol, label, buckets).persist())
+    fitOnFeatures(graft.core.CacheScope.track(
+      featurize(df, idCol, textCol, label, buckets).persist()),
+      buckets, iters, lr)
+  }
+
+  private def fitOnFeatures(
+      f: DataFrame, buckets: Int, iters: Int, lr: Double): Array[Double] = {
     val nDocs = f.count().toDouble
     require(nDocs > 0, "cannot fit on an empty (or all-empty-text) corpus")
     var w = Array.fill(buckets + 1)(0.0)
@@ -130,10 +135,17 @@ object LogisticRegression {
 
   /** Fit on `label` and score the same corpus — the self-training
     * quality-filter pass (train on heuristic labels, keep by learned
-    * score). Returns (doc_id, score).
+    * score). Featurizes ONCE: training iterations and the scoring
+    * projection read the same persisted feature table. Returns
+    * (doc_id, score).
     */
   def fitScore(
       df: DataFrame, idCol: String, textCol: String, label: Column,
-      buckets: Int = 64, iters: Int = 5, lr: Double = 0.25): DataFrame =
-    score(df, idCol, textCol, fit(df, idCol, textCol, label, buckets, iters, lr))
+      buckets: Int = 64, iters: Int = 5, lr: Double = 0.25): DataFrame = {
+    require(buckets >= 1 && iters >= 0 && lr > 0)
+    val f = graft.core.CacheScope.track(
+      featurize(df, idCol, textCol, label, buckets).persist())
+    val w = fitOnFeatures(f, buckets, iters, lr)
+    f.select(col("doc_id"), sigmoid(w).as("score"))
+  }
 }
