@@ -537,7 +537,7 @@ object Similarity {
   def autoSaltRows(meanCellRows: Double): Long =
     math.max(1024L, math.ceil(meanCellRows * 4.0).toLong)
 
-  private def cellPairDrops(
+  private[graft] def cellPairDrops(
       assigned: DataFrame,
       tau: Double,
       saltCellRows: Int,
