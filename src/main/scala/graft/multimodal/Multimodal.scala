@@ -109,11 +109,19 @@ object Multimodal {
       n_frames_sampled: Int)
 
   /** Decode one row: image payloads that ImageIO accepts get REAL
-    * pixel-backed metadata; everything else (audio/video, or an
-    * image payload that isn't one) falls back to the deterministic
-    * stub. The fallback is what keeps text-bytes fixtures and
-    * corrupted blobs total — a decode error never kills a 100 TB job.
+    * pixel-backed metadata, audio payloads that `javax.sound.sampled`
+    * accepts (WAV/AIFF/AU — see [[AudioCodec]]) get REAL sample-backed
+    * metadata (`width` carries the sample rate, `height` the channel
+    * count — the audio analogues of the raster dims); everything else
+    * (video, or a payload that isn't what its kind claims) falls back
+    * to the deterministic stub. The fallback is what keeps text-bytes
+    * fixtures and corrupted blobs total — a decode error never kills
+    * a 100 TB job.
     */
+  private def md5Hex(payload: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).map("%02x".format(_)).mkString
+
   private def decodeOne(r: MediaRow): MediaMeta =
     if (r.kind == "image") {
       ImageCodec.tryDecode(r.payload) match {
@@ -125,8 +133,22 @@ object Multimodal {
             width = m.width,
             height = m.height,
             nFrames = 1,
-            sha = java.security.MessageDigest.getInstance("MD5")
-              .digest(r.payload).map("%02x".format(_)).mkString,
+            sha = md5Hex(r.payload),
+            nSamples = m.nSamples,
+            sampleSum = m.sampleSum)
+        case None => FakeCodec.decode(r.kind, r.payload)
+      }
+    } else if (r.kind == "audio") {
+      AudioCodec.tryDecode(r.payload) match {
+        case Some((fmt, pcm)) =>
+          val m = AudioCodec.decodeMeta(fmt, pcm)
+          MediaMeta(
+            kind = r.kind,
+            nBytes = r.payload.length.toLong,
+            width = m.sampleRate,
+            height = m.channels,
+            nFrames = m.nFrames.toInt,
+            sha = md5Hex(r.payload),
             nSamples = m.nSamples,
             sampleSum = m.sampleSum)
         case None => FakeCodec.decode(r.kind, r.payload)
@@ -200,6 +222,35 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Deterministic sample rate for [[synthesizeWavAudio]]: derivable
+    * from the id alone, so the oracle re-derives it without parsing
+    * RIFF. Five realistic telephony/speech rates.
+    */
+  def wavRate(id: Long): Int =
+    4000 + java.lang.Math.floorMod(id, 5L).toInt * 2000
+
+  /** Every row as a REAL WAV whose unsigned-8-bit mono PCM samples
+    * are exactly the text bytes (empty text → one zero sample) at
+    * sample rate `4000 + id % 5 · 2000`. WAV is lossless for PCM, so
+    * decoding returns the source bytes sample-for-sample — the
+    * encode→decode round trip the oracle checks end-to-end, the audio
+    * twin of [[synthesizeGrayImages]]. Batched per-partition.
+    */
+  def synthesizeWavAudio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val samples = if (bytes.isEmpty) new Array[Byte](1) else bytes
+          MediaRow(id, "audio", AudioCodec.encodePcmWav(samples, wavRate(id)))
+        }
+      }.toDF()
+  }
+
   /** Every row as a REAL gray PNG of its text bytes (the all-image
     * corpus the perceptual-dedup plane runs on).
     */
@@ -248,6 +299,37 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ResampledRow(
+      media_id: Long, in_rate: Int, out_rate: Int,
+      in_frames: Long, out_frames: Long, out_sum: Long)
+
+  /** REAL audio transform: decode → linear-interpolation resample to
+    * `targetRate` → report the product's frame count and exact sample
+    * sum (read back from the resampled samples, not echoed from the
+    * arguments) — the audio counterpart of [[mediaTransformTable]]'s
+    * image path. Non-decodable rows are dropped (callers keep the
+    * stub path for those). Same contract as every codec call here:
+    * batched per-partition, narrow map, one row per decodable input.
+    */
+  def audioResampleTable(spark: SparkSession, media: DataFrame,
+      targetRate: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.kind != "audio") None
+        else AudioCodec.tryDecode(r.payload).map { case (fmt, pcm) =>
+          val in = AudioCodec.unsignedSamples(fmt, pcm)
+          val out = AudioCodec.resampleToRate(in, fmt.getSampleRate.toInt, targetRate)
+          var sum = 0L
+          var i = 0
+          while (i < out.length) { sum += out(i); i += 1 }
+          ResampledRow(r.media_id, fmt.getSampleRate.toInt, targetRate,
+            in.length.toLong, out.length.toLong, sum)
+        }
+      }
+    }.toDF()
+  }
+
   case class EmbeddedRow(media_id: Long, kind: String, embedding: Seq[Double])
 
   /** STUB feature extraction: media payload → unit-norm embedding.
@@ -266,13 +348,19 @@ object Multimodal {
       // per-partition init point (a real encoder session would load here)
       rows.map { r =>
         // image rows histogram the DECODED raster samples (real
-        // pixels); everything else histograms payload bytes (the stub
+        // pixels), audio rows the DECODED PCM samples (real waveform);
+        // everything else histograms payload bytes (the stub
         // "samples"). Counts are integer-exact either way, so norm +
         // division replay bit-for-bit in the oracle.
         val samples: Array[Byte] =
           if (r.kind == "image")
             ImageCodec.tryDecode(r.payload)
               .map(ImageCodec.graySamples).getOrElse(r.payload)
+          else if (r.kind == "audio")
+            AudioCodec.tryDecode(r.payload)
+              .map { case (fmt, pcm) =>
+                AudioCodec.unsignedSamples(fmt, pcm).map(_.toByte)
+              }.getOrElse(r.payload)
           else r.payload
         val hist = new Array[Double](dim)
         var i = 0
@@ -303,12 +391,19 @@ object Multimodal {
       rows.map { r =>
         // image rows: REAL pixel-grid pHash (8×8 cell-mean bits over
         // the decoded raster — integer-exact, oracle-replayable);
-        // stub histogram hash otherwise.
+        // audio rows: REAL energy-band fingerprint over the decoded
+        // waveform (AudioCodec.energyFingerprint, same integer-exact
+        // contract); stub histogram hash otherwise.
         val fp =
           if (r.kind == "image")
             ImageCodec.tryDecode(r.payload)
               .map(img => ImageCodec.perceptualHash(img))
               .getOrElse(codec.perceptualHash(r.payload, bits))
+          else if (r.kind == "audio")
+            AudioCodec.tryDecode(r.payload)
+              .map { case (fmt, pcm) =>
+                AudioCodec.energyFingerprint(AudioCodec.unsignedSamples(fmt, pcm))
+              }.getOrElse(codec.perceptualHash(r.payload, bits))
           else codec.perceptualHash(r.payload, bits)
         (r.media_id, fp)
       }

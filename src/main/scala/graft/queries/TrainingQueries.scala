@@ -592,6 +592,30 @@ object TrainingQueries {
         .orderBy(col("media_a"), col("media_b"))
     }),
 
+    // REAL WAV audio metadata: every doc as an actual RIFF/WAV file
+    // (PCM samples = text bytes) decoded by the JDK's own
+    // javax.sound.sampled — sample rate, frame count, and the exact
+    // decoded-sample sum are read back from real PCM, and the oracle
+    // re-derives them from the source bytes (WAV is lossless).
+    "q127_audio_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWavAudio(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.mediaMetaTable(s, media)
+        .select(col("media_id"),
+          col("width").as("sample_rate"), col("height").as("channels"),
+          col("n_frames"), col("n_samples"), col("px_sum").as("sample_sum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL audio energy-band fingerprint (the acoustic slot of the
+    // perceptual-hash family): 64 equal-share time windows over the
+    // DECODED waveform, bit w = window energy at/above the per-window
+    // mean — exact integer compares end-to-end, so the oracle replays
+    // every bit from the text bytes.
+    "q128_audio_fp" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWavAudio(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.mediaFingerprints(s, media).orderBy(col("media_id"))
+    }),
+
     "q104_media_phash" -> ((s, dir) => {
       // every doc as a REAL gray PNG; fp = the pixel-grid pHash read
       // off the DECODED raster (8×8 cell-mean bits, integer-exact) —
@@ -1276,6 +1300,45 @@ object TrainingQueries {
            SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosPre("a", "b")} AS cos
            FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND list_has_any(a.bk, b.bk))
          WHERE cos >= 0.45 ORDER BY id_a, id_b""",
+    // q127: WAV PCM is lossless, so every decoded quantity re-derives
+    // from (doc_id, text) alone: rate from the id, frames/sum from the
+    // text bytes (empty text → the one zero pad sample).
+    "q127_audio_meta" ->
+      """SELECT doc_id::BIGINT AS media_id,
+         (4000 + (doc_id % 5) * 2000)::INT AS sample_rate,
+         1::INT AS channels,
+         greatest(strlen(text), 1)::INT AS n_frames,
+         greatest(strlen(text), 1)::BIGINT AS n_samples,
+         coalesce(list_sum([ascii(substr(text, i::INT, 1)) FOR i IN range(1, strlen(text)+1)]), 0)::BIGINT AS sample_sum
+         FROM documents ORDER BY media_id""",
+
+    // q128: the energy-band bits replayed from text bytes — sample k
+    // lands in window (k*64)//n, bit set iff e_w * 64 >= total energy
+    // (the same multiply-through integer compare the engine runs),
+    // HUGEINT bit-sum folded to Spark's signed BIGINT.
+    "q128_audio_fp" ->
+      """WITH s AS (
+           SELECT doc_id AS media_id,
+             CASE WHEN strlen(text) = 0 THEN [0]
+                  ELSE [ascii(substr(text, i::INT, 1)) FOR i IN range(1, strlen(text)+1)] END AS vs
+           FROM documents),
+         v AS (SELECT media_id, len(vs)::BIGINT AS n,
+                 unnest(list_transform(range(1, len(vs)+1), i -> {'k': i-1, 'x': vs[i]})) AS u
+               FROM s),
+         e AS (SELECT media_id, ((u.k * 64) // n) AS w,
+                 sum((u.x::HUGEINT) * u.x) AS ew
+               FROM v GROUP BY media_id, ((u.k * 64) // n)),
+         tot AS (SELECT media_id, sum(ew) AS te FROM e GROUP BY media_id),
+         fph AS (SELECT e.media_id,
+                   sum(CASE WHEN e.ew * 64 >= t.te THEN 1::HUGEINT << e.w::INT
+                       ELSE 0::HUGEINT END) AS f
+                 FROM e JOIN tot t ON e.media_id = t.media_id
+                 GROUP BY e.media_id)
+         SELECT media_id::BIGINT AS media_id,
+           (CASE WHEN f >= 9223372036854775808 THEN f - 18446744073709551616
+                 ELSE f END)::BIGINT AS fp
+         FROM fph ORDER BY media_id""",
+
     // q29: image rows (doc_id % 3 = 0) carry REAL PNGs — width/height/
     // n_samples/px_sum re-derived here from (doc_id, text) replicate
     // what ImageIO reads back from actual pixels (raster = text bytes

@@ -200,4 +200,60 @@ class MultimodalSpec extends SparkSpec {
       grayImagePayload(0L, base.getBytes("UTF-8"))).get)
     assert(fps(0L) === direct)
   }
+
+  test("synthesizeWavAudio rows decode with the REAL audio codec: rate from id, samples = text bytes") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "hello wav"), (3L, "abc"), (7L, "")).toDF("doc_id", "text")
+    val meta = mediaMetaTable(s, synthesizeWavAudio(docs, "doc_id", "text"))
+      .orderBy(col("media_id")).collect()
+    // id 0: rate 4000, 9 frames, sum of the text bytes
+    assert(meta(0).getInt(3) === 4000) // width column carries the sample rate
+    assert(meta(0).getInt(4) === 1) // height column carries channels
+    assert(meta(0).getLong(7) === 9L)
+    assert(meta(0).getLong(8) === "hello wav".getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum)
+    // id 3: rate 4000 + 3*2000
+    assert(meta(1).getInt(3) === 10000)
+    // id 7: empty text -> one zero pad sample
+    assert(meta(2).getInt(3) === 4000 + 2 * 2000)
+    assert(meta(2).getLong(7) === 1L && meta(2).getLong(8) === 0L)
+  }
+
+  test("audio rows that are NOT valid audio still take the stub path (fallback totality)") {
+    val s = spark
+    import s.implicits._
+    val raw = MediaRow(5L, "audio", "not a riff file".getBytes("UTF-8"))
+    val got = withMediaMeta(Seq(raw).toDS()).head()
+    assert(got.meta === FakeCodec.decode("audio", raw.payload))
+  }
+
+  test("audioResampleTable: REAL decode + linear resample, counts and sums from the product") {
+    val s = spark
+    import s.implicits._
+    val text = "abcdefghij" * 40 // 400 samples
+    val docs = Seq((0L, text)).toDF("doc_id", "text") // rate 4000
+    val media = synthesizeWavAudio(docs, "doc_id", "text")
+    val out = audioResampleTable(s, media, targetRate = 2000).head()
+    assert(out.getInt(1) === 4000 && out.getInt(2) === 2000)
+    assert(out.getLong(3) === 400L && out.getLong(4) === 200L)
+    // the reported sum equals a direct Scala replay of the same resample
+    val src = text.getBytes("UTF-8").map(_ & 0xff)
+    val expect = AudioCodec.resampleLinear(src, 200).map(_.toLong).sum
+    assert(out.getLong(5) === expect)
+    // non-audio rows are dropped, not crashed
+    assert(audioResampleTable(s,
+      Seq(MediaRow(1L, "video", "x".getBytes)).toDS().toDF(), 2000).count() === 0L)
+  }
+
+  test("mediaFingerprints: audio rows use the REAL energy fingerprint over decoded samples") {
+    val s = spark
+    import s.implicits._
+    val quietLoud = (Array.fill(256)(10.toByte) ++ Array.fill(256)(200.toByte))
+    val wav = AudioCodec.encodePcmWav(quietLoud, 8000)
+    val fps = mediaFingerprints(s, Seq(MediaRow(1L, "audio", wav)).toDS().toDF())
+      .head().getLong(1)
+    val direct = AudioCodec.energyFingerprint(quietLoud.map(_ & 0xff))
+    assert(fps === direct)
+    assert(fps !== FakeCodec.perceptualHash(wav, 16), "must not be the stub hash")
+  }
 }
