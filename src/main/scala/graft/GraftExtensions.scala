@@ -139,6 +139,36 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Cast(
           a(0), org.apache.spark.sql.types.StringType),
         intArg("misra_gries", a(1))).toAggregateExpression()
+    },
+    // topk_by(key, ord, k): mergeable bounded-heap per-group top-k
+    reg("topk_by") { a =>
+      arity("topk_by", a, 3)
+      TopKByAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a(0), org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a(1), org.apache.spark.sql.types.DoubleType),
+        intArg("topk_by", a(2))).toAggregateExpression()
+    },
+    // quantile_sketch(x, capacity, p1[, p2, ...]): mergeable quantile
+    // summary, exact under `capacity` rows per group
+    reg("quantile_sketch") { a =>
+      require(a.length >= 3, s"quantile_sketch expects >= 3 arguments, got ${a.length}")
+      val ps = a.drop(2).map { e =>
+        require(e.foldable, "quantile_sketch: probabilities must be literals")
+        e.eval(null) match {
+          case d: Double => d
+          case f: java.math.BigDecimal => f.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case i: Int => i.toDouble
+          case other => throw new IllegalArgumentException(
+            s"quantile_sketch: expected a numeric literal probability, got $other")
+        }
+      }
+      QuantileSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a(0), org.apache.spark.sql.types.DoubleType),
+        intArg("quantile_sketch", a(1)), ps).toAggregateExpression()
     })
 
   /** Register everything into a live session (the non-config path). */

@@ -134,6 +134,315 @@ case class MisraGriesAgg(
   override def prettyName: String = "misra_gries"
 }
 
+/** Per-group top-k as a native MERGEABLE aggregate — the bounded-heap
+  * replacement for the `row_number() OVER (PARTITION BY g ORDER BY v
+  * DESC) <= k` idiom. The window form materializes and SORTS every
+  * group in full on the reduce side; this aggregate ships at most `k`
+  * rows per group out of each map partition (partial aggregation cuts
+  * the shuffle to ≤ k·partitions rows per group) and never sorts more
+  * than a k-sized heap. At 100 TB the difference is a full-corpus
+  * sort exchange vs a top-k-sized one.
+  *
+  * Deterministic total order: (v desc, key asc) — ties at the
+  * boundary keep the smaller key, so the result is independent of
+  * partitioning and merge order (spec-checked). Output:
+  * array<struct<token, v>> sorted (v desc, token asc), length ≤ k.
+  */
+case class TopKByAgg(
+    key: Expression,
+    ord: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(String, Double)]] {
+
+  require(k >= 1, "top-k size must be positive")
+
+  override def children: Seq[Expression] = Seq(key, ord)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("v", DoubleType, nullable = false))), containsNull = false)
+
+  // worst-first ordering: the queue head is the element to evict —
+  // lowest v, and among equal v the LARGEST key (so min-key wins ties)
+  private val worstFirst: Ordering[(String, Double)] =
+    new Ordering[(String, Double)] {
+      override def compare(a: (String, Double), b: (String, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2) // smaller v = "greater" = evicted first
+        if (c != 0) c else a._1.compareTo(b._1) // larger key = evicted first
+      }
+    }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(String, Double)] =
+    mutable.PriorityQueue.empty[(String, Double)](worstFirst)
+
+  private def offer(
+      buf: mutable.PriorityQueue[(String, Double)],
+      item: (String, Double)): Unit = {
+    if (buf.size < k) buf.enqueue(item)
+    else if (worstFirst.compare(item, buf.head) < 0) { // item better than current worst
+      buf.dequeue()
+      buf.enqueue(item)
+    }
+  }
+
+  override def update(
+      buffer: mutable.PriorityQueue[(String, Double)],
+      input: InternalRow): mutable.PriorityQueue[(String, Double)] = {
+    val kv = key.eval(input)
+    val ov = ord.eval(input)
+    if (kv != null && ov != null) {
+      val d = ov.asInstanceOf[Double]
+      if (!java.lang.Double.isNaN(d)) offer(buffer, (kv.asInstanceOf[UTF8String].toString, d))
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: mutable.PriorityQueue[(String, Double)],
+      other: mutable.PriorityQueue[(String, Double)]): mutable.PriorityQueue[(String, Double)] = {
+    other.foreach(offer(buffer, _))
+    buffer
+  }
+
+  override def eval(buffer: mutable.PriorityQueue[(String, Double)]): Any = {
+    val sorted = buffer.toArray.sortBy { case (t, v) => (-v, t) }
+    new GenericArrayData(sorted.map { case (t, v) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(t), v))
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buffer: mutable.PriorityQueue[(String, Double)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreach { case (t, v) =>
+      val tb = t.getBytes("UTF-8")
+      out.writeInt(tb.length)
+      out.write(tb)
+      out.writeDouble(v)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(String, Double)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val tb = new Array[Byte](in.readInt())
+      in.readFully(tb)
+      buf.enqueue((new String(tb, "UTF-8"), in.readDouble()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), ord = newChildren(1))
+  override def prettyName: String = "topk_by"
+}
+
+/** The deterministic KLL-shaped compactor hierarchy behind
+  * [[QuantileSketchAgg]]: level `l` holds items of weight `2^l`; a
+  * level reaching `capacity` sorts, promotes every other element (the
+  * survivors carry doubled weight) to level `l+1`, and leaves at most
+  * one odd leftover behind — weight is conserved exactly, so ranks
+  * are never biased by lost mass. The selection offset alternates per
+  * level per compaction (the deterministic stand-in for KLL's coin
+  * flip — Manku et al.'s NEW/COLLAPSE policy has the same shape), so
+  * the summary is a pure function of the merge tree. Memory is
+  * O(capacity · log(n/capacity)).
+  */
+final class QuantileSketch(val capacity: Int) extends Serializable {
+  val levels: mutable.ArrayBuffer[mutable.ArrayBuffer[Double]] =
+    mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double])
+  val toggles: mutable.ArrayBuffer[Boolean] = mutable.ArrayBuffer(false)
+
+  private def ensureLevel(l: Int): Unit =
+    while (levels.size <= l) {
+      levels += mutable.ArrayBuffer.empty[Double]
+      toggles += false
+    }
+
+  def insert(v: Double): Unit = {
+    levels(0) += v
+    if (levels(0).size >= capacity) compactFrom(0)
+  }
+
+  private def compactFrom(start: Int): Unit = {
+    var l = start
+    while (l < levels.size && levels(l).size >= capacity) {
+      val buf = levels(l)
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr)
+      val even = arr.length - (arr.length % 2)
+      val offset = if (toggles(l)) 1 else 0
+      toggles(l) = !toggles(l)
+      ensureLevel(l + 1)
+      var i = offset
+      while (i < even) { levels(l + 1) += arr(i); i += 2 }
+      buf.clear()
+      if (even < arr.length) buf += arr(even) // the odd max stays at this level
+      l += 1
+    }
+  }
+
+  def mergeWith(other: QuantileSketch): Unit = {
+    var l = 0
+    while (l < other.levels.size) {
+      ensureLevel(l)
+      levels(l) ++= other.levels(l)
+      l += 1
+    }
+    compactFrom(0)
+    // a deeper level may have crossed capacity without level 0 doing so
+    var m = 1
+    while (m < levels.size) {
+      if (levels(m).size >= capacity) compactFrom(m)
+      m += 1
+    }
+  }
+
+  /** All (value, weight) items, sorted by value. */
+  def weightedItems(): Array[(Double, Long)] = {
+    val out = mutable.ArrayBuffer.empty[(Double, Long)]
+    var l = 0
+    while (l < levels.size) {
+      val w = 1L << l
+      levels(l).foreach(v => out += ((v, w)))
+      l += 1
+    }
+    out.sortBy(_._1).toArray
+  }
+
+  /** Discrete quantile at probability `p` under DuckDB/Postgres
+    * `quantile_disc` semantics: the smallest value whose cumulative
+    * weight reaches `max(1, ceil(p·N))`. `BigDecimal.valueOf` keeps
+    * `ceil` exact for short-decimal probabilities (0.9·500 in IEEE is
+    * 450.000…06 — ceiling to 451 would be off by one).
+    */
+  def quantile(items: Array[(Double, Long)], p: Double): Double = {
+    val n = items.map(_._2).sum
+    val target = math.max(BigDecimal.valueOf(p)
+      .*(BigDecimal(n)).setScale(0, BigDecimal.RoundingMode.CEILING).toLong, 1L)
+    var cum = 0L
+    var i = 0
+    while (i < items.length) {
+      cum += items(i)._2
+      if (cum >= target) return items(i)._1
+      i += 1
+    }
+    if (items.isEmpty) Double.NaN else items(items.length - 1)._1
+  }
+}
+
+/** Mergeable quantile summary as a native aggregate — the
+  * bounded-memory companion to exact rank windows for 100 TB order
+  * statistics: map-side partials are `capacity·log`-sized sketches,
+  * merged associatively, so no global sort and no full-column
+  * materialization ever happens (`percentile_approx` is Spark's
+  * built-in analogue; this one is deterministic given the plan and
+  * EXACT whenever a group's row count stays under `capacity` — the
+  * regime the DuckDB `quantile_disc` oracle checks bit-for-bit, as
+  * with `misra_gries`'s exact regime). Output: array<struct<p, v>>
+  * in the probability order requested.
+  */
+case class QuantileSketchAgg(
+    child: Expression,
+    capacity: Int,
+    probabilities: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketch] {
+
+  require(capacity >= 8, "sketch capacity must be at least 8")
+  require(probabilities.nonEmpty && probabilities.forall(p => p >= 0.0 && p <= 1.0),
+    "probabilities must be within [0, 1]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p", DoubleType, nullable = false),
+    StructField("v", DoubleType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): QuantileSketch = new QuantileSketch(capacity)
+
+  override def update(buffer: QuantileSketch, input: InternalRow): QuantileSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      if (!java.lang.Double.isNaN(d)) buffer.insert(d)
+    }
+    buffer
+  }
+
+  override def merge(buffer: QuantileSketch, other: QuantileSketch): QuantileSketch = {
+    buffer.mergeWith(other)
+    buffer
+  }
+
+  override def eval(buffer: QuantileSketch): Any = {
+    val items = buffer.weightedItems()
+    new GenericArrayData(probabilities.map { p =>
+      new GenericInternalRow(Array[Any](p, buffer.quantile(items, p)))
+    }.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buffer: QuantileSketch): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buffer.levels.size)
+    var l = 0
+    while (l < buffer.levels.size) {
+      out.writeBoolean(buffer.toggles(l))
+      val lv = buffer.levels(l)
+      out.writeInt(lv.size)
+      lv.foreach(out.writeDouble)
+      l += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): QuantileSketch = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val s = new QuantileSketch(capacity)
+    val nLevels = in.readInt()
+    var l = 0
+    while (l < nLevels) {
+      val tog = in.readBoolean()
+      val n = in.readInt()
+      if (l >= s.levels.size) {
+        s.levels += mutable.ArrayBuffer.empty[Double]
+        s.toggles += false
+      }
+      s.toggles(l) = tog
+      var i = 0
+      while (i < n) { s.levels(l) += in.readDouble(); i += 1 }
+      l += 1
+    }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "quantile_sketch"
+}
+
 /** Column wrappers for the custom aggregates. */
 object AggregateFunctions {
 
@@ -145,5 +454,30 @@ object AggregateFunctions {
   def heavyHitters(c: Column, capacity: Int): Column =
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.eagerExpression(c.cast("string")), capacity)
+        .toAggregateExpression())
+
+  /** Per-group top-k by a double-valued order column: bounded k-sized
+    * heap per partial, mergeable, deterministic (v desc, key asc with
+    * min-key tie wins). Returns array<struct<token, v>> sorted
+    * (v desc, token asc) — the shuffle-light replacement for the
+    * partitioned row_number window.
+    */
+  def topKBy(key: Column, ord: Column, k: Int): Column =
+    GraftBridge.column(
+      TopKByAgg(
+        GraftBridge.eagerExpression(key.cast("string")),
+        GraftBridge.eagerExpression(ord.cast("double")), k)
+        .toAggregateExpression())
+
+  /** Mergeable quantile summary: `capacity·log`-bounded sketch per
+    * partial, EXACT while the group stays under `capacity` rows
+    * (DuckDB `quantile_disc` semantics), rank error bounded by the
+    * compaction weights past it. Returns array<struct<p, v>> in the
+    * requested probability order.
+    */
+  def quantileSketch(c: Column, capacity: Int, probabilities: Seq[Double]): Column =
+    GraftBridge.column(
+      QuantileSketchAgg(GraftBridge.eagerExpression(c.cast("double")),
+        capacity, probabilities)
         .toAggregateExpression())
 }

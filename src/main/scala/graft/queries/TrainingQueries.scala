@@ -484,6 +484,42 @@ object TrainingQueries {
     // TypedImperativeAggregate): capacity 64 > |vocab| = exact-regime,
     // so the summary IS the count table — the oracle checks that; the
     // N/(capacity+1) undercount bound is the 100 TB regime (spec).
+    // Per-group top-k as a MERGEABLE bounded-heap aggregate: each map
+    // partition ships at most k rows per group, vs the row_number
+    // window's full per-group reduce-side sort — the shuffle-light
+    // top-k shape for 100 TB grouped rankings. Deterministic
+    // (quality desc, doc_id asc), so the exact oracle replays it with
+    // the window it replaces.
+    "q129_topk_by" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(graft.functions.AggregateFunctions.topKBy(
+          // zero-padded key: the aggregate's tie rule is string-ASC,
+          // and padding makes string order == numeric doc_id order
+          lpad(col("doc_id").cast("string"), 12, "0"),
+          TextFunctions.qualityScore(col("text")), 5).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.token").cast("long").as("doc_id"), col("e.v").as("quality"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // Mergeable quantile summary in its EXACT regime (group rows <
+    // capacity — the same oracle pattern as q110's Misra-Gries): per-
+    // source quality quartiles with no global sort and a capacity·log-
+    // bounded partial per partition. Past capacity the sketch degrades
+    // to bounded rank error instead of bounded memory (spec-checked).
+    "q130_quantile_sketch" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), TextFunctions.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(graft.functions.AggregateFunctions.quantileSketch(
+          col("q"), 4096, Seq(0.25, 0.5, 0.75, 0.9)).as("qs"))
+        .select(col("source"), explode(col("qs")).as("e"))
+        .select(col("source"), col("e.p").as("p"), col("e.v").as("v"))
+        .orderBy(col("source"), col("p"))
+    }),
+
     "q110_heavy_hitters" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
@@ -1641,6 +1677,47 @@ object TrainingQueries {
          SELECT row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS rank,
            tok AS token, c
          FROM c ORDER BY rank""",
+
+    // q129: the window form the mergeable heap replaces — q20's
+    // quality replica ranked (quality desc, doc_id asc) per source,
+    // top 5. The aggregate's tie rule (min key wins) IS the window's
+    // doc_id-asc tiebreak.
+    "q129_topk_by" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+             floor((0.3 * least(1.0, len(t) / 50)
+                  + 0.3 * len(list_distinct(t))::DOUBLE / len(t)
+                  + 0.2 * least(1.0, (list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t)) / 8)
+                  + 0.2 * len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t)) * 1e6) / 1e6 AS quality
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+         r AS (SELECT source, doc_id, quality,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY quality DESC, doc_id) AS rank
+               FROM q)
+         SELECT source, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id, quality
+         FROM r WHERE rank <= 5 ORDER BY source, rank""",
+
+    // q130: exact-regime check — group sizes sit far under the 4096
+    // capacity at sf0.01, so the sketch IS the sorted value list and
+    // the quantiles are DuckDB's own quantile_disc.
+    "q130_quantile_sketch" ->
+      """WITH q AS (
+           SELECT source,
+             floor((0.3 * least(1.0, len(t) / 50)
+                  + 0.3 * len(list_distinct(t))::DOUBLE / len(t)
+                  + 0.2 * least(1.0, (list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t)) / 8)
+                  + 0.2 * len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t)) * 1e6) / 1e6 AS quality
+           FROM (SELECT source, string_split(text, ' ') AS t FROM documents))
+         SELECT source, u.p, u.v
+         FROM (SELECT source,
+                 quantile_disc(quality, 0.25) AS v25,
+                 quantile_disc(quality, 0.5) AS v50,
+                 quantile_disc(quality, 0.75) AS v75,
+                 quantile_disc(quality, 0.9) AS v90
+               FROM q GROUP BY source),
+           unnest([{'p': 0.25::DOUBLE, 'v': v25}, {'p': 0.5::DOUBLE, 'v': v50},
+                   {'p': 0.75::DOUBLE, 'v': v75}, {'p': 0.9::DOUBLE, 'v': v90}]) AS t(u)
+         ORDER BY source, u.p""",
 
     // q109: q74's xent/bucket CTE + the q65-style md5 keep threshold,
     // rates by bucket.
