@@ -7,7 +7,7 @@ import graft.Tables
 import graft.curation.Curation
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{Pca, Similarity}
 import graft.text.{NaiveBayes, Pii, Repetition, Search, TextFunctions, Vocab}
 
 /** Training-data pipeline operators (dedup, similarity search,
@@ -518,6 +518,28 @@ object TrainingQueries {
         .select(col("source"), explode(col("qs")).as("e"))
         .select(col("source"), col("e.p").as("p"), col("e.v").as("v"))
         .orderBy(col("source"), col("p"))
+    }),
+
+    // Hard-negative mining (contrastive-training pair selection): per
+    // anchor, the 5 most-similar vectors with a DIFFERENT label. The
+    // exact cross-label scoring is the quadratic oracle baseline; the
+    // LSH-bucketed variant is the corpus-scale path (spec-checked
+    // equal at planes=0).
+    "q132_hard_negatives" -> ((s, dir) => {
+      Similarity.hardNegatives(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Distributed PCA, stage 1 (the oracle-checkable half): exact
+    // integer covariance moments of the embedding corpus — ONE
+    // mapPartitions pass accumulates d×d Longs locally, d² tiny rows
+    // per partition reduce globally, covariance is a single double
+    // division of exact numerators. The eigensolve + projection on
+    // top are driver-side d×d work (PcaSpec).
+    "q131_embed_cov" -> ((s, dir) => {
+      Pca.covarianceMatrix(t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("i"), col("j"))
     }),
 
     "q110_heavy_hitters" -> ((s, dir) => {
@@ -1677,6 +1699,46 @@ object TrainingQueries {
          SELECT row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS rank,
            tok AS token, c
          FROM c ORDER BY rank""",
+
+    // q132: the full cross-label pair scoring, ranked (cos desc,
+    // neg_id) per anchor — the window form the engine runs, replayed
+    // quadratically.
+    "q132_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+         n AS (SELECT vec_id, label, emb,
+                 sqrt(list_sum(list_transform(range(1, 65), i -> emb[i] * emb[i]))) AS nrm
+               FROM e)
+         SELECT q_id, neg_id, cos, rank FROM (
+           SELECT a.vec_id AS q_id, b.vec_id AS neg_id,
+             ${duckCosPre("a", "b")} AS cos,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY ${duckCosPre("a", "b")} DESC, b.vec_id) AS rank
+           FROM n a JOIN n b ON a.label <> b.label)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // q131: the same integer grid (floor(x·1e6 + 0.5)), exact HUGEINT
+    // moments via the d² dimension-pair self-join, and the identical
+    // final division expression — every covariance cell replays
+    // bit-for-bit.
+    "q131_embed_cov" ->
+      """WITH q AS (SELECT vec_id,
+             list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv
+           FROM embeddings),
+         e AS (SELECT vec_id,
+             unnest(list_transform(range(1, len(qv)+1), k -> {'i': k-1, 'x': qv[k]})) AS u
+           FROM q),
+         p AS (SELECT a.u.i::INT AS i, b.u.i::INT AS j,
+                 sum(a.u.x::HUGEINT * b.u.x) AS sp,
+                 sum(a.u.x::HUGEINT) AS si,
+                 sum(b.u.x::HUGEINT) AS sj,
+                 count(*)::HUGEINT AS n
+               FROM e a JOIN e b ON a.vec_id = b.vec_id
+               GROUP BY 1, 2)
+         SELECT i, j,
+           (n * sp - si * sj)::DOUBLE
+             / (n::DOUBLE * n::DOUBLE * 1000000.0 * 1000000.0) AS cov
+         FROM p ORDER BY i, j""",
 
     // q129: the window form the mergeable heap replaces — q20's
     // quality replica ranked (quality desc, doc_id asc) per source,

@@ -63,6 +63,65 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for
+    * every anchor row, the k most-similar rows with a DIFFERENT
+    * label — the pairs that teach a model the most (similar in
+    * embedding space, semantically distinct). This exact form scores
+    * every cross-label pair (the quadratic oracle baseline, same
+    * stance as [[cosinePairsExact]]); at corpus scale use
+    * [[hardNegativesLsh]], which routes candidate generation through
+    * the LSH bucket equi-join so nothing quadratic is ever planned.
+    * Output: (q_id, neg_id, cos, rank), rank 1..k per anchor by
+    * (cos desc, neg_id asc).
+    */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"), col(labelCol).as("label"))
+      .withColumn("nrm", norm(col("emb")))
+    val a = base.select(col("id").as("q_id"), col("emb").as("q_emb"),
+      col("label").as("q_label"), col("nrm").as("q_nrm"))
+    val b = base.select(col("id").as("neg_id"), col("emb").as("n_emb"),
+      col("label").as("n_label"), col("nrm").as("n_nrm"))
+    val scored = a.join(b, col("q_label") =!= col("n_label"))
+      .withColumn("cos",
+        cosineWithNorms(col("q_emb"), col("n_emb"), col("q_nrm"), col("n_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neg_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neg_id"), col("cos"), col("rank"))
+  }
+
+  /** [[hardNegatives]] at scale: candidates come from the LSH bucket
+    * equi-join (both sides bucket by `planes` md5-derived hyperplane
+    * sign bits, the label-mismatch test is a residual filter on the
+    * hash join), so the pair volume is bounded by bucket co-residency
+    * instead of |corpus|². `planes = 0` is the degenerate single
+    * bucket — exact equality with [[hardNegatives]] (spec-checked);
+    * each added plane halves expected bucket size at some recall
+    * cost, exactly the [[lshTopK]] trade.
+    */
+  def hardNegativesLsh(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int, planes: Int, dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("emb"), col(labelCol).as("label"))
+      .withColumn("nrm", norm(col("emb")))
+      .withColumn("bucket",
+        if (planes == 0) lit(0L) else lshBucket(col("emb"), planes, dim))
+    val a = base.select(col("id").as("q_id"), col("emb").as("q_emb"),
+      col("label").as("q_label"), col("nrm").as("q_nrm"), col("bucket"))
+    val b = base.select(col("id").as("neg_id"), col("emb").as("n_emb"),
+      col("label").as("n_label"), col("nrm").as("n_nrm"), col("bucket"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("cos",
+        cosineWithNorms(col("q_emb"), col("n_emb"), col("q_nrm"), col("n_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neg_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neg_id"), col("cos"), col("rank"))
+  }
+
   /** Deterministic ±1 hyperplane for plane index `p` over `dim`
     * dimensions, derived from the md5 hex digest of `"plane:p"`:
     * component i = +1 iff bit (i mod 4) of hex digit (i / 4) is set.

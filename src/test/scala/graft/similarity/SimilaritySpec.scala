@@ -407,4 +407,50 @@ class SimilaritySpec extends SparkSpec {
     val want = (0 until 4).map(b => if (((nib >> b) & 1) == 1) 1.0 else -1.0)
     assert(p0.take(4).toSeq === want)
   }
+
+  test("hardNegatives: most-similar cross-label rows only, own label never appears") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters with mixed labels: anchors in cluster A must
+    // pick the other-label member of their OWN cluster first
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.01), 0), (2L, Seq(1.0, 0.01, 0.0), 1),
+      (3L, Seq(0.0, 1.0, 0.01), 0), (4L, Seq(0.01, 1.0, 0.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(rows, "vec_id", "embedding", "label", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
+    // k beyond the cross-label pool: every returned neg has a different label
+    val all = Similarity.hardNegatives(rows, "vec_id", "embedding", "label", k = 10)
+      .collect()
+    assert(all.length === 8, "2 cross-label candidates per anchor")
+  }
+
+  test("hardNegativesLsh at planes=0 equals the exact form; bucketing bounds the pair volume") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val exact = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val lsh0 = Similarity.hardNegativesLsh(emb, "vec_id", "embedding", "label", 3, planes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, -t._3, t._2)).toSeq
+    assert(lsh0 === exact)
+    // with real planes the join is bucket-equi: every returned pair
+    // must share a bucket (the structural guarantee), and recall vs
+    // exact top-1 stays useful even on this near-isotropic corpus
+    // (the worst case for sign-bit LSH — real clustered embeddings
+    // fare far better; observed ~0.4 here)
+    val lsh = Similarity.hardNegativesLsh(emb, "vec_id", "embedding", "label", 1, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val buckets = emb
+      .select(col("vec_id").cast("long"),
+        Similarity.lshBucket(col("embedding").cast("array<double>"), 2, 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    lsh.foreach { case (q, n) =>
+      assert(buckets(q) === buckets(n), s"pair ($q,$n) crosses buckets")
+    }
+    val exactTop1 = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = exactTop1.count { case (q, n) => lsh.get(q).contains(n) }
+    assert(hits.toDouble / exactTop1.size > 0.25,
+      s"2-plane LSH top-1 recall collapsed: $hits/${exactTop1.size}")
+  }
 }
