@@ -820,6 +820,57 @@ object Curation {
           greatest(col("_n") - 1, lit(1)).cast("double") * 1e6) / 1e6).as("q_pct"))
   }
 
+  /** Population Stability Index per group between two corpus
+    * snapshots — the drift monitor a continuously-ingesting training
+    * pipeline runs before trusting a new crawl batch: bucket a score
+    * into `nBuckets` fixed cells per (group, side), smooth with the
+    * standard +0.5 Laplace count (zero-count cells stay finite), and
+    * sum `(p_a − p_b) · ln(p_a / p_b)` over cells. PSI < 0.1 is
+    * conventionally "no shift", > 0.25 "major shift".
+    *
+    * Scale shape: one count aggregate over (group, side, bucket) —
+    * map-side partials make the shuffle |groups|·|buckets|·2 rows —
+    * then a broadcast-sized spine join fills empty cells; nothing
+    * corpus-sized moves twice. Engine-exact: every PSI term is
+    * rounded to 6 decimals and summed as DECIMAL, so the per-group
+    * total is order-independent (each term is ≥ 0 — (p_a−p_b) and
+    * ln(p_a/p_b) always share a sign — so HALF_UP and
+    * round-away-from-zero agree).
+    *
+    * Input: `bucketCol` must already be an integer bucket in
+    * [0, nBuckets); `sideCol` values "a"/"b". Output:
+    * (group, n_a, n_b, psi).
+    */
+  def populationStability(
+      df: DataFrame, groupCol: String, sideCol: String,
+      bucketCol: String, nBuckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(groupCol).as("grp"), col(sideCol).as("side"),
+        col(bucketCol).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(sum(when(col("side") === "a", col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", col("c")).otherwise(0L)).as("cb"))
+    val spine = df.select(col(groupCol).as("grp")).distinct()
+      .crossJoin(broadcast((0 until nBuckets).toDF("bucket")))
+    val filled = spine.join(counts, Seq("grp", "bucket"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+    val totals = filled.groupBy(col("grp"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val half = lit(nBuckets * 0.5)
+    val withP = filled.join(totals, Seq("grp"))
+      .withColumn("pa", (col("ca") + lit(0.5)) / (col("na").cast("double") + half))
+      .withColumn("pb", (col("cb") + lit(0.5)) / (col("nb").cast("double") + half))
+      .withColumn("term",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(16, 6)))
+    withP.groupBy(col("grp"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("term")).cast("double").as("psi"))
+      .select(col("grp").as(groupCol), col("n_a"), col("n_b"), col("psi"))
+  }
+
   /** The full CCNet resample: LM-score, bucket at the fixed cutoffs,
     * keep each bucket at its own rate via the content-keyed hash
     * sample — the perplexity-stratified subsample CCNet emits (keep

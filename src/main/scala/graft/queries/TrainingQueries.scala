@@ -520,6 +520,37 @@ object TrainingQueries {
         .orderBy(col("source"), col("p"))
     }),
 
+    // Population-stability drift report: PSI of the quality
+    // distribution between two snapshot halves per source — the gate
+    // a continuously-ingesting pipeline runs before trusting a new
+    // crawl batch. One count aggregate + broadcast spine; PSI terms
+    // 6dp-rounded and DECIMAL-summed (order-free).
+    "q133_psi_drift" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("source"),
+        when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")).as("side"),
+        least(floor(TextFunctions.qualityScore(col("text")) * 10).cast("int"),
+          lit(9)).as("bucket"))
+      Curation.populationStability(scored, "source", "side", "bucket", 10)
+        .orderBy(col("source"))
+    }),
+
+    // HTML → text extraction (the crawl-to-corpus stage): docs wrapped
+    // in a deterministic page shell — script/style/comments/tags/
+    // entities — and run through the map-only codegen'd strip chain;
+    // the oracle replays the identical Java∩RE2 chain.
+    "q134_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script type=\"text/javascript\">var n = 1 < 2 && 3 > 2;</script>" +
+          "<style>.nav{display:none}</style></head><body><!-- boilerplate -->" +
+          "<div class=\"nav\">Home &amp;&nbsp;Index</div><p>"),
+        col("text"),
+        lit("</p><p>&quot;quoted&#39; &lt;tag&gt;</p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.extractHtmlText(html).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hard-negative mining (contrastive-training pair selection): per
     // anchor, the 5 most-similar vectors with a DIFFERENT label. The
     // exact cross-label scoring is the quadratic oracle baseline; the
@@ -1699,6 +1730,62 @@ object TrainingQueries {
          SELECT row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS rank,
            tok AS token, c
          FROM c ORDER BY rank""",
+
+    // q133: q20's quality replica bucketed (least(floor(q*10), 9)),
+    // +0.5 Laplace smoothing over the 10-bucket spine, PSI terms
+    // rounded 6dp and DECIMAL-summed — identical arithmetic to
+    // populationStability.
+    "q133_psi_drift" ->
+      """WITH ql AS (
+           SELECT source, CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+             least(floor((floor((0.3 * least(1.0, len(t) / 50)
+                  + 0.3 * len(list_distinct(t))::DOUBLE / len(t)
+                  + 0.2 * least(1.0, (list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t)) / 8)
+                  + 0.2 * len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t)) * 1e6) / 1e6) * 10)::INT, 9) AS bucket
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+         c AS (SELECT source, bucket,
+                 sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)::BIGINT AS ca,
+                 sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)::BIGINT AS cb
+               FROM ql GROUP BY 1, 2),
+         spine AS (SELECT DISTINCT source, unnest(range(0, 10))::INT AS bucket
+                   FROM documents),
+         f AS (SELECT s.source, s.bucket,
+                 coalesce(c.ca, 0)::BIGINT AS ca, coalesce(c.cb, 0)::BIGINT AS cb
+               FROM spine s LEFT JOIN c ON s.source = c.source AND s.bucket = c.bucket),
+         t2 AS (SELECT source, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+                FROM f GROUP BY 1),
+         terms AS (SELECT f.source, t2.na, t2.nb,
+             round(((ca + 0.5) / (na::DOUBLE + 5.0) - (cb + 0.5) / (nb::DOUBLE + 5.0))
+               * ln(((ca + 0.5) / (na::DOUBLE + 5.0)) / ((cb + 0.5) / (nb::DOUBLE + 5.0))), 6)::DECIMAL(16,6) AS term
+           FROM f JOIN t2 ON f.source = t2.source)
+         SELECT source, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+           sum(term)::DOUBLE AS psi
+         FROM terms GROUP BY source ORDER BY source""",
+
+    // q134: the identical strip chain (dotall non-greedy block
+    // removal, tag->space, entity decode in the same order, explicit
+    // whitespace class) — RE2 and Java agree on every pattern here.
+    "q134_html_extract" ->
+      """SELECT doc_id, trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', chr(34)), '&#39;', chr(39)),
+           '[ \t\n\r]+', ' ', 'g')) AS clean
+         FROM (SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id::VARCHAR ||
+             '</title><script type="text/javascript">var n = 1 < 2 && 3 > 2;</script>' ||
+             '<style>.nav{display:none}</style></head><body><!-- boilerplate -->' ||
+             '<div class="nav">Home &amp;&nbsp;Index</div><p>' || text ||
+             '</p><p>&quot;quoted&#39; &lt;tag&gt;</p></body></html>' AS h
+           FROM documents)
+         ORDER BY doc_id""",
 
     // q132: the full cross-label pair scoring, ranked (cos desc,
     // neg_id) per anchor — the window form the engine runs, replayed

@@ -252,4 +252,34 @@ object TextFunctions {
       lower(regexp_extract(url,
         "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]+@)?([^/?#:]+)", 1)),
       "^www\\.", "")
+
+  /** HTML → visible text (the crawl-to-corpus extraction stage, a
+    * trafilatura-shaped boilerplate strip as a map-only codegen'd
+    * regexp chain — no parser state, so it composes into whole-stage
+    * codegen like every other scan-side gate here):
+    *  1. `<script>`/`<style>` blocks go whole (dotall non-greedy),
+    *  2. comments go,
+    *  3. every remaining tag becomes a space,
+    *  4. the five core entities + `&nbsp;` decode,
+    *  5. whitespace collapses to single spaces, trimmed.
+    * Patterns stay in the Java∩RE2 regex subset (same rule as
+    * [[graft.text.Pii]]) — the explicit `[ \t\n\r]` class, not `\s`
+    * (Java's `\s` includes VT, RE2's does not) — so the DuckDB oracle
+    * replays the chain verbatim.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded =
+      replace(replace(replace(replace(replace(replace(noTags,
+        lit("&nbsp;"), lit(" ")),
+        lit("&amp;"), lit("&")),
+        lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'"))
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
 }

@@ -615,4 +615,26 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq === Seq(("A", "B", 1L, 0.333333)),
       "A∩B = {b c d}, |A∪B| = 3; C shares nothing and must not appear")
   }
+
+  test("populationStability: identical halves score ~0, a shifted half scores high, empty cells stay finite") {
+    val s = spark
+    import s.implicits._
+    // src S: sides a and b identically distributed over buckets 0..3
+    val same = (0 until 4).flatMap(bkt =>
+      Seq(("S", "a", bkt), ("S", "b", bkt), ("S", "a", bkt), ("S", "b", bkt)))
+    // src T: side a all in bucket 0, side b all in bucket 3 (max shift);
+    // buckets 1, 2 empty on both sides (the smoothing path)
+    val shifted = (0 until 8).map(i => ("T", if (i < 4) "a" else "b", if (i < 4) 0 else 3))
+    val df = (same ++ shifted).toDF("source", "side", "bucket").repartition(5)
+    val m = Curation.populationStability(df, "source", "side", "bucket", 4)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m("S")._1 === 8L && m("S")._2 === 8L)
+    assert(m("S")._3 === 0.0, "identical distributions must have PSI exactly 0")
+    assert(m("T")._3 > 1.0, s"fully shifted distribution must flag loudly, got ${m("T")._3}")
+    assert(!m("T")._3.isInfinite && !m("T")._3.isNaN, "empty cells must smooth, not blow up")
+    // partitioning invariance (DECIMAL term sums)
+    val one = Curation.populationStability(df.repartition(1), "source", "side", "bucket", 4)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(one("T") === m("T")._3)
+  }
 }

@@ -325,4 +325,27 @@ class TextSpec extends SparkSpec {
     // pmi = ln(2*3 / (3*2)) = 0
     assert(fx === 0L)
   }
+
+  test("extractHtmlText strips blocks/tags, decodes entities, collapses whitespace") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // script content (with < and > inside) goes whole
+      ("<p>keep</p><script>if (a < b && c > d) { x(); }</script><p>tail</p>",
+        "keep tail"),
+      // style + comment + nested tags + entities
+      ("<style>.x{a:b}</style><!-- secret --><div><b>Bold&nbsp;&amp;&nbsp;Beautiful</b></div>",
+        "Bold & Beautiful"),
+      // multi-line doc: newlines/tabs collapse to single spaces
+      ("<p>line one</p>\n\t<p>line&#39;s two</p>", "line one line's two"),
+      // quote entities, lt/gt as VISIBLE text
+      ("&quot;q&quot; &lt;not-a-tag&gt;", "\"q\" <not-a-tag>"),
+      // plain text passes through trimmed
+      ("  already clean  ", "already clean"))
+    val got = cases.map(_._1).zipWithIndex.map { case (h, i) => (i, h) }
+      .toDF("id", "h")
+      .select(col("id"), TextFunctions.extractHtmlText(col("h")).as("t"))
+      .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    assert(got === cases.map(_._2))
+  }
 }
