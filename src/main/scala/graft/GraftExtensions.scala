@@ -150,6 +150,14 @@ object GraftExtensions {
           a(1), org.apache.spark.sql.types.DoubleType),
         intArg("topk_by", a(2))).toAggregateExpression()
     },
+    // kmv_minima(x, k): mergeable KMV distinct/overlap sketch
+    reg("kmv_minima") { a =>
+      arity("kmv_minima", a, 2)
+      KmvSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a(0), org.apache.spark.sql.types.StringType),
+        intArg("kmv_minima", a(1))).toAggregateExpression()
+    },
     // quantile_sketch(x, capacity, p1[, p2, ...]): mergeable quantile
     // summary, exact under `capacity` rows per group
     reg("quantile_sketch") { a =>

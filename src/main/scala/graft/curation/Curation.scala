@@ -386,6 +386,62 @@ object Curation {
           (col("_sza") + col("_szb") - col("inter")), 6).as("jaccard"))
   }
 
+  /** [[corpusOverlap]] at 100 TB: per-source KMV sketches instead of
+    * the distinct (source, shingle) shuffle. ONE aggregate ships k
+    * longs per source per partition (map-side partials; the shingle
+    * universe never crosses the wire), the |sources|·k result is
+    * bounded by the SOURCE count — collected like the k-means
+    * centroid rows — and every pairwise Jaccard combines two sketches
+    * driver-side. With `k > |distinct shingles per source|` the
+    * sketches are complete hash sets and the output EQUALS
+    * [[corpusOverlap]] row-for-row (the oracle regime); past that,
+    * standard KMV estimates with ~1/√k relative error (spec-checked).
+    * Zero-intersection pairs are omitted, as in the exact form.
+    */
+  def corpusOverlapApprox(
+      df: DataFrame, textCol: String, sourceCol: String,
+      n: Int = 3, k: Int = 16384): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketches = df.select(col(sourceCol).as("source"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .groupBy(col("source"))
+      .agg(graft.functions.AggregateFunctions.kmvMinima(col("sh"), k).as("mins"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val pairs = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (sa, ma) = sketches(i)
+      val (sb, mb) = sketches(j)
+      val exact = ma.length < k && mb.length < k
+      val setA = ma.toSet
+      val setB = mb.toSet
+      // Spark's round(): BigDecimal HALF_UP on the double value — use
+      // the identical rounding so the exact regime matches
+      // corpusOverlap (and the oracle) to the last bit
+      def r6(x: Double): Double =
+        BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (exact) {
+        val inter = setA.intersect(setB).size.toLong
+        val union = (ma.length + mb.length - inter).toDouble
+        (sa, sb, inter, r6(inter / union))
+      } else {
+        // k smallest of the union (both arrays already unsigned-asc);
+        // J ≈ |X ∩ A ∩ B| / |X|, inter ≈ J · D(A ∪ B)
+        val flipped = (ma ++ mb).map(_ ^ java.lang.Long.MIN_VALUE).distinct.sorted
+        val x = flipped.take(k).map(_ ^ java.lang.Long.MIN_VALUE)
+        val interX = x.count(h => setA.contains(h) && setB.contains(h))
+        val jac = interX.toDouble / x.length
+        val dUnion = graft.functions.KmvSketchAgg.estimateDistinct(x, k)
+        (sa, sb, math.round(jac * dUnion), r6(jac))
+      }
+    }
+    pairs.filter(_._3 > 0L).toDF("src_a", "src_b", "inter", "jaccard")
+  }
+
   /** Deterministic per-group cap (the Gopher-style "at most N documents
     * per domain" gate): within every group keep EXACTLY the `cap` rows
     * with the smallest content hash keys (id tiebreak; whole group when

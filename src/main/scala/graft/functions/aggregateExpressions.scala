@@ -443,6 +443,128 @@ case class QuantileSketchAgg(
   override def prettyName: String = "quantile_sketch"
 }
 
+/** K-minimum-values distinct/overlap sketch as a native aggregate —
+  * the mergeable set summary (Beyer et al. SIGMOD'07; the theta-sketch
+  * family) behind approximate corpus-overlap at 100 TB: each partial
+  * keeps the k smallest md5-derived 64-bit hashes of the DISTINCT
+  * values seen (a pure function of the value SET — duplicates and
+  * merge order cannot change it), so a source's shingle universe
+  * crosses the shuffle as k longs instead of its distinct rows.
+  * Distinct count estimates as `(k−1)·2^64 / kth-min` with ~1/√k
+  * relative error; set operations (Jaccard, intersections) combine
+  * sketches directly. With `k > |distinct|` the sketch IS the full
+  * hash set — exact distinct counts and exact Jaccard, the regime the
+  * DuckDB oracle checks (as with `misra_gries` / `quantile_sketch`).
+  *
+  * Output: array<bigint> of the retained hashes in unsigned-ascending
+  * order (the k minima of the hash space).
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 16, "KMV sketch size must be at least 16")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // hashes are stored sign-flipped so the TreeSet's natural (signed)
+  // order IS the unsigned hash order; flip back on output
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def offer(buf: java.util.TreeSet[java.lang.Long], flipped: Long): Unit = {
+    if (buf.size < k) { buf.add(flipped); () }
+    else if (flipped < buf.last()) {
+      if (buf.add(flipped)) buf.pollLast()
+      ()
+    }
+  }
+
+  override def update(
+      buffer: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(buffer, KmvSketchAgg.hash64(v.asInstanceOf[UTF8String].toString))
+    buffer
+  }
+
+  override def merge(
+      buffer: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) offer(buffer, it.next())
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buffer.size)
+    val it = buffer.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue() ^ java.lang.Long.MIN_VALUE; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) out.writeLong(it.next().longValue())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_minima"
+}
+
+object KmvSketchAgg {
+  /** md5-derived 64-bit hash, SIGN-FLIPPED so signed order == unsigned
+    * hash order (the buffer's storage representation). Public so
+    * engine-side set combinators ([[graft.curation.Curation
+    * .corpusOverlapApprox]]) re-derive identical hashes.
+    */
+  def hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h ^ java.lang.Long.MIN_VALUE
+  }
+
+  /** Distinct-count estimate from unsigned-ascending minima (as
+    * [[KmvSketchAgg]] outputs): exact when the sketch never filled.
+    */
+  def estimateDistinct(minima: Array[Long], k: Int): Double =
+    if (minima.length < k) minima.length.toDouble
+    else {
+      // unsigned fraction of hash space covered by the kth minimum
+      val u = (minima(k - 1) ^ java.lang.Long.MIN_VALUE).toDouble + 9.223372036854776e18
+      (k - 1).toDouble * 1.8446744073709552e19 / (u + 1.0)
+    }
+}
+
 /** Column wrappers for the custom aggregates. */
 object AggregateFunctions {
 
@@ -467,6 +589,17 @@ object AggregateFunctions {
       TopKByAgg(
         GraftBridge.eagerExpression(key.cast("string")),
         GraftBridge.eagerExpression(ord.cast("double")), k)
+        .toAggregateExpression())
+
+  /** KMV distinct/overlap sketch: the k smallest md5 hashes of the
+    * distinct values — a pure function of the value set (duplicate-,
+    * order-, and partitioning-independent). Exact distinct counts and
+    * set operations when `k > |distinct|`; ~1/√k relative error past
+    * it. Returns array<bigint>, unsigned-ascending.
+    */
+  def kmvMinima(c: Column, k: Int): Column =
+    GraftBridge.column(
+      KmvSketchAgg(GraftBridge.eagerExpression(c.cast("string")), k)
         .toAggregateExpression())
 
   /** Mergeable quantile summary: `capacity·log`-bounded sketch per

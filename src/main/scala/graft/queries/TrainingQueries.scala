@@ -1201,6 +1201,18 @@ object TrainingQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // q85's 100 TB form: per-source KMV sketches (k longs cross the
+    // shuffle per source per partition, never the shingle universe),
+    // pairwise Jaccard from sketch combination. k=16384 exceeds every
+    // source's distinct-shingle count here, so the sketches are
+    // complete hash sets and the output EQUALS the exact q85 oracle
+    // row-for-row — the same exact-regime gate as q110/q130.
+    "q135_overlap_kmv" -> ((s, dir) => {
+      Curation.corpusOverlapApprox(t(s, dir, "documents"), "text", "source",
+        n = 3, k = 16384)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Large-lexicon blocklist: the broadcast-table semi-join form of
     // q75's literal-array gate — the shape that still works at 10^5+
     // blocked words.
@@ -2817,6 +2829,28 @@ object TrainingQueries {
     // (shingleCteBody), but keyed by source with a corpus-wide
     // distinct; empty intersections drop out on both engines.
     "q85_corpus_overlap" ->
+      """WITH ss AS (
+           SELECT DISTINCT source, sh FROM (
+             SELECT source,
+               unnest(CASE WHEN len(t) < 3 THEN [text]
+                 ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END) AS sh
+             FROM (SELECT source, text, string_split(text, ' ') AS t FROM documents))),
+         sz AS (SELECT source, count(*)::BIGINT AS n FROM ss GROUP BY 1),
+         inter AS (
+           SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS inter
+           FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT i.src_a, i.src_b, i.inter,
+           round(i.inter::DOUBLE / (x.n + y.n - i.inter), 6) AS jaccard
+         FROM inter i
+         JOIN sz x ON i.src_a = x.source
+         JOIN sz y ON i.src_b = y.source
+         ORDER BY 1, 2""",
+
+    // q135: the KMV sketches are complete at k=16384, so the expected
+    // output is exactly the q85 computation.
+    "q135_overlap_kmv" ->
       """WITH ss AS (
            SELECT DISTINCT source, sh FROM (
              SELECT source,

@@ -117,6 +117,46 @@ class TopKQuantileSpec extends SparkSpec {
     assert(sk.weightedItems().map(_._2).sum === 1777L)
   }
 
+  test("kmvMinima: exact regime is the full distinct hash set, duplicate/partitioning independent") {
+    val s = spark
+    import s.implicits._
+    val vals = ((1 to 50) ++ (1 to 50) ++ (1 to 50)).map(i => s"v$i").toDF("x")
+    def mins(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+      df.agg(AggregateFunctions.kmvMinima(col("x"), k).as("m"))
+        .head().getSeq[Long](0)
+    val one = mins(vals.repartition(1), 128)
+    val many = mins(vals.repartition(11), 128)
+    assert(one === many)
+    assert(one.size === 50, "under k, the sketch holds every distinct hash once")
+    assert(graft.functions.KmvSketchAgg.estimateDistinct(one.toArray, 128) === 50.0)
+    // unsigned-ascending output order
+    val flipped = one.map(_ ^ java.lang.Long.MIN_VALUE)
+    assert(flipped === flipped.sorted)
+  }
+
+  test("kmvMinima: past k the estimate lands within the ~1/sqrt(k) band") {
+    val s = spark
+    import s.implicits._
+    val n = 20000
+    val vals = (1 to n).map(i => s"item-$i").toDF("x").repartition(7)
+    val m = vals.agg(AggregateFunctions.kmvMinima(col("x"), 256).as("m"))
+      .head().getSeq[Long](0)
+    assert(m.size === 256)
+    val est = graft.functions.KmvSketchAgg.estimateDistinct(m.toArray, 256)
+    assert(math.abs(est - n) / n < 0.25, s"estimate $est vs true $n")
+  }
+
+  test("corpusOverlapApprox == corpusOverlap in the exact regime") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = graft.curation.Curation.corpusOverlap(docs, "text", "source", 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val approx = graft.curation.Curation.corpusOverlapApprox(docs, "text", "source", 3, 16384)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(approx === exact)
+  }
+
   test("SQL registration: topk_by and quantile_sketch work from spark.sql") {
     val s = spark
     graft.GraftExtensions.registerAll(s)
@@ -129,5 +169,7 @@ class TopKQuantileSpec extends SparkSpec {
     val qs = s.sql("SELECT quantile_sketch(v, 64, 0.5) AS qs FROM tkq").head()
       .getSeq[Row](0).map(r => (r.getDouble(0), r.getDouble(1)))
     assert(qs === Seq((0.5, 3.0)))
+    val km = s.sql("SELECT size(kmv_minima(k, 16)) AS n FROM tkq").head().getInt(0)
+    assert(km === 3)
   }
 }
