@@ -28,6 +28,21 @@ object Scratch {
       pieces.groupBy(col("piece")).count().orderBy(col("count").desc).show(10)
       spark.stop(); return
     }
+    if (args.lift(1).contains("timeq")) {
+      // ad-hoc single-query timing with Bench's measurement semantics
+      // (cache cleared before every pass, min of 3): Scratch timeq
+      // <sfDir> timeq <queryName>
+      val name = args(2)
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count() // warm
+      val times = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name: min ${times.min}%.3f s (passes ${times.map(t => f"$t%.3f").mkString(", ")})")
+      spark.stop(); return
+    }
     if (args.lift(1).contains("ingestprobe")) {
       // per-batch cost of the incremental-ingestion paths vs their
       // recompute baselines: a 1% batch against a 99% standing corpus

@@ -43,6 +43,9 @@ import graft.text.{Pii, Vocab}
   *   componentsIncremental  fold a pair batch into standing labels
   *   chunkSnap   boundary-aware (sentence-snapped) chunking
   *   quality     train + apply the logistic quality classifier
+  *   drift       PSI drift gate: batch vs reference quality spread
+  *   overlapKmv  sketch-based source overlap (no shingle shuffle)
+  *   extractHtml crawl HTML -> text column
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
   * a command overwrites with identical output — crash-and-rerun safe
@@ -311,4 +314,37 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
       write(graft.text.LogisticRegression.fitScore(read(in), idCol, textCol,
         col(labelCol).cast("boolean"), buckets, iters, lr), out)
     }
+
+  /** Drift gate ([[Curation.populationStability]]): PSI of the quality
+    * distribution per source between an incoming batch ("b") and the
+    * reference corpus ("a") — run before [[ingest]] to catch a skewed
+    * crawl. Writes (source, n_a, n_b, psi).
+    */
+  def drift(refIn: String, batchIn: String, out: String,
+      nBuckets: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{least, lit, floor => ffloor}
+    def sided(path: String, side: String): DataFrame =
+      read(path).select(col("source"), lit(side).as("side"),
+        least(ffloor(graft.text.TextFunctions.qualityScore(col(textCol))
+          * nBuckets).cast("int"), lit(nBuckets - 1)).as("bucket"))
+    write(Curation.populationStability(
+      sided(refIn, "a").unionByName(sided(batchIn, "b")),
+      "source", "side", "bucket", nBuckets), out)
+  }
+
+  /** Sketch-based source-overlap report
+    * ([[Curation.corpusOverlapApprox]]) — the `overlap` command's
+    * 100 TB form: k hash minima per source instead of the distinct
+    * shingle shuffle.
+    */
+  def overlapKmv(in: String, out: String, n: Int = 3, k: Int = 16384): Long =
+    write(Curation.corpusOverlapApprox(read(in), textCol, "source", n, k), out)
+
+  /** HTML → text extraction ([[graft.text.TextFunctions
+    * .extractHtmlText]]) over a raw-crawl column, written back as the
+    * text column — the stage in front of every other command here.
+    */
+  def extractHtml(in: String, out: String, htmlCol: String = "html"): Long =
+    write(read(in).withColumn(textCol,
+      graft.text.TextFunctions.extractHtmlText(col(htmlCol))).drop(htmlCol), out)
 }

@@ -552,13 +552,14 @@ object TrainingQueries {
     }),
 
     // Hard-negative mining (contrastive-training pair selection): per
-    // anchor, the 5 most-similar vectors with a DIFFERENT label. The
-    // exact cross-label scoring is the quadratic oracle baseline; the
-    // LSH-bucketed variant is the corpus-scale path (spec-checked
-    // equal at planes=0).
+    // anchor, the 5 most-similar vectors with a DIFFERENT label,
+    // candidates bounded by LSH bucket co-residency — the corpus-
+    // scale path IS the gated query (the oracle replays the md5
+    // hyperplane buckets, as q28 does); the exact quadratic form is
+    // the spec-checked baseline (SimilaritySpec, planes=0 equality).
     "q132_hard_negatives" -> ((s, dir) => {
-      Similarity.hardNegatives(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", k = 5)
+      Similarity.hardNegativesLsh(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 5, planes = 3)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -1799,21 +1800,24 @@ object TrainingQueries {
            FROM documents)
          ORDER BY doc_id""",
 
-    // q132: the full cross-label pair scoring, ranked (cos desc,
-    // neg_id) per anchor — the window form the engine runs, replayed
-    // quadratically.
+    // q132: bucket = three md5-hyperplane sign bits (the q28
+    // machinery), candidates join on the bucket, label mismatch as
+    // the residual, ranked (cos desc, neg_id) per anchor.
     "q132_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label,
              list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
          n AS (SELECT vec_id, label, emb,
                  sqrt(list_sum(list_transform(range(1, 65), i -> emb[i] * emb[i]))) AS nrm
-               FROM e)
+               FROM e),
+         b AS (SELECT vec_id, label, emb, nrm,
+                 ${planeBitSql(0, 1L)} + ${planeBitSql(1, 2L)} + ${planeBitSql(2, 4L)} AS bucket
+               FROM n)
          SELECT q_id, neg_id, cos, rank FROM (
-           SELECT a.vec_id AS q_id, b.vec_id AS neg_id,
-             ${duckCosPre("a", "b")} AS cos,
+           SELECT a.vec_id AS q_id, c.vec_id AS neg_id,
+             ${duckCosPre("a", "c")} AS cos,
              row_number() OVER (PARTITION BY a.vec_id
-               ORDER BY ${duckCosPre("a", "b")} DESC, b.vec_id) AS rank
-           FROM n a JOIN n b ON a.label <> b.label)
+               ORDER BY ${duckCosPre("a", "c")} DESC, c.vec_id) AS rank
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.label <> c.label)
          WHERE rank <= 5 ORDER BY q_id, rank""",
 
     // q131: the same integer grid (floor(x·1e6 + 0.5)), exact HUGEINT

@@ -234,6 +234,40 @@ class TrainCliSpec extends SparkSpec {
       s"web docs must outscore wiki under the web label: $sc")
   }
 
+  test("drift / overlapKmv / extractHtml: the batch-gate trio chains on parquet dirs") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli7").toString
+    val cli = new TrainCli(spark)
+    val ref = (1 to 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again", "web"))
+    ref.toDF("doc_id", "text", "source").write.parquet(s"$root/ref")
+    // batch with the same distribution: PSI ~ 0
+    ref.map { case (id, t, src) => (id + 100L, t, src) }
+      .toDF("doc_id", "text", "source").write.parquet(s"$root/batchSame")
+    assert(cli.drift(s"$root/ref", s"$root/batchSame", s"$root/psi1") === 1L)
+    assert(spark.read.parquet(s"$root/psi1").head().getDouble(3) === 0.0)
+    // degenerate batch (empty-ish text): PSI flags
+    (1 to 20).map(i => (i.toLong, "x", "web"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$root/batchBad")
+    assert(cli.drift(s"$root/ref", s"$root/batchBad", s"$root/psi2") === 1L)
+    assert(spark.read.parquet(s"$root/psi2").head().getDouble(3) > 0.5)
+
+    // overlapKmv on a two-source corpus with known overlap
+    Seq((1L, "a b c d e f", "s1"), (2L, "a b c d e f", "s2"), (3L, "zz yy xx ww", "s2"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$root/multi")
+    assert(cli.overlapKmv(s"$root/multi", s"$root/ov") === 1L)
+    val ov = spark.read.parquet(s"$root/ov").head()
+    assert(ov.getString(0) === "s1" && ov.getString(1) === "s2" && ov.getLong(2) === 4L)
+
+    // extractHtml feeds the text column downstream commands read
+    Seq((1L, "<p>hello <b>world</b></p>", "web"))
+      .toDF("doc_id", "html", "source").write.parquet(s"$root/crawl")
+    assert(cli.extractHtml(s"$root/crawl", s"$root/clean") === 1L)
+    assert(spark.read.parquet(s"$root/clean").select(col("text")).head().getString(0)
+      === "hello world")
+  }
+
   test("trainBpe writes the rank parquet encode consumes — the full tokenizer loop") {
     val s = spark
     import s.implicits._

@@ -518,4 +518,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("Join"), "scoring is a map-only projection over featurization")
   }
+
+  test("q127/q128: audio decode is a narrow map — no join, no window, one agg-free pipeline") {
+    Seq("q127_audio_meta", "q128_audio_fp").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: codec path must not join")
+      assert(!p.contains("Window"), s"$q: codec path must not window")
+      assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+        s"$q: only the output sort may exchange")
+    }
+  }
+
+  test("q129: the top-k heap is an ObjectHashAggregate pair with map-side partials — no per-group sort") {
+    val p = plan("q129_topk_by")
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate should plan as ObjectHashAggregate")
+    assert(p.contains("partial_topk_by"),
+      "top-k partials must combine map-side (≤ k rows per group leave each partition)")
+    assert(!p.contains("Window"), "the whole point: no row_number window sort")
+  }
+
+  test("q130/q135: sketches aggregate with map-side partials, nothing corpus-sized joins") {
+    val p = plan("q130_quantile_sketch")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_quantile_sketch"))
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("q131: PCA moments are one mapPartitions pass + one d²-row aggregate — corpus never joins") {
+    val p = plan("q131_embed_cov")
+    assert(!p.contains("Join"), "moment accumulation must not join")
+    assert(p.contains("partial_sum"), "d² moment rows must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q133/q134: drift counts combine map-side; HTML extraction is map-only") {
+    val psi = plan("q133_psi_drift")
+    assert(psi.contains("partial_count") || psi.contains("partial_sum"),
+      "bucket counts must combine map-side")
+    // the only nested-loop allowed is the broadcast cross with the
+    // 10-row bucket spine — never a plain cartesian
+    assert(!psi.contains("CartesianProduct"))
+    val html = plan("q134_html_extract")
+    assert(!html.contains("Join") && !html.contains("Window"),
+      "the strip chain is scan-side")
+    assert(html.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "only the output sort may exchange")
+  }
 }
