@@ -171,6 +171,33 @@ object TrainingQueries {
                    ELSE fph END)::BIGINT AS fp
            FROM fps)"""
 
+  /** q128/q136 shared replay of the audio energy fingerprint: sample k
+    * → window (k·64)//n, window energies as HUGEINT, bit set iff
+    * e_w·64 >= total, unsigned→signed fold to Spark's LongType.
+    */
+  private val audioFpCte: String =
+    """s AS (
+           SELECT doc_id AS media_id,
+             CASE WHEN strlen(text) = 0 THEN [0]
+                  ELSE [ascii(substr(text, i::INT, 1)) FOR i IN range(1, strlen(text)+1)] END AS vs
+           FROM documents),
+         v AS (SELECT media_id, len(vs)::BIGINT AS n,
+                 unnest(list_transform(range(1, len(vs)+1), i -> {'k': i-1, 'x': vs[i]})) AS u
+               FROM s),
+         e AS (SELECT media_id, ((u.k * 64) // n) AS w,
+                 sum((u.x::HUGEINT) * u.x) AS ew
+               FROM v GROUP BY media_id, ((u.k * 64) // n)),
+         tot AS (SELECT media_id, sum(ew) AS te FROM e GROUP BY media_id),
+         fph AS (SELECT e.media_id,
+                   sum(CASE WHEN e.ew * 64 >= t.te THEN 1::HUGEINT << e.w::INT
+                       ELSE 0::HUGEINT END) AS f
+                 FROM e JOIN tot t ON e.media_id = t.media_id
+                 GROUP BY e.media_id),
+         af AS (SELECT media_id,
+             (CASE WHEN f >= 9223372036854775808 THEN f - 18446744073709551616
+                   ELSE f END)::BIGINT AS fp
+           FROM fph)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // In-engine trained DISCRIMINATIVE quality classifier (the
     // fastText/DCLM filter slot beside q83's Naive Bayes): logistic
@@ -704,6 +731,25 @@ object TrainingQueries {
     "q128_audio_fp" -> ((s, dir) => {
       val media = Multimodal.synthesizeWavAudio(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.mediaFingerprints(s, media).orderBy(col("media_id"))
+    }),
+
+    // Audio NEAR-dup pairs: the acoustic twin of q126 — energy
+    // fingerprints through the generic 64-bit hamming banding
+    // (pigeonhole pieces, popcount verify). The corpus is every doc
+    // PLUS a mildly perturbed variant (first sample +1 — a touch of
+    // noise, same clip), so each original must recover its variant a
+    // few bits apart, not zero; the oracle replays the perturbation.
+    "q136_audio_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.filter(length(col("text")) > 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(char(ascii(substring(col("text"), 1, 1)) + 1),
+            substring(col("text"), 2, 1000000)).as("text"))
+      val media = Multimodal.synthesizeWavAudio(
+        docs.unionByName(variants), "doc_id", "text")
+      Multimodal.phashNearDupPairs(Multimodal.mediaFingerprints(s, media),
+        maxHamming = 6)
+        .orderBy(col("media_a"), col("media_b"))
     }),
 
     "q104_media_phash" -> ((s, dir) => {
@@ -1419,27 +1465,45 @@ object TrainingQueries {
     // (the same multiply-through integer compare the engine runs),
     // HUGEINT bit-sum folded to Spark's signed BIGINT.
     "q128_audio_fp" ->
-      """WITH s AS (
+      s"""WITH $audioFpCte
+         SELECT media_id::BIGINT AS media_id, fp FROM af ORDER BY media_id""",
+
+    // q136: the corpus-plus-perturbed-variants fingerprint replay
+    // (the audioFpCte machinery over the unioned table), then q126's
+    // quadratic hamming pair check.
+    "q136_audio_neardup" ->
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             chr(ascii(substr(text, 1, 1)) + 1) || substr(text, 2)
+           FROM documents WHERE strlen(text) > 0),
+         s AS (
            SELECT doc_id AS media_id,
              CASE WHEN strlen(text) = 0 THEN [0]
                   ELSE [ascii(substr(text, i::INT, 1)) FOR i IN range(1, strlen(text)+1)] END AS vs
-           FROM documents),
+           FROM u),
          v AS (SELECT media_id, len(vs)::BIGINT AS n,
-                 unnest(list_transform(range(1, len(vs)+1), i -> {'k': i-1, 'x': vs[i]})) AS u
+                 unnest(list_transform(range(1, len(vs)+1), i -> {'k': i-1, 'x': vs[i]})) AS u2
                FROM s),
-         e AS (SELECT media_id, ((u.k * 64) // n) AS w,
-                 sum((u.x::HUGEINT) * u.x) AS ew
-               FROM v GROUP BY media_id, ((u.k * 64) // n)),
+         e AS (SELECT media_id, ((u2.k * 64) // n) AS w,
+                 sum((u2.x::HUGEINT) * u2.x) AS ew
+               FROM v GROUP BY media_id, ((u2.k * 64) // n)),
          tot AS (SELECT media_id, sum(ew) AS te FROM e GROUP BY media_id),
          fph AS (SELECT e.media_id,
                    sum(CASE WHEN e.ew * 64 >= t.te THEN 1::HUGEINT << e.w::INT
                        ELSE 0::HUGEINT END) AS f
                  FROM e JOIN tot t ON e.media_id = t.media_id
-                 GROUP BY e.media_id)
-         SELECT media_id::BIGINT AS media_id,
-           (CASE WHEN f >= 9223372036854775808 THEN f - 18446744073709551616
-                 ELSE f END)::BIGINT AS fp
-         FROM fph ORDER BY media_id""",
+                 GROUP BY e.media_id),
+         af AS (SELECT media_id,
+             (CASE WHEN f >= 9223372036854775808 THEN f - 18446744073709551616
+                   ELSE f END)::BIGINT AS fp
+           FROM fph)
+         SELECT a.media_id::BIGINT AS media_a, b.media_id::BIGINT AS media_b,
+           bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+         FROM af a JOIN af b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         ORDER BY media_a, media_b""",
 
     // q29: image rows (doc_id % 3 = 0) carry REAL PNGs — width/height/
     // n_samples/px_sum re-derived here from (doc_id, text) replicate

@@ -35,6 +35,18 @@ object Pca {
     * of the quantized values, descaled).
     */
   def covarianceMatrix(df: DataFrame, embCol: String,
+      scale: Long = 1000000L): DataFrame =
+    covarianceFromMoments(covarianceMoments(df, embCol, scale), scale)
+
+  /** The mergeable moment table behind [[covarianceMatrix]]: exact
+    * DECIMAL(38,0) sums per (i, j) — `sp = Σ q_i·q_j`, `si`, `sj`,
+    * `n`. Moments are ADDITIVE, so a standing statistics table folds
+    * a new ingestion batch with [[appendMoments]] instead of
+    * re-scanning 100 TB of history (the same stance as the
+    * incremental connected-components fold); persist this table, not
+    * the covariance, and derive covariance/components on demand.
+    */
+  def covarianceMoments(df: DataFrame, embCol: String,
       scale: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -75,16 +87,36 @@ object Pca {
       }.toDF("i", "j", "sp", "si", "sj", "n")
 
     val dec = DecimalType(38, 0)
-    val agg = partials.groupBy(col("i"), col("j")).agg(
+    partials.groupBy(col("i"), col("j")).agg(
       sum(col("sp").cast(dec)).as("sp"),
       sum(col("si").cast(dec)).as("si"),
       sum(col("sj").cast(dec)).as("sj"),
       sum(col("n").cast(dec)).as("n"))
-    agg.select(col("i"), col("j"),
+  }
+
+  /** Fold a batch's moments into a standing moment table — exact
+    * DECIMAL addition per (i, j) cell, so
+    * `appendMoments(moments(A), moments(B)) == moments(A ∪ B)`
+    * bit-for-bit (spec-checked). d² rows per side; nothing
+    * corpus-sized moves.
+    */
+  def appendMoments(standing: DataFrame, batch: DataFrame): DataFrame =
+    standing.unionByName(batch)
+      .groupBy(col("i"), col("j")).agg(
+        sum(col("sp")).as("sp"),
+        sum(col("si")).as("si"),
+        sum(col("sj")).as("sj"),
+        sum(col("n")).as("n"))
+
+  /** Finish moments into covariance cells:
+    * `cov = (n·sp − si·sj) / (n² · scale²)` — one double division of
+    * exact numerators (the oracle-replayable step).
+    */
+  def covarianceFromMoments(moments: DataFrame, scale: Long = 1000000L): DataFrame =
+    moments.select(col("i"), col("j"),
       ((col("n") * col("sp") - col("si") * col("sj")).cast("double")
         / (col("n").cast("double") * col("n").cast("double")
           * lit(scale.toDouble) * lit(scale.toDouble))).as("cov"))
-  }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
     * driver-side (the matrix is d×d; the corpus stays distributed).

@@ -38,6 +38,29 @@ class PcaSpec extends SparkSpec {
     assert(one((0, 3)) === one((3, 0)))
   }
 
+  test("appendMoments: standing + batch == full recompute, bit-for-bit (incremental PCA)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val a = (0 until 80).map(_ => Seq.fill(5)(rnd.nextDouble() - 0.5))
+    val b = (0 until 33).map(_ => Seq.fill(5)(rnd.nextDouble() * 2))
+    def df(rows: Seq[Seq[Double]]) = rows.map(Tuple1(_)).toDF("emb").repartition(3)
+    val folded = Pca.appendMoments(
+      Pca.covarianceMoments(df(a), "emb"),
+      Pca.covarianceMoments(df(b), "emb"))
+    val full = Pca.covarianceMoments(df(a ++ b), "emb")
+    def m(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getDecimal(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5)))).toMap
+    assert(m(folded) === m(full), "moments must be exactly additive")
+    // and the finished covariance is identical too
+    val covF = Pca.covarianceFromMoments(folded).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val covR = Pca.covarianceMatrix(df(a ++ b), "emb").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(covF === covR)
+  }
+
   test("symmetricEigen: exact on a hand-computed 2x2, orthonormal on random symmetric") {
     // [[2, 1], [1, 2]] -> eigenvalues 3, 1; vectors (1,1)/sqrt2, (1,-1)/sqrt2
     val (vals, vecs) = Pca.symmetricEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
