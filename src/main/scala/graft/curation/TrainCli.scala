@@ -46,6 +46,8 @@ import graft.text.{Pii, Vocab}
   *   drift       PSI drift gate: batch vs reference quality spread
   *   overlapKmv  sketch-based source overlap (no shingle shuffle)
   *   extractHtml crawl HTML -> text column
+  *   pcaMoments  fold a batch into the standing covariance moments
+  *   pcaProject  project embeddings onto the standing top-r components
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
   * a command overwrites with identical output — crash-and-rerun safe
@@ -347,4 +349,36 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
   def extractHtml(in: String, out: String, htmlCol: String = "html"): Long =
     write(read(in).withColumn(textCol,
       graft.text.TextFunctions.extractHtmlText(col(htmlCol))).drop(htmlCol), out)
+
+  /** PCA moment maintenance ([[graft.similarity.Pca]]): compute a
+    * batch's exact covariance moments and fold them into a standing
+    * moment table (created if absent) — the embedding-statistics
+    * sibling of [[componentsIncremental]]. `embCol` defaults to the
+    * embeddings-table convention.
+    */
+  def pcaMoments(batchIn: String, momentsPath: String,
+      embCol: String = "embedding"): Long = {
+    val batch = graft.similarity.Pca.covarianceMoments(read(batchIn), embCol)
+    val folded =
+      if (new java.io.File(momentsPath).exists())
+        graft.similarity.Pca.appendMoments(spark.read.parquet(momentsPath), batch)
+      else batch
+    // two-phase write: the fold READS the standing table it replaces
+    val tmp = momentsPath + "_next"
+    folded.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(momentsPath)
+    spark.read.parquet(momentsPath).count()
+  }
+
+  /** Project embeddings onto the standing moments' top-r principal
+    * components ([[graft.similarity.Pca.principalComponents]] +
+    * broadcast map-side [[graft.similarity.Pca.project]]); writes
+    * (id, proj array<double> of length r).
+    */
+  def pcaProject(in: String, momentsPath: String, out: String, r: Int,
+      embIdCol: String = "vec_id", embCol: String = "embedding"): Long = {
+    val comps = graft.similarity.Pca.principalComponents(
+      graft.similarity.Pca.covarianceFromMoments(spark.read.parquet(momentsPath)), r)
+    write(graft.similarity.Pca.project(read(in), embIdCol, embCol, comps), out)
+  }
 }

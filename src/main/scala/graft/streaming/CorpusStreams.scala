@@ -168,6 +168,46 @@ object CorpusStreams {
           indexPath, outPath, tau, maxBucketDocFreq)
     }
 
+  /** One micro-batch of the streaming drift monitor: PSI of the
+    * incoming batch's quality distribution against the frozen
+    * reference histogram, appended as one row per source to
+    * `outPath` with the batch id — the time series a pipeline alerts
+    * on. Public so replay semantics are directly testable.
+    */
+  def driftBatch(batch: DataFrame, batchId: Long, textCol: String,
+      refPath: String, outPath: String, nBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{floor => ffloor, least, lit}
+    val spark = batch.sparkSession
+    val ref = spark.read.parquet(refPath)
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(col("source"), lit(side).as("side"),
+        least(ffloor(graft.text.TextFunctions.qualityScore(col(textCol))
+          * nBuckets).cast("int"), lit(nBuckets - 1)).as("bucket"))
+    graft.curation.Curation.populationStability(
+        sided(ref, "a").unionByName(sided(batch, "b")),
+        "source", "side", "bucket", nBuckets)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(outPath)
+  }
+
+  /** Streaming drift monitor: every micro-batch is PSI-scored against
+    * a frozen reference corpus (the [[graft.curation.TrainCli.drift]]
+    * gate as a standing stream) — wire with
+    * `.option("checkpointLocation", …).start()`. The reference
+    * histogram is re-read per batch from `refPath` (refresh it by
+    * overwriting the reference corpus; batches are independent, so
+    * at-least-once replay appends a duplicate scored row for a
+    * replayed batch id rather than corrupting state — readers key on
+    * (batch_id, source)).
+    */
+  def driftMonitor(stream: DataFrame, textCol: String,
+      refPath: String, outPath: String, nBuckets: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        driftBatch(batch.toDF(), batchId, textCol, refPath, outPath, nBuckets)
+    }
+
   /** Exact first-seen-wins dedup: emits each distinct content exactly
     * once, on the micro-batch that first contains it (smallest id wins
     * inside that batch — deterministic); every later occurrence only

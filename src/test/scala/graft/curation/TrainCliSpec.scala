@@ -268,6 +268,32 @@ class TrainCliSpec extends SparkSpec {
       === "hello world")
   }
 
+  test("pcaMoments folds batches into standing stats; pcaProject consumes them") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli8").toString
+    val cli = new TrainCli(spark)
+    val rnd = new scala.util.Random(5)
+    def batch(ids: Range): Seq[(Long, Seq[Double])] =
+      ids.map(i => (i.toLong, Seq.fill(4)(rnd.nextDouble() - 0.5)))
+    val b1 = batch(1 to 60)
+    val b2 = batch(61 to 100)
+    b1.toDF("vec_id", "embedding").write.parquet(s"$root/b1")
+    b2.toDF("vec_id", "embedding").write.parquet(s"$root/b2")
+    (b1 ++ b2).toDF("vec_id", "embedding").write.parquet(s"$root/all")
+    assert(cli.pcaMoments(s"$root/b1", s"$root/moments") === 16L)
+    assert(cli.pcaMoments(s"$root/b2", s"$root/moments") === 16L)
+    // standing moments after two folds == one-shot moments on the union
+    val standing = spark.read.parquet(s"$root/moments")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+    val oneShot = graft.similarity.Pca.covarianceMoments(
+        spark.read.parquet(s"$root/all"), "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+    assert(standing === oneShot)
+    assert(cli.pcaProject(s"$root/all", s"$root/moments", s"$root/proj", r = 2) === 100L)
+    assert(spark.read.parquet(s"$root/proj").head().getSeq[Double](1).length === 2)
+  }
+
   test("trainBpe writes the rank parquet encode consumes — the full tokenizer loop") {
     val s = spark
     import s.implicits._

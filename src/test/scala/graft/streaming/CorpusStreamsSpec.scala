@@ -147,6 +147,40 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 2L)
   }
 
+  test("driftMonitor: each micro-batch PSI-scores against the frozen reference") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("driftstream").toString
+    val (in, ref, out, ckpt) = (s"$root/docs", s"$root/ref", s"$root/psi", s"$root/ckpt")
+    val good = "the quick brown fox jumps over the lazy dog again and again today"
+    (1 to 20).map(i => (i.toLong, good, "web"))
+      .toDF("doc_id", "text", "source").write.parquet(ref)
+    // batch file 1: same distribution as the reference
+    (101 to 120).map(i => (i.toLong, good, "web"))
+      .toDF("doc_id", "text", "source").coalesce(1).write.mode("append").parquet(in)
+    // batch file 2: degenerate quality — must flag
+    (201 to 220).map(i => (i.toLong, "x", "web"))
+      .toDF("doc_id", "text", "source").coalesce(1).write.mode("append").parquet(in)
+
+    val q = CorpusStreams.driftMonitor(
+        spark.readStream.schema("doc_id LONG, text STRING, source STRING")
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        "text", ref, out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.read.parquet(out)
+      .select(col("batch_id"), col("source"), col("psi"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.length === 2, s"one PSI row per batch per source: ${rows.toSeq}")
+    val bySeverity = rows.sortBy(_._3)
+    assert(bySeverity(0)._3 === 0.0, "the matching batch must score PSI 0")
+    assert(bySeverity(1)._3 > 0.5, "the degenerate batch must flag loudly")
+  }
+
   test("map-only curation ops (splitByHash, hashSample) run unchanged on a stream") {
     val s = spark
     import s.implicits._
