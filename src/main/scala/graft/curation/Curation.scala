@@ -30,6 +30,36 @@ object Curation {
   def sampleThreshold(fraction: Double): Long =
     (fraction * (1L << 60).toDouble).toLong
 
+  /** EXACT-size weighted sample without replacement (Efraimidis &
+    * Spirakis 2006's A-ES, on the content-keyed uniform instead of an
+    * RNG): each row draws `u = (hashKey + 1) / 2^60 ∈ (0, 1]` and
+    * ranks by `ln(u) / w` descending — the classic `u^(1/w)` order in
+    * log space — so the top-k IS a weighted sample without
+    * replacement of exactly k rows. Complements [[hashSample]]
+    * (per-row Bernoulli, size varies) and [[weightedHashSample]]
+    * (per-row keep-probability): here the SIZE is exact and weights
+    * bias inclusion. Deterministic: no RNG state, reproducible across
+    * engines/partitionings; keys round to 6dp (the repo's cross-
+    * engine ln rule) with id tiebreak. Rows with `w <= 0` or NULL
+    * cannot be sampled and are dropped.
+    *
+    * Scale shape: map-only key computation + global top-k
+    * (TakeOrderedAndProject — per-partition heaps of k, never a full
+    * sort).
+    */
+  def weightedSampleExact(df: DataFrame, idCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    val key = freshName(df, "_wkey")
+    val u = (hashSampleKey(col(idCol)).cast("double") + lit(1.0)) /
+      lit((1L << 60).toDouble)
+    df.filter(weight > 0)
+      .withColumn(key, round(log(u) / weight, 6))
+      .orderBy(col(key).desc, col(idCol))
+      .limit(k)
+      .drop(key)
+  }
+
   /** Deterministic Bernoulli-style sample: keeps rows whose hash key
     * falls under `fraction` of the key space. Unlike `df.sample`
     * (seeded RNG walked in partition order), the decision is a pure

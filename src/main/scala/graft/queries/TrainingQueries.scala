@@ -547,6 +547,30 @@ object TrainingQueries {
         .orderBy(col("source"), col("p"))
     }),
 
+    // EXACT-size weighted sample without replacement (Efraimidis-
+    // Spirakis A-ES on the content-keyed uniform): rank by
+    // round(ln(u)/w, 6) desc, id tiebreak, top-k. Size is exact,
+    // longer docs (weight = token count) are proportionally likelier;
+    // map-only keys + TakeOrderedAndProject (per-partition heaps).
+    "q137_weighted_sample" -> ((s, dir) => {
+      Curation.weightedSampleExact(t(s, dir, "documents"), "doc_id",
+        TextFunctions.tokenCountWs(col("text")).cast("double"), k = 100)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source distinct-shingle counts via the KMV sketch in its
+    // exact regime — the grouped COUNT(DISTINCT) that at 100 TB ships
+    // k longs per group instead of the distinct pairs.
+    "q138_distinct_kmv" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
+        .groupBy(col("source"))
+        .agg(size(graft.functions.AggregateFunctions.kmvMinima(col("sh"), 16384))
+          .cast("long").as("n_distinct"))
+        .orderBy(col("source"))
+    }),
+
     // Population-stability drift report: PSI of the quality
     // distribution between two snapshot halves per source — the gate
     // a continuously-ingesting pipeline runs before trusting a new
@@ -1807,6 +1831,33 @@ object TrainingQueries {
          SELECT row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS rank,
            tok AS token, c
          FROM c ORDER BY rank""",
+
+    // q137: the same md5-uniform (u = (key+1)/2^60), the same
+    // round(ln(u)/w, 6) ranking — round is half-away-from-zero in
+    // both engines, so negative keys agree too.
+    "q137_weighted_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+                      / 1152921504606846976.0) / wt, 6) AS sk
+           FROM (SELECT doc_id, source,
+                   len(string_split(text, ' '))::DOUBLE AS wt FROM documents)
+           WHERE wt > 0
+           ORDER BY sk DESC, doc_id LIMIT 100)
+         ORDER BY doc_id""",
+
+    // q138: exact grouped distinct — the sketch never fills at
+    // k=16384, so size(kmv) IS count(distinct).
+    "q138_distinct_kmv" ->
+      """WITH ss AS (
+           SELECT DISTINCT source, sh FROM (
+             SELECT source,
+               unnest(CASE WHEN len(t) < 3 THEN [text]
+                 ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END) AS sh
+             FROM (SELECT source, text, string_split(text, ' ') AS t FROM documents)))
+         SELECT source, count(*)::BIGINT AS n_distinct
+         FROM ss GROUP BY source ORDER BY source""",
 
     // q133: q20's quality replica bucketed (least(floor(q*10), 9)),
     // +0.5 Laplace smoothing over the 10-bucket spine, PSI terms

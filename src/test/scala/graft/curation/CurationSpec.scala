@@ -616,6 +616,28 @@ class CurationSpec extends SparkSpec {
       "A∩B = {b c d}, |A∪B| = 3; C shares nothing and must not appear")
   }
 
+  test("weightedSampleExact: exact k, weight-biased, partitioning-independent, w<=0 excluded") {
+    val s = spark
+    import s.implicits._
+    // 20 heavy rows (w=1000) vs 180 light (w=1): top-30 must be
+    // dominated by heavy rows (A-ES inclusion odds scale with w)
+    val rows = ((1 to 20).map(i => (i.toLong, 1000.0)) ++
+      (21 to 200).map(i => (i.toLong, 1.0)) ++
+      Seq((900L, 0.0), (901L, -3.0))).toDF("doc_id", "w")
+    val got = Curation.weightedSampleExact(rows, "doc_id", col("w"), 30)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got.size === 30, "size must be exactly k")
+    assert(!got.contains(900L) && !got.contains(901L), "non-positive weights cannot sample")
+    val heavy = got.count(_ <= 20)
+    assert(heavy >= 18, s"weight bias lost: only $heavy/20 heavy rows in the top 30")
+    // pure function of (id, w): identical across partitionings
+    val again = Curation.weightedSampleExact(rows.repartition(13), "doc_id", col("w"), 30)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(again === got)
+    // k >= eligible rows returns all eligible
+    assert(Curation.weightedSampleExact(rows, "doc_id", col("w"), 500).count() === 200L)
+  }
+
   test("populationStability: identical halves score ~0, a shifted half scores high, empty cells stay finite") {
     val s = spark
     import s.implicits._
