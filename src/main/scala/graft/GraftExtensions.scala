@@ -130,6 +130,9 @@ object GraftExtensions {
     // unicode normalization kernels (functions/textExpressions.scala)
     reg("nfc_normalize") { a => arity("nfc_normalize", a, 1); NfcNormalize(a(0)) },
     reg("strip_accents") { a => arity("strip_accents", a, 1); StripAccentsExpr(a(0)) },
+    reg("compression_ratio") { a =>
+      arity("compression_ratio", a, 1); CompressionRatio(a(0))
+    },
     // native aggregate (functions/aggregateExpressions.scala); the
     // child casts to string like the Scala wrapper — without it a
     // bigint column passes analysis and CCEs mid-execution

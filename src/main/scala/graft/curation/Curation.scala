@@ -416,6 +416,27 @@ object Curation {
           (col("_sza") + col("_szb") - col("inter")), 6).as("jaccard"))
   }
 
+  /** Snapshot diff between two corpus versions — the dataset-card
+    * changelog a versioned training corpus publishes per release:
+    * per id, `added` (only in B), `removed` (only in A), `changed`
+    * (content hash differs), `unchanged`. One full-outer hash join on
+    * the id over md5 fingerprints (text never crosses the shuffle);
+    * for a release process diffing the same tables repeatedly, write
+    * both sides bucketed by id ([[graft.core.Bucketing]]) and the
+    * join goes exchange-free.
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fa = a.select(col(idCol).as("__id"), md5(col(textCol)).as("__fa"))
+    val fb = b.select(col(idCol).as("__id"), md5(col(textCol)).as("__fb"))
+    fa.join(fb, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__fa").isNull, lit("added"))
+          .when(col("__fb").isNull, lit("removed"))
+          .when(col("__fa") =!= col("__fb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** [[corpusOverlap]] at 100 TB: per-source KMV sketches instead of
     * the distinct (source, shingle) shuffle. ONE aggregate ships k
     * longs per source per partition (map-side partials; the shingle

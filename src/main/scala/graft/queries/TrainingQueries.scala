@@ -547,6 +547,21 @@ object TrainingQueries {
         .orderBy(col("source"), col("p"))
     }),
 
+    // Corpus snapshot diff (the versioned-release changelog): docs vs
+    // a deterministic "next version" — every 7th doc edited, every
+    // 11th removed, every 13th re-added under a new id — classified
+    // added/removed/changed/unchanged by content hash.
+    "q139_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val next = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Curation.corpusDiff(docs, next, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACT-size weighted sample without replacement (Efraimidis-
     // Spirakis A-ES on the content-keyed uniform): rank by
     // round(ln(u)/w, 6) desc, id tiebreak, top-k. Size is exact,
@@ -1831,6 +1846,23 @@ object TrainingQueries {
          SELECT row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS rank,
            tok AS token, c
          FROM c ORDER BY rank""",
+
+    // q139: identical version synthesis + md5 full-outer classify.
+    "q139_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS fa FROM documents),
+         bv AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+         b AS (SELECT doc_id, md5(text) AS fb FROM bv)
+         SELECT coalesce(a.doc_id, b.doc_id)::BIGINT AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN fa <> fb THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         ORDER BY doc_id""",
 
     // q137: the same md5-uniform (u = (key+1)/2^60), the same
     // round(ln(u)/w, 6) ranking — round is half-away-from-zero in

@@ -326,6 +326,30 @@ class TextSpec extends SparkSpec {
     assert(fx === 0L)
   }
 
+  test("compressionRatio: repetitive text compresses far below prose; deterministic; codegen path") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextNormFunctions.compressionRatio
+    val prose = "The five boxing wizards jump quickly over a lazy dog while " +
+      "vexed nymphs blow quartz jugs under a dozing sphinx tonight."
+    val spam = "buy now " * 100
+    val rows = Seq((1, prose), (2, spam), (3, "")).toDF("id", "t")
+      .select(col("id"), compressionRatio(col("t")).as("r"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(rows(1) > 0.5 && rows(1) < 1.2, s"prose ratio ${rows(1)}")
+    assert(rows(2) < 0.1, s"template spam must compress away: ${rows(2)}")
+    assert(rows(3) === 0.0, "empty text is 0 by definition")
+    assert(rows(2) < rows(1), "the signal must separate spam from prose")
+    // pure function: identical across evaluations/partitionings
+    val again = Seq((2, spam)).toDF("id", "t").repartition(3)
+      .select(compressionRatio(col("t"))).head().getDouble(0)
+    assert(again === rows(2))
+    // SQL registration
+    graft.GraftExtensions.registerAll(s)
+    Seq(Tuple1(spam)).toDF("t").createOrReplaceTempView("crv")
+    assert(s.sql("SELECT compression_ratio(t) FROM crv").head().getDouble(0) === rows(2))
+  }
+
   test("extractHtmlText strips blocks/tags, decodes entities, collapses whitespace") {
     val s = spark
     import s.implicits._
