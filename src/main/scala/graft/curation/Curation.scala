@@ -380,6 +380,37 @@ object Curation {
         col("n_langs"))
   }
 
+  /** The full dataset card — one row per source combining
+    * [[corpusReport]]'s volume/dup/quality/language stats with the
+    * quality quartiles (mergeable [[graft.functions.QuantileSketchAgg
+    * quantile sketch]]) and the distinct-shingle count (mergeable
+    * [[graft.functions.KmvSketchAgg KMV sketch]]) — the per-release
+    * summary a published corpus ships. Three grain-separated
+    * aggregates (doc-grain stats, doc-grain quartiles, shingle-grain
+    * distinct), each with map-side partials; the |sources|-row frames
+    * join broadcast-small. At 100 TB persist the projected (source,
+    * text-derived) frame once if the triple scan matters.
+    */
+  def datasetCard(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String, kmvK: Int = 16384): DataFrame = {
+    val report = corpusReport(df, idCol, textCol, sourceCol, langCol)
+    val quart = df.select(col(sourceCol).as("source"),
+        TextFunctions.qualityScore(col(textCol)).as("q"))
+      .groupBy(col("source"))
+      .agg(graft.functions.AggregateFunctions.quantileSketch(
+        col("q"), 4096, Seq(0.25, 0.5, 0.75)).as("qs"))
+      .select(col("source"),
+        col("qs").getItem(0).getField("v").as("q25"),
+        col("qs").getItem(1).getField("v").as("q50"),
+        col("qs").getItem(2).getField("v").as("q75"))
+    val sh = df.select(col(sourceCol).as("source"),
+        explode(TextFunctions.shingles(col(textCol), 3)).as("sh"))
+      .groupBy(col("source"))
+      .agg(size(graft.functions.AggregateFunctions.kmvMinima(col("sh"), kmvK))
+        .cast("long").as("n_shingles"))
+    report.join(quart, Seq("source")).join(sh, Seq("source"))
+  }
+
   /** Pairwise corpus overlap: exact shingle-set Jaccard between every
     * pair of sources — the "did crawl B re-scrape crawl A" diagnostic
     * that decides whether two corpus snapshots need cross-corpus dedup

@@ -48,6 +48,7 @@ import graft.text.{Pii, Vocab}
   *   extractHtml crawl HTML -> text column
   *   pcaMoments  fold a batch into the standing covariance moments
   *   pcaProject  project embeddings onto the standing top-r components
+  *   card        full per-source dataset card (report + quartiles + shingles)
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
   * a command overwrites with identical output — crash-and-rerun safe
@@ -349,6 +350,13 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
   def extractHtml(in: String, out: String, htmlCol: String = "html"): Long =
     write(read(in).withColumn(textCol,
       graft.text.TextFunctions.extractHtmlText(col(htmlCol))).drop(htmlCol), out)
+
+  /** The full dataset card ([[Curation.datasetCard]]): one row per
+    * source — volume, dup rate, token and quality stats, quartiles,
+    * language spread, distinct shingles.
+    */
+  def card(in: String, out: String): Long =
+    write(Curation.datasetCard(read(in), idCol, textCol, "source", "lang"), out)
 
   /** PCA moment maintenance ([[graft.similarity.Pca]]): compute a
     * batch's exact covariance moments and fold them into a standing

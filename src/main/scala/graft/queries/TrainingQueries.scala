@@ -547,6 +547,16 @@ object TrainingQueries {
         .orderBy(col("source"), col("p"))
     }),
 
+    // The full dataset card: corpusReport + quality quartiles
+    // (quantile sketch, exact regime) + distinct shingles (KMV, exact
+    // regime) — one row per source, the per-release summary a
+    // published corpus ships.
+    "q140_dataset_card" -> ((s, dir) => {
+      Curation.datasetCard(t(s, dir, "documents"),
+        "doc_id", "text", "source", "lang")
+        .orderBy(col("source"))
+    }),
+
     // Corpus snapshot diff (the versioned-release changelog): docs vs
     // a deterministic "next version" — every 7th doc edited, every
     // 11th removed, every 13th re-added under a new id — classified
@@ -1846,6 +1856,44 @@ object TrainingQueries {
          SELECT row_number() OVER (ORDER BY c DESC, tok)::BIGINT AS rank,
            tok AS token, c
          FROM c ORDER BY rank""",
+
+    // q140: q71's report CTE + quantile_disc quartiles over the same
+    // floored-double quality + q138's distinct-shingle count, joined
+    // per source.
+    "q140_dataset_card" ->
+      """WITH base AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS t
+                       FROM documents),
+         q AS (SELECT doc_id, source, lang, md5(text) AS fp,
+             len(t)::BIGINT AS wc,
+             floor((0.3 * least(1.0, len(t) / 50)
+                   + 0.3 * (len(list_distinct(t))::DOUBLE / len(t))
+                   + 0.2 * least(1.0, (list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t)) / 8)
+                   + 0.2 * (len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t))) * 1e6) / 1e6 AS qd
+           FROM base),
+         rep AS (SELECT source, count(*)::BIGINT AS n_docs,
+             count(DISTINCT fp)::BIGINT AS n_distinct,
+             floor((1.0 - count(DISTINCT fp)::DOUBLE / nullif(count(fp), 0)) * 1e6) / 1e6 AS dup_rate,
+             sum(wc)::BIGINT AS n_tokens,
+             floor(sum(wc)::DOUBLE / nullif(count(fp), 0) * 1e6) / 1e6 AS avg_tokens,
+             floor(sum(qd::DECIMAL(16,6))::DOUBLE / nullif(count(fp), 0) * 1e6) / 1e6 AS avg_quality,
+             count(DISTINCT lang)::BIGINT AS n_langs
+           FROM q GROUP BY source),
+         quart AS (SELECT source,
+             quantile_disc(qd, 0.25) AS q25,
+             quantile_disc(qd, 0.5) AS q50,
+             quantile_disc(qd, 0.75) AS q75
+           FROM q GROUP BY source),
+         ss AS (SELECT DISTINCT source, sh FROM (
+             SELECT source,
+               unnest(CASE WHEN len(t) < 3 THEN [text]
+                 ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END) AS sh
+             FROM base)),
+         shc AS (SELECT source, count(*)::BIGINT AS n_shingles FROM ss GROUP BY source)
+         SELECT rep.*, quart.q25, quart.q50, quart.q75, shc.n_shingles
+         FROM rep JOIN quart ON rep.source = quart.source
+         JOIN shc ON rep.source = shc.source
+         ORDER BY rep.source""",
 
     // q139: identical version synthesis + md5 full-outer classify.
     "q139_corpus_diff" ->
