@@ -378,6 +378,73 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: `C(A→B) = |sh(A) ∩ sh(B)|
+    * / |sh(A)| >= tau` for ordered pairs of distinct docs — the
+    * subset/quotation detector Jaccard misses (a doc fully embedded in
+    * a much larger one has tiny Jaccard but containment 1.0; this is
+    * the relation MinHash-era web dedup calls "containment", Broder
+    * '97).
+    *
+    * Prefix filtering adapts ASYMMETRICALLY: C >= tau needs overlap
+    * >= tau·|A|, so only the contained side prunes to its first
+    * `|A| - ⌈tau·|A|⌉ + 1` sorted hashes, while the containing side
+    * indexes every shingle (it has no upper size bound). Size filter
+    * `|B| >= tau·|A|`; positional filter `1 + min(na-pa, nb-pb) >=
+    * tau·na`. Every bound is relaxed by 1e-9 so float rounding only
+    * ever ADMITS candidates — the compiled merge-intersect verify is
+    * exact. Scale shape: postings-keyed shuffle_hash join (bounded
+    * key), candidate volume governed by the same `maxShingleDocFreq`
+    * hot-shingle cap as [[jaccardPairs]] (same exactness caveat).
+    *
+    * @return (doc_a, doc_b, containment): sh(doc_a) is tau-contained
+    *   in doc_b, containment rounded to 1e-6.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val eps = 1e-9
+    val arrs = df.select(col(idCol).as("doc"),
+        graft.functions.SketchFunctions.sorted_shingle_hashes(col(textCol), n).as("shs"))
+      .select(col("doc"), size(col("shs")).as("nsh"), col("shs"))
+    val prefixLen = (col("nsh") - ceil(col("nsh") * tau - eps) + 1).cast("int")
+    val pfx0 = arrs.select(col("doc"), col("nsh"),
+        posexplode(slice(col("shs"), lit(1), prefixLen)).as(Seq("p0", "sh")))
+      .select(col("doc"), col("nsh"), (col("p0") + 1).as("p"), col("sh"))
+    val full0 = arrs.select(col("doc"), col("nsh"),
+        posexplode(col("shs")).as(Seq("p0", "sh")))
+      .select(col("doc"), col("nsh"), (col("p0") + 1).as("p"), col("sh"))
+    val (pfx, full) = maxShingleDocFreq match {
+      case Some(cap) =>
+        val hot = arrs.select(explode(col("shs")).as("sh"))
+          .groupBy(col("sh")).agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > cap).select(col("sh"))
+        (pfx0.join(hot, Seq("sh"), "left_anti"),
+          full0.join(hot, Seq("sh"), "left_anti"))
+      case None => (pfx0, full0)
+    }
+    val needed = col("l.nsh") * lit(tau) - eps
+    val candidates = pfx.as("l")
+      .join(full.as("r").hint("shuffle_hash"),
+        col("l.sh") === col("r.sh") && col("l.doc") =!= col("r.doc") &&
+          col("r.nsh").cast("double") >= needed &&
+          (lit(1) + least(col("l.nsh") - col("l.p"), col("r.nsh") - col("r.p")))
+            .cast("double") >= needed)
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    candidates
+      .join(arrs.select(col("doc").as("doc_a"), col("nsh").as("na"), col("shs").as("sa")), "doc_a")
+      .join(arrs.select(col("doc").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("c",
+        graft.functions.SketchFunctions.intersect_count_sorted(col("sa"), col("sb")))
+      .withColumn("containment", round(col("c").cast("double") / col("na"), 6))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** 60-bit SimHash over a shingle set: bit k of the sketch is 1 iff
     * the sum over shingles of ±1 (sign = bit k of the top-60 md5 bits
     * of the shingle) is positive. Compiled kernel (SketchOps). md5 (not

@@ -53,6 +53,37 @@ object TrainingQueries {
            FROM d a JOIN d b ON a.doc_id < b.doc_id)
          WHERE jaccard >= 0.5)"""
 
+  /** q141 oracle: DuckDB replay of [[graft.core.Graph.pageRank]] over
+    * the symmetric jaccard-pair graph — r0 plus one (s_i, g_i, r_i)
+    * CTE generation per power iteration, all int64 `//` arithmetic.
+    */
+  private val pageRankSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      val p = s"r${i - 1}"
+      s"""s$i AS (SELECT e.dst AS id, sum(r.fx // r.od)::BIGINT AS recv
+            FROM edges e JOIN $p r ON e.src = r.id GROUP BY 1),
+          g$i AS (SELECT coalesce(sum(fx), 0)::BIGINT AS dang FROM $p WHERE od = 0),
+          r$i AS (SELECT r.id,
+              ((15::BIGINT * nn.base
+                + 85::BIGINT * (coalesce(s.recv, 0) + g.dang // nn.n)) // 100)::BIGINT AS fx,
+              r.od
+            FROM $p r CROSS JOIN nn CROSS JOIN g$i g LEFT JOIN s$i s ON r.id = s.id)"""
+    }.mkString(",\n")
+    s"""$shingleCte,
+       $jaccardPairsCte,
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       nn AS (SELECT count(*)::BIGINT AS n,
+                (1000000000000 // count(*))::BIGINT AS base FROM documents),
+       od AS (SELECT src AS id, count(*)::BIGINT AS od FROM edges GROUP BY 1),
+       r0 AS (SELECT dd.doc_id AS id, nn.base AS fx, coalesce(od.od, 0)::BIGINT AS od
+              FROM documents dd CROSS JOIN nn LEFT JOIN od ON dd.doc_id = od.id),
+       $iterCtes
+       SELECT id AS doc_id, fx AS rank_fx,
+         floor(fx::DOUBLE / 1000.0) / 1e6 AS pr
+       FROM r5 ORDER BY doc_id"""
+  }
+
   private val jaccardPairsSql =
     s"""$shingleCte
        SELECT doc_a, doc_b, jaccard FROM (
@@ -555,6 +586,74 @@ object TrainingQueries {
       Curation.datasetCard(t(s, dir, "documents"),
         "doc_id", "text", "source", "lang")
         .orderBy(col("source"))
+    }),
+
+    // Near-dup centrality (LexRank shape): PageRank over the exact-
+    // jaccard similarity graph ranks the docs whose content is most
+    // echoed across the corpus — the boilerplate hubs a curation pass
+    // inspects (and usually deletes) first. Integer fixed-point power
+    // iteration (core.Graph): 5 rounds, two edge-list shuffles each,
+    // dangling mass as a one-row broadcast; the oracle REPLAYS all 5
+    // iterations as unrolled CTEs, so the hash gates the whole
+    // iteration, not just the final ranking.
+    "q141_neardup_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.core.Graph.pageRank(docs.select(col("doc_id").as("id")), edges, iters = 5)
+        .select(col("id").as("doc_id"), col("rank_fx"), col("rank").as("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Product quantization + ADC scan (the IVF-PQ compression half):
+    // md5-seeded codebooks (8 blocks × 8 dims × 16 codewords), corpus
+    // encoded to 8 small codes/vector, query vec 0 searched by exact
+    // int64 table-lookup sums. The oracle replays codebook build,
+    // encode, and the ADC ranking end-to-end.
+    "q144_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+      val cb = Similarity.pqCodebooks(emb, m = 8, dsub = 8, ksub = 16)
+      val codes = Similarity.pqEncode(emb, cb, m = 8, dsub = 8)
+      val q = emb.filter(col("c_id") === 0L).select(col("c_emb").as("q_emb"))
+      Similarity.pqSearchAdc(q, codes, cb, m = 8, dsub = 8, k = 25)
+        .select(col("c_id").as("vec_id"), col("adc_fx"))
+        .orderBy(col("adc_fx"), col("vec_id"))
+    }),
+
+    // Hybrid retrieval: BM25 lexical shortlist + brute-force cosine
+    // shortlist (both top-100), fused by reciprocal-rank fusion in
+    // exact int64 fixed point (Search.rrfFuse). The post-limit
+    // row_number windows rank 100-row shortlists — bounded by
+    // construction, not corpus-sized (the q90 hazard does not apply).
+    "q143_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bshort = Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "join", "window"), k = 100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_fx").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_emb"))
+      val c = emb
+        .select(col("vec_id").as("c_id"), col("embedding").cast("array<double>").as("c_emb"))
+      val vshort = Similarity.bruteForceTopK(q, c, k = 100)
+        .select(col("c_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(Seq(bshort, vshort), "doc_id", kRrf = 60, k = 25)
+        .orderBy(col("rrf_fx").desc, col("doc_id"))
+    }),
+
+    // Asymmetric containment pairs (|A∩B|/|A| >= 0.8, ordered): the
+    // subset/quotation detector — prefix filter on the CONTAINED side
+    // only, full postings on the containing side, exact merge-
+    // intersect verify. Finds embedded-document relations that
+    // symmetric Jaccard at the same threshold misses.
+    "q142_containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Corpus snapshot diff (the versioned-release changelog): docs vs
@@ -1894,6 +1993,93 @@ object TrainingQueries {
          FROM rep JOIN quart ON rep.source = quart.source
          JOIN shc ON rep.source = shc.source
          ORDER BY rep.source""",
+
+    // q141: full training replay — the jaccard pair CTE becomes the
+    // symmetric edge list, then 5 PageRank iterations unroll as CTE
+    // generations of the SAME int64 fixed-point arithmetic (// is
+    // DuckDB integer division; Spark's div — identical on the
+    // non-negative values here).
+    "q141_neardup_pagerank" -> pageRankSql,
+
+    // q144: full PQ replay — md5-ordered seed codebooks, per-block
+    // argmin encode (rounded L2², codeword-id tiebreak), int64 ADC
+    // table sums.
+    "q144_pq_adc" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+         seeds AS (SELECT emb, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS i
+                   FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+         js AS (SELECT unnest(range(1, 9)) AS j),
+         cb AS (SELECT js.j, seeds.i, list_slice(seeds.emb, (js.j-1)*8+1, js.j*8) AS cw
+                FROM seeds CROSS JOIN js),
+         blocks AS (SELECT e.vec_id, js.j, list_slice(e.emb, (js.j-1)*8+1, js.j*8) AS sub
+                    FROM e CROSS JOIN js),
+         enc AS (SELECT vec_id, j, i AS code FROM (
+                   SELECT b.vec_id, b.j, c.i,
+                     row_number() OVER (PARTITION BY b.vec_id, b.j ORDER BY
+                       round(list_sum(list_transform(range(1, 9),
+                         t -> (b.sub[t]-c.cw[t])*(b.sub[t]-c.cw[t]))), 6), c.i) AS rn
+                   FROM blocks b JOIN cb c ON b.j = c.j) WHERE rn = 1),
+         qb AS (SELECT j, sub FROM blocks WHERE vec_id = 0),
+         tab AS (SELECT c.j, c.i,
+                   CAST(floor(list_sum(list_transform(range(1, 9),
+                     t -> (q.sub[t]-c.cw[t])*(q.sub[t]-c.cw[t]))) * 1e6) AS BIGINT) AS efx
+                 FROM cb c JOIN qb q ON c.j = q.j),
+         adc AS (SELECT enc.vec_id, sum(t.efx)::BIGINT AS adc_fx
+                 FROM enc JOIN tab t ON enc.j = t.j AND enc.code = t.i
+                 GROUP BY 1)
+         SELECT vec_id, adc_fx FROM adc ORDER BY adc_fx, vec_id LIMIT 25""",
+
+    // q143: q81's BM25 CTE stack (top-100), the q27 cosine CTE stack
+    // (top-100 for query vec 0), RRF-fused with int64 `//` arithmetic.
+    "q143_hybrid_rrf" ->
+      s"""WITH docs AS (
+           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+                  string_split(text, ' ') AS t
+           FROM documents WHERE text IS NOT NULL),
+         stats AS (
+           SELECT count(*)::BIGINT AS n,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+         posting AS (
+           SELECT doc_id, dl, tok AS term, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS tok FROM docs)
+           WHERE tok IN ('spark', 'join', 'window')
+           GROUP BY 1, 2, 3),
+         dfs AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY 1),
+         scored AS (
+           SELECT p.doc_id,
+             CAST(floor(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / s.avgdl)))
+               * 1e9) AS BIGINT) AS fx
+           FROM posting p JOIN dfs f ON p.term = f.term CROSS JOIN stats s),
+         agg AS (SELECT doc_id, CAST(sum(fx) AS BIGINT) AS score_fx
+                 FROM scored GROUP BY 1),
+         bs AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score_fx DESC, doc_id) AS r
+           FROM agg ORDER BY score_fx DESC, doc_id LIMIT 100),
+         e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+         nv AS (SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(range(1, 65), i -> emb[i] * emb[i]))) AS nrm
+               FROM e),
+         qv AS (SELECT emb, nrm FROM nv WHERE vec_id = 0),
+         vs AS (SELECT nv.vec_id AS doc_id,
+             row_number() OVER (ORDER BY ${duckCosPre("nv", "qv")} DESC, nv.vec_id) AS r
+           FROM nv CROSS JOIN qv ORDER BY r LIMIT 100),
+         u AS (SELECT doc_id, 1000000000::BIGINT // (60 + r) AS c FROM bs
+               UNION ALL
+               SELECT doc_id, 1000000000::BIGINT // (60 + r) FROM vs),
+         f AS (SELECT doc_id, sum(c)::BIGINT AS rrf_fx FROM u GROUP BY 1)
+         SELECT doc_id, rrf_fx FROM f ORDER BY rrf_fx DESC, doc_id LIMIT 25""",
+
+    // q142: brute-force ordered containment over the same shingle CTE.
+    "q142_containment_pairs" ->
+      s"""$shingleCte
+         SELECT doc_a, doc_b, containment FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+               AS containment
+           FROM d a JOIN d b ON a.doc_id <> b.doc_id)
+         WHERE containment >= 0.8 ORDER BY doc_a, doc_b""",
 
     // q139: identical version synthesis + md5 full-outer classify.
     "q139_corpus_diff" ->

@@ -700,4 +700,91 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  // ---- Product quantization (IVF-PQ's compression half) ----------------
+  //
+  // PQ (Jégou et al., TPAMI'11) cuts each d-dim vector into m blocks of
+  // dsub dims, quantizes every block against a ksub-codeword codebook,
+  // and searches with Asymmetric Distance Computation: the query builds
+  // an m×ksub lookup table of exact block distances once, and every
+  // corpus vector's approximate distance is m table lookups — the
+  // memory-bound scan that makes billion-vector ANN affordable (codes
+  // are m bytes/vector instead of 4·d).
+  //
+  // Determinism stance (same as seedCentroids/q40): codebooks are the
+  // md5-ordered deterministic sample — content-independent, replayable
+  // in SQL — and every argmin/ranking compares 1e-6-rounded or
+  // fixed-point values with id tiebreaks, so an independent engine
+  // replaying the construction gets bit-identical codes and rankings.
+
+  /** PQ codebooks from the deterministic md5-order sample: codeword i
+    * of block j is the j-th subvector of the i-th seed vector. Output
+    * (j 1..m, i 1..ksub, cw: array<double>) — m·ksub rows, broadcast-
+    * sized. The row_number window orders `ksub` rows — bounded, not
+    * corpus-sized. For refined codebooks run per-block Lloyd like
+    * [[kmeansCentroids]]; the seed is the oracle-replayable baseline.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, dsub: Int, ksub: Int): DataFrame = {
+    val seeds = corpus
+      .orderBy(md5(col("c_id").cast("string")), col("c_id")).limit(ksub)
+      .withColumn("i",
+        row_number().over(Window.orderBy(md5(col("c_id").cast("string")), col("c_id"))))
+    seeds
+      .select(col("i"), explode(array((1 to m).map(lit): _*)).as("j"), col("c_emb"))
+      .select(col("j"), col("i"),
+        expr(s"slice(c_emb, (j-1)*$dsub+1, $dsub)").as("cw"))
+  }
+
+  /** Exact squared L2 between two equal-length blocks, folded
+    * left-to-right (matches DuckDB's list_sum order — the cross-engine
+    * float contract the cosine kernels already rely on).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** PQ-encode the corpus: per (vector, block) the codeword index
+    * minimizing rounded block L2², smaller i on ties. Output
+    * (c_id, j, code) — the flat form [[pqSearchAdc]] consumes (pack
+    * with collect_list for storage). Scale shape: explode to m rows
+    * per vector, join the BROADCAST m·ksub codebook, per-key argmax —
+    * the corpus shuffles once on (c_id, j)-sized rows, never on raw
+    * vectors paired with each other.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val blocks = corpus
+      .select(col("c_id"), explode(array((1 to m).map(lit): _*)).as("j"), col("c_emb"))
+      .select(col("c_id"), col("j"), expr(s"slice(c_emb, (j-1)*$dsub+1, $dsub)").as("sub"))
+    graft.core.Joins.lastByKey(
+      blocks.join(broadcast(codebooks), "j")
+        .withColumn("_d", round(l2sq(col("sub"), col("cw")), 6)),
+      Seq("c_id", "j"), Seq(-col("_d"), -col("i")))
+      .select(col("c_id"), col("j"), col("i").as("code"))
+  }
+
+  /** ADC top-k: one exact m·ksub distance table for the query (each
+    * entry `floor(blockL2²·1e6)` — int64, so the per-vector sum over
+    * blocks is EXACT regardless of add order), then every encoded
+    * vector scores with m broadcast-joined lookups and one int64 sum.
+    * Returns (c_id, adc_fx, rank 1..k) by (adc_fx asc, c_id).
+    */
+  def pqSearchAdc(
+      queryEmb: DataFrame, // exactly one row: (q_emb: array<double>)
+      codes: DataFrame, // (c_id, j, code) from pqEncode
+      codebooks: DataFrame,
+      m: Int,
+      dsub: Int,
+      k: Int): DataFrame = {
+    val table = codebooks.crossJoin(broadcast(queryEmb))
+      .select(col("j"), col("i"),
+        expr(s"slice(q_emb, (j-1)*$dsub+1, $dsub)").as("qsub"), col("cw"))
+      .select(col("j"), col("i"),
+        floor(l2sq(col("qsub"), col("cw")) * lit(1e6)).cast("long").as("efx"))
+    codes.as("cd")
+      .join(broadcast(table).as("tb"),
+        col("cd.j") === col("tb.j") && col("cd.code") === col("tb.i"))
+      .groupBy(col("c_id")).agg(sum(col("efx")).as("adc_fx"))
+      .orderBy(col("adc_fx").asc, col("c_id"))
+      .limit(k)
+      .select(col("c_id"), col("adc_fx"))
+  }
 }

@@ -79,4 +79,34 @@ object Search {
         (floor(col("score_fx").cast("double") / lit(1000.0)) / lit(1e6)).as("score"),
         col("score_fx"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * hybrid-retrieval combiner for a lexical (BM25) and a vector (ANN)
+    * shortlist, score-scale-free by construction: each list
+    * contributes `1/(kRrf + rank)` per doc, encoded as the exact
+    * int64 `RrfScale div (kRrf + rank)` so the fused ordering is
+    * engine-exact (no float-sum order dependence).
+    *
+    * Scale shape: shortlists are top-k-sized (k·|lists| rows total,
+    * NOT corpus-sized) — union + one tiny groupBy; a doc absent from
+    * a list simply contributes nothing (the standard RRF treatment).
+    *
+    * @param rankings shortlists carrying (idCol, rank 1-based); ranks
+    *   beyond each list's own length never appear by construction.
+    * @return (idCol, rrf_fx) top `k` by (rrf_fx desc, id).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, kRrf: Int, k: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse requires at least one ranking")
+    val contribs = rankings
+      .map(_.select(col(idCol),
+        expr(s"${RrfScale}L div (${kRrf}L + rank)").as("__c")))
+      .reduce(_ unionByName _)
+    contribs.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_fx"))
+      .orderBy(col("rrf_fx").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Fixed-point scale for [[rrfFuse]] contributions. */
+  val RrfScale: Long = 1000000000L
 }

@@ -600,4 +600,57 @@ class DedupSpec extends SparkSpec {
       "body-shingle candidates must survive the stop-shingle cap")
     assert(guarded.subsetOf(unguarded))
   }
+
+  test("containmentPairs: embedded doc found at low Jaccard; asymmetric; exact dups both ways") {
+    val s = spark
+    import s.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (0L, small),                  // fully embedded in 1
+      (1L, s"$small $filler"),      // superset of 0
+      (2L, "unrelated words about parquet shuffles and joins entirely"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))  // exact dup of 0
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    // 0's shingles all appear in 1 → (0,1) at containment 1.0; the
+    // reverse direction FAILS tau (1 has ~46 extra shingles)
+    assert(pairs.contains((0L, 1L)) && !pairs.contains((1L, 0L)))
+    assert(got.find(t => (t._1, t._2) == ((0L, 1L))).get._3 == 1.0)
+    // exact dup pair qualifies in both directions; doc 2 nowhere
+    assert(pairs.contains((0L, 3L)) && pairs.contains((3L, 0L)))
+    assert(!got.exists(t => t._1 == 2L || t._2 == 2L))
+    // Jaccard at the same tau misses the embedded pair
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)))
+  }
+
+  test("containmentPairs prefix+positional filters are lossless vs brute force on seeded corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val docs = (0L until 60L).map { id =>
+      val len = 5 + rnd.nextInt(25)
+      val base = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, base)
+    }.toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: every ordered pair, exact shingle-set containment
+    val arrs = docs.select(col("doc_id"),
+        graft.functions.SketchFunctions.sorted_shingle_hashes(col("text"), 3).as("shs"))
+      .as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (a, sa) <- arrs; (b, sb) <- arrs if a != b
+      c = sa.toSet.intersect(sb.toSet).size
+      cont = BigDecimal(c.toDouble / sa.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cont >= 0.6
+    } yield (a, b, cont)).toSet
+    assert(fast == brute)
+  }
 }

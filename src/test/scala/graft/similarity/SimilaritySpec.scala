@@ -453,4 +453,66 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.toDouble / exactTop1.size > 0.25,
       s"2-plane LSH top-1 recall collapsed: $hits/${exactTop1.size}")
   }
+
+  // ---- PQ ---------------------------------------------------------------
+
+  private def pqCorpus(n: Int, dim: Int, seed: Long) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(id => (id, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("c_id", "c_emb")
+  }
+
+  test("pqEncode: codebook vectors encode to themselves; ADC distance of a codeword-built query is exact") {
+    val corpus = pqCorpus(16, 16, 7L) // ksub = corpus size: every vector IS a codeword
+    val cb = Similarity.pqCodebooks(corpus, m = 4, dsub = 4, ksub = 16)
+    val codes = Similarity.pqEncode(corpus, cb, m = 4, dsub = 4)
+    // each vector's blocks must map to its own seed index (distance 0
+    // beats every other codeword; seeded gaussians never collide)
+    val cbLocal = cb.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val codesLocal = codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val embLocal = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (((cid, j), code) <- codesLocal) {
+      val sub = embLocal(cid).slice((j - 1) * 4, j * 4)
+      assert(cbLocal((j, code)) == sub,
+        s"vector $cid block $j must encode to its own codeword")
+    }
+  }
+
+  test("pqSearchAdc equals a local reconstruction-distance scan (exact fixed point)") {
+    val corpus = pqCorpus(80, 16, 11L)
+    val m = 4; val dsub = 4
+    val cb = Similarity.pqCodebooks(corpus, m, dsub, ksub = 8)
+    val codes = Similarity.pqEncode(corpus, cb, m, dsub)
+    val q = corpus.filter(col("c_id") === 0L).select(col("c_emb").as("q_emb"))
+    val got = Similarity.pqSearchAdc(q, codes, cb, m, dsub, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // local replay: adc_fx = sum_j floor(l2sq(q_j, cw[j, code]) * 1e6)
+    val cbLocal = cb.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val codesLocal = codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val embLocal = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qv = embLocal(0L)
+    def l2fx(a: Seq[Double], b: Seq[Double]): Long =
+      math.floor(a.zip(b).foldLeft(0.0)((acc, p) => acc + (p._1 - p._2) * (p._1 - p._2)) * 1e6).toLong
+    val want = embLocal.keys.map { cid =>
+      cid -> (1 to m).map { j =>
+        l2fx(qv.slice((j - 1) * dsub, j * dsub), cbLocal((j, codesLocal((cid, j)))))
+      }.sum
+    }.toSeq.sortBy(t => (t._2, t._1)).take(10)
+    assert(got.toSeq == want)
+  }
+
+  test("pq pipeline is partitioning-independent") {
+    val corpus = pqCorpus(60, 16, 13L)
+    def run(c: org.apache.spark.sql.DataFrame) = {
+      val cb = Similarity.pqCodebooks(c, 4, 4, 8)
+      val codes = Similarity.pqEncode(c, cb, 4, 4)
+      val q = c.filter(col("c_id") === 3L).select(col("c_emb").as("q_emb"))
+      Similarity.pqSearchAdc(q, codes, cb, 4, 4, 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(run(corpus) == run(corpus.repartition(13)))
+  }
 }

@@ -123,4 +123,27 @@ class ClassifySpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getAs[String]("pred"))
     assert(pred.toSeq === Seq("a", "a"))
   }
+
+  test("rrfFuse: exact fixed-point sums, missing-list docs, tie-break by id") {
+    val s = spark
+    import s.implicits._
+    // list A ranks 1,2,3 = docs 10,20,30; list B ranks 1,2 = docs 20,40
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), "doc_id", kRrf = 60, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def c(r: Long) = Search.RrfScale / (60L + r)
+    val want = Map(
+      10L -> c(1), 20L -> (c(2) + c(1)), 30L -> c(3), 40L -> c(2))
+    assert(got.toMap == want)
+    // 20 leads (on both lists); 10 (rank 1 once) beats 40 (rank 2 once)
+    val order = got.map(_._1).toSeq
+    assert(order.head == 20L && order.indexOf(10L) < order.indexOf(40L))
+    // exact tie (same single-list rank): ascending id order
+    val t1 = Seq((7L, 1L)).toDF("doc_id", "rank")
+    val t2 = Seq((3L, 1L)).toDF("doc_id", "rank")
+    val tied = Search.rrfFuse(Seq(t1, t2), "doc_id", kRrf = 60, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(3L, 7L))
+  }
 }
