@@ -18,7 +18,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Debug aid (mirrors Verify): SPARK_GRAFT_ONLY=q141_...,q23_...
+    // times a subset; committed artifacts always come from full runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()

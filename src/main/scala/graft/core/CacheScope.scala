@@ -45,7 +45,7 @@ import org.apache.spark.sql.Dataset
   */
 object CacheScope {
   private val scopes =
-    new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[Dataset[_]]]] {
+    new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[() => Unit]]] {
       override def initialValue() = new java.util.ArrayDeque()
     }
 
@@ -55,9 +55,18 @@ object CacheScope {
     * Dataset unchanged.
     */
   private[graft] def track[T](ds: Dataset[T]): Dataset[T] = {
-    val st = scopes.get()
-    if (!st.isEmpty) st.peek().add(ds)
+    trackRelease(() => ds.unpersist(blocking = false))
     ds
+  }
+
+  /** Register an arbitrary release action (e.g. an RDD-level persist
+    * from a lineage short-circuit, which Dataset.unpersist cannot
+    * reach) with the innermost open bracket; a no-op when none is
+    * open.
+    */
+  private[graft] def trackRelease(release: () => Unit): Unit = {
+    val st = scopes.get()
+    if (!st.isEmpty) st.peek().add(release)
   }
 
   /** Run `body`; on exit (normal or exceptional) unpersist every
@@ -67,12 +76,12 @@ object CacheScope {
     */
   def withReleased[A](body: => A): A = {
     val st = scopes.get()
-    val mine = new java.util.ArrayList[Dataset[_]]()
+    val mine = new java.util.ArrayList[() => Unit]()
     st.push(mine)
     try body
     finally {
       st.pop()
-      mine.forEach(ds => ds.unpersist(blocking = false))
+      mine.forEach(release => release())
       if (st.isEmpty) scopes.remove()
     }
   }

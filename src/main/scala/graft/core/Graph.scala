@@ -55,11 +55,15 @@ object Graph {
     require(iters >= 1, s"pageRank requires iters >= 1, got $iters")
     val n = nodes.select(col("id")).distinct()
     // The edge frame is referenced once per iteration and each rank
-    // frame three times by its successor (contribution join, dangling
-    // aggregate, final left join) — unpersisted, that lineage re-walks
-    // the upstream 3^iters times. Both are operator-managed persists,
-    // released by a surrounding CacheScope.withReleased bracket (or
-    // the caller's unpersist/clearCache).
+    // frame THREE times by its successor (contribution join, dangling
+    // aggregate, final left join). Dataset-persisting the ranks fixes
+    // the runtime recompute but NOT the logical plan: each generation
+    // still embeds its predecessor's tree 3×, so analysis/optimization
+    // walks 3^iters copies — measured 51 s of pure driver planning at
+    // 5 iterations over the sf0.1 near-dup graph. [[shortCircuit]]
+    // rebases every generation on its persisted RDD instead (the
+    // GraphX-style checkpoint move), keeping the plan constant-size
+    // per round. All persists release via CacheScope.
     val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
     // The one driver-side scalar: |V|. base = teleport share per node;
     // the div truncation loses < N·1e-12 of total mass — the price of
@@ -73,7 +77,7 @@ object Graph {
     val r0 = n
       .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id"), lit(base).as("fx"), coalesce(col("od"), lit(0L)).as("od"))
-    val ranks = (1 to iters).foldLeft(CacheScope.track(r0.persist())) { (r, _) =>
+    val ranks = (1 to iters).foldLeft(shortCircuit(r0)) { (r, _) =>
       val contrib = e
         .join(r.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("fx div od").as("c"))
@@ -82,20 +86,34 @@ object Graph {
       // uniformly. One row; the crossJoin broadcasts a scalar.
       val dang = r.filter(col("od") === 0L)
         .agg(coalesce(sum(col("fx")), lit(0L)).as("dang"))
-      CacheScope.track(r.join(recv, Seq("id"), "left")
+      shortCircuit(r.join(recv, Seq("id"), "left")
         .crossJoin(broadcast(dang))
         .select(col("id"),
           (lit((DampDen - DampNum) * base) +
             lit(DampNum) * (coalesce(col("recv"), lit(0L)) +
               expr(s"dang div ${nCount}L"))).as("_mix"),
           col("od"))
-        .select(col("id"), expr(s"_mix div ${DampDen}L").as("fx"), col("od"))
-        .persist())
+        .select(col("id"), expr(s"_mix div ${DampDen}L").as("fx"), col("od")))
     }
     // Readable double via the q81 fixed-point idiom: one exact int64→
     // double conversion (fx < 2^53), floor, one final division — both
     // engines compute the identical double.
     ranks.select(col("id"), col("fx").as("rank_fx"),
       (floor(col("fx").cast("double") / lit(1000.0)) / lit(1e6)).as("rank"))
+  }
+
+  /** Rebase an iteration result on its own persisted RDD: the returned
+    * frame's logical plan is a flat scan of that RDD, so a recurrence
+    * referencing it N times costs N short subtrees, not N copies of
+    * the whole upstream tree (without this, k self-referencing
+    * generations give a 3^k-node plan and analysis time explodes —
+    * the Dataset-API analog of GraphX's iteration checkpointing).
+    * Lazy: nothing runs until the first action; the RDD persist makes
+    * later references reuse, and the bracket releases it.
+    */
+  private def shortCircuit(df: DataFrame): DataFrame = {
+    val rdd = df.rdd.persist()
+    CacheScope.trackRelease(() => { rdd.unpersist(blocking = false); () })
+    df.sparkSession.createDataFrame(rdd, df.schema)
   }
 }

@@ -656,6 +656,57 @@ object Curation {
         (col("ch.e") - col("ch.s") + lit(1L)).as("n_words"))
   }
 
+  /** Content-defined chunking: boundaries where the md5 of the
+    * trailing `window`-token gram lands in the 1-in-16 mask (first
+    * hex nibble '0'), so a chunk edge is a pure function of LOCAL
+    * content — insert or delete tokens anywhere and every boundary
+    * beyond `window` tokens past the edit re-aligns, unlike fixed-grid
+    * chunking where one insertion shifts every later chunk (the
+    * rolling-hash cut of LBFS/rsync/dedup storage, Muthitacharoen et
+    * al., SOSP'01, re-expressed at token granularity). Mean chunk
+    * length = 16 tokens; a doc with no boundary is one chunk.
+    *
+    * Map-only: boundary positions and chunk slices compute per row
+    * with array HOFs (no shuffle, no window); the cross-engine
+    * contract is md5-on-the-gram-string, replayed verbatim by the
+    * DuckDB oracle. Production CDC adds min/max chunk-size clamps;
+    * those make boundaries STATEFUL (a forced cut shifts later ones),
+    * so the unclamped form is the replayable core and clamping is a
+    * caller-side post-pass on the emitted cut list.
+    *
+    * @return (doc_id, chunk_id 1-based, chunk_text, chunk_fp md5,
+    *   n_words) — empty trailing chunks (boundary at the last token)
+    *   are dropped.
+    */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val w = window
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.text.TextFunctions.tokens(col(textCol)).as("t"))
+      .withColumn("bpos", expr(
+        s"""IF(size(t) < $w, cast(array() as array<int>),
+             filter(sequence(int($w), size(t)),
+               i -> substring(md5(concat_ws(' ', slice(t, i - ${w - 1}, $w))), 1, 1) = '0'))"""))
+      .withColumn("bounds",
+        expr("concat(array(0), bpos, array(size(t)))"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          """filter(
+               transform(sequence(1, size(bounds) - 1),
+                 k -> concat_ws(' ',
+                   slice(t, element_at(bounds, k) + 1,
+                         element_at(bounds, k + 1) - element_at(bounds, k)))),
+               c -> c != '')""")).as(Seq("i0", "chunk_text")))
+      .select(col("doc_id"),
+        (col("i0") + 1).cast("long").as("chunk_id"),
+        col("chunk_text"),
+        md5(col("chunk_text")).as("chunk_fp"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_words"))
+  }
+
   /** CCNet-style language-model quality scoring (Wenzek et al. 2020,
     * arXiv:1911.00359 — there via KenLM): per-document unigram
     * cross-entropy under the corpus' OWN unigram model with add-one

@@ -84,6 +84,48 @@ object TrainingQueries {
        FROM r5 ORDER BY doc_id"""
   }
 
+  /** q146 oracle: MMR replay — cosine shortlist, pairwise sim matrix,
+    * then 10 greedy picks unrolled as (pick_i, sel_i) CTE generations;
+    * all scores on the floor(cos·1e6 + 0.5) int64 grid.
+    */
+  private val mmrSql: String = {
+    val rawCos = "list_sum(list_transform(range(1, 65), t -> a.emb[t] * b.emb[t])) / (a.nrm * b.nrm)"
+    // every generation MATERIALIZED: sel_i references sel_{i-1} twice,
+    // so default CTE inlining re-expands the whole pick chain 3^k
+    // times (the same blowup Graph.shortCircuit kills on the Spark
+    // side — here the fix is DuckDB's materialization hint).
+    val picks = (2 to 10).map { i =>
+      s"""pick$i AS MATERIALIZED (
+           SELECT c.id, (7 * c.rel_fx - 3 * (
+               SELECT max(s.sfx) FROM sims s JOIN sel${i - 1} p
+               ON s.a = c.id AND s.b = p.id)) AS mfx
+           FROM short c
+           WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+           ORDER BY mfx DESC, c.id LIMIT 1),
+         sel$i AS MATERIALIZED (SELECT id FROM sel${i - 1} UNION ALL SELECT id FROM pick$i)"""
+    }.mkString(",\n")
+    val out = (1 to 10)
+      .map(i => s"SELECT ${i}::BIGINT AS sel_rank, id AS vec_id, mfx AS mmr_fx FROM pick$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+       nv AS (SELECT vec_id, emb,
+               sqrt(list_sum(list_transform(range(1, 65), t -> emb[t] * emb[t]))) AS nrm
+             FROM e),
+       qv AS (SELECT emb, nrm FROM nv WHERE vec_id = 0),
+       short AS MATERIALIZED (SELECT a.vec_id AS id,
+           CAST(floor($rawCos * 1e6 + 0.5) AS BIGINT) AS rel_fx, a.emb, a.nrm
+         FROM nv a CROSS JOIN qv b
+         ORDER BY rel_fx DESC, id LIMIT 50),
+       sims AS MATERIALIZED (SELECT a.id AS a, b.id AS b,
+           CAST(floor($rawCos * 1e6 + 0.5) AS BIGINT) AS sfx
+         FROM short a JOIN short b ON a.id <> b.id),
+       pick1 AS MATERIALIZED (SELECT id, 7 * rel_fx AS mfx FROM short
+                 ORDER BY mfx DESC, id LIMIT 1),
+       sel1 AS MATERIALIZED (SELECT id FROM pick1),
+       $picks
+       $out ORDER BY sel_rank"""
+  }
+
   private val jaccardPairsSql =
     s"""$shingleCte
        SELECT doc_a, doc_b, jaccard FROM (
@@ -604,6 +646,42 @@ object TrainingQueries {
       graft.core.Graph.pageRank(docs.select(col("doc_id").as("id")), edges, iters = 5)
         .select(col("id").as("doc_id"), col("rank_fx"), col("rank").as("pr"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MMR diversified selection: top-50 cosine shortlist for query
+    // vec 0, then 10 greedy λ=0.7 picks trading relevance against
+    // max-similarity-to-selected (integer fixed point throughout).
+    // The oracle replays all 10 picks as unrolled CTE generations.
+    "q146_mmr_select" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val q = emb.filter(col("id") === 0L).select(col("emb").as("q_emb"))
+      val shortlist = emb.crossJoin(broadcast(q))
+        .select(col("id"),
+          floor(Similarity.dot(col("emb"), col("q_emb")) /
+            (Similarity.norm(col("emb")) * Similarity.norm(col("q_emb"))) *
+            lit(1e6) + lit(0.5)).cast("long").as("rel_fx"))
+        .orderBy(col("rel_fx").desc, col("id")).limit(50)
+      Similarity.mmrSelect(shortlist, emb, lamNum = 7, lamDen = 10, k = 10)
+        .select(col("sel_rank"), col("id").as("vec_id"), col("mmr_fx"))
+        .orderBy(col("sel_rank"))
+    }),
+
+    // Content-defined chunking + chunk-level storage dedup: md5-gram
+    // boundary cut (map-only, edit-stable) then a per-source report of
+    // how much chunk-store dedup would save — the CAS/dedup-storage
+    // view of corpus redundancy, complementing doc-level q18.
+    "q145_cdc_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.cdcChunks(docs, "doc_id", "text", window = 4)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_fp")).as("n_distinct"),
+          (floor((lit(1.0) - countDistinct(col("chunk_fp")).cast("double") /
+            count(lit(1))) * 1e6) / 1e6).as("dedup_ratio"),
+          sum(col("n_words")).as("n_words"))
+        .orderBy(col("source"))
     }),
 
     // Product quantization + ADC scan (the IVF-PQ compression half):
@@ -2000,6 +2078,34 @@ object TrainingQueries {
     // DuckDB integer division; Spark's div — identical on the
     // non-negative values here).
     "q141_neardup_pagerank" -> pageRankSql,
+
+    "q146_mmr_select" -> mmrSql,
+
+    // q145: CDC replay — identical md5-gram boundary rule, chunk
+    // assembly, and per-source distinct-fp rollup.
+    "q145_cdc_chunks" ->
+      """WITH tt AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                     FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT doc_id, source, t,
+                 CASE WHEN len(t) < 4 THEN CAST([] AS BIGINT[])
+                      ELSE list_filter(range(4, len(t) + 1),
+                        i -> substr(md5(array_to_string(list_slice(t, i - 3, i), ' ')), 1, 1) = '0')
+                 END AS bpos
+               FROM tt),
+         bb AS (SELECT doc_id, source, t,
+                  list_concat(list_concat([0], bpos), [len(t)]) AS bounds
+                FROM b),
+         ch AS (SELECT doc_id, source,
+                  unnest(list_filter(list_transform(range(1, len(bounds)),
+                    k -> array_to_string(list_slice(t, bounds[k] + 1, bounds[k + 1]), ' ')),
+                    c -> c <> '')) AS chunk_text
+                FROM bb)
+         SELECT source, count(*)::BIGINT AS n_chunks,
+           count(DISTINCT md5(chunk_text))::BIGINT AS n_distinct,
+           floor((1.0 - count(DISTINCT md5(chunk_text))::DOUBLE / count(*)) * 1e6) / 1e6
+             AS dedup_ratio,
+           sum(len(string_split(chunk_text, ' ')))::BIGINT AS n_words
+         FROM ch GROUP BY source ORDER BY source""",
 
     // q144: full PQ replay — md5-ordered seed codebooks, per-block
     // argmin encode (rounded L2², codeword-id tiebreak), int64 ADC

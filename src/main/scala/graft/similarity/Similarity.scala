@@ -701,6 +701,81 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    * diversified selection over a retrieval SHORTLIST: greedily pick
+    * `k` items maximizing `λ·rel − (1−λ)·max_sim_to_selected` — the
+    * de-redundancy step between "top-k most similar" and "k examples
+    * worth showing/training on".
+    *
+    * Deliberately driver-side: MMR is sequential by definition (each
+    * pick changes the next pick's penalty), and its input is a
+    * SHORTLIST — bounded by the upstream top-k, ≤ `MaxShortlist` rows
+    * enforced — so the greedy O(|short|·k) loop on collected rows is
+    * the honest shape (the distributed work is the retrieval that
+    * produced the shortlist). All arithmetic is integer fixed point:
+    * rel and pairwise sims are 1e-6 cosines as int64, λ enters as the
+    * rational `lamNum/lamDen`, score = `lamNum·rel_fx −
+    * (lamDen−lamNum)·maxsim_fx` (denominator-scaled), ties to the
+    * smaller id — bit-replayable by the SQL oracle's unrolled picks.
+    *
+    * @param shortlist (id: long, rel_fx: long) — 1e-6 fixed-point
+    *   relevance; id must be unique.
+    * @param embeddings (id, emb array<double>) — must cover shortlist.
+    * @return (sel_rank 1..k, id, mmr_fx) in selection order; mmr_fx of
+    *   the first pick is pure `lamNum·rel_fx` (empty-set penalty 0).
+    */
+  def mmrSelect(
+      shortlist: DataFrame,
+      embeddings: DataFrame,
+      lamNum: Int,
+      lamDen: Int,
+      k: Int): DataFrame = {
+    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      s"lambda must be a rational in [0,1], got $lamNum/$lamDen")
+    val spark = shortlist.sparkSession
+    val rows = shortlist.join(embeddings, "id")
+      .select(col("id").cast("long"), col("rel_fx").cast("long"),
+        col("emb").cast("array<double>"))
+      .limit(MaxShortlist + 1)
+      .collect()
+    require(rows.length <= MaxShortlist,
+      s"mmrSelect input exceeds MaxShortlist=$MaxShortlist rows — " +
+        "shortlist upstream first (MMR is a shortlist operator)")
+    val items = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray)).sortBy(_._1)
+    // floor(cos·1e6 + 0.5): the PCA fixed-point grid — one float
+    // pipeline (left-to-right sums, one division) shared bit-for-bit
+    // with the SQL replay, no double-rounding hazard.
+    def cosFx(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5).toLong
+    }
+    val penalty = lamDen.toLong - lamNum.toLong
+    val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    val remaining = scala.collection.mutable.LinkedHashMap(items.map(it => it._1 -> it): _*)
+    val maxSim = scala.collection.mutable.HashMap[Long, Long]() // id -> max sim_fx to selected
+    for (rank <- 1 to math.min(k, items.length)) {
+      val best = remaining.valuesIterator
+        .map { case (id, rel, _) =>
+          (lamNum * rel - penalty * maxSim.getOrElse(id, 0L), id)
+        }
+        .reduce((x, y) => if (x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)) x else y)
+      val (id, _, emb) = remaining.remove(best._2).get
+      selected += ((rank, id, best._1))
+      remaining.valuesIterator.foreach { case (cid, _, cemb) =>
+        val s = cosFx(cemb, emb)
+        if (s > maxSim.getOrElse(cid, Long.MinValue)) maxSim(cid) = s
+      }
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("sel_rank", "id", "mmr_fx")
+      .select(col("sel_rank").cast("long"), col("id"), col("mmr_fx"))
+  }
+
+  /** Hard cap on [[mmrSelect]] input size (it collects the shortlist). */
+  val MaxShortlist = 10000
+
   // ---- Product quantization (IVF-PQ's compression half) ----------------
   //
   // PQ (Jégou et al., TPAMI'11) cuts each d-dim vector into m blocks of

@@ -75,9 +75,13 @@ class GraphSpec extends SparkSpec {
   test("pageRank releases its operator-managed persists inside a CacheScope bracket") {
     val nodes = (0L to 9L)
     val edges = nodes.map(a => (a, (a + 1) % 10))
+    // delta-based: the session is shared across suites, so assert no
+    // NEW storage survives the bracket rather than global emptiness
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     CacheScope.withReleased {
       Graph.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), 2).count()
     }
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"bracket leaked RDDs: $leaked")
   }
 }

@@ -659,4 +659,31 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
     assert(one("T") === m("T")._3)
   }
+
+  test("cdcChunks: chunks reassemble the doc; boundaries survive a prefix edit (the CDC property)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42L)
+    val words = (1 to 400).map(_ => s"w${rnd.nextInt(500)}")
+    val base = words.mkString(" ")
+    val edited = "inserted tokens here " + base // 3-token prefix insertion
+    val df = Seq((1L, base), (2L, edited), (3L, "tiny doc")).toDF("doc_id", "text")
+    val got = Curation.cdcChunks(df, "doc_id", "text", window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val c1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val c2 = got.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    // chunks partition the token stream exactly
+    assert(c1.mkString(" ") == base)
+    assert(c2.mkString(" ") == edited)
+    // sub-window doc = one whole-doc chunk
+    assert(got.filter(_._1 == 3L).map(_._3) == Seq("tiny doc"))
+    // content-defined boundaries: all but the first chunk(s) around the
+    // edit are IDENTICAL — a fixed grid would shift every one of them
+    val shared = c1.toSet.intersect(c2.toSet).size
+    assert(shared >= c1.size - 2,
+      s"prefix edit must leave later chunks aligned: shared=$shared of ${c1.size}")
+    // mean chunk length is in the ~16-token band (mask = 1/16)
+    val meanLen = c1.map(_.split(" ").length).sum.toDouble / c1.size
+    assert(meanLen > 6 && meanLen < 40, s"suspicious mean chunk length $meanLen")
+  }
 }

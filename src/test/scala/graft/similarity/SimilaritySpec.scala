@@ -504,6 +504,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("mmrSelect: redundant near-duplicate of the top hit is deferred for a diverse pick") {
+    val s = spark
+    import s.implicits._
+    // 0 and 1 nearly identical (both highly relevant); 2 diverse and
+    // relevant; 3 orthogonal and barely relevant. Pure top-3 =
+    // (0, 1, 2); MMR at λ=0.5 defers the redundant 1 so hard (penalty
+    // ≈ 1.0 > its relevance) that even the barely-relevant orthogonal
+    // 3 outranks it.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.999, 0.01, 0.0)),
+      (2L, Seq(0.5, 0.86, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)))
+      .toDF("id", "emb")
+    val short = Seq((0L, 1000000L), (1L, 999000L), (2L, 700000L), (3L, 10000L))
+      .toDF("id", "rel_fx")
+    val got = Similarity.mmrSelect(short, emb, lamNum = 1, lamDen = 2, k = 3)
+      .orderBy(col("sel_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._2) == Seq(0L, 2L, 3L),
+      s"expected diverse pick order 0,2,3 got ${got.map(_._2)}")
+    // first pick's score is pure scaled relevance (empty-set penalty 0)
+    assert(got.head._3 == 1L * 1000000L)
+    // rank-2 score replays by hand: 1·rel(2) − 1·sim(2, 0)
+    val sim20 = math.floor(
+      (0.5 * 1.0) / (math.sqrt(0.5 * 0.5 + 0.86 * 0.86) * 1.0) * 1e6 + 0.5).toLong
+    assert(got(1)._3 == 700000L - sim20)
+  }
+
   test("pq pipeline is partitioning-independent") {
     val corpus = pqCorpus(60, 16, 13L)
     def run(c: org.apache.spark.sql.DataFrame) = {
