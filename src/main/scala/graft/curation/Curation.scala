@@ -656,6 +656,36 @@ object Curation {
         (col("ch.e") - col("ch.s") + lit(1L)).as("n_words"))
   }
 
+  /** Leakage-free train/test split: resolve near-dup `pairs` into
+    * connected components, then hash the component ROOT for the split
+    * decision — an entire near-dup cluster lands on one side, so the
+    * test split can never hold a near-copy of a training document
+    * (the contamination a doc-level hash split permits whenever a
+    * near-dup family straddles the cut). Unpaired docs are their own
+    * singleton group, making the assignment STABLE under corpus
+    * growth: new unrelated docs never flip existing ones.
+    *
+    * @param pairs (doc_a, doc_b) near-dup pairs (any detector).
+    * @param testNibbles first-md5-hex-digit values sent to test —
+    *   |testNibbles|/16 is the expected test fraction.
+    * @return (idCol, grp, split∈{train,test}); grp is the component
+    *   id (min member) or the doc's own id for singletons.
+    */
+  def leakageFreeSplit(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      testNibbles: Seq[String] = Seq("c", "d", "e", "f")): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      pairs.select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("doc_id", idCol)
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component_id"), col(idCol)).as("grp"))
+      .withColumn("split",
+        when(substring(md5(col("grp").cast("string")), 1, 1)
+          .isin(testNibbles: _*), "test").otherwise("train"))
+  }
+
   /** Content-defined chunking: boundaries where the md5 of the
     * trailing `window`-token gram lands in the 1-in-16 mask (first
     * hex nibble '0'), so a chunk edge is a pure function of LOCAL

@@ -126,6 +126,37 @@ object TrainingQueries {
        $out ORDER BY sel_rank"""
   }
 
+  /** The q81 BM25 replay (top-25, terms spark/join/window) — shared
+    * with q147, whose on-disk index must reproduce it bit-for-bit.
+    */
+  private val bm25Sql =
+    """WITH docs AS (
+         SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+                string_split(text, ' ') AS t
+         FROM documents WHERE text IS NOT NULL),
+       stats AS (
+         SELECT count(*)::BIGINT AS n,
+                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+       posting AS (
+         SELECT doc_id, dl, tok AS term, count(*)::BIGINT AS tf
+         FROM (SELECT doc_id, dl, unnest(t) AS tok FROM docs)
+         WHERE tok IN ('spark', 'join', 'window')
+         GROUP BY 1, 2, 3),
+       dfs AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY 1),
+       scored AS (
+         SELECT p.doc_id,
+           CAST(floor(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / s.avgdl)))
+             * 1e9) AS BIGINT) AS fx
+         FROM posting p JOIN dfs f ON p.term = f.term CROSS JOIN stats s),
+       agg AS (SELECT doc_id, CAST(sum(fx) AS BIGINT) AS score_fx
+               FROM scored GROUP BY 1)
+       SELECT doc_id,
+         floor(CAST(score_fx AS DOUBLE) / 1000.0) / 1e6 AS score,
+         score_fx
+       FROM agg ORDER BY score_fx DESC, doc_id LIMIT 25"""
+
   private val jaccardPairsSql =
     s"""$shingleCte
        SELECT doc_a, doc_b, jaccard FROM (
@@ -646,6 +677,31 @@ object TrainingQueries {
       graft.core.Graph.pageRank(docs.select(col("doc_id").as("id")), edges, iters = 5)
         .select(col("id").as("doc_id"), col("rank_fx"), col("rank").as("pr"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Leakage-free train/test split: near-dup components resolve
+    // first, then the split decision hashes the component ROOT — an
+    // entire near-dup cluster lands on one side, so test can never
+    // contain a near-copy of a training doc (the contamination mode a
+    // doc-level hash split has). ~75/25 via the first md5 nibble.
+    "q148_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      Curation.leakageFreeSplit(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // On-disk inverted index, write-once/query-many BM25: postings
+    // partitioned by term hash (query prunes to its terms' tb=
+    // directories), partial-row stats (append = one added row), and
+    // the SAME scoring tail as q81 — index-backed results are
+    // bit-identical to the corpus-scan path.
+    "q147_search_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("searchidx_q").toString
+      graft.text.SearchIndex.write(docs, "doc_id", "text", tmp, numPartitions = 16)
+      graft.text.SearchIndex.query(s, tmp, Seq("spark", "join", "window"), k = 25)
+        .select(col("doc").as("doc_id"), col("score"), col("score_fx"))
     }),
 
     // MMR diversified selection: top-50 cosine shortlist for query
@@ -1921,6 +1977,25 @@ object TrainingQueries {
                 FROM comp GROUP BY component_id)
          SELECT cluster_size, count(*)::BIGINT AS n_clusters
          FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // q148: q116's reachability-walk components, coalesced to self for
+    // unpaired docs, split by the same first-md5-nibble rule.
+    "q148_leakage_split" ->
+      s"""WITH RECURSIVE $shingleCteBody, $jaccardPairsCte,
+         e AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT x AS node FROM e),
+         walk(node, reach) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT w.node, e.y FROM walk w JOIN e ON w.reach = e.x),
+         comp AS (SELECT node, min(reach) AS component_id FROM walk GROUP BY node),
+         lab AS (SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS grp
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+         SELECT doc_id, grp,
+           CASE WHEN substr(md5(grp::VARCHAR), 1, 1) IN ('c', 'd', 'e', 'f')
+                THEN 'test' ELSE 'train' END AS split
+         FROM lab ORDER BY doc_id""",
 
     // q117: q20's quality, exact percent ranks (ties share a rank),
     // the explicit (rank-1)/greatest(n-1,1) form on both engines.
@@ -3207,33 +3282,12 @@ object TrainingQueries {
     // both engines fold in double, so the bits match the Scala-side
     // lit(K1 + 1.0)); per-term scores floored to 1e-9 int64, summed
     // exactly.
-    "q81_bm25" ->
-      """WITH docs AS (
-           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
-                  string_split(text, ' ') AS t
-           FROM documents WHERE text IS NOT NULL),
-         stats AS (
-           SELECT count(*)::BIGINT AS n,
-                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
-         posting AS (
-           SELECT doc_id, dl, tok AS term, count(*)::BIGINT AS tf
-           FROM (SELECT doc_id, dl, unnest(t) AS tok FROM docs)
-           WHERE tok IN ('spark', 'join', 'window')
-           GROUP BY 1, 2, 3),
-         dfs AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY 1),
-         scored AS (
-           SELECT p.doc_id,
-             CAST(floor(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
-               * (p.tf * (1.2 + 1.0))
-               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / s.avgdl)))
-               * 1e9) AS BIGINT) AS fx
-           FROM posting p JOIN dfs f ON p.term = f.term CROSS JOIN stats s),
-         agg AS (SELECT doc_id, CAST(sum(fx) AS BIGINT) AS score_fx
-                 FROM scored GROUP BY 1)
-         SELECT doc_id,
-           floor(CAST(score_fx AS DOUBLE) / 1000.0) / 1e6 AS score,
-           score_fx
-         FROM agg ORDER BY score_fx DESC, doc_id LIMIT 25""",
+    "q81_bm25" -> bm25Sql,
+
+    // q147: the index-backed query must equal the from-scratch BM25 —
+    // q81's oracle verbatim (the index is a materialization, not a new
+    // semantics).
+    "q147_search_index" -> bm25Sql,
     // q100: q81's BM25 CTE stack, then exact-dup collapse of the
     // shortlist keeping the best-scored representative per text.
     "q100_search_dedup" ->

@@ -56,6 +56,20 @@ object Search {
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
 
+    scoreAndTopK(posting, stats, idCol, k)
+  }
+
+  /** The BM25 scoring tail shared by [[bm25TopK]] and
+    * [[SearchIndex.query]] — ONE implementation so the on-disk index
+    * provably scores bit-identically to the in-memory path (df from
+    * the posting rows, broadcast stats, fixed-point per-term scores
+    * summed in int64).
+    */
+  private[text] def scoreAndTopK(
+      posting: DataFrame, // (idCol, dl, term, tf) unique per (doc, term)
+      stats: DataFrame, // one row: (n, avgdl)
+      idCol: String,
+      k: Int): DataFrame = {
     // posting is already unique per (doc, term), so df is a plain
     // count — no count-distinct expand needed.
     val dfs = posting.groupBy(col("term"))

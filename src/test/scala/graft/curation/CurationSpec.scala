@@ -686,4 +686,37 @@ class CurationSpec extends SparkSpec {
     val meanLen = c1.map(_.split(" ").length).sum.toDouble / c1.size
     assert(meanLen > 6 && meanLen < 40, s"suspicious mean chunk length $meanLen")
   }
+
+  test("leakageFreeSplit: clusters never straddle the cut; growth never flips old docs") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // planted components: {0,1,2} (a chain) and {10,11}
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = graft.core.CacheScope.withReleased {
+      Curation.leakageFreeSplit(docs, "doc_id", pairs)
+        .as[(Long, Long, String)].collect().toSeq
+    }
+    val bySplit = got.map(t => t._1 -> t._3).toMap
+    val byGrp = got.map(t => t._1 -> t._2).toMap
+    // every cluster member shares its root's group AND split
+    assert(Seq(0L, 1L, 2L).map(byGrp).distinct == Seq(0L))
+    assert(Seq(0L, 1L, 2L).map(bySplit).distinct.size == 1)
+    assert(Seq(10L, 11L).map(bySplit).distinct.size == 1)
+    // no near-dup pair straddles
+    Seq((0L, 1L), (1L, 2L), (10L, 11L)).foreach { case (a, b) =>
+      assert(bySplit(a) == bySplit(b)) }
+    // growth stability: doubling the corpus with fresh unrelated docs
+    // leaves every original assignment untouched
+    val grown = docs.unionByName(
+      (100L until 140L).map(i => (i, s"new $i")).toDF("doc_id", "text"))
+    val regrown = graft.core.CacheScope.withReleased {
+      Curation.leakageFreeSplit(grown, "doc_id", pairs)
+        .as[(Long, Long, String)].collect().toSeq
+    }
+    val oldAfter = regrown.filter(_._1 < 100L).map(t => t._1 -> t._3).toMap
+    assert(oldAfter == bySplit)
+    // both splits are populated at this size (sanity on the 4/16 rule)
+    assert(got.map(_._3).toSet == Set("train", "test"))
+  }
 }
