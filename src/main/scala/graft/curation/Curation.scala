@@ -856,6 +856,48 @@ object Curation {
         (floor(-col("slp").cast("double") / col("n_bigrams") * 1e6) / 1e6).as("xent_bi"))
   }
 
+  /** PMI collocation mining: the top-`k` adjacent word pairs by
+    * pointwise mutual information `ln(P(w1w2) / (P(w1)·P(w2)))` among
+    * bigrams seen at least `minCount` times — the collocation
+    * extractor (Church & Hanks 1990) a corpus-analysis pass runs to
+    * surface multiword units and template phrases worth tracking.
+    *
+    * Scale shape: map-side bigram pairs (slice+zip, no window), one
+    * bigram aggregate and one unigram aggregate, vocab-keyed joins,
+    * totals as a one-row broadcast; the `minCount` filter prunes the
+    * observed-bigram table BEFORE the joins. Engine-exact: counts are
+    * int64, the single PMI expression runs in one fixed op order and
+    * floors to 1e-6.
+    *
+    * @return (w1, w2, c12, pmi) top-k by (pmi desc, w1, w2).
+    */
+  def collocations(
+      df: DataFrame, idCol: String, textCol: String,
+      minCount: Int, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val pairs = bigramPairs(df, idCol, textCol)
+    val uni = graft.core.CacheScope.track(
+      df.select(explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .persist())
+    val bi = graft.core.CacheScope.track(
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .persist())
+    val totals = uni.agg(sum(col("c")).as("nu"))
+      .crossJoin(bi.agg(sum(col("c12")).as("nb")))
+    bi.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        (floor(log(
+          (col("c12").cast("double") * col("nu") * col("nu")) /
+            (col("nb").cast("double") * col("c1") * col("c2"))) * 1e6) / 1e6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Interpolated Kneser-Ney bigram cross-entropy — the smoothing the
     * KenLM models CCNet actually ships use (Kneser & Ney 1995;
     * Chen & Goodman 1998 eq. 4.25, bigram order): absolute-discount

@@ -679,6 +679,27 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PMI collocation mining: top adjacent word pairs by pointwise
+    // mutual information among bigrams seen >= 5 times — multiword
+    // units and template phrases surfaced for corpus analysis.
+    "q149_collocations" -> ((s, dir) => {
+      Curation.collocations(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, k = 50)
+    }),
+
+    // Per-group embedding centroid drift between snapshot sides (even
+    // vec_ids = release a, odd = release b): the semantic PSI — one
+    // rounded cosine per label over EXACT int64 dimension sums (the
+    // q131 quantization grid; cosine's scale invariance cancels the
+    // /n, so no float means ever form).
+    "q150_centroid_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("label"),
+        when(col("vec_id") % 2 === 0, "a").otherwise("b").as("side"),
+        col("embedding"))
+      Similarity.centroidDrift(emb, "label", "side", "embedding")
+        .orderBy(col("label"))
+    }),
+
     // Leakage-free train/test split: near-dup components resolve
     // first, then the split decision hashes the component ROOT — an
     // entire near-dup cluster lands on one side, so test can never
@@ -1977,6 +1998,54 @@ object TrainingQueries {
                 FROM comp GROUP BY component_id)
          SELECT cluster_size, count(*)::BIGINT AS n_clusters
          FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // q149: PMI over the q111 bigram-extraction idiom, identical op
+    // order in the single log expression.
+    "q149_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         pairs AS (SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (
+           SELECT unnest(list_transform(range(1, greatest(len(t)-1,0)+1),
+             i -> {'w1': t[i], 'w2': t[i+1]})) AS u FROM toks)),
+         bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+         wd AS (SELECT unnest(t) AS w FROM toks),
+         uni AS (SELECT w, count(*)::BIGINT AS c FROM wd GROUP BY 1),
+         tot AS (SELECT (SELECT sum(c) FROM uni)::BIGINT AS nu,
+                        (SELECT sum(c12) FROM bi)::BIGINT AS nb)
+         SELECT b.w1, b.w2, b.c12,
+           floor(ln((b.c12::DOUBLE * tt.nu * tt.nu)
+                    / (tt.nb::DOUBLE * u1.c * u2.c)) * 1e6) / 1e6 AS pmi
+         FROM bi b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+         CROSS JOIN tot tt
+         WHERE b.c12 >= 5
+         ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50""",
+
+    // q150: same quantized dimension sums, list-ordered vectors, one
+    // rounded cosine per label.
+    "q150_centroid_drift" ->
+      """WITH e2 AS (SELECT label,
+             CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+             list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         px AS (SELECT label, side, u['p'] AS p, u['v'] AS v FROM (
+           SELECT label, side, unnest(list_transform(range(1, 65),
+             i -> {'p': i, 'v': CAST(floor(emb[i] * 1e6 + 0.5) AS BIGINT)})) AS u
+           FROM e2)),
+         sums AS (SELECT label, side, p, sum(v)::BIGINT AS s2,
+                    count(*)::BIGINT AS cnt
+                  FROM px GROUP BY 1, 2, 3),
+         vecs AS (SELECT label, side, list(s2 ORDER BY p) AS vec,
+                    max(cnt)::BIGINT AS n
+                  FROM sums GROUP BY 1, 2)
+         SELECT a.label,
+           round(
+             list_sum(list_transform(range(1, 65), i -> a.vec[i]::DOUBLE * b.vec[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.vec[i]::DOUBLE * a.vec[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.vec[i]::DOUBLE * b.vec[i]::DOUBLE)))), 6)
+             AS drift_cos,
+           a.n AS n_a, b.n AS n_b
+         FROM vecs a JOIN vecs b ON a.label = b.label
+         WHERE a.side = 'a' AND b.side = 'b'
+         ORDER BY a.label""",
 
     // q148: q116's reachability-walk components, coalesced to self for
     // unpaired docs, split by the same first-md5-nibble rule.

@@ -701,6 +701,58 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Per-group embedding centroid drift between two snapshot sides —
+    * the semantic counterpart of the categorical PSI report: how far
+    * each group's MEAN embedding moved between releases (retrain /
+    * re-embed triggers). Cosine is scale-invariant, so the centroid
+    * division by n cancels and the comparison runs on the exact
+    * per-dimension SUMS: each component quantizes to the
+    * `floor(x·1e6 + 0.5)` int64 grid (the q131 PCA grid), sums are
+    * exact int64 (order-free), and one rounded cosine per group is
+    * bit-replayable by the SQL oracle.
+    *
+    * Scale shape: one (group, side, dim) aggregate with map-side
+    * partials — the exchange carries |groups|·2·dim rows, never
+    * vectors; the final join/cosine runs on |groups| rows.
+    *
+    * @return (groupCol, drift_cos, n_a, n_b) — drift_cos rounded 1e-6;
+    *   groups missing a side are omitted.
+    */
+  def centroidDrift(
+      df: DataFrame, // (groupCol, sideCol, emb: array<double|float>)
+      groupCol: String,
+      sideCol: String,
+      embCol: String): DataFrame = {
+    val g = col(groupCol)
+    val sums = df
+      .select(g, col(sideCol).as("_side"),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(g, col("_side"), col("pos"))
+      .agg(sum(floor(col("v") * lit(1e6) + lit(0.5)).cast("long")).as("s"),
+        // every dimension of one row counts it once; dividing by the
+        // dim count later is avoided by counting rows at pos 0 only
+        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n0"))
+    val packed = sums.groupBy(g, col("_side"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("vec"),
+        sum(col("n0")).as("n"))
+    val a = packed.filter(col("_side") === "a")
+      .select(g, col("vec").as("va"), col("n").as("n_a"))
+    val b = packed.filter(col("_side") === "b")
+      .select(g, col("vec").as("vb"), col("n").as("n_b"))
+    a.join(b, Seq(groupCol))
+      .select(g,
+        round(
+          aggregate(zip_with(col("va"), col("vb"),
+            (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _) /
+            (sqrt(aggregate(col("va"),
+              lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))) *
+             sqrt(aggregate(col("vb"),
+               lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))), 6)
+          .as("drift_cos"),
+        col("n_a"), col("n_b"))
+  }
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
     * diversified selection over a retrieval SHORTLIST: greedily pick
     * `k` items maximizing `λ·rel − (1−λ)·max_sim_to_selected` — the

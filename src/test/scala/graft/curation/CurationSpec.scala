@@ -687,6 +687,27 @@ class CurationSpec extends SparkSpec {
     assert(meanLen > 6 && meanLen < 40, s"suspicious mean chunk length $meanLen")
   }
 
+  test("collocations: exclusive pair tops PMI, promiscuous pair ranks below, minCount prunes") {
+    val s = spark
+    import s.implicits._
+    // "hong kong" always adjacent and exclusive; "the cat"/"the dog"
+    // share a promiscuous left word; "rare gem" appears only 3 times
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "hong kong is busy today indeed")) ++
+      (9 to 16).map(i => (i.toLong, "the cat sat near the dog quietly")) ++
+      (17 to 19).map(i => (i.toLong, "rare gem words appear here once"))
+    ).toDF("doc_id", "text")
+    val got = graft.core.CacheScope.withReleased {
+      Curation.collocations(docs, "doc_id", "text", minCount = 5, k = 10)
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toList
+    }
+    val pmi = got.toMap
+    assert(pmi.contains(("hong", "kong")))
+    assert(!pmi.keySet.exists(p => p._1 == "rare"), "minCount=5 must prune the 3-count bigram")
+    // exclusive pair beats pairs whose words appear in many contexts
+    assert(pmi(("hong", "kong")) > pmi.getOrElse(("the", "cat"), Double.MinValue))
+  }
+
   test("leakageFreeSplit: clusters never straddle the cut; growth never flips old docs") {
     val s = spark
     import s.implicits._

@@ -504,6 +504,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("centroidDrift: identical sides cos 1, rotated group flags, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val rows =
+      // group "same": both sides clustered on e1
+      (0 until 8).map(i => ("same", if (i % 2 == 0) "a" else "b",
+        Seq(1.0, 0.01 * i, 0.0, 0.0))) ++
+      // group "moved": side a on e1, side b on e2
+      (0 until 8).map(i => ("moved", if (i % 2 == 0) "a" else "b",
+        if (i % 2 == 0) Seq(1.0, 0.0, 0.01 * i, 0.0) else Seq(0.0, 1.0, 0.01 * i, 0.0)))
+    val df = rows.toDF("grp", "side", "emb")
+    val got = Similarity.centroidDrift(df, "grp", "side", "emb")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("same")._1 > 0.99)
+    assert(got("moved")._1 < 0.3, s"rotated centroid must flag, got ${got("moved")._1}")
+    assert(got("same")._2 == 4 && got("same")._3 == 4)
+    val re = Similarity.centroidDrift(df.repartition(7), "grp", "side", "emb")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(re("same") == got("same")._1 && re("moved") == got("moved")._1,
+      "int64 dimension sums must make drift partition-invariant")
+  }
+
   test("mmrSelect: redundant near-duplicate of the top hit is deferred for a diverse pick") {
     val s = spark
     import s.implicits._
