@@ -679,6 +679,35 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Aho-Corasick multi-pattern scan: blocklist/canary detection as
+    // ONE automaton pass per document regardless of pattern count
+    // (codegen'd reference-object kernel) vs P separate LIKE scans —
+    // the P-free scan cost is the 100 TB story.
+    "q152_multi_contains" -> ((s, dir) => {
+      val pats = Seq("join order", "table scan", "spark window",
+        "slow sort", "customer line")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.AcFunctions.multiContains(col("text"), pats)).as("pat"))
+        .select(col("doc_id"), col("pat").cast("long").as("pat"))
+        .orderBy(col("doc_id"), col("pat"))
+    }),
+
+    // Count-min sketch per source (depth 3 × width 32): the mergeable
+    // full-domain frequency grid beside misra_gries' head-only
+    // summary. The oracle replays every counter from the md5 bucket
+    // derivation — approximate operator, EXACT gate.
+    "q151_cms_sketch" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("source"))
+        .agg(graft.functions.CmsFunctions.cmsSketch(col("w"), 3, 32).as("cms"))
+        .select(col("source"), posexplode(col("cms")).as(Seq("pos", "c")))
+        .select(col("source"), col("pos").cast("long").as("pos"), col("c"))
+        .orderBy(col("source"), col("pos"))
+    }),
+
     // PMI collocation mining: top adjacent word pairs by pointwise
     // mutual information among bigrams seen >= 5 times — multiword
     // units and template phrases surfaced for corpus analysis.
@@ -1998,6 +2027,38 @@ object TrainingQueries {
                 FROM comp GROUP BY component_id)
          SELECT cluster_size, count(*)::BIGINT AS n_clusters
          FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // q152: containment semantics replayed with P contains() scans —
+    // the oracle pays the P-fold cost the automaton avoids.
+    "q152_multi_contains" ->
+      """WITH ps AS (SELECT unnest(['join order', 'table scan', 'spark window',
+                                    'slow sort', 'customer line']) AS p,
+                            unnest(range(0, 5)) AS i)
+         SELECT d.doc_id, ps.i::BIGINT AS pat
+         FROM documents d CROSS JOIN ps
+         WHERE contains(d.text, ps.p)
+         ORDER BY doc_id, pat""",
+
+    // q151: full sketch replay — same md5 bucket derivation, zero-
+    // filled grid via the cross-joined spine.
+    "q151_cms_sketch" ->
+      """WITH wd AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+         js AS (SELECT unnest(range(0, 3)) AS j),
+         bs AS (SELECT unnest(range(0, 32)) AS b),
+         hits AS (SELECT source, j,
+             ('0x' || substr(md5(j::VARCHAR || ':' || w), 1, 15))::BIGINT % 32 AS b
+           FROM wd CROSS JOIN js),
+         cnt AS (SELECT source, j, b, count(*)::BIGINT AS c
+                 FROM hits GROUP BY 1, 2, 3),
+         grid AS (SELECT s.source, js.j, bs.b
+                  FROM (SELECT DISTINCT source FROM documents) s
+                  CROSS JOIN js CROSS JOIN bs)
+         SELECT g.source, (g.j * 32 + g.b)::BIGINT AS pos,
+           coalesce(c.c, 0)::BIGINT AS c
+         FROM grid g LEFT JOIN cnt c
+           ON g.source = c.source AND g.j = c.j AND g.b = c.b
+         ORDER BY g.source, pos""",
 
     // q149: PMI over the q111 bigram-extraction idiom, identical op
     // order in the single log expression.
