@@ -564,4 +564,55 @@ class PlanSpec extends SparkSpec {
     assert(html.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
       "only the output sort may exchange")
   }
+
+  test("q142: containment pair generation joins postings — no cartesian, no nested loop") {
+    val p = plan("q142_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment candidates must come from the postings equi-join")
+    assert(p.contains("ShuffledHashJoin"), "postings join lost the shuffle_hash hint")
+  }
+
+  test("q145: CDC boundary cut is map-only — no join, no window before the rollup") {
+    val p = plan("q145_cdc_chunks")
+    assert(!p.contains("Window"), "chunking must not use a window")
+    // the only joins allowed are the source-attach and rollup path;
+    // the chunk computation itself is HOF-only (no cartesian anywhere)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q149: collocations carry no window; totals ride one broadcast nested loop of 1 row") {
+    val p = plan("q149_collocations")
+    assert(!p.contains("Window"), "PMI path must be window-free")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "bigram/unigram counts must combine map-side")
+  }
+
+  test("q151: CMS is an ObjectHashAggregate pair — grid-sized partials, no sort-based agg") {
+    val p = plan("q151_cms_sketch")
+    assert(p.contains("ObjectHashAggregate"), "CMS must run as an object hash aggregate")
+    assert(p.contains("partial_cms_sketch") || p.contains("cms_sketch"),
+      "cms_sketch partials missing from the plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q152: the multi-pattern scan is map-only — scan, generate, one output exchange") {
+    val p = plan("q152_multi_contains")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      "only the output sort may exchange")
+    // the automaton call sits in the Generate directly over the scan
+    assert(p.contains("multi_contains"), "kernel missing from the Generate")
+  }
+
+  test("q141: no unpartitioned window; iteration frames are RDD-rebased (bounded plan)") {
+    val p = plan("q141_neardup_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    // the shortCircuit rebase keeps the final plan small: the last
+    // generation scans an existing RDD instead of replaying 3^iters
+    // copies of the jaccard pipeline
+    assert(p.contains("Scan ExistingRDD"),
+      "PageRank generations must rebase on their persisted RDDs")
+    assert(p.linesIterator.size < 400,
+      s"q141 plan exploded to ${p.linesIterator.size} lines — lineage rebase broken?")
+  }
 }
