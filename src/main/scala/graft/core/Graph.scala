@@ -102,6 +102,95 @@ object Graph {
       (floor(col("fx").cast("double") / lit(1000.0)) / lit(1e6)).as("rank"))
   }
 
+  /** Personalized PageRank (random walk with restart): teleport and
+    * dangling mass return ONLY to the `seeds`, so rank measures
+    * proximity to the seed set — the "related documents" explorer
+    * over a similarity graph (and the seeded variant of [[pageRank]],
+    * same int64 fixed-point discipline: seed base = `Scale div |S|`,
+    * dangling share = `dang div |S|` at seeds, zero elsewhere).
+    */
+  def pageRankPersonalized(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame, // one column `id` ⊆ nodes
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"pageRankPersonalized requires iters >= 1, got $iters")
+    val n = nodes.select(col("id")).distinct()
+    val sd = seeds.select(col("id")).distinct()
+    val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "pageRankPersonalized requires a non-empty seed set")
+    val base = Scale / nSeeds
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val r0 = n
+      .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .join(sd.withColumn("_s", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("_s").isNotNull, base).otherwise(0L).as("fx"),
+        coalesce(col("od"), lit(0L)).as("od"),
+        when(col("_s").isNotNull, 1L).otherwise(0L).as("b"))
+    val ranks = (1 to iters).foldLeft(shortCircuit(r0)) { (r, _) =>
+      val contrib = e
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .filter(col("fx") > 0L)
+        .select(col("dst").as("id"), expr("fx div od").as("c"))
+      val recv = contrib.groupBy(col("id")).agg(sum(col("c")).as("recv"))
+      val dang = r.filter(col("od") === 0L)
+        .agg(coalesce(sum(col("fx")), lit(0L)).as("dang"))
+      shortCircuit(r.join(recv, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(DampDen - DampNum) * lit(base) * col("b") +
+            lit(DampNum) * (coalesce(col("recv"), lit(0L)) +
+              col("b") * expr(s"dang div ${nSeeds}L"))).as("_mix"),
+          col("od"), col("b"))
+        .select(col("id"), expr(s"_mix div ${DampDen}L").as("fx"),
+          col("od"), col("b")))
+    }
+    ranks.select(col("id"), col("fx").as("rank_fx"),
+      (floor(col("fx").cast("double") / lit(1000.0)) / lit(1e6)).as("rank"))
+  }
+
+  /** Clamped label propagation (Zhu & Ghahramani '02 shape) over an
+    * edge list: nodes with a non-null initial label are SEEDS and keep
+    * it; every round each node takes the majority label of its
+    * in-neighbors (tie → lexicographically smallest label), keeping
+    * its previous label when no labeled neighbor exists. Integer votes
+    * + deterministic tie-break ⇒ engine-replayable. Per round: one
+    * edge⋈labels shuffle, one (node, label) count, one max join —
+    * the same two-shuffle budget as a PageRank step.
+    *
+    * @param labels (id, lab nullable) — the full node universe.
+    * @return (id, lab) after `iters` rounds (nullable: nodes never
+    *   reached by any labeled neighbor stay null).
+    */
+  def labelPropagation(
+      labels: DataFrame,
+      edges: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"labelPropagation requires iters >= 1, got $iters")
+    val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
+    val seeds = labels.select(col("id"), col("lab").as("_seed"))
+    val l0 = labels.select(col("id"), col("lab"))
+    val result = (1 to iters).foldLeft(shortCircuit(l0)) { (l, _) =>
+      val votes = e
+        .join(l.withColumnRenamed("id", "src"), "src")
+        .filter(col("lab").isNotNull)
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val mx = votes.groupBy(col("id")).agg(max(col("c")).as("mc"))
+      val best = votes.join(mx, Seq("id"))
+        .filter(col("c") === col("mc"))
+        .groupBy(col("id")).agg(min(col("lab")).as("_new"))
+      shortCircuit(l
+        .join(best, Seq("id"), "left")
+        .join(seeds, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("_seed"), col("_new"), col("lab")).as("lab")))
+    }
+    result
+  }
+
   /** Rebase an iteration result on its own persisted RDD: the returned
     * frame's logical plan is a flat scan of that RDD, so a recurrence
     * referencing it N times costs N short subtrees, not N copies of

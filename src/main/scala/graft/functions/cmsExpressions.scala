@@ -93,15 +93,27 @@ case class CmsSketchAgg(
 }
 
 object CmsSketchAgg {
+  // one digest per thread: getInstance per call measured 13.7 s for
+  // q151 at sf0.1 (750k digests); reuse + byte math brings the kernel
+  // to digest cost alone
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Row-j bucket of a value: first 15 md5 hex chars of `"j:" + v`
     * (60 bits, fits int64 non-negative) mod width — replayable in SQL
     * as `('0x' || substr(md5(j || ':' || v), 1, 15))::BIGINT % width`.
+    * Computed without hex formatting: the first 15 hex chars ARE the
+    * top 60 bits of the digest, i.e. big-endian(bytes 0..7) >>> 4.
     */
   def bucket(j: Int, v: String, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$j:$v".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.substring(0, 15)
-    (java.lang.Long.parseLong(hex, 16) % width).toInt
+    val d = md.get()
+    d.reset()
+    val bytes = d.digest(s"$j:$v".getBytes("UTF-8"))
+    var top = 0L
+    var i = 0
+    while (i < 8) { top = (top << 8) | (bytes(i) & 0xffL); i += 1 }
+    ((top >>> 4) % width).toInt
   }
 }
 

@@ -157,6 +157,66 @@ object TrainingQueries {
          score_fx
        FROM agg ORDER BY score_fx DESC, doc_id LIMIT 25"""
 
+  /** q153 oracle: the q141 replay with a 5-seed teleport vector —
+    * fx/dangling return only to seeds (b = 0/1 indicator).
+    */
+  private val pprSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      val p = s"r${i - 1}"
+      s"""s$i AS (SELECT e.dst AS id, sum(r.fx // r.od)::BIGINT AS recv
+            FROM edges e JOIN $p r ON e.src = r.id GROUP BY 1),
+          g$i AS (SELECT coalesce(sum(fx), 0)::BIGINT AS dang FROM $p WHERE od = 0),
+          r$i AS (SELECT r.id,
+              ((15::BIGINT * (1000000000000 // 5) * r.b
+                + 85::BIGINT * (coalesce(s.recv, 0) + r.b * (g.dang // 5))) // 100)::BIGINT AS fx,
+              r.od, r.b
+            FROM $p r CROSS JOIN g$i g LEFT JOIN s$i s ON r.id = s.id)"""
+    }.mkString(",\n")
+    s"""$shingleCte,
+       $jaccardPairsCte,
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       od AS (SELECT src AS id, count(*)::BIGINT AS od FROM edges GROUP BY 1),
+       r0 AS (SELECT dd.doc_id AS id,
+                (CASE WHEN dd.doc_id < 5 THEN 1000000000000 // 5 ELSE 0 END)::BIGINT AS fx,
+                coalesce(od.od, 0)::BIGINT AS od,
+                (CASE WHEN dd.doc_id < 5 THEN 1 ELSE 0 END)::BIGINT AS b
+              FROM documents dd LEFT JOIN od ON dd.doc_id = od.id),
+       $iterCtes
+       SELECT id AS doc_id, fx AS rank_fx,
+         floor(fx::DOUBLE / 1000.0) / 1e6 AS pr
+       FROM r5 ORDER BY doc_id"""
+  }
+
+  /** q154 oracle: 3 unrolled clamped majority-vote rounds (MATERIALIZED
+    * — each generation is referenced three times).
+    */
+  private val labelPropSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val p = s"l${i - 1}"
+      s"""v$i AS MATERIALIZED (SELECT e.dst AS id, l.lab, count(*)::BIGINT AS c
+            FROM edges e JOIN $p l ON e.src = l.id
+            WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+          m$i AS (SELECT id, max(c) AS mc FROM v$i GROUP BY 1),
+          b$i AS (SELECT v.id, min(v.lab) AS nl
+                  FROM v$i v JOIN m$i m ON v.id = m.id AND v.c = m.mc
+                  GROUP BY v.id),
+          l$i AS MATERIALIZED (SELECT l.id, coalesce(sd.seed, b.nl, l.lab) AS lab
+            FROM $p l LEFT JOIN b$i b ON l.id = b.id
+            LEFT JOIN sd ON l.id = sd.id)"""
+    }.mkString(",\n")
+    s"""$shingleCte,
+       $jaccardPairsCte,
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       sd AS (SELECT doc_id AS id,
+                CASE WHEN doc_id % 2 = 0 THEN lang END AS seed FROM documents),
+       l0 AS (SELECT doc_id AS id,
+                CASE WHEN doc_id % 2 = 0 THEN lang END AS lab FROM documents),
+       $rounds
+       SELECT id AS doc_id, lab FROM l3 ORDER BY doc_id"""
+  }
+
   private val jaccardPairsSql =
     s"""$shingleCte
        SELECT doc_a, doc_b, jaccard FROM (
@@ -827,6 +887,39 @@ object TrainingQueries {
         .select(col("c_id").as("doc_id"), col("rank"))
       Search.rrfFuse(Seq(bshort, vshort), "doc_id", kRrf = 60, k = 25)
         .orderBy(col("rrf_fx").desc, col("doc_id"))
+    }),
+
+    // Personalized PageRank (random walk with restart): teleport and
+    // dangling mass return only to the 5 seed docs, so rank measures
+    // proximity to the seeds over the near-dup graph — the "related
+    // documents" explorer. Same int64 discipline and unrolled-CTE
+    // oracle as q141.
+    "q153_ppr_related" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.core.Graph.pageRankPersonalized(
+        docs.select(col("doc_id").as("id")), edges,
+        docs.filter(col("doc_id") < 5).select(col("doc_id").as("id")), iters = 5)
+        .select(col("id").as("doc_id"), col("rank_fx"), col("rank").as("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Clamped label propagation: even docs carry their lang as a seed
+    // label, 3 majority-vote rounds spread it across the near-dup
+    // graph (tie → smallest label) — weak-supervision label expansion
+    // for partially-annotated corpora.
+    "q154_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("doc_id") % 2 === 0, col("lang")).as("lab"))
+      graft.core.Graph.labelPropagation(labels, edges, iters = 3)
+        .select(col("id").as("doc_id"), col("lab"))
+        .orderBy(col("doc_id"))
     }),
 
     // Asymmetric containment pairs (|A∩B|/|A| >= 0.8, ordered): the
@@ -2283,6 +2376,8 @@ object TrainingQueries {
     // DuckDB integer division; Spark's div — identical on the
     // non-negative values here).
     "q141_neardup_pagerank" -> pageRankSql,
+    "q153_ppr_related" -> pprSql,
+    "q154_label_prop" -> labelPropSql,
 
     "q146_mmr_select" -> mmrSql,
 

@@ -72,6 +72,68 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pageRankPersonalized: mass stays near the seeds; uniform-seed case degenerates to pageRank-like spread") {
+    val nodes = (0L to 7L)
+    // chain 0→1→2→3 plus an island {6,7} unreachable from the seed
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (6L, 7L), (7L, 6L))
+    val got = CacheScope.withReleased {
+      Graph.pageRankPersonalized(
+        nodes.toDF("id"), edges.toDF("src", "dst"),
+        Seq(0L).toDF("id"), iters = 4)
+        .select(col("id"), col("rank_fx")).as[(Long, Long)].collect().toMap
+    }
+    // the seed holds the most mass; proximity decays along the chain
+    assert(got(0L) > got(1L) && got(1L) > got(2L) && got(2L) > got(3L))
+    // nothing teleports to the unreachable island
+    assert(got(6L) == 0L && got(7L) == 0L)
+    // node 5 (isolated, not a seed) also gets nothing
+    assert(got(5L) == 0L)
+  }
+
+  test("labelPropagation: seeds clamp, majority wins, ties break to the smallest label") {
+    val s = spark
+    import s.implicits._
+    // 1 is adjacent to seeds {0:a, 2:b, 4:b} → majority b;
+    // 3 is adjacent to seeds {0:a, 2:b} → tie → 'a' (smallest);
+    // 5 is unreachable → stays null; seed 0 keeps 'a' even though its
+    // only neighbors vote 'b'.
+    val labels = Seq(
+      (0L, Some("a")), (2L, Some("b")), (4L, Some("b")),
+      (1L, None), (3L, None), (5L, None))
+      .toDF("id", "lab")
+    val edges = Seq((0L, 1L), (2L, 1L), (4L, 1L), (0L, 3L), (2L, 3L),
+      (1L, 0L), (2L, 0L))
+      .toDF("src", "dst")
+    val got = CacheScope.withReleased {
+      Graph.labelPropagation(labels, edges, iters = 2)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    }
+    assert(got(1L) == Some("b"))
+    assert(got(3L) == Some("a"))
+    assert(got(5L) == None)
+    assert(got(0L) == Some("a"), "seed labels must clamp")
+  }
+
+  test("labelPropagation is partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    val labels = (0L until 50L)
+      .map(i => (i, if (i % 3 == 0) Some(s"l${rnd.nextInt(4)}") else None))
+      .toDF("id", "lab")
+    val edges = (0L until 50L).flatMap(a =>
+      Seq((a, (a * 11 + 3) % 50), (a, (a * 17 + 7) % 50))).toDF("src", "dst")
+    val a = CacheScope.withReleased {
+      Graph.labelPropagation(labels, edges, 3)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    }
+    val b = CacheScope.withReleased {
+      Graph.labelPropagation(labels.repartition(7), edges.repartition(9), 3)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    }
+    assert(a == b)
+  }
+
   test("pageRank releases its operator-managed persists inside a CacheScope bracket") {
     val nodes = (0L to 9L)
     val edges = nodes.map(a => (a, (a + 1) % 10))
