@@ -49,6 +49,13 @@ import graft.text.{Pii, Vocab}
   *   pcaMoments  fold a batch into the standing covariance moments
   *   pcaProject  project embeddings onto the standing top-r components
   *   card        full per-source dataset card (report + quartiles + shingles)
+  *   pagerank    boilerplate-hub centrality over the near-dup graph
+  *   related     seeded proximity ranking (personalized PageRank)
+  *   propagate   weak-supervision label expansion over near-dups
+  *   splitSafe   leakage-free train/test labeling (cluster-whole)
+  *   searchIndexBuild/searchIndexQuery  on-disk BM25 inverted index
+  *   cdc         content-defined chunking for chunk-store dedup
+  *   canary      one-pass multi-pattern blocklist/canary scan
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
   * a command overwrites with identical output — crash-and-rerun safe
@@ -389,4 +396,92 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
       graft.similarity.Pca.covarianceFromMoments(spark.read.parquet(momentsPath)), r)
     write(graft.similarity.Pca.project(read(in), embIdCol, embCol, comps), out)
   }
+
+  /** Symmetric near-dup edge list, the input the graph commands share. */
+  private def neardupEdges(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs, idCol, textCol, n, tau)
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  }
+
+  /** Boilerplate-hub ranking ([[graft.core.Graph.pageRank]] over the
+    * near-dup graph): the docs whose content is most echoed across
+    * the corpus, written as (id, rank_fx, rank).
+    */
+  def pagerank(in: String, out: String, n: Int = 3, tau: Double = 0.5,
+      iters: Int = 5): Long = graft.core.CacheScope.withReleased {
+    val docs = read(in)
+    write(graft.core.Graph.pageRank(
+      docs.select(col(idCol).as("id")), neardupEdges(docs, n, tau), iters), out)
+  }
+
+  /** Related-document exploration ([[graft.core.Graph
+    * .pageRankPersonalized]]): proximity of every doc to a seed id
+    * set over the near-dup graph.
+    */
+  def related(in: String, out: String, seedIds: Seq[Long],
+      n: Int = 3, tau: Double = 0.5, iters: Int = 5): Long =
+    graft.core.CacheScope.withReleased {
+      val docs = read(in)
+      import spark.implicits._
+      write(graft.core.Graph.pageRankPersonalized(
+        docs.select(col(idCol).as("id")), neardupEdges(docs, n, tau),
+        seedIds.toDF("id"), iters), out)
+    }
+
+  /** Weak-supervision label expansion ([[graft.core.Graph
+    * .labelPropagation]]): docs with a non-null `labelCol` are seeds;
+    * majority vote spreads labels across the near-dup graph.
+    */
+  def propagate(in: String, out: String, labelCol: String,
+      n: Int = 3, tau: Double = 0.5, iters: Int = 3): Long =
+    graft.core.CacheScope.withReleased {
+      val docs = read(in)
+      val labeled = graft.core.Graph.labelPropagation(
+        docs.select(col(idCol).as("id"), col(labelCol).as("lab")),
+        neardupEdges(docs, n, tau), iters)
+      write(docs.drop(labelCol).join(
+        labeled.select(col("id").as(idCol), col("lab").as(labelCol)),
+        Seq(idCol)), out)
+    }
+
+  /** Leakage-free train/test labeling ([[Curation.leakageFreeSplit]]):
+    * near-dup clusters land whole on one side.
+    */
+  def splitSafe(in: String, out: String, n: Int = 3, tau: Double = 0.5): Long =
+    graft.core.CacheScope.withReleased {
+      val docs = read(in)
+      val pairs = Dedup.jaccardPairs(docs, idCol, textCol, n, tau)
+      write(docs.join(Curation.leakageFreeSplit(docs, idCol, pairs), Seq(idCol)), out)
+    }
+
+  /** Build the on-disk BM25 index once ([[graft.text.SearchIndex]]). */
+  def searchIndexBuild(in: String, indexPath: String,
+      numPartitions: Int = 64): Long = {
+    graft.text.SearchIndex.write(read(in), idCol, textCol, indexPath, numPartitions)
+    spark.read.parquet(s"$indexPath/postings").count()
+  }
+
+  /** Query the on-disk index — bit-identical to the `search` command
+    * over the same corpus, without the corpus scan.
+    */
+  def searchIndexQuery(indexPath: String, out: String,
+      terms: Seq[String], k: Int = 25): Long =
+    write(graft.text.SearchIndex.query(spark, indexPath, terms, k), out)
+
+  /** Content-defined chunking ([[Curation.cdcChunks]]): edit-stable
+    * chunk rows (doc, chunk_id, text, fp, n_words) for chunk-store
+    * dedup.
+    */
+  def cdc(in: String, out: String, window: Int = 4): Long =
+    write(Curation.cdcChunks(read(in), idCol, textCol, window), out)
+
+  /** Canary/blocklist scan ([[graft.functions.AcFunctions
+    * .multiContains]]): one automaton pass per doc; writes each doc's
+    * matched pattern indexes, docs with no match omitted.
+    */
+  def canary(in: String, out: String, patterns: Seq[String]): Long =
+    write(read(in).select(col(idCol),
+      org.apache.spark.sql.functions.explode(
+        graft.functions.AcFunctions.multiContains(col(textCol), patterns)).as("pat")), out)
 }

@@ -307,4 +307,73 @@ class TrainCliSpec extends SparkSpec {
       .filter(col("doc_id") === 2L).head().getSeq[String](1)
     assert(pieces === Seq("abc"))
   }
+
+  test("graph commands: pagerank, related, propagate, splitSafe on a near-dup corpus") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli").toString
+    val cli = new TrainCli(spark)
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today", Some("en")),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", None),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight", None),
+      (3L, "unrelated prose about parquet scans and column pruning at scale", Some("de")))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$root/docs")
+
+    assert(cli.pagerank(s"$root/docs", s"$root/pr") === 4L)
+    val pr = spark.read.parquet(s"$root/pr")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(0L) > pr(3L), "near-dup family members outrank the isolated doc")
+
+    assert(cli.related(s"$root/docs", s"$root/rel", seedIds = Seq(0L)) === 4L)
+    val rel = spark.read.parquet(s"$root/rel")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel(1L) > 0L && rel(3L) == 0L,
+      "proximity mass reaches the cluster, never the isolated doc")
+
+    assert(cli.propagate(s"$root/docs", s"$root/lp", "lang") === 4L)
+    val lp = spark.read.parquet(s"$root/lp")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toMap
+    assert(lp(1L) == Some("en") && lp(2L) == Some("en"),
+      "seed label must spread across the near-dup cluster")
+    assert(lp(3L) == Some("de"), "seeds clamp")
+
+    assert(cli.splitSafe(s"$root/docs", s"$root/sp") === 4L)
+    val sp = spark.read.parquet(s"$root/sp")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(Set(sp(0L), sp(1L), sp(2L)).size == 1, "cluster lands whole")
+  }
+
+  test("searchIndexBuild/Query, cdc, canary commands round-trip through parquet") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli").toString
+    val cli = new TrainCli(spark)
+    Seq(
+      (1L, "spark joins shuffle data between stages"),
+      (2L, "a window over a join keeps spark busy"),
+      (3L, "rivers and forests have no such words"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/docs")
+
+    assert(cli.searchIndexBuild(s"$root/docs", s"$root/idx", numPartitions = 4) > 0L)
+    assert(cli.searchIndexQuery(s"$root/idx", s"$root/hits",
+      terms = Seq("spark", "join"), k = 5) === 2L)
+    val top = spark.read.parquet(s"$root/hits").orderBy(col("score_fx").desc)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.toSet == Set(1L, 2L))
+
+    assert(cli.cdc(s"$root/docs", s"$root/chunks") >= 3L)
+    val reassembled = spark.read.parquet(s"$root/chunks")
+      .filter(col("doc_id") === 1L).orderBy(col("chunk_id"))
+      .collect().map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(reassembled == "spark joins shuffle data between stages")
+
+    assert(cli.canary(s"$root/docs", s"$root/hits2",
+      patterns = Seq("spark", "forest")) === 3L)
+    val hits = spark.read.parquet(s"$root/hits2")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(hits == Set((1L, 0), (2L, 0), (3L, 1)))
+  }
 }
