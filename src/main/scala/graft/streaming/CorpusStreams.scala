@@ -208,6 +208,34 @@ object CorpusStreams {
         driftBatch(batch.toDF(), batchId, textCol, refPath, outPath, nBuckets)
     }
 
+  /** Streaming canary/blocklist monitor: one Aho-Corasick automaton
+    * pass per arriving document ([[graft.functions.AcFunctions
+    * .multiContains]] — map-only, so it runs UNCHANGED on a stream),
+    * then a watermarked per-window per-pattern hit count. The alerting
+    * view an ingestion pipeline keeps over leaked-canary and policy
+    * patterns: pattern volume spikes surface within a window of
+    * arrival instead of at the next batch audit.
+    *
+    * Output (append mode, closed windows): window, pat (index into
+    * `patterns`), hits (documents containing that pattern — the
+    * automaton emits each matched pattern once per doc).
+    */
+  def canaryMonitor(
+      stream: DataFrame, // must carry textCol + an event-time tsCol
+      textCol: String,
+      tsCol: String,
+      patterns: Seq[String],
+      windowDur: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.functions.AcFunctions.multiContains(col(textCol), patterns))
+          .as("pat"))
+      .groupBy(window(col(tsCol), windowDur), col("pat"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("window"), col("pat"), col("hits"))
+
   /** Exact first-seen-wins dedup: emits each distinct content exactly
     * once, on the micro-batch that first contains it (smallest id wins
     * inside that batch — deterministic); every later occurrence only

@@ -294,4 +294,42 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(got.map(_._2) === Set("same words here", "different words"))
     assert(got.size === 2)
   }
+
+  test("canaryMonitor: per-window per-pattern hit counts on a live stream") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("corpusstream3").toString
+    val in = s"$root/docs"
+    Seq(
+      (1L, "a leaked canary phrase appears here", Timestamp.valueOf("2026-01-01 10:00:10")),
+      (2L, "nothing suspicious in this one", Timestamp.valueOf("2026-01-01 10:00:20")),
+      (3L, "canary phrase again plus banned words", Timestamp.valueOf("2026-01-01 10:00:40")),
+      (4L, "banned words only, later window", Timestamp.valueOf("2026-01-01 10:01:30")))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
+
+    val out = s"$root/alerts"
+    def runOnce(): Unit = {
+      val q = DerivedStreams.refreshOnce(
+        CorpusStreams.canaryMonitor(
+          CorpusStreams.docStream(spark, in), "text", "ts",
+          patterns = Seq("canary phrase", "banned words"))
+          .select(col("window.start").cast("string").as("w"), col("pat"), col("hits")),
+        out, s"$root/ckpt")
+      q.awaitTermination()
+    }
+    runOnce()
+    // append mode emits only watermark-closed windows — advance the
+    // watermark with a far-future patternless row, second pass, same
+    // checkpoint (the DerivedStreamsSpec window idiom)
+    Seq((9L, "plain text", Timestamp.valueOf("2026-01-01 10:30:00")))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(in)
+    runOnce()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2026-01-01 10:00:00", 0, 2L), // canary phrase: docs 1, 3
+      ("2026-01-01 10:00:00", 1, 1L), // banned words: doc 3
+      ("2026-01-01 10:01:00", 1, 1L))) // banned words: doc 4
+  }
 }
