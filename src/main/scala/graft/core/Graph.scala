@@ -191,6 +191,59 @@ object Graph {
     result
   }
 
+  /** Per-node degree + triangle counts over an undirected pair list —
+    * the near-dup-graph structure report (dense triangle-rich
+    * components are template families; high-degree low-triangle nodes
+    * are hub boilerplate). Triangles are counted by DEGREE-ORDERED
+    * ORIENTATION (Suri & Vassilvitskii, WWW'11): each edge points
+    * from its (degree, id)-smaller endpoint to the larger, wedges
+    * form only at a node's OUT-edges, and the closing edge is probed
+    * against the undirected pair set. The orientation is acyclic and
+    * total, so every triangle materializes exactly once — and wedge
+    * volume is Σ out-deg² ≤ O(m^1.5) instead of Σ deg² (the hub-node
+    * explosion a naive wedge join hits on power-law graphs).
+    *
+    * @param nodes one column `id` (isolated nodes report 0/0).
+    * @param pairs (doc_a < doc_b) distinct undirected edges.
+    * @return (id, degree, triangles).
+    */
+  def triangleStats(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // orient by (degree, id): the join is degree-keyed and the edge
+    // list is its own dictionary — two vocab-keyed joins, no broadcast
+    // of anything corpus-sized
+    val k = deg.select(col("id"), col("degree").as("_k"))
+    val oriented = und
+      .join(k.withColumnRenamed("id", "a").withColumnRenamed("_k", "ka"), "a")
+      .join(k.withColumnRenamed("id", "b").withColumnRenamed("_k", "kb"), "b")
+      .select(
+        when(col("ka") < col("kb") || (col("ka") === col("kb") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("ka") < col("kb") || (col("ka") === col("kb") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    // e1.dst < e2.dst orders the wedge tips by id, so the closing-edge
+    // probe key (x, y) is already in und's (a < b) convention
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+    val triangles = wedges
+      .join(und, col("x") === col("a") && col("y") === col("b"))
+      .select(col("u"), col("x"), col("y"))
+    val perNode = triangles
+      .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    nodes.select(col("id")).distinct()
+      .join(deg, Seq("id"), "left")
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   /** Rebase an iteration result on its own persisted RDD: the returned
     * frame's logical plan is a flat scan of that RDD, so a recurrence
     * referencing it N times costs N short subtrees, not N copies of

@@ -889,6 +889,21 @@ object TrainingQueries {
         .orderBy(col("rrf_fx").desc, col("doc_id"))
     }),
 
+    // Near-dup graph structure report: per-doc degree + triangle
+    // participation via degree-ordered orientation (each triangle
+    // materializes once, wedge volume bounded by Σ out-deg² — the
+    // power-law-safe triangle count). Dense triangle-rich families
+    // are template clusters; high-degree low-triangle docs are hubs.
+    "q155_triangle_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      graft.core.Graph.triangleStats(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"), col("degree"), col("triangles"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Personalized PageRank (random walk with restart): teleport and
     // dangling mass return only to the 5 seed docs, so rank measures
     // proximity to the seeds over the near-dup graph — the "related
@@ -2377,6 +2392,29 @@ object TrainingQueries {
     // non-negative values here).
     "q141_neardup_pagerank" -> pageRankSql,
     "q153_ppr_related" -> pprSql,
+
+    // q155: id-ordered 3-way self-join counts each triangle once
+    // (a<b<c); per-node rollup over the triangle corners.
+    "q155_triangle_stats" ->
+      s"""$shingleCte,
+         $jaccardPairsCte,
+         und AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         deg AS (SELECT id, count(*)::BIGINT AS degree FROM (
+                   SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+                 GROUP BY id),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM und e1 JOIN und e2 ON e1.b = e2.a
+                 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pn AS (SELECT id, count(*)::BIGINT AS triangles FROM (
+                  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+                GROUP BY id)
+         SELECT d.doc_id, coalesce(deg.degree, 0)::BIGINT AS degree,
+           coalesce(pn.triangles, 0)::BIGINT AS triangles
+         FROM documents d
+         LEFT JOIN deg ON d.doc_id = deg.id
+         LEFT JOIN pn ON d.doc_id = pn.id
+         ORDER BY d.doc_id""",
     "q154_label_prop" -> labelPropSql,
 
     "q146_mmr_select" -> mmrSql,

@@ -134,6 +134,35 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("triangleStats: K4, path, isolated node; random graphs match brute force") {
+    val s = spark
+    import s.implicits._
+    // K4 on {0..3} (every node: degree 3, 3 triangles), path 4-5-6
+    // (no triangles), isolated 7
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val pairs = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("doc_a", "doc_b")
+    val got = Graph.triangleStats((0L to 7L).toDF("id"), pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L to 3L).foreach(i => assert(got(i) == ((3L, 3L))))
+    assert(got(4L) == ((1L, 0L)) && got(5L) == ((2L, 0L)) && got(6L) == ((1L, 0L)))
+    assert(got(7L) == ((0L, 0L)))
+
+    // seeded fuzz vs brute force
+    val rnd = new scala.util.Random(31L)
+    val edges = (for { a <- 0L until 20L; b <- 0L until 20L
+      if a < b && rnd.nextDouble() < 0.3 } yield (a, b)).distinct
+    val fuzz = Graph.triangleStats((0L until 20L).toDF("id"),
+        edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val es = edges.toSet
+    def adj(a: Long, b: Long) = es.contains((math.min(a, b), math.max(a, b)))
+    val brute = (0L until 20L).map { v =>
+      v -> (for { a <- 0L until 20L; b <- 0L until 20L
+        if a < b && a != v && b != v && adj(v, a) && adj(v, b) && adj(a, b) } yield 1).size.toLong
+    }.toMap
+    assert(fuzz == brute)
+  }
+
   test("pageRank releases its operator-managed persists inside a CacheScope bracket") {
     val nodes = (0L to 9L)
     val edges = nodes.map(a => (a, (a + 1) % 10))
