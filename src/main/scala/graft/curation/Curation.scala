@@ -656,6 +656,32 @@ object Curation {
         (col("ch.e") - col("ch.s") + lit(1L)).as("n_words"))
   }
 
+  /** Temperature-scaled mixture weights: per-source sampling weight
+    * `w_s ∝ n_s^0.5` — the sub-linear upsampling (multilingual/
+    * multi-source temperature sampling at τ = 1/2) that keeps small
+    * sources from drowning while still respecting volume. Feed the
+    * weights into [[mixCorpus]]/[[mixCorpusBy]].
+    *
+    * Engine-exact: sqrt is IEEE-correctly-rounded in every engine
+    * (unlike pow, whose libm rounding varies), each √n quantizes to
+    * the int64 `floor(√n·1e6)` grid, the normalizer is an exact int64
+    * sum, and the weight is one integer division — no float-sum order
+    * anywhere. One count aggregate, |sources| rows total.
+    *
+    * @return (source, n_docs, sfx, w) — w in ppm-resolution doubles,
+    *   summing to ≤ 1 (floor truncation).
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("sfx",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+    val total = counts.agg(sum(col("sfx")).as("t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("sfx"),
+        (expr("(sfx * 1000000L) div t").cast("double") / lit(1e6)).as("w"))
+  }
+
   /** Leakage-free train/test split: resolve near-dup `pairs` into
     * connected components, then hash the component ROOT for the split
     * decision — an entire near-dup cluster lands on one side, so the

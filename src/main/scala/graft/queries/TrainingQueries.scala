@@ -889,6 +889,27 @@ object TrainingQueries {
         .orderBy(col("rrf_fx").desc, col("doc_id"))
     }),
 
+    // Johnson-Lindenstrauss projection onto 16 md5-derived ±1 planes:
+    // the training-free dimensionality reduction beside PCA — the
+    // projection matrix is re-derivable by ANY engine (the oracle
+    // embeds the identical plane literals), map-side only.
+    "q156_jl_project" -> ((s, dir) => {
+      Similarity.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        outDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("v"))
+        .orderBy(col("vec_id"), col("j"))
+    }),
+
+    // Temperature mixture weights (τ = 1/2): per-source sampling
+    // weight ∝ √n — sub-linear upsampling on the exact int64
+    // floor(√n·1e6) grid (sqrt is correctly rounded everywhere; pow
+    // is not — that's why τ is the sqrt point).
+    "q157_temperature_mix" -> ((s, dir) => {
+      Curation.temperatureWeights(t(s, dir, "documents"), "source")
+        .orderBy(col("source"))
+    }),
+
     // Near-dup graph structure report: per-doc degree + triangle
     // participation via degree-ordered orientation (each triangle
     // materializes once, wedge volume bounded by Σ out-deg² — the
@@ -2392,6 +2413,32 @@ object TrainingQueries {
     // non-negative values here).
     "q141_neardup_pagerank" -> pageRankSql,
     "q153_ppr_related" -> pprSql,
+
+    // q156: the identical plane literals, list_sum dot, same
+    // floor grid and 1/sqrt(16) scale.
+    "q156_jl_project" -> {
+      val parts = (0 until 16).map { p =>
+        s"""SELECT vec_id, ${p}::BIGINT AS j,
+             floor(list_sum(list_transform(range(1, 65),
+               i -> emb[i] * (${planeSql(p)})[i])) / sqrt(16.0) * 1e6) / 1e6 AS v
+           FROM e"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+                     FROM embeddings)
+         $parts ORDER BY vec_id, j"""
+    },
+
+    // q157: same sqrt grid, exact int64 normalizer, one `//`.
+    "q157_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs
+                    FROM documents GROUP BY 1),
+         s AS (SELECT source, n_docs,
+                 CAST(floor(sqrt(n_docs::DOUBLE) * 1e6) AS BIGINT) AS sfx
+               FROM c),
+         tt AS (SELECT sum(sfx)::BIGINT AS t FROM s)
+         SELECT source, n_docs, sfx,
+           ((sfx * 1000000) // tt.t)::DOUBLE / 1e6 AS w
+         FROM s CROSS JOIN tt ORDER BY source""",
 
     // q155: id-ordered 3-way self-join counts each triangle once
     // (a<b<c); per-node rollup over the triangle corners.

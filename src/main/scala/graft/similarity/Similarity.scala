@@ -701,6 +701,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Johnson–Lindenstrauss random projection onto `outDim` md5-derived
+    * ±1 hyperplanes ([[hyperplane]] — the same public derivation the
+    * LSH buckets use), scaled by `1/√outDim`: the data-INDEPENDENT
+    * dimensionality reduction beside PCA — no training pass, no
+    * moment state, distances preserved within the JL bound, and any
+    * engine re-derives the identical matrix. Map-side only: each
+    * output component is one literal-array dot product inside
+    * whole-stage codegen; nothing aggregates or shuffles.
+    *
+    * @return (idCol, proj: array<double> length outDim, each component
+    *   floored to 1e-6 — the replayable grid).
+    */
+  def randomProject(
+      df: DataFrame, idCol: String, embCol: String,
+      outDim: Int, dim: Int = 64): DataFrame = {
+    require(outDim >= 1 && dim <= 128)
+    val emb = col(embCol).cast("array<double>")
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { p =>
+      val plane = array(hyperplane(p, dim).map(lit): _*)
+      floor(dot(emb, plane) / lit(scale) * lit(1e6)) / lit(1e6)
+    }
+    df.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** Per-group embedding centroid drift between two snapshot sides —
     * the semantic counterpart of the categorical PSI report: how far
     * each group's MEAN embedding moved between releases (retrain /

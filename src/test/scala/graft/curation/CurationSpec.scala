@@ -687,6 +687,22 @@ class CurationSpec extends SparkSpec {
     assert(meanLen > 6 && meanLen < 40, s"suspicious mean chunk length $meanLen")
   }
 
+  test("temperatureWeights: sqrt compression boosts small sources, weights sum ≤ 1") {
+    val s = spark
+    import s.implicits._
+    // 100:1 volume ratio compresses to 10:1 under sqrt
+    val docs = ((1 to 100).map(i => (i.toLong, "x", "big")) ++
+      Seq((200L, "x", "small"))).toDF("doc_id", "text", "source")
+    val got = Curation.temperatureWeights(docs, "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got("big")._1 == 100L && got("small")._1 == 1L)
+    val ratio = got("big")._2 / got("small")._2
+    assert(ratio > 9.0 && ratio < 11.0, s"sqrt temperature ratio off: $ratio")
+    // proportional would be ~0.99; sqrt gives the small source ~9%
+    assert(got("small")._2 > 0.08)
+    assert(got.values.map(_._2).sum <= 1.0 + 1e-9)
+  }
+
   test("collocations: exclusive pair tops PMI, promiscuous pair ranks below, minCount prunes") {
     val s = spark
     import s.implicits._

@@ -504,6 +504,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("randomProject: JL distance preservation band on seeded gaussians; partition-invariant") {
+    val corpus = pqCorpus(40, 64, 17L).withColumnRenamed("c_id", "id")
+      .withColumnRenamed("c_emb", "emb")
+    val proj = Similarity.randomProject(corpus, "id", "emb", outDim = 16, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val orig = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+    // pairwise squared distances concentrate around the original (JL):
+    // at k=16 the band is loose but the RATIO must stay order-1
+    val ratios = for {
+      a <- 0L until 40L; b <- 0L until 40L if a < b
+    } yield d2(proj(a), proj(b)) / d2(orig(a), orig(b))
+    assert(ratios.forall(r => r > 0.2 && r < 3.0),
+      s"JL distortion out of band: min=${ratios.min} max=${ratios.max}")
+    val re = Similarity.randomProject(corpus.repartition(11), "id", "emb", 16, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(re == proj.map { case (k, v) => k -> v.toSeq })
+  }
+
   test("centroidDrift: identical sides cos 1, rotated group flags, partition-invariant") {
     val s = spark
     import s.implicits._
