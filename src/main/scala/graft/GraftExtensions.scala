@@ -180,6 +180,30 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Cast(
           a(0), org.apache.spark.sql.types.DoubleType),
         intArg("quantile_sketch", a(1)), ps).toAggregateExpression()
+    },
+    // cms_sketch(x, depth, width): mergeable count-min frequency grid
+    reg("cms_sketch") { a =>
+      arity("cms_sketch", a, 3)
+      CmsSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a(0), org.apache.spark.sql.types.StringType),
+        intArg("cms_sketch", a(1)),
+        intArg("cms_sketch", a(2))).toAggregateExpression()
+    },
+    // multi_contains(text, p1[, p2, ...]): one-pass Aho-Corasick scan;
+    // patterns must be string literals (the automaton builds once at
+    // plan time and rides into codegen)
+    reg("multi_contains") { a =>
+      require(a.length >= 2, s"multi_contains expects >= 2 arguments, got ${a.length}")
+      val pats = a.drop(1).map { e =>
+        require(e.foldable, "multi_contains: patterns must be string literals")
+        e.eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"multi_contains: expected a string literal pattern, got $other")
+        }
+      }
+      MultiContains(a(0), pats.toSeq)
     })
 
   /** Register everything into a live session (the non-config path). */

@@ -109,4 +109,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.getLong(0) === api.getLong(0))
     assert(sql.getBoolean(1) === api.getBoolean(1))
   }
+
+  test("cms_sketch / multi_contains are SQL-callable and match the Scala API") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "spark joins data"), (2L, "spark again"), (3L, "plain prose"))
+      .toDF("id", "text").createOrReplaceTempView("cdocs")
+    val sqlCms = spark.sql(
+      "SELECT cms_sketch(text, 2, 8) AS c FROM cdocs").head().getSeq[Long](0)
+    val apiCms = spark.table("cdocs")
+      .agg(graft.functions.CmsFunctions.cmsSketch(col("text"), 2, 8).as("c"))
+      .head().getSeq[Long](0)
+    assert(sqlCms === apiCms && sqlCms.sum === 6L) // 3 rows × 2 depth rows
+    val sqlMc = spark.sql(
+      "SELECT id, multi_contains(text, 'spark', 'prose') AS m FROM cdocs ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(sqlMc === Map(1L -> Seq(0), 2L -> Seq(0), 3L -> Seq(1)))
+    // non-literal pattern rejected at plan time
+    val e = intercept[Exception] {
+      spark.sql("SELECT multi_contains(text, text) FROM cdocs").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
 }
