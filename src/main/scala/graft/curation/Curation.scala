@@ -656,6 +656,55 @@ object Curation {
         (col("ch.e") - col("ch.s") + lit(1L)).as("n_words"))
   }
 
+  /** Pairwise source Jensen–Shannon divergence over word
+    * distributions (add-one smoothed) — the stylometric
+    * source-similarity matrix a mixture design reads before assigning
+    * weights: near-zero JS = redundant sources, high JS = genuinely
+    * distinct registers. Symmetric, bounded by ln 2.
+    *
+    * Scale shape: one word-count aggregate, then each posting row
+    * fans out to the |S|−1 other sources (rows = |S|·postings — |S|
+    * is small and bounded, the corpus is not re-scanned per pair);
+    * words absent from BOTH sides of a pair contribute exactly 0
+    * under shared smoothing, so the union-posting enumeration is
+    * complete. Per-(pair, word) terms are computed once (ordered
+    * duplicates collapse by max — both orders produce the identical
+    * value), rounded to 1e-9, and summed as DECIMAL — the PSI idiom:
+    * no float-sum order anywhere.
+    *
+    * @return (source_a < source_b, js) with js floored to 1e-6.
+    */
+  def sourceDivergence(
+      df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val cnt = graft.core.CacheScope.track(
+      df.select(col(sourceCol).as("src"),
+          explode(graft.text.TextFunctions.tokens(col(textCol))).as("w"))
+        .groupBy(col("src"), col("w")).agg(count(lit(1)).as("c"))
+        .persist())
+    val tot = cnt.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val vocab = cnt.agg(countDistinct(col("w")).as("v"))
+    val rows = cnt.select(col("src").as("sa"), col("w"), col("c").as("ca"))
+      .crossJoin(broadcast(tot.select(col("src").as("sb"), col("n").as("nb"))))
+      .filter(col("sa") =!= col("sb"))
+      .join(cnt.select(col("src").as("sb"), col("w"), col("c").as("cb0")),
+        Seq("sb", "w"), "left")
+      .join(broadcast(tot.select(col("src").as("sa"), col("n").as("na"))), "sa")
+      .crossJoin(broadcast(vocab))
+    val pa = (col("ca") + lit(1)).cast("double") / (col("na") + col("v"))
+    val qb = (coalesce(col("cb0"), lit(0L)) + lit(1)).cast("double") / (col("nb") + col("v"))
+    val m = (pa + qb) / lit(2.0)
+    val terms = rows.select(
+      least(col("sa"), col("sb")).as("source_a"),
+      greatest(col("sa"), col("sb")).as("source_b"),
+      col("w"),
+      round(lit(0.5) * pa * log(pa / m) + lit(0.5) * qb * log(qb / m), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("term"))
+    terms.groupBy(col("source_a"), col("source_b"), col("w"))
+      .agg(max(col("term")).as("t"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((floor(sum(col("t")).cast("double") * 1e6) / 1e6).as("js"))
+  }
+
   /** Temperature-scaled mixture weights: per-source sampling weight
     * `w_s ∝ n_s^0.5` — the sub-linear upsampling (multilingual/
     * multi-source temperature sampling at τ = 1/2) that keeps small

@@ -889,6 +889,16 @@ object TrainingQueries {
         .orderBy(col("rrf_fx").desc, col("doc_id"))
     }),
 
+    // Pairwise source Jensen-Shannon divergence over smoothed word
+    // distributions: the stylometric source-similarity matrix a
+    // mixture design reads (near-zero = redundant sources). |S|·
+    // postings fan-out, per-(pair, word) terms deduped and DECIMAL-
+    // summed — the PSI discipline at pair grain.
+    "q158_source_js" -> ((s, dir) => {
+      Curation.sourceDivergence(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Johnson-Lindenstrauss projection onto 16 md5-derived ±1 planes:
     // the training-free dimensionality reduction beside PCA — the
     // projection matrix is re-derivable by ANY engine (the oracle
@@ -2413,6 +2423,35 @@ object TrainingQueries {
     // non-negative values here).
     "q141_neardup_pagerank" -> pageRankSql,
     "q153_ppr_related" -> pprSql,
+
+    // q158: same enumeration (posting × other-source spine, left join
+    // for the absent side), identical term op order, DECIMAL sum.
+    "q158_source_js" -> {
+      val pa = "((ca + 1)::DOUBLE / (na + v))"
+      val qb = "((cb + 1)::DOUBLE / (nb + v))"
+      val m = s"(($pa + $qb) / 2.0)"
+      s"""WITH cnt AS (SELECT source AS src, w, count(*)::BIGINT AS c FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1, 2),
+         tot AS (SELECT src, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+         vv AS (SELECT count(DISTINCT w)::BIGINT AS v FROM cnt),
+         rws AS (SELECT a.src AS sa, tb.src AS sb, a.w, a.c AS ca,
+                   coalesce(b.c, 0)::BIGINT AS cb, ta.n AS na, tb.n AS nb, vv.v
+                 FROM cnt a
+                 CROSS JOIN tot tb
+                 LEFT JOIN cnt b ON b.src = tb.src AND b.w = a.w
+                 JOIN tot ta ON ta.src = a.src
+                 CROSS JOIN vv
+                 WHERE a.src <> tb.src),
+         terms AS (SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, w,
+                     round(0.5 * $pa * ln($pa / $m)
+                         + 0.5 * $qb * ln($qb / $m), 9)::DECIMAL(28,9) AS term
+                   FROM rws),
+         ded AS (SELECT source_a, source_b, w, max(term) AS t
+                 FROM terms GROUP BY 1, 2, 3)
+         SELECT source_a, source_b, floor(sum(t)::DOUBLE * 1e6) / 1e6 AS js
+         FROM ded GROUP BY 1, 2 ORDER BY source_a, source_b"""
+    },
 
     // q156: the identical plane literals, list_sum dot, same
     // floor grid and 1/sqrt(16) scale.

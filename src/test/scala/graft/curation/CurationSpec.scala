@@ -687,6 +687,35 @@ class CurationSpec extends SparkSpec {
     assert(meanLen > 6 && meanLen < 40, s"suspicious mean chunk length $meanLen")
   }
 
+  test("sourceDivergence: identical sources ~0, disjoint vocab near ln2, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "alpha beta gamma delta", "twin1")) ++
+      (6 to 10).map(i => (i.toLong, "alpha beta gamma delta", "twin2")) ++
+      (11 to 15).map(i => (i.toLong, "omega sigma lambda kappa", "other"))
+    ).toDF("doc_id", "text", "source")
+    val got = graft.core.CacheScope.withReleased {
+      Curation.sourceDivergence(docs, "source", "text")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    }
+    assert(got.size == 3)
+    assert(got(("twin1", "twin2")) < 1e-6, "identical distributions must diverge ~0")
+    // add-one smoothing over the tiny fixture compresses the bound
+    // (counts 5, V=8 → ~0.28); the separation vs the twin pair is the
+    // property, plus the hard ln2 ceiling
+    val lnTwo = math.log(2.0)
+    assert(got(("other", "twin1")) > 0.2,
+      s"disjoint vocab must diverge loudly, got ${got(("other", "twin1"))}")
+    assert(got(("other", "twin1")) <= lnTwo + 1e-9)
+    assert(got(("other", "twin1")) > 1000 * got(("twin1", "twin2")))
+    val re = graft.core.CacheScope.withReleased {
+      Curation.sourceDivergence(docs.repartition(7), "source", "text")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    }
+    assert(re == got, "DECIMAL term sums must make JS partition-invariant")
+  }
+
   test("temperatureWeights: sqrt compression boosts small sources, weights sum ≤ 1") {
     val s = spark
     import s.implicits._
