@@ -656,6 +656,30 @@ object Curation {
         (col("ch.e") - col("ch.s") + lit(1L)).as("n_words"))
   }
 
+  /** Dedup-aware inverse-propensity sampling weights: every document
+    * weighs `1 / |its near-dup cluster|` (singletons 1.0) — the
+    * keep-everything alternative to collapsing: content duplicated k
+    * ways contributes one unit of total sampling mass instead of k,
+    * without destroying any row (the correction epoch-sampling
+    * pipelines apply when provenance must survive). Cluster total
+    * mass is exactly 1 per cluster; one IEEE division per row, no
+    * float sums.
+    *
+    * @return (idCol, grp, cluster_size, w).
+    */
+  def dedupWeights(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      pairs.select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("doc_id", idCol)
+    val labeled = df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component_id"), col(idCol)).as("grp"))
+    val sizes = labeled.groupBy(col("grp")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("grp"))
+      .select(col(idCol), col("grp"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size")).as("w"))
+  }
+
   /** Pairwise source Jensen–Shannon divergence over word
     * distributions (add-one smoothed) — the stylometric
     * source-similarity matrix a mixture design reads before assigning

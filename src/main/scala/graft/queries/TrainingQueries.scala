@@ -889,6 +889,17 @@ object TrainingQueries {
         .orderBy(col("rrf_fx").desc, col("doc_id"))
     }),
 
+    // Dedup-aware inverse-propensity weights: w = 1/|near-dup
+    // cluster| per doc — duplicated content keeps one unit of total
+    // sampling mass without dropping rows (the provenance-preserving
+    // alternative to collapse).
+    "q159_dedup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      Curation.dedupWeights(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // Pairwise source Jensen-Shannon divergence over smoothed word
     // distributions: the stylometric source-similarity matrix a
     // mixture design reads (near-zero = redundant sources). |S|·
@@ -2423,6 +2434,26 @@ object TrainingQueries {
     // non-negative values here).
     "q141_neardup_pagerank" -> pageRankSql,
     "q153_ppr_related" -> pprSql,
+
+    // q159: the q148 reachability-walk components + size rollup +
+    // one 1.0/size division.
+    "q159_dedup_weights" ->
+      s"""WITH RECURSIVE $shingleCteBody, $jaccardPairsCte,
+         e AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT x AS node FROM e),
+         walk(node, reach) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT w.node, e.y FROM walk w JOIN e ON w.reach = e.x),
+         comp AS (SELECT node, min(reach) AS component_id FROM walk GROUP BY node),
+         lab AS (SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS grp
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         sz AS (SELECT grp, count(*)::BIGINT AS cluster_size FROM lab GROUP BY 1)
+         SELECT l.doc_id, l.grp, sz.cluster_size,
+           1.0 / sz.cluster_size AS w
+         FROM lab l JOIN sz ON l.grp = sz.grp
+         ORDER BY l.doc_id""",
 
     // q158: same enumeration (posting × other-source spine, left join
     // for the absent side), identical term op order, DECIMAL sum.

@@ -687,6 +687,24 @@ class CurationSpec extends SparkSpec {
     assert(meanLen > 6 && meanLen < 40, s"suspicious mean chunk length $meanLen")
   }
 
+  test("dedupWeights: cluster mass sums to exactly one per cluster, singletons weigh 1.0") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // cluster {0,1,2} via a chain, pair {5,6}; the rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = graft.core.CacheScope.withReleased {
+      Curation.dedupWeights(docs, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+    }
+    assert(math.abs(Seq(0L, 1L, 2L).map(got(_)._3).sum - 1.0) < 1e-12)
+    assert(got(0L)._2 == 3L && got(5L)._2 == 2L && got(9L)._2 == 1L)
+    assert(got(9L)._3 == 1.0 && got(5L)._3 == 0.5)
+    // total sampling mass = number of distinct contents (7 clusters)
+    assert(math.abs(got.values.map(_._3).sum - 7.0) < 1e-9)
+  }
+
   test("sourceDivergence: identical sources ~0, disjoint vocab near ln2, partition-invariant") {
     val s = spark
     import s.implicits._
