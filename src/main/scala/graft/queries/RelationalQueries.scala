@@ -492,6 +492,26 @@ object RelationalQueries {
         .select(col("user_id"), col("event_type"), col("t").as("valid_from"),
           col("valid_to"))
         .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // Incremental aggregate maintenance: history is held as mergeable
+    // per-(type, day) partials and the new batch folds in with one
+    // delta-sized aggregation + one state-sized merge — raw history
+    // is never re-scanned (the 100 TB dashboard-rollup pattern). The
+    // oracle recomputes from scratch; equality of the two IS the
+    // operator's contract (merge∘partials == partials∘union, exactly).
+    "q160_delta_agg" -> ((s, dir) => {
+      import graft.core.IncrementalAgg
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      val keys = Seq("event_type", "day")
+      val history = IncrementalAgg.partials(
+        ev.filter(col("event_id") % 5 =!= 0), keys, col("value"))
+      val delta = IncrementalAgg.partials(
+        ev.filter(col("event_id") % 5 === 0), keys, col("value"))
+      IncrementalAgg.finalizeAgg(IncrementalAgg.merge(history, delta))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -785,6 +805,18 @@ object RelationalQueries {
          FROM (
            SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
            FROM events)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // q160: full recompute over all events — the merged incremental
+    // state must equal this exactly (same DECIMAL sum, same 1e-6
+    // mean grid).
+    "q160_delta_agg" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total,
+           floor(CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE)
+                 / count(*) * 1e6) / 1e6 AS mean,
+           min(value) AS min_v, max(value) AS max_v
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day"""
   )
 }
