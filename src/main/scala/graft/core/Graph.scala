@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join-based graph algorithms over plain (src, dst) edge frames — no
@@ -242,6 +243,56 @@ object Graph {
       .select(col("id"),
         coalesce(col("degree"), lit(0L)).as("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Coreness (k-core number) of every node by H-index iteration
+    * (Lü et al., "The H-index of a network node", Nature Physics
+    * 2016): start from degree and repeatedly replace each node's
+    * value with the H-index of its neighbors' values — the largest h
+    * such that at least h neighbors currently hold ≥ h. The sequence
+    * is monotone non-increasing and its fixpoint IS the coreness; the
+    * update is idempotent at the fixpoint, so any fixed `iters` at or
+    * beyond convergence yields the exact core numbers, and two engines
+    * replaying the same count always agree (the pageRank replay
+    * discipline — fixed rounds, not a convergence test).
+    *
+    * Scale shape per round: one edge⋈values hash join (edge-sized
+    * shuffle) + one per-node sort window for the H-index + one node-
+    * sized left join — comparable to a PageRank step; no collect, no
+    * broadcast of anything graph-sized. Peeling-based k-core needs
+    * O(max-degeneracy) SEQUENTIAL peels; H-index iteration converges
+    * in a handful of rounds on sparse dedup graphs and each round is
+    * fully parallel — that is why it is the distributed formulation.
+    *
+    * @param nodes one column `id` — full universe (isolated ⇒ 0).
+    * @param edges (src, dst), SYMMETRIZED by the caller (each
+    *   undirected edge in both directions), parallel edges deduped.
+    * @param iters fixed H-index rounds; converged-and-beyond is exact.
+    * @return (id, coreness).
+    */
+  def coreness(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"coreness requires iters >= 1, got $iters")
+    val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
+    val n = nodes.select(col("id")).distinct()
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val c0 = n.join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("c"))
+    val result = (1 to iters).foldLeft(shortCircuit(c0)) { (c, _) =>
+      val nbr = e
+        .join(c.withColumnRenamed("id", "dst").withColumnRenamed("c", "cd"), "dst")
+        .select(col("src"), col("cd"))
+      // H-index per node: neighbors sorted by value desc, h =
+      // max(min(rank, value)) — tie order among equal values cannot
+      // change the result, so row_number needs no tiebreak column.
+      val w = Window.partitionBy(col("src")).orderBy(col("cd").desc)
+      val h = nbr
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .groupBy(col("src").as("id"))
+        .agg(max(least(col("rnk"), col("cd"))).as("h"))
+      shortCircuit(n.join(h, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("c")))
+    }
+    result.select(col("id"), col("c").as("coreness"))
   }
 
   /** Rebase an iteration result on its own persisted RDD: the returned

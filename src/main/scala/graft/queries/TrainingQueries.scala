@@ -84,6 +84,33 @@ object TrainingQueries {
        FROM r5 ORDER BY doc_id"""
   }
 
+  /** q161 oracle: DuckDB replay of [[graft.core.Graph.coreness]] —
+    * degree init, then 8 unrolled H-index rounds (sorted-neighbor
+    * rank window, max(least(rank, value))), identical to the Spark
+    * iteration round for round.
+    */
+  private val kcoreSql: String = {
+    val rounds = (1 to 8).map { i =>
+      val p = s"c${i - 1}"
+      s"""h$i AS (SELECT src AS id, max(least(rnk, cd))::BIGINT AS h FROM (
+            SELECT e.src, c.c AS cd,
+              row_number() OVER (PARTITION BY e.src ORDER BY c.c DESC) AS rnk
+            FROM e JOIN $p c ON e.dst = c.id) GROUP BY 1),
+          c$i AS (SELECT n.id, coalesce(h$i.h, 0)::BIGINT AS c
+                  FROM nodes n LEFT JOIN h$i ON n.id = h$i.id)"""
+    }.mkString(",\n")
+    s"""$shingleCte,
+       $jaccardPairsCte,
+       e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+       nodes AS (SELECT doc_id AS id FROM documents),
+       deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM e GROUP BY 1),
+       c0 AS (SELECT n.id, coalesce(deg.d, 0)::BIGINT AS c
+              FROM nodes n LEFT JOIN deg ON n.id = deg.id),
+       $rounds
+       SELECT id AS doc_id, c AS coreness FROM c8 ORDER BY doc_id"""
+  }
+
   /** q146 oracle: MMR replay — cosine shortlist, pairwise sim matrix,
     * then 10 greedy picks unrolled as (pick_i, sel_i) CTE generations;
     * all scores on the floor(cos·1e6 + 0.5) int64 grid.
@@ -976,6 +1003,23 @@ object TrainingQueries {
         when(col("doc_id") % 2 === 0, col("lang")).as("lab"))
       graft.core.Graph.labelPropagation(labels, edges, iters = 3)
         .select(col("id").as("doc_id"), col("lab"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Coreness (k-core number) of every doc in the near-dup graph by
+    // H-index iteration — the density-peeling view the degree/triangle
+    // report (q155) can't give: high-coreness docs sit inside dense
+    // template families even when their own degree is modest. 8 fixed
+    // rounds (idempotent past convergence; the oracle replays the
+    // identical 8).
+    "q161_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.core.Graph.coreness(
+        docs.select(col("doc_id").as("id")), edges, iters = 8)
+        .select(col("id").as("doc_id"), col("coreness"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2533,6 +2577,8 @@ object TrainingQueries {
          LEFT JOIN pn ON d.doc_id = pn.id
          ORDER BY d.doc_id""",
     "q154_label_prop" -> labelPropSql,
+
+    "q161_kcore" -> kcoreSql,
 
     "q146_mmr_select" -> mmrSql,
 

@@ -163,6 +163,53 @@ class GraphSpec extends SparkSpec {
     assert(fuzz == brute)
   }
 
+  /** Independent local coreness: sequential Batagelj–Zaversnik peel
+    * (remove min-degree nodes, coreness = degree at removal time) —
+    * a DIFFERENT algorithm from the distributed H-index iteration, so
+    * agreement checks the math, not the implementation against itself.
+    */
+  private def localCoreness(
+      nodes: Seq[Long], und: Seq[(Long, Long)]): Map[Long, Long] = {
+    var adj = nodes.map(n => n ->
+      und.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }.toSet).toMap
+    var core = Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val peel = adj.filter(_._2.size <= k).keys.toSeq
+      if (peel.isEmpty) k += 1
+      else {
+        peel.foreach { v => core += v -> k; adj -= v }
+        adj = adj.map { case (n, s) => n -> (s -- peel) }
+      }
+    }
+    core
+  }
+
+  private def corenessRun(
+      nodes: Seq[Long], und: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    CacheScope.withReleased {
+      val sym = und ++ und.map(_.swap)
+      Graph.coreness(nodes.toDF("id"), sym.toDF("src", "dst"), iters)
+        .as[(Long, Long)].collect().toMap
+    }
+
+  test("coreness matches a sequential peel on triangle+tail, K4, and isolated nodes") {
+    // K4 {0,1,2,3} (core 3), a triangle {4,5,6} with tail 6-7 (core 2/1),
+    // a bridge 3-4, an isolated node 8
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L), (3L, 4L))
+    val nodes = 0L to 8L
+    val got = corenessRun(nodes, und, iters = 8)
+    assert(got === localCoreness(nodes, und) ++ Map(8L -> 0L))
+    assert(got(0L) === 3L && got(6L) === 2L && got(7L) === 1L && got(8L) === 0L)
+  }
+
+  test("coreness is idempotent past convergence (extra rounds change nothing)") {
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+    val nodes = 0L to 4L
+    assert(corenessRun(nodes, und, iters = 3) === corenessRun(nodes, und, iters = 12))
+  }
+
   test("pageRank releases its operator-managed persists inside a CacheScope bracket") {
     val nodes = (0L to 9L)
     val edges = nodes.map(a => (a, (a + 1) % 10))
