@@ -80,6 +80,46 @@ case class HexToDouble(child: Expression)
   override def prettyName: String = "hex_to_double"
 }
 
+/** Bit-interleave kernels for space-filling-curve layout keys. */
+object ZOps {
+  /** Spread the low 31 bits of `v` onto even bit positions (0,2,…,60)
+    * — the classic mask-and-shift Morton spread; 31 bits per dim keeps
+    * the interleaved key strictly positive in signed int64 on every
+    * engine (no overflow semantics in play).
+    */
+  def part1by1(v: Long): Long = {
+    var x = v & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Morton/Z-value of (x, y): x on even bits, y on odd. */
+  def interleave(x: Long, y: Long): Long =
+    part1by1(x) | (part1by1(y) << 1)
+}
+
+/** `z_interleave(x, y)` — Morton-interleave the low 31 bits of two
+  * int64 dimension keys into one Z-curve layout key (codegen'd; the
+  * sort key for multi-dimensional data clustering — see
+  * [[graft.core.Layout]]).
+  */
+case class ZInterleave(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    ZOps.interleave(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.ZOps.interleave($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "z_interleave"
+}
+
 /** Column-API entry points (the library's public scalar surface). */
 object GraftFunctions {
   import GraftBridge.{column => toCol, expression => toExpr}
@@ -92,4 +132,6 @@ object GraftFunctions {
     toCol(HexBeToLong(toExpr(s)))
   def hex_to_double(s: Column): Column =
     toCol(HexToDouble(toExpr(s)))
+  def z_interleave(x: Column, y: Column): Column =
+    toCol(ZInterleave(toExpr(x), toExpr(y)))
 }

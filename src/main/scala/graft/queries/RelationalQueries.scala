@@ -512,6 +512,27 @@ object RelationalQueries {
         ev.filter(col("event_id") % 5 === 0), keys, col("value"))
       IncrementalAgg.finalizeAgg(IncrementalAgg.merge(history, delta))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Z-order layout report: Morton-interleave (user, minute) into a
+    // Z-curve key, cut the curve into 16 equal files (exact
+    // partition-parallel ntile), and report each file's bounding box
+    // in BOTH dimensions — the boxes a 2-D-filtered 100 TB scan
+    // prunes against. The interleave is a codegen'd expression; the
+    // oracle replays the identical mask-and-shift spread.
+    "q162_zorder" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("minute"))
+        .withColumn("zv",
+          graft.core.Layout.zValue(col("user_id"), col("minute")))
+      graft.core.GlobalRanks.ntileExact(ev, 16, col("zv"),
+        descending = false, tieBreak = Seq(col("event_id")), out = "bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("user_min"), max(col("user_id")).as("user_max"),
+          min(col("minute")).as("minute_min"), max(col("minute")).as("minute_max"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -817,6 +838,32 @@ object RelationalQueries {
            floor(CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE)
                  / count(*) * 1e6) / 1e6 AS mean,
            min(value) AS min_v, max(value) AS max_v
-         FROM events GROUP BY 1, 2 ORDER BY event_type, day"""
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // q162: the identical 31-bit Morton spread (5 mask-and-shift
+    // steps per dimension), SQL ntile over (zv, event_id).
+    "q162_zorder" -> {
+      def spread(v: String): String = {
+        val steps = Seq(
+          16 -> "281470681808895", 8 -> "71777214294589695",
+          4 -> "1085102592571150095", 2 -> "3689348814741910323",
+          1 -> "6148914691236517205")
+        steps.foldLeft(s"(($v) & 2147483647)") { case (x, (sh, m)) =>
+          s"(($x | ($x << $sh)) & $m)"
+        }
+      }
+      s"""WITH b AS (SELECT event_id, user_id,
+             epoch_us(ts) // 60000000 AS minute FROM events),
+         z AS (SELECT event_id, user_id, minute,
+             (${spread("user_id")} | (${spread("minute")} << 1)) AS zv
+           FROM b),
+         nt AS (SELECT user_id, minute,
+             ntile(16) OVER (ORDER BY zv, event_id)::BIGINT AS bucket
+           FROM z)
+         SELECT bucket, count(*)::BIGINT AS n,
+           min(user_id) AS user_min, max(user_id) AS user_max,
+           min(minute) AS minute_min, max(minute) AS minute_max
+         FROM nt GROUP BY 1 ORDER BY bucket"""
+    }
   )
 }
