@@ -27,6 +27,14 @@ object TrainingQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The fixed q163 evaluation query batch (shared with its oracle). */
+  private val EvalQueries: Seq[(String, Seq[String])] = Seq(
+    "e1" -> Seq("spark", "join", "window"),
+    "e2" -> Seq("hash", "merge", "sort"),
+    "e3" -> Seq("dup", "filter", "scan"),
+    "e4" -> Seq("stream", "batch", "group"),
+    "e5" -> Seq("vector", "column", "key"))
+
   /** The 3-word-shingle DuckDB fragment shared by the jaccard oracles
     * (body without the WITH keyword so both `WITH` and `WITH
     * RECURSIVE` callers can interpolate it).
@@ -183,6 +191,82 @@ object TrainingQueries {
          floor(CAST(score_fx AS DOUBLE) / 1000.0) / 1e6 AS score,
          score_fx
        FROM agg ORDER BY score_fx DESC, doc_id LIMIT 25"""
+
+  /** q163 oracle: multi-query BM25 replay (same one-pass posting /
+    * df / fixed-point scoring as bm25Sql, fanned out over the VALUES
+    * query-term map) + the identical int64 DCG items and `//` metric
+    * grids.
+    */
+  private val retrievalEvalSql: String = {
+    val qtVals = EvalQueries
+      .flatMap { case (q, ts) => ts.map(tm => s"('$q', '$tm')") }
+      .mkString(", ")
+    val allTerms = EvalQueries.flatMap(_._2).distinct
+      .map(tm => s"'$tm'").mkString(", ")
+    val gain = (rel: String, rank: String) =>
+      s"CAST(floor((power(2, $rel) - 1) / log2($rank + 1) * 1e9) AS BIGINT)"
+    s"""WITH docs AS (
+         SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+                string_split(text, ' ') AS t
+         FROM documents WHERE text IS NOT NULL),
+       stats AS (
+         SELECT count(*)::BIGINT AS n,
+                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+       qt(query_id, term) AS (VALUES $qtVals),
+       posting AS (
+         SELECT doc_id, dl, tok AS term, count(*)::BIGINT AS tf
+         FROM (SELECT doc_id, dl, unnest(t) AS tok FROM docs)
+         WHERE tok IN ($allTerms)
+         GROUP BY 1, 2, 3),
+       dfs AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY 1),
+       scored AS (
+         SELECT q.query_id, p.doc_id,
+           CAST(floor(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / s.avgdl)))
+             * 1e9) AS BIGINT) AS fx
+         FROM posting p JOIN dfs f ON p.term = f.term
+         JOIN qt q ON q.term = p.term CROSS JOIN stats s),
+       agg AS (SELECT query_id, doc_id, sum(fx)::BIGINT AS score_fx
+               FROM scored GROUP BY 1, 2),
+       ranked AS (SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_fx DESC, doc_id)::BIGINT AS rank
+         FROM agg),
+       run10 AS (SELECT * FROM ranked WHERE rank <= 10),
+       truth AS (
+         SELECT q.query_id, d.doc_id, count(*)::BIGINT AS rel
+         FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+               FROM documents WHERE text IS NOT NULL) d
+         JOIN qt q ON q.term = d.tok
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       hits AS (SELECT r.query_id, r.rank, tr.rel
+                FROM run10 r JOIN truth tr
+                ON r.query_id = tr.query_id AND r.doc_id = tr.doc_id),
+       perq AS (SELECT query_id, count(*)::BIGINT AS n_hits,
+                  sum(${gain("rel", "rank")})::BIGINT AS dcg_fx,
+                  min(rank)::BIGINT AS first_rel
+                FROM hits GROUP BY 1),
+       ideal AS (SELECT query_id,
+                   sum(${gain("rel", "irk")})::BIGINT AS idcg_fx
+                 FROM (SELECT query_id, rel,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY rel DESC, doc_id)::BIGINT AS irk
+                       FROM truth)
+                 WHERE irk <= 10 GROUP BY 1),
+       nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY 1)
+       SELECT n.query_id, n.n_rel, coalesce(p.n_hits, 0)::BIGINT AS n_hits,
+         (CASE WHEN coalesce(i.idcg_fx, 0) > 0
+               THEN (coalesce(p.dcg_fx, 0) * 1000000) // i.idcg_fx
+               ELSE 0 END)::DOUBLE / 1e6 AS ndcg,
+         (CASE WHEN p.first_rel IS NOT NULL THEN 1000000 // p.first_rel
+               ELSE 0 END)::DOUBLE / 1e6 AS mrr,
+         ((coalesce(p.n_hits, 0) * 1000000) // n.n_rel)::DOUBLE / 1e6 AS recall
+       FROM nrel n
+       LEFT JOIN ideal i ON n.query_id = i.query_id
+       LEFT JOIN perq p ON n.query_id = p.query_id
+       ORDER BY n.query_id"""
+  }
 
   /** q153 oracle: the q141 replay with a 5-seed teleport vector —
     * fx/dangling return only to seeds (b = 0/1 indicator).
@@ -1004,6 +1088,31 @@ object TrainingQueries {
       graft.core.Graph.labelPropagation(labels, edges, iters = 3)
         .select(col("id").as("doc_id"), col("lab"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Retrieval-quality evaluation: 5 BM25 queries in ONE corpus pass
+    // (term-filtered posting + broadcast (query, term) fan-out), then
+    // nDCG@10 / MRR@10 / recall@10 per query against a graded truth
+    // (rel = distinct query terms present, kept at >= 2) — the eval
+    // loop every index/embedding change ships through. DCG items are
+    // int64 fixed-point (the BM25 discipline), metric ratios are
+    // exact integer divisions onto the 1e-6 grid.
+    "q163_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qs = EvalQueries
+      val runs = Search.bm25Runs(docs, "doc_id", "text", qs, k = 10)
+      val terms = qs.flatMap { case (q, ts) => ts.map(tm => (q, tm)) }
+        .toDF("query_id", "term")
+      val truth = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokenSet(col("text"))).as("term"))
+        .join(broadcast(terms), "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("rel"))
+        .filter(col("rel") >= 2)
+      Search.evalRanking(runs, truth, "doc_id", k = 10)
+        .orderBy(col("query_id"))
     }),
 
     // Coreness (k-core number) of every doc in the near-dup graph by
@@ -2579,6 +2688,8 @@ object TrainingQueries {
     "q154_label_prop" -> labelPropSql,
 
     "q161_kcore" -> kcoreSql,
+
+    "q163_retrieval_eval" -> retrievalEvalSql,
 
     "q146_mmr_select" -> mmrSql,
 
