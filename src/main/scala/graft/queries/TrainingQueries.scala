@@ -1090,6 +1090,15 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Distribution-level lexical statistics per doc: char entropy
+    // (nats, int64 fixed-point term sums), type-token ratio, hapax
+    // ratio — the richness/noise features scalar passes can't
+    // produce. Two explode→count chains, no windows.
+    "q164_lexical_stats" -> ((s, dir) => {
+      graft.text.Lexical.lexicalStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Retrieval-quality evaluation: 5 BM25 queries in ONE corpus pass
     // (term-filtered posting + broadcast (query, term) fan-out), then
     // nDCG@10 / MRR@10 / recall@10 per query against a graded truth
@@ -2690,6 +2699,32 @@ object TrainingQueries {
     "q161_kcore" -> kcoreSql,
 
     "q163_retrieval_eval" -> retrievalEvalSql,
+
+    // q164: identical unit histograms, ln-based entropy terms on the
+    // same int64 grid, `//` ratio grids.
+    "q164_lexical_stats" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d)
+                GROUP BY 1, 2),
+         ws AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+                  count(*)::BIGINT AS n_distinct,
+                  count(CASE WHEN c = 1 THEN 1 END)::BIGINT AS n_hapax
+                FROM wc GROUP BY 1),
+         cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM (
+                  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d)
+                GROUP BY 1, 2),
+         cl AS (SELECT doc_id, len(text)::BIGINT AS n FROM d),
+         ent AS (SELECT cc.doc_id,
+                   sum(CAST(floor((cc.c::DOUBLE / cl.n)
+                     * ln(cl.n::DOUBLE / cc.c) * 1e9) AS BIGINT))::BIGINT AS ent_fx
+                 FROM cc JOIN cl ON cc.doc_id = cl.doc_id GROUP BY 1)
+         SELECT w.doc_id, w.n_words, w.n_distinct, w.n_hapax,
+           ((w.n_distinct * 1000000) // w.n_words)::DOUBLE / 1e6 AS ttr,
+           ((w.n_hapax * 1000000) // w.n_distinct)::DOUBLE / 1e6 AS hapax_ratio,
+           (coalesce(e.ent_fx, 0) // 1000)::DOUBLE / 1e6 AS char_entropy
+         FROM ws w LEFT JOIN ent e ON w.doc_id = e.doc_id
+         ORDER BY w.doc_id""",
 
     "q146_mmr_select" -> mmrSql,
 
