@@ -1291,4 +1291,47 @@ object Curation {
       .select(col("doc_id"), col("sumw").cast("double").as("log_weight"),
         col("n_tokens"))
   }
+
+  /** Quantile normalization across sources: each doc's score is
+    * replaced by the GLOBAL order statistic at the doc's within-source
+    * quantile — after it, every source has (up to discretization) the
+    * same score distribution, so a cross-source quality threshold
+    * means the same thing everywhere (the microarray-normalization
+    * trick applied to curation scores; complements qualityZScores,
+    * which only matches mean/variance, not shape).
+    *
+    * Exact mapping rule: within-source rank r of m maps to global
+    * position ceil(r·N/m) (integer arithmetic), and the normalized
+    * value is the global rank-g order statistic under the identical
+    * (score, id) total order.
+    *
+    * Scale shape: one per-source rank window (hash exchange on
+    * source), one partition-parallel global numbering
+    * ([[graft.core.GlobalRanks]] — no single-task global window), and
+    * one long-keyed join of position → order statistic. Nothing
+    * collects; the only driver value is the total row count the
+    * numbering pass already produces.
+    */
+  def quantileNormalize(
+      scored: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      scoreCol: String): DataFrame = {
+    val base = scored.select(col(idCol), col(sourceCol), col(scoreCol))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val wm = org.apache.spark.sql.expressions.Window.partitionBy(col(sourceCol))
+    val sr = base
+      .withColumn("__r", row_number().over(ws).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wm))
+    val (ranked, total) = graft.core.GlobalRanks.withGlobalRowNumber(
+      base, col(scoreCol), descending = false,
+      tieBreak = Seq(col(idCol)), out = "__grn")
+    val gl = ranked.select(col("__grn"), col(scoreCol).as("norm_score"))
+    sr
+      .withColumn("__g", expr(s"(__r * ${total}L + __m - 1) div __m"))
+      .join(gl, col("__g") === col("__grn"))
+      .select(col(idCol), col(sourceCol), col(scoreCol), col("norm_score"))
+  }
 }

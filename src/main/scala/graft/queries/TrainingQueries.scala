@@ -1090,6 +1090,54 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quantile normalization of quality scores across sources: each
+    // doc's score becomes the global order statistic at its within-
+    // source quantile, so a single threshold means the same thing in
+    // every source. Per-source rank window + partition-parallel
+    // global numbering + one positional join — no global-window task.
+    "q166_quantile_norm" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      Curation.quantileNormalize(scored, "doc_id", "source", "quality")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Heaps'-law vocabulary growth: 20 corpus checkpoints in doc-id
+    // order, cumulative token volume vs cumulative DISTINCT types at
+    // each — the curve that says whether more data still buys new
+    // vocabulary. Distinct growth comes from each type's FIRST-
+    // occurrence doc (one aggregate), never from re-counting distinct
+    // per prefix (which would be 20 corpus scans); the checkpoint cut
+    // is the partition-parallel exact ntile; the only window runs
+    // over 20 rows.
+    "q165_vocab_growth" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), size(col("__t")).cast("long").as("dl"), col("__t"))
+      val bucketed = graft.core.GlobalRanks.ntileExact(
+        d, 20, col("doc_id"), descending = false,
+        tieBreak = Seq.empty, out = "b")
+      val toksPerB = bucketed.groupBy(col("b"))
+        .agg(sum(col("dl")).as("tk"))
+      val firsts = bucketed
+        .select(col("doc_id"), explode(col("__t")).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      val newTypes = firsts
+        .join(bucketed.select(col("doc_id").as("fd"), col("b")), "fd")
+        .groupBy(col("b")).agg(count(lit(1)).as("nt"))
+      // 20-row frame: the unpartitioned running-sum window is bounded
+      // by the checkpoint count, not the corpus
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toksPerB.join(newTypes, Seq("b"), "left")
+        .select(col("b").cast("long").as("bucket"),
+          sum(col("tk")).over(w).as("cum_tokens"),
+          sum(coalesce(col("nt"), lit(0L))).over(w).as("cum_types"))
+        .orderBy(col("bucket"))
+    }),
+
     // Distribution-level lexical statistics per doc: char entropy
     // (nats, int64 fixed-point term sums), type-token ratio, hapax
     // ratio — the richness/noise features scalar passes can't
@@ -2699,6 +2747,52 @@ object TrainingQueries {
     "q161_kcore" -> kcoreSql,
 
     "q163_retrieval_eval" -> retrievalEvalSql,
+
+    // q166: q20's quality expression, the same (r·N + m − 1)//m
+    // position rule, identical (score, id) total orders.
+    "q166_quantile_norm" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+             floor((0.3 * least(1.0, wc / 50)
+                  + 0.3 * ttr
+                  + 0.2 * least(1.0, mean_len / 8)
+                  + 0.2 * stop_ratio) * 1e6) / 1e6 AS quality
+           FROM (
+             SELECT doc_id, source,
+               len(t)::BIGINT AS wc,
+               len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t) AS stop_ratio,
+               len(list_distinct(t))::DOUBLE / len(t) AS ttr,
+               list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) AS mean_len
+             FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents))),
+         nn AS (SELECT count(*)::BIGINT AS n FROM q),
+         sr AS (SELECT doc_id, source, quality,
+                  row_number() OVER (PARTITION BY source ORDER BY quality, doc_id)::BIGINT AS r,
+                  count(*) OVER (PARTITION BY source)::BIGINT AS m FROM q),
+         gl AS (SELECT quality AS norm_score,
+                  row_number() OVER (ORDER BY quality, doc_id)::BIGINT AS grn FROM q)
+         SELECT s.doc_id, s.source, s.quality, g.norm_score
+         FROM sr s CROSS JOIN nn
+         JOIN gl g ON ((s.r * nn.n + s.m - 1) // s.m) = g.grn
+         ORDER BY s.doc_id""",
+
+    // q165: same ntile cut, first-occurrence type attribution,
+    // 20-row running sums.
+    "q165_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+                      len(string_split(text, ' '))::BIGINT AS dl
+                    FROM documents WHERE text IS NOT NULL),
+         dk AS (SELECT doc_id, dl, t,
+                  ntile(20) OVER (ORDER BY doc_id)::BIGINT AS b FROM d),
+         toks AS (SELECT b, sum(dl)::BIGINT AS tk FROM dk GROUP BY 1),
+         firsts AS (SELECT w, min(doc_id) AS fd FROM (
+                      SELECT doc_id, unnest(t) AS w FROM dk) GROUP BY 1),
+         newt AS (SELECT dk.b, count(*)::BIGINT AS nt
+                  FROM firsts f JOIN dk ON f.fd = dk.doc_id GROUP BY 1)
+         SELECT t.b AS bucket,
+           sum(t.tk) OVER (ORDER BY t.b ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens,
+           sum(coalesce(n.nt, 0)) OVER (ORDER BY t.b ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_types
+         FROM toks t LEFT JOIN newt n ON t.b = n.b
+         ORDER BY bucket""",
 
     // q164: identical unit histograms, ln-based entropy terms on the
     // same int64 grid, `//` ratio grids.
