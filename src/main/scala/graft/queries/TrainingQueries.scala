@@ -1090,6 +1090,36 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Classifier calibration report: q125's logistic-regression
+    // scores cut into 10 EQUAL-FREQUENCY reliability bins (score
+    // deciles — equal-width probability bins are useless when a
+    // barely-trained classifier's scores cluster in a 0.001 band) —
+    // per bin, mean predicted probability (confidence) vs empirical
+    // positive rate (accuracy) and their gap: the ECE inputs and the
+    // threshold-choice table. Partition-parallel exact ntile + one
+    // bin-keyed aggregate; DECIMAL-exact confidence sums.
+    "q167_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scores = graft.text.LogisticRegression.fitScore(
+        docs, "doc_id", "text", col("lang") === "en",
+        buckets = 64, iters = 5, lr = 0.25)
+      val lab = scores
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), "doc_id")
+      graft.core.GlobalRanks.ntileExact(lab, 10, col("score"),
+        descending = false, tieBreak = Seq(col("doc_id")), out = "bin")
+        .groupBy(col("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          (floor(sum(col("score").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)) * lit(1e6)) / lit(1e6)).as("conf"),
+          ((sum(col("y")) * lit(1000000L)).cast("long")).as("__accfx"))
+        .select(col("bin").cast("long").as("bin"), col("n"), col("conf"),
+          (expr("__accfx div n").cast("double") / lit(1e6)).as("acc"))
+        .withColumn("gap", abs(col("conf") - col("acc")))
+        .orderBy(col("bin"))
+    }),
+
     // Quantile normalization of quality scores across sources: each
     // doc's score becomes the global order statistic at its within-
     // source quantile, so a single threshold means the same thing in
@@ -2747,6 +2777,28 @@ object TrainingQueries {
     "q161_kcore" -> kcoreSql,
 
     "q163_retrieval_eval" -> retrievalEvalSql,
+
+    // q167: q125's full LR replay as a nested subquery, same bin
+    // rule, DECIMAL confidence, `//` accuracy grid.
+    "q167_calibration" -> {
+      val lr = lrOracleSql(buckets = 64, iters = 5, lr = 0.25,
+        labelSql = "lang = 'en'")
+      s"""WITH scores AS (SELECT * FROM ($lr) z),
+         lab AS (SELECT s.doc_id, s.score,
+                   (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+                 FROM scores s JOIN documents d ON s.doc_id = d.doc_id),
+         b AS (SELECT ntile(10) OVER (ORDER BY score, doc_id)::BIGINT AS bin,
+                 score, y
+               FROM lab)
+         SELECT bin, count(*)::BIGINT AS n,
+           floor(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 1e6) / 1e6 AS conf,
+           ((sum(y) * 1000000) // count(*))::DOUBLE / 1e6 AS acc,
+           abs(floor(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 1e6) / 1e6
+             - ((sum(y) * 1000000) // count(*))::DOUBLE / 1e6) AS gap
+         FROM b GROUP BY 1 ORDER BY bin"""
+    },
 
     // q166: q20's quality expression, the same (r·N + m − 1)//m
     // position rule, identical (score, id) total orders.
