@@ -119,6 +119,45 @@ object Dedup {
     verifyByExactJaccard(df, idCol, textCol, n, tau, candidates)
   }
 
+  /** Match-evidence report: for each near-dup pair, the `topK` RAREST
+    * shared shingles (global document frequency ascending — rare
+    * shared n-grams are the informative evidence; 'the the the' is
+    * not). The audit view a human reads to trust a dedup decision
+    * before it deletes a terabyte.
+    *
+    * Scale shape: pair-volume-bounded — the pair list fans out to its
+    * own docs' shingles (two keyed joins), df rides one vocab-keyed
+    * aggregate + hash join (NOT broadcast: shingle vocab is corpus-
+    * sized), and the top-k window partitions per pair. No cartesian,
+    * nothing driver-side.
+    */
+  def pairEvidence(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tau: Double,
+      topK: Int): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, tau)
+      .select(col("doc_a"), col("doc_b"))
+    // raw shingle STRINGS (the report is human-read); shingles() is
+    // already distinct per doc
+    val post = df.select(col(idCol).as("doc"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+    val dfs = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val shared = pairs
+      .join(post.select(col("doc").as("doc_a"), col("s")), "doc_a")
+      .join(post.select(col("doc").as("doc_b"), col("s")), Seq("doc_b", "s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("df").asc, col("s").asc)
+    shared.join(dfs, "s")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_a"), col("doc_b"), col("rnk"),
+        col("s").as("shingle"), col("df"))
+  }
+
   /** Cross-corpus exact Jaccard pairs — INCREMENTAL ingestion dedup:
     * every (ref, incoming) pair with J >= tau between an existing
     * reference corpus and a new batch, so an arriving batch can be

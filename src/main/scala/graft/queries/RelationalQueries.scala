@@ -514,6 +514,25 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Path mining: per-user event-type trigrams (two lead windows
+    // sharing ONE (user, time) sort — the sessionize exchange), then
+    // a global path rollup: the "what do users do next" transition
+    // table. Output is every observed 3-step path with its count.
+    "q169_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("event_type"))
+        .select(col("event_type").as("s1"),
+          lead(col("event_type"), 1).over(w).as("s2"),
+          lead(col("event_type"), 2).over(w).as("s3"))
+        .filter(col("s2").isNotNull && col("s3").isNotNull)
+        .groupBy(col("s1"), col("s2"), col("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+    }),
+
     // Z-order layout report: Morton-interleave (user, minute) into a
     // Z-curve key, cut the curve into 16 equal files (exact
     // partition-parallel ntile), and report each file's bounding box
@@ -839,6 +858,18 @@ object RelationalQueries {
                  / count(*) * 1e6) / 1e6 AS mean,
            min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // q169: identical per-user lead windows and path rollup.
+    "q169_event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+                    FROM events),
+         tri AS (SELECT event_type AS s1,
+                   lead(event_type, 1) OVER w AS s2,
+                   lead(event_type, 2) OVER w AS s3
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+         SELECT s1, s2, s3, count(*)::BIGINT AS n
+         FROM tri WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+         GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3""",
 
     // q162: the identical 31-bit Morton spread (5 mask-and-shift
     // steps per dimension), SQL ntile over (zv, event_id).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.curation.Curation
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, Linkage}
 import graft.multimodal.Multimodal
 import graft.similarity.{Pca, Similarity}
 import graft.text.{NaiveBayes, Pii, Repetition, Search, TextFunctions, Vocab}
@@ -1088,6 +1088,64 @@ object TrainingQueries {
       graft.core.Graph.labelPropagation(labels, edges, iters = 3)
         .select(col("id").as("doc_id"), col("lab"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Record linkage (Fellegi–Sunter shape): documents vs a
+    // deterministically perturbed copy (every 3rd doc, last word
+    // dropped, shifted ids) — multi-pass blocking (lang+leading
+    // words, source+length bucket: each pass survives a different
+    // noise kind), then integer agreement weights over exact
+    // comparators (cross-multiplied Jaccard/length ratios — no
+    // floats) and a threshold decision.
+    "q170_record_linkage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toksOf =
+        (c: org.apache.spark.sql.Column) => TextFunctions.tokens(c)
+      val left = docs.select(
+        col("doc_id").as("id_a"), col("text").as("text_a"),
+        col("lang").as("lang_a"), col("source").as("source_a"))
+      val right = docs.filter(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 1000000L).as("id_b"),
+        when(size(toksOf(col("text"))) >= 2,
+          concat_ws(" ", slice(toksOf(col("text")), lit(1),
+            size(toksOf(col("text"))) - 1)))
+          .otherwise(col("text")).as("text_b"),
+        col("lang").as("lang_b"), col("source").as("source_b"))
+      val first2 = (c: org.apache.spark.sql.Column) =>
+        concat_ws(" ", slice(toksOf(c), 1, 2))
+      val lenB = (c: org.apache.spark.sql.Column) =>
+        floor(length(c) / lit(32)).cast("long")
+      val ja = TextFunctions.tokenSet(col("text_a"))
+      val jb = TextFunctions.tokenSet(col("text_b"))
+      Linkage.link(
+        left, right, "id_a", "id_b",
+        blocks = Seq(
+          (concat_ws("|", col("lang_a"), first2(col("text_a"))),
+            concat_ws("|", col("lang_b"), first2(col("text_b")))),
+          (concat_ws("|", col("source_a"), lenB(col("text_a"))),
+            concat_ws("|", col("source_b"), lenB(col("text_b"))))),
+        features = Seq(
+          Linkage.Feature("jaccard06",
+            size(array_intersect(ja, jb)) * 10 >= size(array_union(ja, jb)) * 6,
+            8L, -4L),
+          Linkage.Feature("lang", col("lang_a") === col("lang_b"), 1L, -1L),
+          Linkage.Feature("source", col("source_a") === col("source_b"), 2L, -1L),
+          Linkage.Feature("length09",
+            least(length(col("text_a")), length(col("text_b"))) * 10 >=
+              greatest(length(col("text_a")), length(col("text_b"))) * 9,
+            2L, -1L)),
+        threshold = 9L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Dup-match evidence: per near-dup pair, the 3 rarest shared
+    // shingles (global df asc) — the audit view a reviewer reads
+    // before a dedup decision deletes data. Pair-volume-bounded
+    // joins, per-pair top-k window.
+    "q168_dup_evidence" -> ((s, dir) => {
+      Dedup.pairEvidence(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.5, topK = 3)
+        .orderBy(col("doc_a"), col("doc_b"), col("rnk"))
     }),
 
     // Classifier calibration report: q125's logistic-regression
@@ -2777,6 +2835,65 @@ object TrainingQueries {
     "q161_kcore" -> kcoreSql,
 
     "q163_retrieval_eval" -> retrievalEvalSql,
+
+    // q170: identical perturbation, blocking passes, and integer
+    // agreement weights.
+    "q170_record_linkage" ->
+      """WITH L AS (SELECT doc_id AS id_a, text AS text_a,
+                      lang AS lang_a, source AS source_a FROM documents),
+         R AS (SELECT doc_id + 1000000 AS id_b,
+                 CASE WHEN len(string_split(text, ' ')) >= 2
+                      THEN array_to_string(list_slice(string_split(text, ' '),
+                             1, len(string_split(text, ' ')) - 1), ' ')
+                      ELSE text END AS text_b,
+                 lang AS lang_b, source AS source_b
+               FROM documents WHERE doc_id % 3 = 0),
+         b1 AS (SELECT id_a, id_b FROM L JOIN R ON
+                 concat_ws('|', lang_a,
+                   array_to_string(list_slice(string_split(text_a, ' '), 1, 2), ' '))
+               = concat_ws('|', lang_b,
+                   array_to_string(list_slice(string_split(text_b, ' '), 1, 2), ' '))),
+         b2 AS (SELECT id_a, id_b FROM L JOIN R ON
+                 concat_ws('|', source_a, (strlen(text_a) // 32)::VARCHAR)
+               = concat_ws('|', source_b, (strlen(text_b) // 32)::VARCHAR)),
+         cand AS (SELECT DISTINCT id_a, id_b FROM
+                   (SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
+         sc AS (SELECT c.id_a, c.id_b,
+                 (CASE WHEN 10 * len(list_intersect(
+                          list_distinct(string_split(text_a, ' ')),
+                          list_distinct(string_split(text_b, ' '))))
+                       >= 6 * len(list_distinct(list_concat(
+                          list_distinct(string_split(text_a, ' ')),
+                          list_distinct(string_split(text_b, ' ')))))
+                       THEN 8 ELSE -4 END
+                + CASE WHEN lang_a = lang_b THEN 1 ELSE -1 END
+                + CASE WHEN source_a = source_b THEN 2 ELSE -1 END
+                + CASE WHEN 10 * least(strlen(text_a), strlen(text_b))
+                       >= 9 * greatest(strlen(text_a), strlen(text_b))
+                       THEN 2 ELSE -1 END)::BIGINT AS score
+               FROM cand c
+               JOIN L ON c.id_a = L.id_a
+               JOIN R ON c.id_b = R.id_b)
+         SELECT id_a, id_b, score, score >= 9 AS is_match
+         FROM sc ORDER BY id_a, id_b""",
+
+    // q168: same pairs, same raw-shingle postings, same (df, s)
+    // per-pair ranking.
+    "q168_dup_evidence" ->
+      s"""$shingleCte,
+         $jaccardPairsCte,
+         post AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         dfs AS (SELECT s, count(*)::BIGINT AS df FROM post GROUP BY 1),
+         shared AS (SELECT p.doc_a, p.doc_b, a.s
+                    FROM pairs p
+                    JOIN post a ON a.doc_id = p.doc_a
+                    JOIN post b ON b.doc_id = p.doc_b AND b.s = a.s),
+         rk AS (SELECT sh.doc_a, sh.doc_b, sh.s, f.df,
+                  row_number() OVER (PARTITION BY sh.doc_a, sh.doc_b
+                                     ORDER BY f.df, sh.s)::BIGINT AS rnk
+                FROM shared sh JOIN dfs f ON sh.s = f.s)
+         SELECT doc_a, doc_b, rnk, s AS shingle, df FROM rk WHERE rnk <= 3
+         ORDER BY doc_a, doc_b, rnk""",
 
     // q167: q125's full LR replay as a nested subquery, same bin
     // rule, DECIMAL confidence, `//` accuracy grid.
