@@ -144,6 +144,23 @@ object GraftExtensions {
           a(0), org.apache.spark.sql.types.StringType),
         intArg("misra_gries", a(1))).toAggregateExpression()
     },
+    // bitmap cohort family: mergeable id-set aggregate + set algebra
+    reg("bitmap_ids") { a =>
+      arity("bitmap_ids", a, 1)
+      BitmapIdsAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a(0), org.apache.spark.sql.types.LongType)).toAggregateExpression()
+    },
+    reg("bitmap_count") { a => arity("bitmap_count", a, 1); BitmapCount(a(0)) },
+    reg("bitmap_and_count") { a =>
+      arity("bitmap_and_count", a, 2); BitmapAndCount(a(0), a(1))
+    },
+    reg("bitmap_or_count") { a =>
+      arity("bitmap_or_count", a, 2); BitmapOrCount(a(0), a(1))
+    },
+    reg("bitmap_andnot_count") { a =>
+      arity("bitmap_andnot_count", a, 2); BitmapAndNotCount(a(0), a(1))
+    },
     // topk_by(key, ord, k): mergeable bounded-heap per-group top-k
     reg("topk_by") { a =>
       arity("topk_by", a, 3)

@@ -533,6 +533,31 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
     }),
 
+    // Bitmap cohort algebra: one mergeable bitmap_ids aggregate per
+    // event_type (the groupBitmap/materialized-audience pattern),
+    // then EVERY pairwise cohort question (|A∩B|, |A\B|, Jaccard)
+    // answered map-side from the 5 bitmap rows — no re-shuffle of raw
+    // events, no count-distinct expand per question. The tiny non-equi
+    // self-join is 5x5 rows by construction.
+    "q172_bitmap_cohort" -> ((s, dir) => {
+      import graft.functions.BitmapFunctions._
+      val bm = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(bitmap_ids(col("user_id")).as("bm"))
+      val a = bm.select(col("event_type").as("type_a"), col("bm").as("bma"))
+      val b = bm.select(col("event_type").as("type_b"), col("bm").as("bmb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          bitmap_count(col("bma")).as("n_a"),
+          bitmap_count(col("bmb")).as("n_b"),
+          bitmap_and_count(col("bma"), col("bmb")).as("n_both"),
+          bitmap_andnot_count(col("bma"), col("bmb")).as("n_only_a"))
+        .withColumn("jaccard",
+          expr("(n_both * 1000000L) div (n_a + n_b - n_both)")
+            .cast("double") / lit(1e6))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Z-order layout report: Morton-interleave (user, minute) into a
     // Z-curve key, cut the curve into 16 equal files (exact
     // partition-parallel ntile), and report each file's bounding box
@@ -858,6 +883,25 @@ object RelationalQueries {
                  / count(*) * 1e6) / 1e6 AS mean,
            min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // q172: exact distinct-user set algebra replayed relationally.
+    "q172_bitmap_cohort" ->
+      """WITH ua AS (SELECT DISTINCT event_type, user_id FROM events),
+         n AS (SELECT event_type, count(*)::BIGINT AS n FROM ua GROUP BY 1),
+         bo AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  count(*)::BIGINT AS n_both
+                FROM ua a JOIN ua b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT na.event_type AS type_a, nb.event_type AS type_b,
+           na.n AS n_a, nb.n AS n_b,
+           coalesce(bo.n_both, 0)::BIGINT AS n_both,
+           (na.n - coalesce(bo.n_both, 0))::BIGINT AS n_only_a,
+           ((coalesce(bo.n_both, 0) * 1000000)
+             // (na.n + nb.n - coalesce(bo.n_both, 0)))::DOUBLE / 1e6 AS jaccard
+         FROM n na JOIN n nb ON na.event_type < nb.event_type
+         LEFT JOIN bo ON bo.type_a = na.event_type AND bo.type_b = nb.event_type
+         ORDER BY type_a, type_b""",
 
     // q169: identical per-user lead windows and path rollup.
     "q169_event_paths" ->

@@ -1090,6 +1090,31 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Curriculum-balanced sharding: docs globally ordered by
+    // difficulty (quality score), shard = rank mod 8 — round-robin
+    // over the sorted order, so EVERY shard spans the whole
+    // difficulty distribution (a range-split would give shard 0 all
+    // the easy docs). Output is the per-shard balance report; the
+    // ranking is the partition-parallel exact numbering, not a
+    // single-task window.
+    "q171_curriculum_shards" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      val (ranked, _) = graft.core.GlobalRanks.withGlobalRowNumber(
+        scored, col("quality"), descending = false,
+        tieBreak = Seq(col("doc_id")), out = "rn")
+      ranked
+        .withColumn("shard", expr("(rn - 1) % 8"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          min(col("quality")).as("q_min"),
+          max(col("quality")).as("q_max"),
+          (floor(sum(col("quality").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)) * lit(1e6)) / lit(1e6)).as("q_mean"))
+        .orderBy(col("shard"))
+    }),
+
     // Record linkage (Fellegi–Sunter shape): documents vs a
     // deterministically perturbed copy (every 3rd doc, last word
     // dropped, shifted ids) — multi-pass blocking (lang+leading
@@ -2835,6 +2860,30 @@ object TrainingQueries {
     "q161_kcore" -> kcoreSql,
 
     "q163_retrieval_eval" -> retrievalEvalSql,
+
+    // q171: q20's quality expression, row_number mod 8, DECIMAL mean.
+    "q171_curriculum_shards" ->
+      """WITH q AS (
+           SELECT doc_id,
+             floor((0.3 * least(1.0, wc / 50)
+                  + 0.3 * ttr
+                  + 0.2 * least(1.0, mean_len / 8)
+                  + 0.2 * stop_ratio) * 1e6) / 1e6 AS quality
+           FROM (
+             SELECT doc_id,
+               len(t)::BIGINT AS wc,
+               len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t) AS stop_ratio,
+               len(list_distinct(t))::DOUBLE / len(t) AS ttr,
+               list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) AS mean_len
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+         r AS (SELECT doc_id, quality,
+                 row_number() OVER (ORDER BY quality, doc_id)::BIGINT AS rn
+               FROM q)
+         SELECT ((rn - 1) % 8)::BIGINT AS shard, count(*)::BIGINT AS n,
+           min(quality) AS q_min, max(quality) AS q_max,
+           floor(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*) * 1e6) / 1e6 AS q_mean
+         FROM r GROUP BY 1 ORDER BY shard""",
 
     // q170: identical perturbation, blocking passes, and integer
     // agreement weights.
