@@ -533,6 +533,67 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
     }),
 
+    // Recency-decay weighted engagement: per-user spend with each
+    // event down-weighted by 2^-age_days (capped at 30 days → weight
+    // 0 beyond). The whole decay is INTEGER: cents × (1e9 div 2^k)
+    // summed as int64 — no float-power, no sum-order dependence (a
+    // float 2^-k chain loses exactness once magnitudes span > 53
+    // bits). Map-side expression + one user aggregate; the global
+    // max-day scalar rides a 1-row broadcast.
+    "q173_decay_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"),
+        round(col("value") * lit(100.0)).cast("long").as("cents"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val maxd = ev.agg(max(col("day")).as("maxd"))
+      ev.crossJoin(broadcast(maxd))
+        .withColumn("k", least(col("maxd") - col("day"), lit(30L)))
+        .withColumn("w_fx", expr("1000000000L div shiftleft(1L, k)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents") * col("w_fx")).as("__fx"))
+        .select(col("user_id"), col("n"),
+          // cents·1e9 scale -> dollars on the 1e-6 grid
+          (expr("__fx div 100000").cast("double") / lit(1e6))
+            .as("decayed_spend"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Robust anomaly detection: per event_type median and MAD (median
+    // absolute deviation) from EXACT order statistics on the integer
+    // cents grid — the outlier fence that, unlike mean±3σ, is not
+    // dragged by the outliers themselves. Two rank windows (both
+    // PARTITIONED by type) + a broadcast fence join; the |x−med| and
+    // 3·MAD comparison is pure int64.
+    "q174_mad_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"), col("event_id"),
+        round(col("value") * lit(100.0)).cast("long").as("c"))
+      def medianOf(df: DataFrame, valCol: String, out: String): DataFrame = {
+        val byVal = Window.partitionBy(col("event_type"))
+          .orderBy(col(valCol), col("event_id"))
+        val n = Window.partitionBy(col("event_type"))
+        df.withColumn("__rk", row_number().over(byVal))
+          .withColumn("__n", count(lit(1)).over(n))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("__rk") === ceil(col("__n") / lit(2.0)),
+            col(valCol))).as(out))
+      }
+      val med = medianOf(ev, "c", "med_c")
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("d", abs(col("c") - col("med_c")))
+      val mad = medianOf(dev, "d", "mad_c")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med_c"), col("mad_c"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("d") > lit(3L) * col("mad_c"), 1)).as("n_anomalies"))
+        .select(col("event_type"), col("n"),
+          (col("med_c").cast("double") / lit(100.0)).as("med"),
+          (col("mad_c").cast("double") / lit(100.0)).as("mad"),
+          col("n_anomalies"))
+        .orderBy(col("event_type"))
+    }),
+
     // Bitmap cohort algebra: one mergeable bitmap_ids aggregate per
     // event_type (the groupBitmap/materialized-audience pattern),
     // then EVERY pairwise cohort question (|A∩B|, |A\B|, Jaccard)
@@ -883,6 +944,47 @@ object RelationalQueries {
                  / count(*) * 1e6) / 1e6 AS mean,
            min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // q173: same integer decay grid and day arithmetic.
+    "q173_decay_agg" ->
+      """WITH e AS (SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         m AS (SELECT max(day) AS maxd FROM e),
+         w AS (SELECT user_id, cents,
+             (1000000000 // (1::BIGINT << least(m.maxd - day, 30)::INT)) AS w_fx
+           FROM e CROSS JOIN m)
+         SELECT user_id, count(*)::BIGINT AS n,
+           ((sum(cents * w_fx)::BIGINT) // 100000)::DOUBLE / 1e6 AS decayed_spend
+         FROM w GROUP BY 1 ORDER BY user_id""",
+
+    // q174: same exact order-statistic medians on the cents grid.
+    "q174_mad_anomaly" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         r1 AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM e),
+         med AS (SELECT event_type, max(CASE WHEN rk = ceil(n / 2.0) THEN c END) AS med_c
+                 FROM r1 GROUP BY 1),
+         dev AS (SELECT e.event_type, e.event_id, e.c, abs(e.c - med.med_c) AS d, med.med_c
+                 FROM e JOIN med ON e.event_type = med.event_type),
+         r2 AS (SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM dev),
+         mad AS (SELECT event_type, max(CASE WHEN rk = ceil(n / 2.0) THEN d END) AS mad_c
+                 FROM r2 GROUP BY 1)
+         SELECT dev.event_type, count(*)::BIGINT AS n,
+           (dev.med_c::DOUBLE / 100.0) AS med,
+           (mad.mad_c::DOUBLE / 100.0) AS mad,
+           count(CASE WHEN dev.d > 3 * mad.mad_c THEN 1 END)::BIGINT AS n_anomalies
+         FROM dev JOIN mad ON dev.event_type = mad.event_type
+         GROUP BY dev.event_type, dev.med_c, mad.mad_c
+         ORDER BY dev.event_type""",
 
     // q172: exact distinct-user set algebra replayed relationally.
     "q172_bitmap_cohort" ->
