@@ -615,4 +615,89 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.size < 400,
       s"q141 plan exploded to ${p.linesIterator.size} lines — lineage rebase broken?")
   }
+
+  test("q160: incremental state merge aggregates with map-side partials, no join, no window") {
+    val p = plan("q160_delta_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "no partial aggregation before the merge exchange")
+    assert(!p.contains("Window"), "delta-agg should carry no window")
+    assert(!p.contains("Join"), "delta-agg should carry no join — merge is a union + aggregate")
+  }
+
+  test("q161: coreness iteration frames are RDD-rebased; H-index windows are per-node partitions") {
+    val p = plan("q161_kcore")
+    assert(p.contains("Scan ExistingRDD"),
+      "coreness generations must rebase on their persisted RDDs")
+    assert(p.linesIterator.size < 400,
+      s"q161 plan exploded to ${p.linesIterator.size} lines")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q162/q167/q171: exact global ranking plans carry no unpartitioned corpus window") {
+    Seq("q162_zorder", "q167_calibration", "q171_curriculum_shards").foreach { q =>
+      val p = plan(q)
+      // GlobalRanks windows partition by the derived bucket; the only
+      // acceptable empty partition specs are over bounded frames
+      // (none of these queries has one)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("Window") && l.contains("partitionBy=[]")).toList
+      assert(bad.isEmpty, s"$q has unpartitioned windows: $bad")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+  }
+
+  test("q163: multi-query retrieval is ONE corpus pass — stats/df/query maps ride broadcasts") {
+    val p = plan("q163_retrieval_eval")
+    // corpus tokenize feeds the posting via one scan of documents text;
+    // the per-query fan-out and df join must be broadcasts
+    assert(p.contains("BroadcastHashJoin"), "query/df maps should broadcast")
+    assert(!p.contains("CartesianProduct"))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 3, s"q163 scans documents $scans times (runs + truth expected)")
+  }
+
+  test("q164: lexical stats are two explode-count chains — no window, no cartesian") {
+    val p = plan("q164_lexical_stats")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "unit histograms must combine map-side")
+  }
+
+  test("q168: evidence join is pair-keyed — no cartesian, per-pair top-k window only") {
+    val p = plan("q168_dup_evidence")
+    assert(!p.contains("CartesianProduct"))
+    val bad = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")).toList
+    assert(bad.isEmpty, s"unpartitioned window: $bad")
+  }
+
+  test("q170: linkage blocking is equi-join only — no cartesian, no nested loop") {
+    val p = plan("q170_record_linkage")
+    assert(!p.contains("CartesianProduct"), "blocking must be equi-joins")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "blocking must be equi-joins")
+  }
+
+  test("q172: cohort algebra joins only the 5 bitmap rows — events aggregate once") {
+    val p = plan("q172_bitmap_cohort")
+    // the only nested-loop join allowed is the 5x5 bitmap self-join
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans <= 2, s"events scanned $scans times — bitmaps not reused?")
+    assert(p.contains("ObjectHashAggregate"),
+      "bitmap_ids should aggregate via ObjectHashAggregate with partials")
+  }
+
+  test("q173/q174: decay and MAD fences keep windows partitioned and joins broadcast") {
+    Seq("q173_decay_agg", "q174_mad_anomaly").foreach { q =>
+      val p = plan(q)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("Window") && l.contains("partitionBy=[]")).toList
+      assert(bad.isEmpty, s"$q has unpartitioned windows: $bad")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q joins should broadcast (1-row scalar / 5-row fences)")
+    }
+  }
 }
