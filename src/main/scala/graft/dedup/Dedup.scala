@@ -158,6 +158,33 @@ object Dedup {
         col("s").as("shingle"), col("df"))
   }
 
+  /** Sketch-quality evaluation: confusion summary of a PREDICTED pair
+    * set (e.g. a banded sketch's output) against a TRUTH pair set
+    * (the exact operator) — the one-row scorecard that justifies a
+    * sketch config before it gates a 100 TB dedup run. Both inputs
+    * are (doc_a, doc_b); one full-outer join on the pair key + one
+    * aggregate; precision/recall land on the exact 1e-6 `div` grid.
+    */
+  def pairsEval(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    val p = predicted.select(col("doc_a"), col("doc_b"), lit(1L).as("__p"))
+    val tr = truth.select(col("doc_a"), col("doc_b"), lit(1L).as("__t"))
+    p.join(tr, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("__p"), lit(0L))).as("n_pred"),
+        sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__p").isNotNull && col("__t").isNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__p").isNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("n_truth"), col("n_pred"), col("tp"), col("fp"), col("fn"),
+        (when(col("n_pred") > 0, expr("(tp * 1000000L) div n_pred"))
+          .otherwise(lit(0L)).cast("double") / lit(1e6)).as("precision"),
+        (when(col("n_truth") > 0, expr("(tp * 1000000L) div n_truth"))
+          .otherwise(lit(0L)).cast("double") / lit(1e6)).as("recall"))
+  }
+
   /** Cross-corpus exact Jaccard pairs — INCREMENTAL ingestion dedup:
     * every (ref, incoming) pair with J >= tau between an existing
     * reference corpus and a new batch, so an arriving batch can be

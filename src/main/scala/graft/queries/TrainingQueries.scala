@@ -1090,6 +1090,96 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sketch-quality scorecard: SimHash at hamming<=2 evaluated
+    // against the exact Jaccard tau=0.5 truth — TP/FP/FN + precision/
+    // recall in one row. The eval every sketch config passes before
+    // it gates a real dedup run (here: the tighter hamming radius
+    // trades recall for candidate volume; precision stays 1.0 because
+    // candidates are exact-verified).
+    "q177_sketch_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val pred = Dedup.simhashPairs(docs, "doc_id", "text",
+        n = 3, maxHamming = 2, tau = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.pairsEval(pred, truth)
+    }),
+
+    // Padding-waste report: docs length-bucketed by power-of-two
+    // token count (the bucketed-batching layout) — per bucket, real
+    // tokens vs padded-to-bucket-top slots and the waste ratio, plus
+    // what naive pad-to-global-max would cost. The table that says
+    // whether length-bucketing is worth its shuffle. Map-side bucket
+    // key, one aggregate, 1-row broadcast for the global max.
+    "q175_padding_waste" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        // bucket top = next power of two (ceil): 2^ceil(log2(n))
+        .withColumn("btop",
+          expr("CAST(power(2, ceil(log2(greatest(n_tok, 1)))) AS BIGINT)"))
+      val mx = d.agg(max(col("n_tok")).as("gmax"))
+      d.crossJoin(broadcast(mx))
+        .groupBy(col("btop"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("real_tokens"),
+          sum(col("gmax")).as("padded_global"))
+        .select(col("btop"), col("n_docs"), col("real_tokens"),
+          (col("btop") * col("n_docs")).as("padded_bucketed"),
+          col("padded_global"),
+          (expr("((btop * n_docs - real_tokens) * 1000000L) div (btop * n_docs)")
+            .cast("double") / lit(1e6)).as("waste_bucketed"),
+          (expr("((padded_global - real_tokens) * 1000000L) div padded_global")
+            .cast("double") / lit(1e6)).as("waste_global"))
+        .orderBy(col("btop"))
+    }),
+
+    // Inter-arrival burstiness per user: exact DECIMAL gap moments
+    // (micros), burstiness B = (σ−μ)/(σ+μ) (Goh & Barabási) on the
+    // 1e-6 grid — Poisson ≈ 0, heavy-tailed bursts → 1, clockwork →
+    // −1: the traffic-shape feature for bot/batch-source detection.
+    // One per-user lag window + one aggregate.
+    "q176_burstiness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap").cast("decimal(38,0)")).as("__s"),
+          // square AFTER the decimal cast: micro-gaps square past
+          // int64, and Spark's non-ANSI long multiply wraps SILENTLY
+          sum(col("gap").cast("decimal(38,0)")
+            * col("gap").cast("decimal(38,0)")).as("__ss"))
+        .select(col("user_id"), col("n_gaps"),
+          col("__s").cast("double").as("__sd"),
+          col("__ss").cast("double").as("__ssd"))
+        .select(col("user_id"), col("n_gaps"),
+          (floor(col("__sd") / col("n_gaps") * lit(1e6)) / lit(1e6)).as("mean_gap_us"),
+          // B = (σ−μ)/(σ+μ), σ = sqrt(max(E[x²]−μ², 0)) — exact
+          // moments in, one double expression out, floored to the
+          // grid; greatest(...,0) kills the −ε a rounding of a
+          // zero-variance user would feed sqrt; all-zero gaps (σ=μ=0)
+          // report 0 by convention
+          (when(col("__ssd") > 0, floor(
+            (sqrt(greatest(col("__ssd") / col("n_gaps")
+              - (col("__sd") / col("n_gaps")) * (col("__sd") / col("n_gaps")),
+              lit(0.0)))
+              - col("__sd") / col("n_gaps")) /
+            (sqrt(greatest(col("__ssd") / col("n_gaps")
+              - (col("__sd") / col("n_gaps")) * (col("__sd") / col("n_gaps")),
+              lit(0.0)))
+              + col("__sd") / col("n_gaps")) * lit(1e6)) / lit(1e6))
+            .otherwise(lit(0.0)))
+            .as("burstiness"))
+        .orderBy(col("user_id"))
+    }),
+
     // Curriculum-balanced sharding: docs globally ordered by
     // difficulty (quality score), shard = rank mod 8 — round-robin
     // over the sorted order, so EVERY shard spans the whole
@@ -2860,6 +2950,89 @@ object TrainingQueries {
     "q161_kcore" -> kcoreSql,
 
     "q163_retrieval_eval" -> retrievalEvalSql,
+
+    // q177: q25's simhash replay at ham<=2 vs the exact pair set,
+    // full-outer confusion rollup on the same `//` grids.
+    "q177_sketch_eval" ->
+      s"""$shingleCte,
+         hs AS (SELECT doc_id, sh,
+                  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hv
+                FROM d),
+         sims AS (SELECT doc_id, sh,
+             list_sum(list_transform(range(0, 60), k ->
+               CASE WHEN list_sum(list_transform(hv, x ->
+                      CASE WHEN (x >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT AS sim
+           FROM hs),
+         pred AS (SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sim, b.sim)) AS ham,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+             FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
+           WHERE ham <= 2 AND jaccard >= 0.5),
+         tr AS (SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+             FROM d a JOIN d b ON a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.5),
+         j AS (SELECT coalesce(p.doc_a, t.doc_a) AS doc_a,
+                 coalesce(p.doc_b, t.doc_b) AS doc_b,
+                 (p.doc_a IS NOT NULL) AS in_p, (t.doc_a IS NOT NULL) AS in_t
+               FROM pred p FULL OUTER JOIN tr t
+               ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+         c AS (SELECT
+                 sum(CASE WHEN in_t THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+                 sum(CASE WHEN in_p THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+                 sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END)::BIGINT AS fp,
+                 sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END)::BIGINT AS fn
+               FROM j)
+         SELECT n_truth, n_pred, tp, fp, fn,
+           (CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred ELSE 0 END)::DOUBLE / 1e6 AS precision,
+           (CASE WHEN n_truth > 0 THEN (tp * 1000000) // n_truth ELSE 0 END)::DOUBLE / 1e6 AS recall
+         FROM c""",
+
+    // q175: same power-of-two bucket key and `//` waste grids.
+    "q175_padding_waste" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+                    FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT doc_id, n_tok,
+                 CAST(power(2, ceil(log2(greatest(n_tok, 1)))) AS BIGINT) AS btop
+               FROM d),
+         m AS (SELECT max(n_tok)::BIGINT AS gmax FROM d)
+         SELECT btop, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS real_tokens,
+           (btop * count(*))::BIGINT AS padded_bucketed,
+           (count(*) * m.gmax)::BIGINT AS padded_global,
+           (((btop * count(*) - sum(n_tok)) * 1000000)
+             // (btop * count(*)))::DOUBLE / 1e6 AS waste_bucketed,
+           (((count(*) * m.gmax - sum(n_tok)) * 1000000)
+             // (count(*) * m.gmax))::DOUBLE / 1e6 AS waste_global
+         FROM b CROSS JOIN m GROUP BY btop, m.gmax ORDER BY btop""",
+
+    // q176: HUGEINT gap moments (same integers as the DECIMAL sums),
+    // identical guarded σ/μ expression on the 1e-6 grid.
+    "q176_burstiness" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+         g AS (SELECT user_id,
+                 t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+               FROM e),
+         gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+         a AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+                 CAST(sum(gap::HUGEINT) AS DOUBLE) AS sd,
+                 CAST(sum(gap::HUGEINT * gap::HUGEINT) AS DOUBLE) AS ssd
+               FROM gg GROUP BY 1)
+         SELECT user_id, n_gaps,
+           floor(sd / n_gaps * 1e6) / 1e6 AS mean_gap_us,
+           CASE WHEN ssd > 0 THEN
+             floor((sqrt(greatest(ssd / n_gaps - (sd / n_gaps) * (sd / n_gaps), 0))
+                    - sd / n_gaps)
+                 / (sqrt(greatest(ssd / n_gaps - (sd / n_gaps) * (sd / n_gaps), 0))
+                    + sd / n_gaps) * 1e6) / 1e6
+           ELSE 0.0 END AS burstiness
+         FROM a ORDER BY user_id""",
 
     // q171: q20's quality expression, row_number mod 8, DECIMAL mean.
     "q171_curriculum_shards" ->
