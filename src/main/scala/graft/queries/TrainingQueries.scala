@@ -1090,6 +1090,61 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Chunk→document embedding pooling: group chunk vectors (4 per
+    // doc by id), per-dimension integer-grid mean, then L2-normalize
+    // the pooled vector — the aggregation every long-doc embedding
+    // pipeline runs between the encoder and the index. One (group,
+    // dim) aggregate + one group-sized norm join; all arithmetic on
+    // the exact int64 grid until the final normalized division.
+    "q178_embed_pool" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(expr("vec_id div 4").as("g"),
+          posexplode(col("embedding")).as(Seq("j", "v")))
+        .select(col("g"), col("j").cast("long").as("j"),
+          floor(col("v").cast("double") * lit(1e6) + lit(0.5))
+            .cast("long").as("fx"))
+      val pooled = e.groupBy(col("g"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("fx")).as("sfx"))
+        .select(col("g"), col("j"), expr("sfx div n").as("pfx"))
+      val norms = pooled.groupBy(col("g"))
+        .agg(sum(col("pfx") * col("pfx")).as("n2"))
+      pooled.join(norms, "g")
+        .select(col("g"), col("j"), col("pfx"),
+          (floor(col("pfx") / sqrt(col("n2")) * lit(1e6)) / lit(1e6))
+            .as("pooled_norm"))
+        .orderBy(col("g"), col("j"))
+    }),
+
+    // ANN recall scorecard: IVF at nprobe=2 measured against the
+    // exact brute-force top-10 per query — the recall/latency frontier
+    // read before an index config ships (fewer probes = fewer list
+    // scans = lower recall; q177's discipline applied to the
+    // embedding plane).
+    "q179_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
+        .select(col("q_id"), col("c_id"), lit(1L).as("__e"))
+      val approx = Similarity.ivfTopK(queries, corpus, k = 10,
+        nlist = 16, nprobe = 2)
+        .select(col("q_id"), col("c_id"), lit(1L).as("__a"))
+      exact.join(approx, Seq("q_id", "c_id"), "full_outer")
+        .groupBy(col("q_id"))
+        .agg(
+          sum(coalesce(col("__e"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("__a"), lit(0L))).as("n_approx"),
+          sum(when(col("__e").isNotNull && col("__a").isNotNull, 1L)
+            .otherwise(0L)).as("n_common"))
+        .select(col("q_id"), col("n_exact"), col("n_approx"), col("n_common"),
+          (expr("(n_common * 1000000L) div n_exact")
+            .cast("double") / lit(1e6)).as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // Sketch-quality scorecard: SimHash at hamming<=2 evaluated
     // against the exact Jaccard tau=0.5 truth — TP/FP/FN + precision/
     // recall in one row. The eval every sketch config passes before
@@ -2950,6 +3005,66 @@ object TrainingQueries {
     "q161_kcore" -> kcoreSql,
 
     "q163_retrieval_eval" -> retrievalEvalSql,
+
+    // q178: same int64 grid pooling, truncating `//`, identical
+    // final norm expression.
+    "q178_embed_pool" ->
+      """WITH e AS (SELECT vec_id // 4 AS g, r.k AS j,
+             CAST(floor(embedding[r.k + 1]::DOUBLE * 1e6 + 0.5) AS BIGINT) AS fx
+           FROM embeddings, range(0, 64) r(k)),
+         pooled AS (SELECT g, j, count(*)::BIGINT AS n, sum(fx)::BIGINT AS sfx
+                    FROM e GROUP BY 1, 2),
+         p2 AS (SELECT g, j, (sfx // n)::BIGINT AS pfx FROM pooled),
+         norms AS (SELECT g, sum(pfx * pfx)::BIGINT AS n2 FROM p2 GROUP BY 1)
+         SELECT p.g, p.j, p.pfx,
+           floor(p.pfx / sqrt(n.n2) * 1e6) / 1e6 AS pooled_norm
+         FROM p2 p JOIN norms n ON p.g = n.g
+         ORDER BY p.g, p.j""",
+
+    // q179: q27's exact and q40's IVF replays at k=10 / nprobe=2,
+    // full-outer recall rollup on the `//` grid.
+    "q179_ann_recall" ->
+      s"""$embCte,
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+                  FROM n WHERE vec_id >= 10
+                  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+         c AS (SELECT vec_id AS c_id, emb, nrm FROM n WHERE vec_id >= 10),
+         q AS (SELECT vec_id AS q_id, emb, nrm FROM n WHERE vec_id < 10),
+         assigned AS (SELECT list_id, c_id, emb, nrm FROM (
+           SELECT ct.cent_id AS list_id, c.c_id, c.emb, c.nrm,
+             row_number() OVER (PARTITION BY c.c_id ORDER BY
+               round(list_sum(list_transform(range(1, 65), i -> c.emb[i] * ct.cent_emb[i]))
+                 / (c.nrm * ct.cent_nrm), 6) DESC, ct.cent_id) AS rn
+           FROM c CROSS JOIN cent ct) WHERE rn = 1),
+         probes AS (SELECT q_id, emb, nrm, list_id FROM (
+           SELECT q.q_id, q.emb, q.nrm, ct.cent_id AS list_id,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               round(list_sum(list_transform(range(1, 65), i -> q.emb[i] * ct.cent_emb[i]))
+                 / (q.nrm * ct.cent_nrm), 6) DESC, ct.cent_id) AS rn
+           FROM q CROSS JOIN cent ct) WHERE rn <= 2),
+         approx AS (SELECT q_id, c_id FROM (
+           SELECT p.q_id, a.c_id,
+             row_number() OVER (PARTITION BY p.q_id
+               ORDER BY ${duckCosPre("p", "a")} DESC, a.c_id) AS rank
+           FROM probes p JOIN assigned a USING (list_id))
+           WHERE rank <= 10),
+         exact AS (SELECT q_id, c_id FROM (
+           SELECT q.q_id, c.c_id,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY ${duckCosPre("q", "c")} DESC, c.c_id) AS rank
+           FROM q CROSS JOIN c)
+           WHERE rank <= 10),
+         j AS (SELECT coalesce(e.q_id, a.q_id) AS q_id,
+                 (e.q_id IS NOT NULL) AS in_e, (a.q_id IS NOT NULL) AS in_a
+               FROM exact e FULL OUTER JOIN approx a
+               ON e.q_id = a.q_id AND e.c_id = a.c_id)
+         SELECT q_id,
+           sum(CASE WHEN in_e THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+           sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_approx,
+           sum(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END)::BIGINT AS n_common,
+           ((sum(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END) * 1000000)
+             // sum(CASE WHEN in_e THEN 1 ELSE 0 END))::DOUBLE / 1e6 AS recall
+         FROM j GROUP BY 1 ORDER BY q_id""",
 
     // q177: q25's simhash replay at ham<=2 vs the exact pair set,
     // full-outer confusion rollup on the same `//` grids.
