@@ -533,6 +533,30 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
     }),
 
+    // Incremental SCD2 maintenance: the dimension built from the
+    // first 80% of the timeline, then the last 20% folded in as a
+    // delta — merge(build(history), delta) must equal build(full)
+    // EXACTLY (q160's discipline applied to dimension tables). The
+    // merge change-detects only the delta and touches only the open
+    // rows; history is never re-read. Oracle = full rebuild.
+    "q180_scd2_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("event_type"))
+      val bounds = ev.agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      val cut = ev.crossJoin(broadcast(bounds))
+        .withColumn("__cut", expr("t0 + ((t1 - t0) * 4L) div 5L"))
+      val history = cut.filter(col("t") < col("__cut"))
+      val delta = cut.filter(col("t") >= col("__cut"))
+      val dim0 = graft.core.Scd.buildScd2(
+        history, "user_id", "event_id", "t", "event_type")
+      graft.core.Scd.mergeScd2(
+        dim0, delta, "user_id", "event_id", "t", "event_type")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // Recency-decay weighted engagement: per-user spend with each
     // event down-weighted by 2^-age_days (capped at 30 days → weight
     // 0 beyond). The whole decay is INTEGER: cents × (1e9 div 2^k)
@@ -944,6 +968,20 @@ object RelationalQueries {
                  / count(*) * 1e6) / 1e6 AS mean,
            min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // q180: the q93 full-rebuild — the merged increment must hash-
+    // match it exactly.
+    "q180_scd2_merge" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+                    FROM events),
+         ch AS (SELECT user_id, event_id, t, event_type FROM (
+             SELECT user_id, event_id, t, event_type,
+               lag(event_type) OVER w AS prev
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, t AS valid_from,
+           lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to
+         FROM ch ORDER BY user_id, valid_from""",
 
     // q173: same integer decay grid and day arithmetic.
     "q173_decay_agg" ->
