@@ -533,6 +533,57 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
     }),
 
+    // Join fan-out estimation by deterministic key sampling — the
+    // pre-flight a 100 TB join runs BEFORE it runs: hash-gate ~1/16
+    // of the KEY SPACE (both sides keep the same keys, so per-key
+    // products are exact on the sample), count per-key frequencies,
+    // and report output-rows estimates plus the worst keys. The
+    // sample is md5-keyed, so any engine replays it; estimate =
+    // sampled output × 16 (key-space scaling).
+    "q181_join_fanout" -> ((s, dir) => {
+      val gate = (k: org.apache.spark.sql.Column) =>
+        substring(md5(k.cast("string")), 1, 1) === "0"
+      val o = t(s, dir, "orders").filter(gate(col("o_custkey")))
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("ca"))
+      val c = t(s, dir, "customer").filter(gate(col("c_custkey")))
+        .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("cb"))
+      val prod = o.join(c, "k")
+        .select(col("k"), (col("ca") * col("cb")).as("rows_out"))
+      prod.agg(
+        count(lit(1)).as("n_sampled_keys"),
+        sum(col("rows_out")).as("sampled_rows"),
+        (sum(col("rows_out")) * lit(16L)).as("est_rows"),
+        max(col("rows_out")).as("max_key_fanout"))
+    }),
+
+    // Per-group linear trend: slope of value over time from exact
+    // DECIMAL moments (the q94 discipline) — the drift monitor for
+    // "is spend/quality moving" per event_type. Slope = (nΣxy −
+    // ΣxΣy)/(nΣxx − ΣxΣx) with x = day index, y = cents; each moment
+    // exact, one double expression floored to the 1e-6 grid.
+    "q182_group_trend" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * lit(100.0)).cast("long").as("cents"))
+      val d0 = ev.agg(min(col("day")).as("d0"))
+      def m(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+      ev.crossJoin(broadcast(d0))
+        .select(col("event_type"),
+          (col("day") - col("d0")).cast("decimal(38,0)").as("x"),
+          col("cents").cast("decimal(38,0)").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          m(col("x")).as("sx"), m(col("y")).as("sy"),
+          m(col("x") * col("x")).as("sxx"), m(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n"),
+          (floor(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+              / lit(100.0) * lit(1e6)) / lit(1e6)).as("slope_per_day"))
+        .orderBy(col("event_type"))
+    }),
+
     // Incremental SCD2 maintenance: the dimension built from the
     // first 80% of the timeline, then the last 20% folded in as a
     // delta — merge(build(history), delta) must equal build(full)
@@ -968,6 +1019,41 @@ object RelationalQueries {
                  / count(*) * 1e6) / 1e6 AS mean,
            min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // q181: same md5 key gate and per-key products.
+    "q181_join_fanout" ->
+      """WITH o AS (SELECT o_custkey AS k, count(*)::BIGINT AS ca FROM orders
+                    WHERE substr(md5(o_custkey::VARCHAR), 1, 1) = '0' GROUP BY 1),
+         c AS (SELECT c_custkey AS k, count(*)::BIGINT AS cb FROM customer
+               WHERE substr(md5(c_custkey::VARCHAR), 1, 1) = '0' GROUP BY 1),
+         p AS (SELECT o.k, (o.ca * c.cb)::BIGINT AS rows_out
+               FROM o JOIN c ON o.k = c.k)
+         SELECT count(*)::BIGINT AS n_sampled_keys,
+           sum(rows_out)::BIGINT AS sampled_rows,
+           (sum(rows_out) * 16)::BIGINT AS est_rows,
+           max(rows_out)::BIGINT AS max_key_fanout
+         FROM p""",
+
+    // q182: q94's DECIMAL-moment discipline, slope on the 1e-6 grid
+    // (in dollars: /100 folds into the one double expression).
+    "q182_group_trend" ->
+      """WITH e AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         d0 AS (SELECT min(day) AS d0 FROM e),
+         xy AS (SELECT event_type,
+                  (day - d0.d0)::HUGEINT AS x, cents::HUGEINT AS y
+                FROM e CROSS JOIN d0),
+         a AS (SELECT event_type, count(*)::BIGINT AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy
+               FROM xy GROUP BY 1)
+         SELECT event_type, n,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * 1e6) / 1e6
+             AS slope_per_day
+         FROM a ORDER BY event_type""",
 
     // q180: the q93 full-rebuild — the merged increment must hash-
     // match it exactly.
