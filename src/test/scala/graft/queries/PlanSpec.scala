@@ -700,4 +700,32 @@ class PlanSpec extends SparkSpec {
         s"$q joins should broadcast (1-row scalar / 5-row fences)")
     }
   }
+
+  test("q175/q176/q178/q182: map-side keys, partitioned windows, no cartesian") {
+    Seq("q175_padding_waste", "q176_burstiness", "q178_embed_pool",
+      "q182_group_trend").foreach { q =>
+      val p = plan(q)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("Window") && l.contains("partitionBy=[]")).toList
+      assert(bad.isEmpty, s"$q has unpartitioned windows: $bad")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+  }
+
+  test("q180: SCD2 merge windows partition per key; history joins stay keyed") {
+    val p = plan("q180_scd2_merge")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")).toList
+    assert(bad.isEmpty, s"unpartitioned windows: $bad")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q181: fan-out estimator pushes the sample gate into both scans") {
+    val p = plan("q181_join_fanout")
+    assert(!p.contains("CartesianProduct"))
+    // the md5 gate is a derived predicate — it must at least filter
+    // before the aggregate (no full-table aggregate on either side)
+    val filters = p.linesIterator.count(_.contains("Filter"))
+    assert(filters >= 2, "sample gates missing from the per-side pipelines")
+  }
 }
