@@ -27,6 +27,90 @@ object TrainingQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** q170/q183 shared linkage: documents vs a deterministically
+    * perturbed copy (every 3rd doc, last word dropped, ids shifted by
+    * 1e6), two blocking passes, integer agreement weights, threshold
+    * 9. Returns (id_a, id_b, score, is_match) for every candidate.
+    */
+  private def linkageFrame(docs: DataFrame): DataFrame = {
+    val toksOf = (c: org.apache.spark.sql.Column) => TextFunctions.tokens(c)
+    val left = docs.select(
+      col("doc_id").as("id_a"), col("text").as("text_a"),
+      col("lang").as("lang_a"), col("source").as("source_a"))
+    val right = docs.filter(col("doc_id") % 3 === 0).select(
+      (col("doc_id") + 1000000L).as("id_b"),
+      when(size(toksOf(col("text"))) >= 2,
+        concat_ws(" ", slice(toksOf(col("text")), lit(1),
+          size(toksOf(col("text"))) - 1)))
+        .otherwise(col("text")).as("text_b"),
+      col("lang").as("lang_b"), col("source").as("source_b"))
+    val first2 = (c: org.apache.spark.sql.Column) =>
+      concat_ws(" ", slice(toksOf(c), 1, 2))
+    val lenB = (c: org.apache.spark.sql.Column) =>
+      floor(length(c) / lit(32)).cast("long")
+    val ja = TextFunctions.tokenSet(col("text_a"))
+    val jb = TextFunctions.tokenSet(col("text_b"))
+    Linkage.link(
+      left, right, "id_a", "id_b",
+      blocks = Seq(
+        (concat_ws("|", col("lang_a"), first2(col("text_a"))),
+          concat_ws("|", col("lang_b"), first2(col("text_b")))),
+        (concat_ws("|", col("source_a"), lenB(col("text_a"))),
+          concat_ws("|", col("source_b"), lenB(col("text_b"))))),
+      features = Seq(
+        Linkage.Feature("jaccard06",
+          size(array_intersect(ja, jb)) * 10 >= size(array_union(ja, jb)) * 6,
+          8L, -4L),
+        Linkage.Feature("lang", col("lang_a") === col("lang_b"), 1L, -1L),
+        Linkage.Feature("source", col("source_a") === col("source_b"), 2L, -1L),
+        Linkage.Feature("length09",
+          least(length(col("text_a")), length(col("text_b"))) * 10 >=
+            greatest(length(col("text_a")), length(col("text_b"))) * 9,
+          2L, -1L)),
+      threshold = 9L)
+  }
+
+  /** The q170/q183 shared oracle CTE chain: perturbed copy, two
+    * blocking passes, candidate union, integer score. Ends at `sc`
+    * (id_a, id_b, score).
+    */
+  private val linkageCtes: String =
+    """L AS (SELECT doc_id AS id_a, text AS text_a,
+                      lang AS lang_a, source AS source_a FROM documents),
+         R AS (SELECT doc_id + 1000000 AS id_b,
+                 CASE WHEN len(string_split(text, ' ')) >= 2
+                      THEN array_to_string(list_slice(string_split(text, ' '),
+                             1, len(string_split(text, ' ')) - 1), ' ')
+                      ELSE text END AS text_b,
+                 lang AS lang_b, source AS source_b
+               FROM documents WHERE doc_id % 3 = 0),
+         b1 AS (SELECT id_a, id_b FROM L JOIN R ON
+                 concat_ws('|', lang_a,
+                   array_to_string(list_slice(string_split(text_a, ' '), 1, 2), ' '))
+               = concat_ws('|', lang_b,
+                   array_to_string(list_slice(string_split(text_b, ' '), 1, 2), ' '))),
+         b2 AS (SELECT id_a, id_b FROM L JOIN R ON
+                 concat_ws('|', source_a, (strlen(text_a) // 32)::VARCHAR)
+               = concat_ws('|', source_b, (strlen(text_b) // 32)::VARCHAR)),
+         cand AS (SELECT DISTINCT id_a, id_b FROM
+                   (SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
+         sc AS (SELECT c.id_a, c.id_b,
+                 (CASE WHEN 10 * len(list_intersect(
+                          list_distinct(string_split(text_a, ' ')),
+                          list_distinct(string_split(text_b, ' '))))
+                       >= 6 * len(list_distinct(list_concat(
+                          list_distinct(string_split(text_a, ' ')),
+                          list_distinct(string_split(text_b, ' ')))))
+                       THEN 8 ELSE -4 END
+                + CASE WHEN lang_a = lang_b THEN 1 ELSE -1 END
+                + CASE WHEN source_a = source_b THEN 2 ELSE -1 END
+                + CASE WHEN 10 * least(strlen(text_a), strlen(text_b))
+                       >= 9 * greatest(strlen(text_a), strlen(text_b))
+                       THEN 2 ELSE -1 END)::BIGINT AS score
+               FROM cand c
+               JOIN L ON c.id_a = L.id_a
+               JOIN R ON c.id_b = R.id_b)"""
+
   /** The fixed q163 evaluation query batch (shared with its oracle). */
   private val EvalQueries: Seq[(String, Seq[String])] = Seq(
     "e1" -> Seq("spark", "join", "window"),
@@ -1267,45 +1351,52 @@ object TrainingQueries {
     // noise kind), then integer agreement weights over exact
     // comparators (cross-multiplied Jaccard/length ratios — no
     // floats) and a threshold decision.
-    "q170_record_linkage" -> ((s, dir) => {
+    "q170_record_linkage" -> ((s, dir) =>
+      linkageFrame(t(s, dir, "documents"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Dataset version manifest: per source, a content-addressed
+    // fingerprint (order-independent modular sum of per-doc content
+    // hashes) + row/token/distinct counts — the reproducibility
+    // record two dataset builds compare to prove they shipped the
+    // same bytes, without ever diffing 100 TB. One aggregate; the
+    // fingerprint is partitioning- and order-free by construction.
+    "q184_version_manifest" -> ((s, dir) => {
+      val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+      t(s, dir, "documents")
+        .select(col("source"), col("text"), h.as("h"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("h")).as("n_distinct"),
+          sum(col("h").cast("decimal(38,0)")).as("__fpsum"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_distinct"),
+          expr("CAST(__fpsum % 2305843009213693951 AS LONG)").as("fingerprint"))
+        .orderBy(col("source"))
+    }),
+
+    // Entity resolution end-to-end: q170's linkage matches become an
+    // entity graph, connected components label every record (matched
+    // or singleton) with its canonical entity, and a size rollup
+    // reports the cluster profile — blocking → scoring → clustering,
+    // the full ER pipeline.
+    "q183_entity_resolution" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val toksOf =
-        (c: org.apache.spark.sql.Column) => TextFunctions.tokens(c)
-      val left = docs.select(
-        col("doc_id").as("id_a"), col("text").as("text_a"),
-        col("lang").as("lang_a"), col("source").as("source_a"))
-      val right = docs.filter(col("doc_id") % 3 === 0).select(
-        (col("doc_id") + 1000000L).as("id_b"),
-        when(size(toksOf(col("text"))) >= 2,
-          concat_ws(" ", slice(toksOf(col("text")), lit(1),
-            size(toksOf(col("text"))) - 1)))
-          .otherwise(col("text")).as("text_b"),
-        col("lang").as("lang_b"), col("source").as("source_b"))
-      val first2 = (c: org.apache.spark.sql.Column) =>
-        concat_ws(" ", slice(toksOf(c), 1, 2))
-      val lenB = (c: org.apache.spark.sql.Column) =>
-        floor(length(c) / lit(32)).cast("long")
-      val ja = TextFunctions.tokenSet(col("text_a"))
-      val jb = TextFunctions.tokenSet(col("text_b"))
-      Linkage.link(
-        left, right, "id_a", "id_b",
-        blocks = Seq(
-          (concat_ws("|", col("lang_a"), first2(col("text_a"))),
-            concat_ws("|", col("lang_b"), first2(col("text_b")))),
-          (concat_ws("|", col("source_a"), lenB(col("text_a"))),
-            concat_ws("|", col("source_b"), lenB(col("text_b"))))),
-        features = Seq(
-          Linkage.Feature("jaccard06",
-            size(array_intersect(ja, jb)) * 10 >= size(array_union(ja, jb)) * 6,
-            8L, -4L),
-          Linkage.Feature("lang", col("lang_a") === col("lang_b"), 1L, -1L),
-          Linkage.Feature("source", col("source_a") === col("source_b"), 2L, -1L),
-          Linkage.Feature("length09",
-            least(length(col("text_a")), length(col("text_b"))) * 10 >=
-              greatest(length(col("text_a")), length(col("text_b"))) * 9,
-            2L, -1L)),
-        threshold = 9L)
-        .orderBy(col("id_a"), col("id_b"))
+      val matches = linkageFrame(docs).filter(col("is_match"))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val comps = Dedup.connectedComponents(matches)
+        .withColumnRenamed("doc_id", "node")
+      val nodes = docs.select(col("doc_id").as("node"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("node")))
+      val lab = nodes.join(comps, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("component_id"), col("node")).as("entity_id"))
+      val sz = lab.groupBy(col("entity_id")).agg(count(lit(1)).as("n_records"))
+      lab.join(sz, "entity_id")
+        .select(col("node"), col("entity_id"), col("n_records"))
+        .orderBy(col("node"))
     }),
 
     // Dup-match evidence: per near-dup pair, the 3 rarest shared
@@ -3176,43 +3267,46 @@ object TrainingQueries {
     // q170: identical perturbation, blocking passes, and integer
     // agreement weights.
     "q170_record_linkage" ->
-      """WITH L AS (SELECT doc_id AS id_a, text AS text_a,
-                      lang AS lang_a, source AS source_a FROM documents),
-         R AS (SELECT doc_id + 1000000 AS id_b,
-                 CASE WHEN len(string_split(text, ' ')) >= 2
-                      THEN array_to_string(list_slice(string_split(text, ' '),
-                             1, len(string_split(text, ' ')) - 1), ' ')
-                      ELSE text END AS text_b,
-                 lang AS lang_b, source AS source_b
-               FROM documents WHERE doc_id % 3 = 0),
-         b1 AS (SELECT id_a, id_b FROM L JOIN R ON
-                 concat_ws('|', lang_a,
-                   array_to_string(list_slice(string_split(text_a, ' '), 1, 2), ' '))
-               = concat_ws('|', lang_b,
-                   array_to_string(list_slice(string_split(text_b, ' '), 1, 2), ' '))),
-         b2 AS (SELECT id_a, id_b FROM L JOIN R ON
-                 concat_ws('|', source_a, (strlen(text_a) // 32)::VARCHAR)
-               = concat_ws('|', source_b, (strlen(text_b) // 32)::VARCHAR)),
-         cand AS (SELECT DISTINCT id_a, id_b FROM
-                   (SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
-         sc AS (SELECT c.id_a, c.id_b,
-                 (CASE WHEN 10 * len(list_intersect(
-                          list_distinct(string_split(text_a, ' ')),
-                          list_distinct(string_split(text_b, ' '))))
-                       >= 6 * len(list_distinct(list_concat(
-                          list_distinct(string_split(text_a, ' ')),
-                          list_distinct(string_split(text_b, ' ')))))
-                       THEN 8 ELSE -4 END
-                + CASE WHEN lang_a = lang_b THEN 1 ELSE -1 END
-                + CASE WHEN source_a = source_b THEN 2 ELSE -1 END
-                + CASE WHEN 10 * least(strlen(text_a), strlen(text_b))
-                       >= 9 * greatest(strlen(text_a), strlen(text_b))
-                       THEN 2 ELSE -1 END)::BIGINT AS score
-               FROM cand c
-               JOIN L ON c.id_a = L.id_a
-               JOIN R ON c.id_b = R.id_b)
+      s"""WITH $linkageCtes
          SELECT id_a, id_b, score, score >= 9 AS is_match
          FROM sc ORDER BY id_a, id_b""",
+
+    // q184: same md5-int60 content hash, HUGEINT modular sum.
+    "q184_version_manifest" ->
+      """WITH d AS (SELECT source,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+             len(string_split(text, ' '))::BIGINT AS n_tok
+           FROM documents)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           count(DISTINCT h)::BIGINT AS n_distinct,
+           CAST(sum(h::HUGEINT) % 2305843009213693951 AS BIGINT) AS fingerprint
+         FROM d GROUP BY 1 ORDER BY source""",
+
+    // q183: q170's matches as symmetric edges, reachability-walk
+    // component labels (q159's oracle shape), size rollup over the
+    // full record universe.
+    "q183_entity_resolution" ->
+      s"""WITH RECURSIVE $linkageCtes,
+         m AS (SELECT id_a, id_b FROM sc WHERE score >= 9),
+         e AS (SELECT id_a AS x, id_b AS y FROM m
+               UNION ALL SELECT id_b, id_a FROM m),
+         en AS (SELECT DISTINCT x AS node FROM e),
+         walk(node, reach) AS (
+           SELECT node, node FROM en
+           UNION
+           SELECT w.node, e.y FROM walk w JOIN e ON w.reach = e.x),
+         comp AS (SELECT node, min(reach) AS component_id FROM walk GROUP BY node),
+         nodes AS (SELECT doc_id AS node FROM documents
+                   UNION ALL
+                   SELECT doc_id + 1000000 FROM documents WHERE doc_id % 3 = 0),
+         lab AS (SELECT n.node, coalesce(c.component_id, n.node) AS entity_id
+                 FROM nodes n LEFT JOIN comp c ON n.node = c.node),
+         sz AS (SELECT entity_id, count(*)::BIGINT AS n_records
+                FROM lab GROUP BY 1)
+         SELECT l.node, l.entity_id, sz.n_records
+         FROM lab l JOIN sz ON l.entity_id = sz.entity_id
+         ORDER BY l.node""",
 
     // q168: same pairs, same raw-shingle postings, same (df, s)
     // per-pair ranking.
