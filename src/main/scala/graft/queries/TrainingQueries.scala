@@ -1355,6 +1355,36 @@ object TrainingQueries {
       linkageFrame(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Cross-source containment matrix: q142's asymmetric containment
+    // pairs rolled up to (source of contained, source of container) —
+    // which sources embed which others' content, and what share of
+    // the contained source is affected. The dataset-provenance matrix
+    // a mixture design checks before double-counting a re-hosted
+    // corpus. Pair-volume joins + one matrix rollup.
+    "q185_containment_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.8)
+      val srcSizes = src.groupBy(col("source").as("source_contained"))
+        .agg(count(lit(1)).as("n_source_docs"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("source_contained")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("source_container")), "doc_b")
+        .groupBy(col("source_contained"), col("source_container"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_a")).as("n_docs_contained"))
+        .join(broadcast(srcSizes), "source_contained")
+        .withColumn("pct_contained",
+          expr("(n_docs_contained * 1000000L) div n_source_docs")
+            .cast("double") / lit(1e6))
+        .select(col("source_contained"), col("source_container"),
+          col("n_pairs"), col("n_docs_contained"), col("pct_contained"))
+        .orderBy(col("source_contained"), col("source_container"))
+    }),
+
     // Dataset version manifest: per source, a content-addressed
     // fingerprint (order-independent modular sum of per-doc content
     // hashes) + row/token/distinct counts — the reproducibility
@@ -3270,6 +3300,32 @@ object TrainingQueries {
       s"""WITH $linkageCtes
          SELECT id_a, id_b, score, score >= 9 AS is_match
          FROM sc ORDER BY id_a, id_b""",
+
+    // q185: q142's containment predicate, source rollup, `//` grid.
+    "q185_containment_matrix" ->
+      s"""$shingleCte,
+         p AS (SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+                 AS containment
+             FROM d a JOIN d b ON a.doc_id <> b.doc_id)
+           WHERE containment >= 0.8),
+         ss AS (SELECT source AS source_contained, count(*)::BIGINT AS n_source_docs
+                FROM documents GROUP BY 1),
+         mx AS (SELECT sa.source AS source_contained,
+                  sb.source AS source_container,
+                  count(*)::BIGINT AS n_pairs,
+                  count(DISTINCT p.doc_a)::BIGINT AS n_docs_contained
+                FROM p
+                JOIN documents sa ON p.doc_a = sa.doc_id
+                JOIN documents sb ON p.doc_b = sb.doc_id
+                GROUP BY 1, 2)
+         SELECT mx.source_contained, mx.source_container, mx.n_pairs,
+           mx.n_docs_contained,
+           ((mx.n_docs_contained * 1000000) // ss.n_source_docs)::DOUBLE / 1e6
+             AS pct_contained
+         FROM mx JOIN ss ON mx.source_contained = ss.source_contained
+         ORDER BY mx.source_contained, mx.source_container""",
 
     // q184: same md5-int60 content hash, HUGEINT modular sum.
     "q184_version_manifest" ->
