@@ -205,6 +205,20 @@ object Scratch {
           big, "doc_id", "text", n = 8, minSpanWords = 12).count())
         time("kneserney")(graft.curation.Curation.kneserNeyBigramScores(
           big, "doc_id", "text").count())
+        // the round-9 family: coreness rides the (pair-sized) edge set
+        // for a FIXED round count; linkage is blocking-equi-joins
+        // (block sizes grow with k — pessimistic like jaccard);
+        // evidence is pair-volume-bounded
+        time("kcore") {
+          val pairs = graft.dedup.Dedup.jaccardPairs(big, "doc_id", "text",
+            n = 3, tau = 0.5)
+          val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          graft.core.Graph.coreness(
+            big.select(col("doc_id").as("id")), edges, iters = 8).count()
+        }
+        time("evidence")(graft.dedup.Dedup.pairEvidence(big, "doc_id", "text",
+          n = 3, tau = 0.5, topK = 3).count())
         bigLabeled.unpersist(blocking = true)
         big.unpersist(blocking = true)
       }

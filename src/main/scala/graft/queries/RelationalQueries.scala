@@ -533,6 +533,24 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
     }),
 
+    // Rolling 7-day active users: exact distinct-over-window via the
+    // (user, day)-dedup → day-spine range join (distinct does NOT
+    // sum across window frames, so the naive window-sum is wrong by
+    // construction; the dedup'd membership join is the exact shape).
+    // The spine is days-sized, the join carries (user, day) rows.
+    "q187_rolling_active" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("d")).distinct()
+      days.join(ud,
+          col("day") >= col("d") - lit(6L) && col("day") <= col("d"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy(col("d"))
+    }),
+
     // Join fan-out estimation by deterministic key sampling — the
     // pre-flight a 100 TB join runs BEFORE it runs: hash-gate ~1/16
     // of the KEY SPACE (both sides keep the same keys, so per-key
@@ -1019,6 +1037,15 @@ object RelationalQueries {
                  / count(*) * 1e6) / 1e6 AS mean,
            min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // q187: identical (user, day) dedup and day-spine range join.
+    "q187_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         days AS (SELECT DISTINCT day AS d FROM ud)
+         SELECT d, count(DISTINCT ud.user_id)::BIGINT AS active_7d
+         FROM days JOIN ud ON ud.day >= days.d - 6 AND ud.day <= days.d
+         GROUP BY d ORDER BY d""",
 
     // q181: same md5 key gate and per-key products.
     "q181_join_fanout" ->

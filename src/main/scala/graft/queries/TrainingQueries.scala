@@ -1355,6 +1355,34 @@ object TrainingQueries {
       linkageFrame(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Tokenizer-vocabulary coverage per source: share of token
+    // OCCURRENCES covered by the global top-1024 vocabulary (count
+    // desc, token asc — deterministic cut) — the OOV-rate monitor
+    // that decides whether a tokenizer retrain is due for a new
+    // source. One vocab rollup + one occurrence join; the vocab side
+    // is top-k-sized.
+    "q186_vocab_coverage" -> ((s, dir) => {
+      val occ = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+      val vocab = occ.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))
+      // top-1024 cut: vocab is corpus-vocab-sized; the rank window is
+      // acceptable at that grain (vocab ≪ corpus) — at larger vocabs
+      // swap in GlobalRanks
+      val top = vocab.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 1024).select(col("w"), lit(1L).as("__in"))
+      occ.join(top, Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("__in"), lit(0L))).as("n_covered"))
+        .select(col("source"), col("n_tokens"), col("n_covered"),
+          (expr("(n_covered * 1000000L) div n_tokens")
+            .cast("double") / lit(1e6)).as("coverage"))
+        .orderBy(col("source"))
+    }),
+
     // Cross-source containment matrix: q142's asymmetric containment
     // pairs rolled up to (source of contained, source of container) —
     // which sources embed which others' content, and what share of
@@ -3300,6 +3328,20 @@ object TrainingQueries {
       s"""WITH $linkageCtes
          SELECT id_a, id_b, score, score >= 9 AS is_match
          FROM sc ORDER BY id_a, id_b""",
+
+    // q186: same deterministic top-1024 vocabulary cut and `//` grid.
+    "q186_vocab_coverage" ->
+      """WITH occ AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         v AS (SELECT w, count(*)::BIGINT AS c FROM occ GROUP BY 1),
+         top AS (SELECT w FROM (
+             SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rk FROM v)
+           WHERE rk <= 1024)
+         SELECT source, count(*)::BIGINT AS n_tokens,
+           count(top.w)::BIGINT AS n_covered,
+           ((count(top.w) * 1000000) // count(*))::DOUBLE / 1e6 AS coverage
+         FROM occ LEFT JOIN top ON occ.w = top.w
+         GROUP BY source ORDER BY source""",
 
     // q185: q142's containment predicate, source rollup, `//` grid.
     "q185_containment_matrix" ->
