@@ -204,6 +204,26 @@ class GraphSpec extends SparkSpec {
     assert(got(0L) === 3L && got(6L) === 2L && got(7L) === 1L && got(8L) === 0L)
   }
 
+  test("coreness matches the sequential peel on seeded random graphs") {
+    // hand-rolled LCG (scalacheck unavailable offline); 3 seeds x
+    // 18-node graphs with ~2.2 edges/node
+    for (seed <- Seq(7L, 101L, 9001L)) {
+      var s = seed
+      def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+      val nodes = 0L until 18L
+      val und = (0 until 40).map { _ =>
+        val a = math.floorMod(next(), 18L)
+        val b = math.floorMod(next(), 18L)
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val got = corenessRun(nodes, und, iters = 16)
+      val want = localCoreness(nodes, und) ++
+        nodes.filterNot(n => und.exists(e => e._1 == n || e._2 == n))
+          .map(_ -> 0L).toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("coreness is idempotent past convergence (extra rounds change nothing)") {
     val und = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
     val nodes = 0L to 4L
