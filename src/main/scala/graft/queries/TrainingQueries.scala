@@ -32,7 +32,7 @@ object TrainingQueries {
     * 1e6), two blocking passes, integer agreement weights, threshold
     * 9. Returns (id_a, id_b, score, is_match) for every candidate.
     */
-  private def linkageFrame(docs: DataFrame): DataFrame = {
+  private def linkageSides(docs: DataFrame): (DataFrame, DataFrame) = {
     val toksOf = (c: org.apache.spark.sql.Column) => TextFunctions.tokens(c)
     val left = docs.select(
       col("doc_id").as("id_a"), col("text").as("text_a"),
@@ -44,12 +44,31 @@ object TrainingQueries {
           size(toksOf(col("text"))) - 1)))
         .otherwise(col("text")).as("text_b"),
       col("lang").as("lang_b"), col("source").as("source_b"))
+    (left, right)
+  }
+
+  private def linkageFeatures: Seq[Linkage.Feature] = {
+    val ja = TextFunctions.tokenSet(col("text_a"))
+    val jb = TextFunctions.tokenSet(col("text_b"))
+    Seq(
+      Linkage.Feature("jaccard06",
+        size(array_intersect(ja, jb)) * 10 >= size(array_union(ja, jb)) * 6,
+        8L, -4L),
+      Linkage.Feature("lang", col("lang_a") === col("lang_b"), 1L, -1L),
+      Linkage.Feature("source", col("source_a") === col("source_b"), 2L, -1L),
+      Linkage.Feature("length09",
+        least(length(col("text_a")), length(col("text_b"))) * 10 >=
+          greatest(length(col("text_a")), length(col("text_b"))) * 9,
+        2L, -1L))
+  }
+
+  private def linkageFrame(docs: DataFrame): DataFrame = {
+    val (left, right) = linkageSides(docs)
+    val toksOf = (c: org.apache.spark.sql.Column) => TextFunctions.tokens(c)
     val first2 = (c: org.apache.spark.sql.Column) =>
       concat_ws(" ", slice(toksOf(c), 1, 2))
     val lenB = (c: org.apache.spark.sql.Column) =>
       floor(length(c) / lit(32)).cast("long")
-    val ja = TextFunctions.tokenSet(col("text_a"))
-    val jb = TextFunctions.tokenSet(col("text_b"))
     Linkage.link(
       left, right, "id_a", "id_b",
       blocks = Seq(
@@ -57,16 +76,7 @@ object TrainingQueries {
           concat_ws("|", col("lang_b"), first2(col("text_b")))),
         (concat_ws("|", col("source_a"), lenB(col("text_a"))),
           concat_ws("|", col("source_b"), lenB(col("text_b"))))),
-      features = Seq(
-        Linkage.Feature("jaccard06",
-          size(array_intersect(ja, jb)) * 10 >= size(array_union(ja, jb)) * 6,
-          8L, -4L),
-        Linkage.Feature("lang", col("lang_a") === col("lang_b"), 1L, -1L),
-        Linkage.Feature("source", col("source_a") === col("source_b"), 2L, -1L),
-        Linkage.Feature("length09",
-          least(length(col("text_a")), length(col("text_b"))) * 10 >=
-            greatest(length(col("text_a")), length(col("text_b"))) * 9,
-          2L, -1L)),
+      features = linkageFeatures,
       threshold = 9L)
   }
 
@@ -74,7 +84,10 @@ object TrainingQueries {
     * blocking passes, candidate union, integer score. Ends at `sc`
     * (id_a, id_b, score).
     */
-  private val linkageCtes: String =
+  /** The L/R (original vs perturbed) sides alone — shared with the
+    * sorted-neighborhood variant (q188).
+    */
+  private val linkageSidesSql: String =
     """L AS (SELECT doc_id AS id_a, text AS text_a,
                       lang AS lang_a, source AS source_a FROM documents),
          R AS (SELECT doc_id + 1000000 AS id_b,
@@ -83,18 +96,13 @@ object TrainingQueries {
                              1, len(string_split(text, ' ')) - 1), ' ')
                       ELSE text END AS text_b,
                  lang AS lang_b, source AS source_b
-               FROM documents WHERE doc_id % 3 = 0),
-         b1 AS (SELECT id_a, id_b FROM L JOIN R ON
-                 concat_ws('|', lang_a,
-                   array_to_string(list_slice(string_split(text_a, ' '), 1, 2), ' '))
-               = concat_ws('|', lang_b,
-                   array_to_string(list_slice(string_split(text_b, ' '), 1, 2), ' '))),
-         b2 AS (SELECT id_a, id_b FROM L JOIN R ON
-                 concat_ws('|', source_a, (strlen(text_a) // 32)::VARCHAR)
-               = concat_ws('|', source_b, (strlen(text_b) // 32)::VARCHAR)),
-         cand AS (SELECT DISTINCT id_a, id_b FROM
-                   (SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
-         sc AS (SELECT c.id_a, c.id_b,
+               FROM documents WHERE doc_id % 3 = 0)"""
+
+  /** The score CTE over a `cand` (id_a, id_b) CTE — shared by q170
+    * and q188.
+    */
+  private val linkageScoreSql: String =
+    """sc AS (SELECT c.id_a, c.id_b,
                  (CASE WHEN 10 * len(list_intersect(
                           list_distinct(string_split(text_a, ' ')),
                           list_distinct(string_split(text_b, ' '))))
@@ -110,6 +118,20 @@ object TrainingQueries {
                FROM cand c
                JOIN L ON c.id_a = L.id_a
                JOIN R ON c.id_b = R.id_b)"""
+
+  private val linkageCtes: String =
+    s"""$linkageSidesSql,
+         b1 AS (SELECT id_a, id_b FROM L JOIN R ON
+                 concat_ws('|', lang_a,
+                   array_to_string(list_slice(string_split(text_a, ' '), 1, 2), ' '))
+               = concat_ws('|', lang_b,
+                   array_to_string(list_slice(string_split(text_b, ' '), 1, 2), ' '))),
+         b2 AS (SELECT id_a, id_b FROM L JOIN R ON
+                 concat_ws('|', source_a, (strlen(text_a) // 32)::VARCHAR)
+               = concat_ws('|', source_b, (strlen(text_b) // 32)::VARCHAR)),
+         cand AS (SELECT DISTINCT id_a, id_b FROM
+                   (SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
+         $linkageScoreSql"""
 
   /** The fixed q163 evaluation query batch (shared with its oracle). */
   private val EvalQueries: Seq[(String, Seq[String])] = Seq(
@@ -1354,6 +1376,22 @@ object TrainingQueries {
     "q170_record_linkage" -> ((s, dir) =>
       linkageFrame(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Sorted-neighborhood blocking (merge/purge): the SAME linkage
+    // scored over candidates from a rank-window on text LENGTH —
+    // nothing has to match exactly, records only have to sort nearby;
+    // the blocking paradigm that survives noise equality keys can't
+    // (and q170's complement). Candidate volume O(n·window) via
+    // partition-parallel numbering + bucket join, never quadratic.
+    "q188_sorted_blocking" -> ((s, dir) => {
+      val (left, right) = linkageSides(t(s, dir, "documents"))
+      val cand = Linkage.sortedNeighborhoodCandidates(
+        left, right, "id_a", "id_b",
+        length(col("text_a")), length(col("text_b")), window = 8)
+      Linkage.score(cand, left, right, "id_a", "id_b",
+        linkageFeatures, threshold = 9L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // Tokenizer-vocabulary coverage per source: share of token
     // OCCURRENCES covered by the global top-1024 vocabulary (count
@@ -3326,6 +3364,23 @@ object TrainingQueries {
     // agreement weights.
     "q170_record_linkage" ->
       s"""WITH $linkageCtes
+         SELECT id_a, id_b, score, score >= 9 AS is_match
+         FROM sc ORDER BY id_a, id_b""",
+
+    // q188: identical (k, side, id) total order and rank-window
+    // candidate rule, same score body as q170.
+    "q188_sorted_blocking" ->
+      s"""WITH $linkageSidesSql,
+         u AS (SELECT id_a AS id, 0::BIGINT AS side, strlen(text_a)::DOUBLE AS k FROM L
+               UNION ALL
+               SELECT id_b, 1::BIGINT, strlen(text_b)::DOUBLE FROM R),
+         rk AS (SELECT id, side,
+                  row_number() OVER (ORDER BY k, side, id)::BIGINT AS rn
+                FROM u),
+         cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+                  FROM rk l JOIN rk r
+                  ON l.side = 0 AND r.side = 1 AND abs(l.rn - r.rn) <= 8),
+         $linkageScoreSql
          SELECT id_a, id_b, score, score >= 9 AS is_match
          FROM sc ORDER BY id_a, id_b""",
 
