@@ -167,4 +167,26 @@ object Joins {
         Seq(col(s"__m.$tsCol").as(rightTsAs)) ++
         payload.map(p => col(s"__m.$p").as(p)): _*)
   }
+
+  /** Forward AS-OF LEFT JOIN: each left row matched to the EARLIEST
+    * right at-or-after it (the "time to next conversion" direction).
+    * Implemented as [[asofJoin]] on NEGATED integer timestamps —
+    * forward-asof(t) ≡ backward-asof(−t), so the two directions share
+    * one carry window implementation (and one set of guarantees:
+    * single shuffle, no range join, inclusive at equal ts).
+    * `tsCol` must be a numeric epoch column on both sides.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tiebreak: Seq[Column] = Seq.empty,
+      rightTsAs: String = "asof_ts"): DataFrame =
+    asofJoin(
+      left.withColumn(tsCol, -col(tsCol)),
+      right.withColumn(tsCol, -col(tsCol)),
+      keys, tsCol, tiebreak, rightTsAs)
+      .withColumn(tsCol, -col(tsCol))
+      .withColumn(rightTsAs, -col(rightTsAs))
 }

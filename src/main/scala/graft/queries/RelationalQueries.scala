@@ -533,6 +533,27 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
     }),
 
+    // FORWARD as-of join: each click attributed to the next purchase
+    // at-or-after it — conversion-lag attribution, the q84 direction
+    // reversed. Same one-shuffle carry-window machinery via timestamp
+    // negation; oracle is DuckDB's native ASOF with the <= inequality.
+    "q189_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("t_us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("value").as("purchase_value"))
+      Joins.asofJoinForward(
+        clicks, purchases,
+        keys = Seq("user_id"), tsCol = "t_us",
+        tiebreak = Seq(col("purchase_value")),
+        rightTsAs = "purchase_t_us")
+        .withColumn("lag_us",
+          when(col("purchase_t_us").isNotNull,
+            col("purchase_t_us") - col("t_us")))
+        .orderBy(col("event_id"))
+    }),
+
     // Rolling 7-day active users: exact distinct-over-window via the
     // (user, day)-dedup → day-spine range join (distinct does NOT
     // sum across window frames, so the naive window-sum is wrong by
@@ -1037,6 +1058,21 @@ object RelationalQueries {
                  / count(*) * 1e6) / 1e6 AS mean,
            min(value) AS min_v, max(value) AS max_v
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    // q189: DuckDB native forward ASOF (the <= inequality) over the
+    // same (user, ts)-deduped purchase side.
+    "q189_asof_forward" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS t_us,
+             max(value) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         c AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+               FROM events WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, c.t_us,
+           p.t_us AS purchase_t_us, p.purchase_value,
+           CASE WHEN p.t_us IS NOT NULL THEN p.t_us - c.t_us END AS lag_us
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.t_us <= p.t_us
+         ORDER BY c.event_id""",
 
     // q187: identical (user, day) dedup and day-spine range join.
     "q187_rolling_active" ->
