@@ -1377,6 +1377,31 @@ object TrainingQueries {
       linkageFrame(t(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Dedup-adjusted effective dataset size: per source, raw tokens
+    // vs tokens weighted by q159's inverse-cluster-size weights — the
+    // honest "how much data do I actually have" number a mixture
+    // design should use instead of raw counts (a source that is 90%
+    // internal near-dups contributes its cluster count, not its row
+    // count). Weight arithmetic on the exact int64 token grid.
+    "q190_effective_size" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      val weights = Curation.dedupWeights(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_size"))
+      docs
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+        .join(weights, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("raw_tokens"),
+          // Σ (tok·1e6 div size) on the int64 grid, then one grid cut
+          sum(expr("(n_tok * 1000000L) div cluster_size")).as("__eff_fx"))
+        .select(col("source"), col("n_docs"), col("raw_tokens"),
+          (expr("__eff_fx div 1000000L")).as("effective_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Sorted-neighborhood blocking (merge/purge): the SAME linkage
     // scored over candidates from a rank-window on text LENGTH —
     // nothing has to match exactly, records only have to sort nearby;
@@ -3366,6 +3391,32 @@ object TrainingQueries {
       s"""WITH $linkageCtes
          SELECT id_a, id_b, score, score >= 9 AS is_match
          FROM sc ORDER BY id_a, id_b""",
+
+    // q190: q159's reachability-walk weights + the same int64 token
+    // grid rollup.
+    "q190_effective_size" ->
+      s"""WITH RECURSIVE $shingleCteBody, $jaccardPairsCte,
+         e AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         en AS (SELECT DISTINCT x AS node FROM e),
+         walk(node, reach) AS (
+           SELECT node, node FROM en
+           UNION
+           SELECT w.node, e.y FROM walk w JOIN e ON w.reach = e.x),
+         comp AS (SELECT node, min(reach) AS component_id FROM walk GROUP BY node),
+         lab AS (SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS grp
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         sz AS (SELECT grp, count(*)::BIGINT AS cluster_size FROM lab GROUP BY 1),
+         tok AS (SELECT doc_id, source,
+                   len(string_split(text, ' '))::BIGINT AS n_tok FROM documents)
+         SELECT t.source, count(*)::BIGINT AS n_docs,
+           sum(t.n_tok)::BIGINT AS raw_tokens,
+           (sum((t.n_tok * 1000000) // sz.cluster_size) // 1000000)::BIGINT
+             AS effective_tokens
+         FROM tok t
+         JOIN lab l ON t.doc_id = l.doc_id
+         JOIN sz ON l.grp = sz.grp
+         GROUP BY t.source ORDER BY t.source""",
 
     // q188: identical (k, side, id) total order and rank-window
     // candidate rule, same score body as q170.
