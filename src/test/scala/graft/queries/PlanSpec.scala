@@ -720,6 +720,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q183/q185/q190: pair-chain compositions carry no cartesian") {
+    Seq("q183_entity_resolution", "q185_containment_matrix",
+      "q190_effective_size").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+  }
+
+  test("q184: manifest is one aggregate — no join, no window") {
+    val p = plan("q184_version_manifest")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "manifest must combine map-side")
+  }
+
+  test("q187: the day-spine range join broadcasts the spine (never a cartesian)") {
+    val p = plan("q187_rolling_active")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the tiny day spine should broadcast into the range join")
+  }
+
+  test("q188/q189: rank-window blocking and forward as-of keep windows partitioned") {
+    Seq("q188_sorted_blocking", "q189_asof_forward").foreach { q =>
+      val p = plan(q)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("Window") && l.contains("partitionBy=[]")).toList
+      assert(bad.isEmpty, s"$q has unpartitioned windows: $bad")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+  }
+
   test("q181: fan-out estimator pushes the sample gate into both scans") {
     val p = plan("q181_join_fanout")
     assert(!p.contains("CartesianProduct"))
