@@ -1402,6 +1402,131 @@ object TrainingQueries {
         .orderBy(col("source"))
     }),
 
+    // Semantic (embedding-space) decontamination: eval-set embeddings
+    // (vec_id < 10, the benchmark) probed against the corpus
+    // (vec_id >= 10) — a corpus doc within tau cosine of ANY probe is
+    // contaminated even when no 13-gram survives a paraphrase (the gap
+    // q52's lexical probe can't close). Probes broadcast; the corpus
+    // never shuffles; only flagged candidates reach the argmax agg.
+    "q191_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      Similarity.semanticContamination(probes, corpus, tau = 0.40)
+        .orderBy(col("c_id"))
+    }),
+
+    // Mutual-kNN graph: k-nearest edges kept only when BOTH endpoints
+    // nominate each other — the density-clustering input that severs
+    // hub/boilerplate shortcuts a plain kNN graph rides through. Exact
+    // all-pairs candidates here (the oracle baseline); at corpus scale
+    // the same operator takes cosinePairsLsh candidates (spec-checked
+    // equal on separable data).
+    "q192_mutual_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      Similarity.mutualKnnGraph(emb, "vec_id", "emb", k = 3, tau = 0.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Cross-source duplication origin: near-dup clusters spanning >1
+    // doc, attributed to their origin (min doc id = the component
+    // label, the deterministic first-ingested proxy) — per
+    // (origin_source, dup_source): how many clusters and docs one
+    // source re-hosts from another. The provenance report behind
+    // "which mirror is inflating my corpus".
+    "q193_dup_origin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      val comp = Dedup.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      val labeled = comp.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      // one row per component; cluster-count-sized → broadcast side
+      val origin = labeled.filter(col("doc_id") === col("component_id"))
+        .select(col("component_id"), col("source").as("origin_source"))
+      labeled.filter(col("doc_id") =!= col("component_id"))
+        .join(broadcast(origin), "component_id")
+        .groupBy(col("origin_source"), col("source").as("dup_source"))
+        .agg(countDistinct(col("component_id")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("origin_source"), col("dup_source"))
+    }),
+
+    // Tokenizer fertility: tokens-per-word and chars-per-token per
+    // source — the monitor that says when a tokenizer stops fitting a
+    // corpus mix (fertility creeping up = more splits per word = fewer
+    // effective tokens per compute dollar). Ratios on the exact int64
+    // 1e-6 grid; one map-side-partial aggregate.
+    "q194_tokenizer_fertility" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .select(col("source"),
+          TextFunctions.tokenCountWs(txt).cast("long").as("n_ws"),
+          TextFunctions.tokenCountBpe(txt).cast("long").as("n_bpe"),
+          length(txt).cast("long").as("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("words"),
+          sum(col("n_bpe")).as("tokens"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("source"), col("n_docs"), col("words"), col("tokens"),
+          col("chars"),
+          (expr("(tokens * 1000000L) div words") / lit(1e6)).as("fertility"),
+          (expr("(chars * 1000000L) div tokens") / lit(1e6)).as("chars_per_token"))
+        .orderBy(col("source"))
+    }),
+
+    // Quality-signals bundle (RedPajama/Dolma-style tagger table): the
+    // four standard gates — Gopher heuristics, blocklist, repetition,
+    // composite quality — evaluated per doc in ONE pass (three
+    // map-side; repetition is the one (doc, gram)-keyed aggregate),
+    // rolled to per-source fail counts + the all-gates keep count. The
+    // dataset-card page that says WHERE each source loses its mass.
+    "q195_quality_signals" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rep = Repetition.repetitionStats(docs, "doc_id", "text", n = 2)
+        .select(col("doc_id"),
+          (col("dup_gram_frac") <= 0.2 && col("top_gram_frac") <= 0.1).as("rep_pass"))
+      val flags = docs.select(col("doc_id"), col("source"),
+          TextFunctions.gopherStats(col("text")).getField("pass").as("gopher_pass"),
+          (!TextFunctions.containsBlocklisted(col("text"),
+            Seq("window", "salt", "bloom"))).as("block_pass"),
+          (TextFunctions.qualityScore(col("text")) >= 0.5).as("qual_pass"))
+        .join(rep, "doc_id")
+      def fails(c: org.apache.spark.sql.Column) =
+        sum(when(!c, 1L).otherwise(0L))
+      flags.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          fails(col("gopher_pass")).as("n_gopher_fail"),
+          fails(col("block_pass")).as("n_block_fail"),
+          fails(col("rep_pass")).as("n_rep_fail"),
+          fails(col("qual_pass")).as("n_qual_fail"),
+          sum(when(col("gopher_pass") && col("block_pass") &&
+            col("rep_pass") && col("qual_pass"), 1L).otherwise(0L)).as("n_keep"))
+        .orderBy(col("source"))
+    }),
+
+    // Quantizer-health report: cell sizes, shares, and the
+    // max-cell/mean-cell imbalance factor of the topic quantizer — the
+    // straggler predictor for every cell-keyed pair join (semDedup,
+    // IVF probes): imbalance k means the hottest cell carries k× the
+    // average cell's quadratic pair work. Int64 1e-6 grid ratios.
+    "q196_cluster_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val topics = Similarity.topicClusters(
+        emb.select(col("vec_id").as("c_id"), col("emb").as("c_emb")), nlist = 8)
+      val sizes = topics.groupBy(col("topic")).agg(count(lit(1)).as("n"))
+      val tot = sizes.agg(sum(col("n")).as("total"), max(col("n")).as("nmax"))
+      sizes.crossJoin(broadcast(tot))
+        .select(col("topic"), col("n"),
+          (expr("(n * 1000000L) div total") / lit(1e6)).as("share"),
+          (expr("(nmax * 8 * 1000000L) div total") / lit(1e6)).as("imbalance"))
+        .orderBy(col("topic"))
+    }),
+
     // Sorted-neighborhood blocking (merge/purge): the SAME linkage
     // scored over candidates from a rank-window on text LENGTH —
     // nothing has to match exactly, records only have to sort nearby;
@@ -3417,6 +3542,137 @@ object TrainingQueries {
          JOIN lab l ON t.doc_id = l.doc_id
          JOIN sz ON l.grp = sz.grp
          GROUP BY t.source ORDER BY t.source""",
+
+    // q191: per corpus vector the best probe by (cos desc, p_id asc);
+    // a row exists iff the best cosine clears tau (best-of-filtered ==
+    // filtered-best since max >= tau whenever any candidate is).
+    "q191_semantic_decon" ->
+      s"""SELECT c_id, p_id, cos FROM (
+           SELECT c.vec_id AS c_id, p.vec_id AS p_id, ${duckCos("p", "c")} AS cos,
+             row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY ${duckCos("p", "c")} DESC, p.vec_id) AS rn
+           FROM embeddings c JOIN embeddings p ON c.vec_id >= 10 AND p.vec_id < 10)
+         WHERE rn = 1 AND cos >= 0.40 ORDER BY c_id""",
+
+    // q192: all nonnegative-cosine pairs, rank both directions, keep
+    // edges nominated from BOTH ends.
+    "q192_mutual_knn" ->
+      s"""$embCte,
+         p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  ${duckCosPre("a", "b")} AS cos
+                FROM n a JOIN n b ON a.vec_id < b.vec_id),
+         pairs AS (SELECT id_a, id_b, cos FROM p0 WHERE cos >= 0.0),
+         directed AS (SELECT id_a AS src, id_b AS dst, cos FROM pairs
+                      UNION ALL SELECT id_b, id_a, cos FROM pairs),
+         knn AS (SELECT src, dst, cos FROM (
+             SELECT src, dst, cos,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+             FROM directed) WHERE rn <= 3)
+         SELECT k.src AS id_a, k.dst AS id_b, k.cos
+         FROM knn k JOIN knn r ON k.src = r.dst AND k.dst = r.src
+         WHERE k.src < k.dst ORDER BY id_a, id_b""",
+
+    // q193: q116's reachability-walk components, origin = min node
+    // (the component label), rolled to (origin_source, dup_source).
+    "q193_dup_origin" ->
+      s"""WITH RECURSIVE $shingleCteBody, $jaccardPairsCte,
+         e AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+         en AS (SELECT DISTINCT x AS node FROM e),
+         walk(node, reach) AS (
+           SELECT node, node FROM en
+           UNION
+           SELECT w.node, e.y FROM walk w JOIN e ON w.reach = e.x),
+         comp AS (SELECT node AS doc_id, min(reach) AS component_id
+                  FROM walk GROUP BY node),
+         lab AS (SELECT c.doc_id, c.component_id, d.source
+                 FROM comp c JOIN documents d USING (doc_id)),
+         orig AS (SELECT component_id, source AS origin_source
+                  FROM lab WHERE doc_id = component_id)
+         SELECT o.origin_source, l.source AS dup_source,
+           count(DISTINCT l.component_id)::BIGINT AS n_clusters,
+           count(*)::BIGINT AS n_docs
+         FROM lab l JOIN orig o USING (component_id)
+         WHERE l.doc_id <> l.component_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q194: q19's token definitions rolled per source; ratios on the
+    // integer 1e-6 grid (floor div, then one exact /1e6).
+    "q194_tokenizer_fertility" ->
+      """WITH s AS (SELECT source,
+           len(string_split(text, ' '))::BIGINT AS n_ws,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe,
+           length(text)::BIGINT AS n_chars
+         FROM documents)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_ws)::BIGINT AS words,
+           sum(n_bpe)::BIGINT AS tokens,
+           sum(n_chars)::BIGINT AS chars,
+           ((sum(n_bpe)::BIGINT * 1000000) // sum(n_ws)::BIGINT) / 1e6 AS fertility,
+           ((sum(n_chars)::BIGINT * 1000000) // sum(n_bpe)::BIGINT) / 1e6 AS chars_per_token
+         FROM s GROUP BY source ORDER BY source""",
+
+    // q195: the q78 gopher pass, q75 blocklist predicate, q51
+    // repetition fractions and q20 quality formula composed per doc,
+    // rolled to per-source fail counts.
+    "q195_quality_signals" ->
+      """WITH t0 AS (SELECT doc_id, source, text, string_split(text, ' ') AS t
+                     FROM documents),
+         g AS (SELECT doc_id,
+             (len(t) >= 50 AND len(t) <= 100000
+              AND floor(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) * 1e6) / 1e6 >= 3.0
+              AND floor(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t) * 1e6) / 1e6 <= 10.0
+              AND floor(len(list_filter(t, x -> NOT regexp_matches(x, '[a-z0-9]')))::DOUBLE / len(t) * 1e6) / 1e6 <= 0.1
+              AND floor(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(t) * 1e6) / 1e6 >= 0.8
+              AND len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x))) >= 2)
+               AS gopher_pass,
+             (len(list_intersect(list_distinct(t), ['window', 'salt', 'bloom'])) = 0)
+               AS block_pass,
+             (floor((0.3 * least(1.0, len(t) / 50)
+                   + 0.3 * len(list_distinct(t))::DOUBLE / len(t)
+                   + 0.2 * least(1.0, (list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t)) / 8)
+                   + 0.2 * len(list_filter(t, x -> list_contains(['the','a','of','in','to','and'], x)))::DOUBLE / len(t))
+                 * 1e6) / 1e6 >= 0.5) AS qual_pass
+           FROM t0),
+         bg AS (SELECT doc_id, unnest(
+             CASE WHEN len(t) < 2 THEN [text]
+                  ELSE list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1])) END) AS gr
+           FROM t0),
+         bc AS (SELECT doc_id, gr, count(*) AS c FROM bg GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             (floor(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c) * 1e6) / 1e6 <= 0.2
+              AND floor(max(c)::DOUBLE / sum(c) * 1e6) / 1e6 <= 0.1) AS rep_pass
+           FROM bc GROUP BY doc_id)
+         SELECT t0.source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN NOT g.gopher_pass THEN 1 ELSE 0 END)::BIGINT AS n_gopher_fail,
+           sum(CASE WHEN NOT g.block_pass THEN 1 ELSE 0 END)::BIGINT AS n_block_fail,
+           sum(CASE WHEN NOT rep.rep_pass THEN 1 ELSE 0 END)::BIGINT AS n_rep_fail,
+           sum(CASE WHEN NOT g.qual_pass THEN 1 ELSE 0 END)::BIGINT AS n_qual_fail,
+           sum(CASE WHEN g.gopher_pass AND g.block_pass AND rep.rep_pass AND g.qual_pass
+                    THEN 1 ELSE 0 END)::BIGINT AS n_keep
+         FROM t0 JOIN g USING (doc_id) JOIN rep USING (doc_id)
+         GROUP BY t0.source ORDER BY t0.source""",
+
+    // q196: q105's quantizer replay at nlist=8, rolled to cell sizes
+    // with integer-grid share and imbalance.
+    "q196_cluster_balance" ->
+      s"""$embCte,
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+                  FROM n ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+         lab AS (SELECT cent_id, cent_emb, cent_nrm,
+                   't' || row_number() OVER (ORDER BY cent_id) AS topic FROM cent),
+         assigned AS (SELECT c_id, topic FROM (
+           SELECT c.vec_id AS c_id, l.topic,
+             row_number() OVER (PARTITION BY c.vec_id ORDER BY
+               round(list_sum(list_transform(range(1, 65), i -> c.emb[i] * l.cent_emb[i]))
+                 / (c.nrm * l.cent_nrm), 6) DESC, l.cent_id) AS rn
+           FROM n c CROSS JOIN lab l) WHERE rn = 1),
+         sizes AS (SELECT topic, count(*)::BIGINT AS n FROM assigned GROUP BY topic),
+         tot AS (SELECT sum(n)::BIGINT AS total, max(n)::BIGINT AS nmax FROM sizes)
+         SELECT s.topic, s.n,
+           ((s.n * 1000000) // t.total) / 1e6 AS share,
+           ((t.nmax * 8 * 1000000) // t.total) / 1e6 AS imbalance
+         FROM sizes s CROSS JOIN tot t ORDER BY s.topic""",
 
     // q188: identical (k, side, id) total order and rank-window
     // candidate rule, same score body as q170.

@@ -146,7 +146,11 @@ object Similarity {
     * codegen'd `array_dot` per plane — no per-row hash evaluation.
     */
   def lshBucket(emb: Column, planes: Int, dim: Int, firstPlane: Int = 0): Column =
-    (0 until planes).map { p =>
+    // planes = 0 is the degenerate single bucket (exact-recall mode:
+    // every row collides; useful as the candidates = all-pairs base
+    // case specs compare the banded paths against)
+    if (planes == 0) lit(0L)
+    else (0 until planes).map { p =>
       when(dot(emb, typedLit(hyperplane(firstPlane + p, dim).toSeq)) > 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
@@ -526,6 +530,85 @@ object Similarity {
       .withColumn("cos", cosineWithNorms(col("emb_a"), col("emb_b"), col("n_a"), col("n_b")))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Semantic (embedding-space) benchmark decontamination — the
+    * paraphrase-robust sibling of the lexical n-gram probe
+    * (`Dedup.contaminationMatches`): a corpus document is contaminated
+    * if any eval-set embedding sits within `tau` cosine of it, even
+    * when no 13-gram survives the rewording. Returns one row per
+    * contaminated corpus id with its best-matching probe:
+    * (c_id, p_id, cos), best = (cos desc, p_id asc).
+    *
+    * Scale shape: eval benchmarks are tiny next to a 100 TB corpus, so
+    * `probes` broadcasts and the corpus is scanned ONCE map-side (a
+    * BroadcastNestedLoopJoin that never shuffles the corpus); the
+    * `cos >= tau` filter runs before the aggregate, so the one
+    * exchange carries only contaminated candidates — at a sane `tau`
+    * a sliver of the corpus. The argmax is a plain struct-max
+    * aggregate (map-side partials), not a window.
+    */
+  def semanticContamination(
+      probes: DataFrame, // (p_id, p_emb: array<double>)
+      corpus: DataFrame, // (c_id, c_emb: array<double>)
+      tau: Double): DataFrame = {
+    val p = probes.withColumn("p_norm", norm(col("p_emb")))
+    val c = corpus.withColumn("c_norm", norm(col("c_emb")))
+    c.crossJoin(broadcast(p))
+      .withColumn("cos", cosineWithNorms(
+        col("p_emb"), col("c_emb"), col("p_norm"), col("c_norm")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("c_id"))
+      .agg(max(struct(col("cos"), (-col("p_id")).as("np"), col("p_id"))).as("best"))
+      .select(col("c_id"), col("best.p_id").as("p_id"), col("best.cos").as("cos"))
+  }
+
+  /** Drop every corpus row flagged by [[semanticContamination]] — one
+    * left-anti join on the id; the corpus-sized side never builds a
+    * hash table (the matches side is the small build side).
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, idCol: String, matches: DataFrame): DataFrame = {
+    // rename before the join: idCol is usually "c_id" itself
+    val m = matches.select(col("c_id").as("__contam_id"))
+    corpus.join(m, corpus(idCol) === col("__contam_id"), "left_anti")
+  }
+
+  /** Mutual-kNN graph over candidate pairs: directed k-nearest edges
+    * per node, kept only when BOTH endpoints nominate each other — the
+    * standard noise-robust input to density clustering (mutual-kNN
+    * keeps cluster cores connected while severing hub/boilerplate
+    * shortcuts a plain kNN graph rides through). Output one row per
+    * mutual edge: (id_a < id_b, cos).
+    *
+    * `candidates` = symmetric scored pairs (id_a < id_b, cos), each
+    * unordered pair once — at corpus scale feed [[cosinePairsLsh]]
+    * output (bounded-key equi-join, nothing quadratic); with
+    * `candidates = None` the exact all-pairs baseline
+    * ([[cosinePairsExact]] at tau) is used, the oracle form.
+    *
+    * Shuffle shape: pair volume is candidate-bounded; the per-node
+    * rank is a window over that bounded edge list (never the corpus),
+    * and the mutuality test is a self equi-join on the k·n directed
+    * survivors.
+    */
+  def mutualKnnGraph(
+      df: DataFrame, idCol: String, embCol: String, k: Int,
+      tau: Double = 0.0,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val pairs = candidates.getOrElse(cosinePairsExact(df, idCol, embCol, tau))
+    val directed = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    val knn = directed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cos"))
+    val rev = knn.select(col("dst").as("src"), col("src").as("dst"))
+    knn.join(rev, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("cos"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

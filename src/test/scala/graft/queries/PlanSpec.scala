@@ -760,4 +760,53 @@ class PlanSpec extends SparkSpec {
     val filters = p.linesIterator.count(_.contains("Filter"))
     assert(filters >= 2, "sample gates missing from the per-side pipelines")
   }
+
+  test("q191: probes broadcast into a map-side scan; the corpus never sort-merges") {
+    val p = plan("q191_semantic_decon")
+    // the probe fan-out is a BroadcastNestedLoopJoin BY DESIGN (tiny
+    // eval set × corpus); what must never appear is a corpus-sized
+    // shuffle join or cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "probe set should broadcast into the corpus scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus is being shuffled for the probe join")
+    // the tau gate must run before the argmax exchange
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      "argmax must combine map-side")
+  }
+
+  test("q192/q193: graph compositions keep windows partitioned; origin join broadcasts") {
+    val p192 = plan("q192_mutual_knn")
+    val bad = p192.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")).toList
+    assert(bad.isEmpty, s"q192 has unpartitioned windows: $bad")
+    val p193 = plan("q193_dup_origin")
+    assert(!p193.contains("CartesianProduct"), "q193 has a cartesian")
+    assert(p193.contains("BroadcastHashJoin"),
+      "cluster-origin join should broadcast the component-sized side")
+  }
+
+  test("q194: fertility report is one map-side-partial aggregate — no join, no window") {
+    val p = plan("q194_tokenizer_fertility")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "fertility rollup must combine map-side")
+  }
+
+  test("q195: tagger bundle has no cartesian and combines map-side") {
+    val p = plan("q195_quality_signals")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "rule bundle should be doc-keyed only")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-source rollup must combine map-side")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")).toList
+    assert(bad.isEmpty, s"unpartitioned windows: $bad")
+  }
+
+  test("q196: quantizer report never sort-merges — centroid and totals sides broadcast") {
+    val p = plan("q196_cluster_balance")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "cell-size report shuffled a join it should broadcast")
+  }
 }

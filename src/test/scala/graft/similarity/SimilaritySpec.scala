@@ -586,4 +586,62 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(run(corpus) == run(corpus.repartition(13)))
   }
+
+  test("semanticContamination flags paraphrase-close corpus rows with their best probe; decontaminate drops exactly those") {
+    val s = spark
+    import s.implicits._
+    // probe 0 ≈ corpus 10 (same direction, different magnitude — the
+    // "paraphrase" no 13-gram test catches); probe 1 ties corpus 12
+    // between two probes (p_id asc breaks); corpus 11 is orthogonal.
+    val probes = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0))).toDF("p_id", "p_emb")
+    val corpus = Seq(
+      (10L, Seq(5.0, 0.1, 0.0)), // cos vs p0 ≈ 0.9998
+      (11L, Seq(0.0, 0.0, 1.0)), // orthogonal to both
+      (12L, Seq(1.0, 1.0, 0.0))) // cos 0.707107 vs BOTH probes — tie
+      .toDF("c_id", "c_emb")
+    val got = Similarity.semanticContamination(probes, corpus, tau = 0.5)
+      .orderBy(col("c_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(x => (x._1, x._2)) === Seq((10L, 0L), (12L, 0L)),
+      s"got $got")
+    assert(got(1)._3 === 0.707107)
+    val kept = Similarity.semanticDecontaminate(corpus, "c_id",
+        Similarity.semanticContamination(probes, corpus, tau = 0.5))
+      .select("c_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(11L))
+  }
+
+  test("mutualKnnGraph: hub edges without reciprocation are severed; LSH candidates reproduce the exact graph on separable data") {
+    val s = spark
+    import s.implicits._
+    // Two tight clusters + one hub that everyone ranks low: at k=1
+    // each cluster member nominates its twin (mutual), the hub
+    // nominates SOMEONE but is nominated by no one — its edges must
+    // vanish from the mutual graph.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.01, 0.0)), // twin of 1
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(0.01, 0.99, 0.0)), // twin of 3
+      (5L, Seq(0.6, 0.6, 0.3))) // hub: moderately close to all
+      .toDF("vec_id", "emb")
+    val got = Similarity.mutualKnnGraph(emb, "vec_id", "emb", k = 1)
+      .orderBy(col("id_a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (3L, 4L)), s"got $got")
+    // scale path: candidates from the LSH bucket equi-join instead of
+    // the cross join — identical graph when recall holds (k=2 widens
+    // each node's list past the hub, exercising rank + mutuality)
+    val exact = Similarity.mutualKnnGraph(emb, "vec_id", "emb", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Similarity.cosinePairsLsh(
+      emb.select(col("vec_id"), col("emb").cast("array<double>").as("emb")),
+      "vec_id", "emb", tau = 0.0, dim = 3, planesPerBand = 0, bands = 1)
+    val viaLsh = Similarity.mutualKnnGraph(emb, "vec_id", "emb", k = 2,
+        candidates = Some(cand))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh === exact)
+  }
 }
