@@ -333,6 +333,38 @@ object RelationalQueries {
         .orderBy(col("gid"), col("flag"), col("status"))
     }),
 
+    // INTERSECT / EXCEPT set operators: year-over-year customer
+    // retention and churn — the cohort set algebra a dashboard asks
+    // for. Spark plans both as aggregated joins on the key (never a
+    // full-row sort); one labeled union carries the two answers.
+    "q197_set_ops" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      def custs(y: Int) = orders
+        .filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      custs(1995).intersect(custs(1996))
+        .select(col("o_custkey"), lit("retained").as("status"))
+        .unionByName(custs(1995).except(custs(1996))
+          .select(col("o_custkey"), lit("churned").as("status")))
+        .orderBy(col("status"), col("o_custkey"))
+    }),
+
+    // CUBE grouping sets: all four (flag × status) marginals in ONE
+    // Expand-fed hash aggregate — detail, both one-way subtotals, and
+    // the grand total (q89's rollup produces only the prefix chain).
+    "q198_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("gid"), col("sum_price"), col("n"))
+        .orderBy(col("gid"), col("flag"), col("status"))
+    }),
+
     // ntile decile bucketing of users by exact DECIMAL spend; the
     // total (spend desc, user) order makes bucket edges deterministic.
     // Partition-parallel: GlobalRanks replaces the single-task
@@ -946,6 +978,25 @@ object RelationalQueries {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, flag, status""",
+    "q197_set_ops" ->
+      """SELECT o_custkey, 'retained' AS status FROM (
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         UNION ALL
+         SELECT o_custkey, 'churned' AS status FROM (
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         ORDER BY status, o_custkey""",
+    "q198_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           (GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus))::BIGINT AS gid,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY gid, flag, status""",
     "q90_ntile" ->
       """WITH spend AS (

@@ -1421,14 +1421,18 @@ object TrainingQueries {
 
     // Mutual-kNN graph: k-nearest edges kept only when BOTH endpoints
     // nominate each other — the density-clustering input that severs
-    // hub/boilerplate shortcuts a plain kNN graph rides through. Exact
-    // all-pairs candidates here (the oracle baseline); at corpus scale
-    // the same operator takes cosinePairsLsh candidates (spec-checked
-    // equal on separable data).
+    // hub/boilerplate shortcuts a plain kNN graph rides through.
+    // Candidates come from the banded LSH equi-join (the scale path —
+    // nothing quadratic is planned; the oracle replays the SAME bands
+    // from the public md5 plane derivation, q48's pinned shape);
+    // exact-candidate equality is spec-checked on separable data.
     "q192_mutual_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      Similarity.mutualKnnGraph(emb, "vec_id", "emb", k = 3, tau = 0.0)
+      val cand = Similarity.cosinePairsLsh(emb, "vec_id", "emb", tau = 0.0,
+        dim = 64, planesPerBand = 6, bands = 16)
+      Similarity.mutualKnnGraph(emb, "vec_id", "emb", k = 3, tau = 0.0,
+        candidates = Some(cand))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1525,6 +1529,37 @@ object TrainingQueries {
           (expr("(n * 1000000L) div total") / lit(1e6)).as("share"),
           (expr("(nmax * 8 * 1000000L) div total") / lit(1e6)).as("imbalance"))
         .orderBy(col("topic"))
+    }),
+
+    // Zipf slope per source: OLS of ln(freq) on ln(rank) over each
+    // source's top-64 words — natural text sits near −1; templated or
+    // machine-generated sources bend away (flat head = boilerplate,
+    // steep = tiny effective vocabulary). Log points quantized to the
+    // int64 1e-6 grid (q92/q149's fixed-ln discipline), moments summed
+    // exactly, ONE final double slope expression — order- and
+    // partition-free. Per-source rank window over the vocab-keyed
+    // count table, never the corpus.
+    "q199_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = t(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val win = Window.partitionBy(col("source")).orderBy(col("c").desc, col("w"))
+      val pts = words.withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 64)
+        .select(col("source"),
+          floor(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+          floor(log(col("c").cast("double")) * 1e6).cast("long").as("y"))
+      pts.groupBy(col("source")).agg(
+          count(lit(1)).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("k"),
+          round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("slope"))
+        .orderBy(col("source"))
     }),
 
     // Sorted-neighborhood blocking (merge/purge): the SAME linkage
@@ -3554,13 +3589,21 @@ object TrainingQueries {
            FROM embeddings c JOIN embeddings p ON c.vec_id >= 10 AND p.vec_id < 10)
          WHERE rn = 1 AND cos >= 0.40 ORDER BY c_id""",
 
-    // q192: all nonnegative-cosine pairs, rank both directions, keep
+    // q192: q48's banded-bucket candidate generation (same md5 plane
+    // literals), nonnegative-cosine gate, rank both directions, keep
     // edges nominated from BOTH ends.
     "q192_mutual_knn" ->
       s"""$embCte,
-         p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         bk AS (SELECT vec_id, emb, nrm, [${
+        (0 until 16).map(b =>
+          (0 until 6).map(j => planeBitSql(6 * b + j, 1L << j)).mkString(" + ") +
+            s" + ${b.toLong << 6}::BIGINT")
+          .mkString(", ")
+      }] AS bk FROM n)
+         , p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   ${duckCosPre("a", "b")} AS cos
-                FROM n a JOIN n b ON a.vec_id < b.vec_id),
+                FROM bk a JOIN bk b
+                  ON a.vec_id < b.vec_id AND list_has_any(a.bk, b.bk)),
          pairs AS (SELECT id_a, id_b, cos FROM p0 WHERE cos >= 0.0),
          directed AS (SELECT id_a AS src, id_b AS dst, cos FROM pairs
                       UNION ALL SELECT id_b, id_a, cos FROM pairs),
@@ -3673,6 +3716,28 @@ object TrainingQueries {
            ((s.n * 1000000) // t.total) / 1e6 AS share,
            ((t.nmax * 8 * 1000000) // t.total) / 1e6 AS imbalance
          FROM sizes s CROSS JOIN tot t ORDER BY s.topic""",
+
+    // q199: identical rank rule, 1e-6 ln grid and single slope
+    // expression.
+    "q199_zipf_slope" ->
+      """WITH wc AS (SELECT source, w, count(*)::BIGINT AS c FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1, 2),
+         ranked AS (SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rank
+           FROM wc),
+         pts AS (SELECT source,
+             floor(ln(rank::DOUBLE) * 1e6)::BIGINT AS x,
+             floor(ln(c::DOUBLE) * 1e6)::BIGINT AS y
+           FROM ranked WHERE rank <= 64),
+         m AS (SELECT source, count(*)::BIGINT AS k,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+           FROM pts GROUP BY source)
+         SELECT source, k,
+           round((k * sxy - sx * sy)::DOUBLE / (k * sxx - sx * sx)::DOUBLE, 6)
+             AS slope
+         FROM m ORDER BY source""",
 
     // q188: identical (k, side, id) total order and rank-window
     // candidate rule, same score body as q170.

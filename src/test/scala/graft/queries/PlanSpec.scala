@@ -809,4 +809,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "cell-size report shuffled a join it should broadcast")
   }
+
+  test("q197/q198: set ops plan as aggregated key joins; cube is one Expand-fed aggregate") {
+    val p197 = plan("q197_set_ops")
+    assert(!p197.contains("CartesianProduct") && !p197.contains("BroadcastNestedLoopJoin"),
+      "set ops must stay key joins")
+    val p198 = plan("q198_cube")
+    assert(p198.contains("Expand"), "cube should plan through Expand")
+    assert(p198.contains("partial_sum") || p198.contains("partial_count"),
+      "cube aggregate must combine map-side")
+    assert(!p198.contains("Join"), "cube needs no join")
+  }
+
+  test("q199: zipf ranking windows are per-source; no cartesian") {
+    val p = plan("q199_zipf_slope")
+    val bad = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")).toList
+    assert(bad.isEmpty, s"unpartitioned windows: $bad")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
