@@ -56,6 +56,9 @@ import graft.text.{Pii, Vocab}
   *   searchIndexBuild/searchIndexQuery  on-disk BM25 inverted index
   *   cdc         content-defined chunking for chunk-store dedup
   *   canary      one-pass multi-pattern blocklist/canary scan
+  *   semdecon    drop corpus rows near ANY eval embedding (semantic)
+  *   knnGraph    mutual-kNN edge list over banded-LSH candidates
+  *   taggers     per-doc quality-signal flags + all-gates keep
   *
   * Every stage is deterministic (content-keyed, no RNG), so re-running
   * a command overwrites with identical output — crash-and-rerun safe
@@ -484,4 +487,67 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
     write(read(in).select(col(idCol),
       org.apache.spark.sql.functions.explode(
         graft.functions.AcFunctions.multiContains(col(textCol), patterns)).as("pat")), out)
+
+  /** Semantic decontamination ([[graft.similarity.Similarity
+    * .semanticContamination]]): drop corpus rows within `tau` cosine
+    * of ANY probe (eval-set) embedding — the paraphrase-robust
+    * counterpart of `decontam`. Both dirs are (id, embedding) parquet;
+    * survivors of the corpus dir are written unchanged.
+    */
+  def semdecon(corpusIn: String, probesIn: String, out: String,
+      embIdCol: String = "vec_id", embCol: String = "embedding",
+      tau: Double = 0.9): Long = {
+    val corpus = read(corpusIn)
+    val c = corpus.select(col(embIdCol).as("c_id"),
+      col(embCol).cast("array<double>").as("c_emb"))
+    val p = read(probesIn).select(col(embIdCol).as("p_id"),
+      col(embCol).cast("array<double>").as("p_emb"))
+    val matches = graft.similarity.Similarity.semanticContamination(p, c, tau)
+    write(graft.similarity.Similarity.semanticDecontaminate(
+      corpus, embIdCol, matches), out)
+  }
+
+  /** Mutual-kNN graph ([[graft.similarity.Similarity.mutualKnnGraph]]
+    * over banded-LSH candidates): the noise-robust edge list density
+    * clustering and the graph commands consume; writes
+    * (id_a, id_b, cos).
+    */
+  def knnGraph(embIn: String, out: String, k: Int = 3, tau: Double = 0.0,
+      embIdCol: String = "vec_id", embCol: String = "embedding",
+      dim: Int = 64): Long = {
+    val emb = read(embIn).select(col(embIdCol),
+      col(embCol).cast("array<double>").as("__emb"))
+    val cand = graft.similarity.Similarity.cosinePairsLsh(
+      emb, embIdCol, "__emb", tau, dim)
+    write(graft.similarity.Similarity.mutualKnnGraph(
+      emb, embIdCol, "__emb", k, tau, candidates = Some(cand)), out)
+  }
+
+  /** Quality-signals tagger table (the q195 bundle at document grain):
+    * per-doc gopher/blocklist/repetition/quality pass flags + the
+    * all-gates keep — the audit table a filtering decision is made
+    * from (the per-source rollup is one groupBy away).
+    */
+  def taggers(in: String, out: String,
+      blocklist: Seq[String] = Seq.empty,
+      minQuality: Double = 0.5,
+      maxDupFrac: Double = 0.2, maxTopFrac: Double = 0.1): Long = {
+    import graft.text.{Repetition, TextFunctions}
+    val docs = read(in)
+    val rep = Repetition.repetitionStats(docs, idCol, textCol, n = 2)
+      .select(col(idCol),
+        (col("dup_gram_frac") <= maxDupFrac &&
+          col("top_gram_frac") <= maxTopFrac).as("rep_pass"))
+    val blockPass =
+      if (blocklist.isEmpty) org.apache.spark.sql.functions.lit(true)
+      else !TextFunctions.containsBlocklisted(col(textCol), blocklist)
+    val flags = docs.select(col(idCol),
+        TextFunctions.gopherStats(col(textCol)).getField("pass").as("gopher_pass"),
+        blockPass.as("block_pass"),
+        (TextFunctions.qualityScore(col(textCol)) >= minQuality).as("qual_pass"))
+      .join(rep, Seq(idCol))
+    write(flags.withColumn("keep",
+      col("gopher_pass") && col("block_pass") &&
+        col("rep_pass") && col("qual_pass")), out)
+  }
 }

@@ -376,4 +376,44 @@ class TrainCliSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(hits == Set((1L, 0), (2L, 0), (3L, 1)))
   }
+
+  test("semdecon, knnGraph, taggers commands round-trip through parquet") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli").toString
+    val cli = new TrainCli(spark)
+
+    // corpus: 10 ≈ probe direction (contaminated), 11 orthogonal,
+    // 12/13 a tight mutual pair
+    Seq(
+      (10L, Seq(5.0f, 0.1f, 0.0f)),
+      (11L, Seq(0.0f, 0.0f, 1.0f)),
+      (12L, Seq(1.0f, 1.0f, 0.0f)),
+      (13L, Seq(0.99f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$root/emb")
+    Seq((0L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$root/probes")
+
+    assert(cli.semdecon(s"$root/emb", s"$root/probes", s"$root/clean",
+      tau = 0.9) === 3L)
+    val kept = spark.read.parquet(s"$root/clean")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 12L, 13L))
+
+    assert(cli.knnGraph(s"$root/emb", s"$root/edges", k = 1, dim = 3) >= 1L)
+    val edges = spark.read.parquet(s"$root/edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((12L, 13L)), s"tight pair missing: $edges")
+
+    Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog " * 8).trim),
+      (2L, ("spam spam spam spam spam spam spam spam " * 8).trim))
+      .toDF("doc_id", "text").write.parquet(s"$root/docs")
+    assert(cli.taggers(s"$root/docs", s"$root/flags") === 2L)
+    val keep = spark.read.parquet(s"$root/flags")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(!keep(2L), "pure repetition must fail the tagger bundle")
+    assert(spark.read.parquet(s"$root/flags").columns.toSet ===
+      Set("doc_id", "gopher_pass", "block_pass", "qual_pass", "rep_pass", "keep"))
+  }
 }
