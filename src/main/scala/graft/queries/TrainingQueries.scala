@@ -1531,6 +1531,33 @@ object TrainingQueries {
         .orderBy(col("topic"))
     }),
 
+    // Embedding health check — the validation gate before vectors
+    // reach an index: per label, dimension mismatches, non-finite and
+    // zero norms (either poisons cosine), and the norm spread on the
+    // int64 1e-6 grid (a collapsed norm distribution = a dead
+    // encoder). Map-side norms, one aggregate.
+    "q200_embedding_health" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      val nrm = Similarity.norm(col("emb"))
+      val rows = emb.select(col("label"), size(col("emb")).as("d"),
+        (isnan(nrm) || nrm === lit(Double.PositiveInfinity)).as("bad"),
+        floor(nrm * lit(1e6) + lit(0.5)).cast("long").as("fx"))
+      rows.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d") =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+          sum(when(col("fx") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min(col("fx")).as("__mn"), max(col("fx")).as("__mx"),
+          sum(col("fx")).as("__s"))
+        .select(col("label"), col("n"), col("n_bad_dim"),
+          col("n_nonfinite"), col("n_zero"),
+          (col("__mn") / lit(1e6)).as("min_norm"),
+          (col("__mx") / lit(1e6)).as("max_norm"),
+          (expr("__s div n") / lit(1e6)).as("mean_norm"))
+        .orderBy(col("label"))
+    }),
+
     // Zipf slope per source: OLS of ln(freq) on ln(rank) over each
     // source's top-64 words — natural text sits near −1; templated or
     // machine-generated sources bend away (flat head = boilerplate,
@@ -3716,6 +3743,27 @@ object TrainingQueries {
            ((s.n * 1000000) // t.total) / 1e6 AS share,
            ((t.nmax * 8 * 1000000) // t.total) / 1e6 AS imbalance
          FROM sizes s CROSS JOIN tot t ORDER BY s.topic""",
+
+    // q200: same norm fold as duckCos, scaled-floor grid, integer
+    // rollup.
+    "q200_embedding_health" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS emb
+                    FROM embeddings),
+         nn AS (SELECT label, len(emb) AS d,
+                  sqrt(list_sum(list_transform(range(1, len(emb)+1),
+                    i -> emb[i] * emb[i]))) AS nrm
+                FROM e),
+         fx AS (SELECT label, d, isfinite(nrm) AS fin,
+                  floor(nrm * 1e6 + 0.5)::BIGINT AS fx
+                FROM nn)
+         SELECT label, count(*)::BIGINT AS n,
+           sum(CASE WHEN d <> 64 THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
+           sum(CASE WHEN NOT fin THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+           sum(CASE WHEN fx = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+           min(fx) / 1e6 AS min_norm,
+           max(fx) / 1e6 AS max_norm,
+           (sum(fx) // count(*)) / 1e6 AS mean_norm
+         FROM fx GROUP BY label ORDER BY label""",
 
     // q199: identical rank rule, 1e-6 ln grid and single slope
     // expression.

@@ -828,4 +828,11 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unpartitioned windows: $bad")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q200: embedding health is one map-side-partial aggregate — no join, no window") {
+    val p = plan("q200_embedding_health")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "health rollup must combine map-side")
+  }
 }
