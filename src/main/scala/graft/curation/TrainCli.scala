@@ -523,31 +523,20 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
       emb, embIdCol, "__emb", k, tau, candidates = Some(cand)), out)
   }
 
-  /** Quality-signals tagger table (the q195 bundle at document grain):
+  /** Quality-signals tagger table (the q195 bundle at document grain,
+    * ONE shared definition — [[graft.text.QualityGates.qualityFlags]]):
     * per-doc gopher/blocklist/repetition/quality pass flags + the
     * all-gates keep — the audit table a filtering decision is made
-    * from (the per-source rollup is one groupBy away).
+    * from (the per-source rollup is one groupBy away). Total on any
+    * input: an unauditable (NULL-text) doc keeps its row with
+    * keep=false instead of vanishing.
     */
   def taggers(in: String, out: String,
       blocklist: Seq[String] = Seq.empty,
       minQuality: Double = 0.5,
-      maxDupFrac: Double = 0.2, maxTopFrac: Double = 0.1): Long = {
-    import graft.text.{Repetition, TextFunctions}
-    val docs = read(in)
-    val rep = Repetition.repetitionStats(docs, idCol, textCol, n = 2)
-      .select(col(idCol),
-        (col("dup_gram_frac") <= maxDupFrac &&
-          col("top_gram_frac") <= maxTopFrac).as("rep_pass"))
-    val blockPass =
-      if (blocklist.isEmpty) org.apache.spark.sql.functions.lit(true)
-      else !TextFunctions.containsBlocklisted(col(textCol), blocklist)
-    val flags = docs.select(col(idCol),
-        TextFunctions.gopherStats(col(textCol)).getField("pass").as("gopher_pass"),
-        blockPass.as("block_pass"),
-        (TextFunctions.qualityScore(col(textCol)) >= minQuality).as("qual_pass"))
-      .join(rep, Seq(idCol))
-    write(flags.withColumn("keep",
-      col("gopher_pass") && col("block_pass") &&
-        col("rep_pass") && col("qual_pass")), out)
-  }
+      maxDupFrac: Double = 0.2, maxTopFrac: Double = 0.1): Long =
+    write(graft.text.QualityGates.qualityFlags(
+        read(in), idCol, textCol, blocklist, minQuality, maxDupFrac, maxTopFrac)
+      .select(col(idCol), col("gopher_pass"), col("block_pass"),
+        col("qual_pass"), col("rep_pass"), col("keep")), out)
 }

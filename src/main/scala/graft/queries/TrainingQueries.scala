@@ -1489,16 +1489,9 @@ object TrainingQueries {
     // rolled to per-source fail counts + the all-gates keep count. The
     // dataset-card page that says WHERE each source loses its mass.
     "q195_quality_signals" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val rep = Repetition.repetitionStats(docs, "doc_id", "text", n = 2)
-        .select(col("doc_id"),
-          (col("dup_gram_frac") <= 0.2 && col("top_gram_frac") <= 0.1).as("rep_pass"))
-      val flags = docs.select(col("doc_id"), col("source"),
-          TextFunctions.gopherStats(col("text")).getField("pass").as("gopher_pass"),
-          (!TextFunctions.containsBlocklisted(col("text"),
-            Seq("window", "salt", "bloom"))).as("block_pass"),
-          (TextFunctions.qualityScore(col("text")) >= 0.5).as("qual_pass"))
-        .join(rep, "doc_id")
+      val flags = graft.text.QualityGates.qualityFlags(
+        t(s, dir, "documents"), "doc_id", "text",
+        blocklist = Seq("window", "salt", "bloom"))
       def fails(c: org.apache.spark.sql.Column) =
         sum(when(!c, 1L).otherwise(0L))
       flags.groupBy(col("source"))
@@ -1507,8 +1500,7 @@ object TrainingQueries {
           fails(col("block_pass")).as("n_block_fail"),
           fails(col("rep_pass")).as("n_rep_fail"),
           fails(col("qual_pass")).as("n_qual_fail"),
-          sum(when(col("gopher_pass") && col("block_pass") &&
-            col("rep_pass") && col("qual_pass"), 1L).otherwise(0L)).as("n_keep"))
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
         .orderBy(col("source"))
     }),
 
@@ -1540,21 +1532,28 @@ object TrainingQueries {
       val emb = t(s, dir, "embeddings")
         .select(col("label"), col("embedding").cast("array<double>").as("emb"))
       val nrm = Similarity.norm(col("emb"))
+      val bad = isnan(nrm) || nrm === lit(Double.PositiveInfinity)
+      // fx is NULL for non-finite norms: the grid cast would throw
+      // under ANSI (and poison min/max/mean otherwise) on exactly the
+      // rows this gate exists to count; aggregates skip NULLs in both
+      // engines, so the spread describes the finite population
       val rows = emb.select(col("label"), size(col("emb")).as("d"),
-        (isnan(nrm) || nrm === lit(Double.PositiveInfinity)).as("bad"),
-        floor(nrm * lit(1e6) + lit(0.5)).cast("long").as("fx"))
+        bad.as("bad"),
+        when(bad, lit(null))
+          .otherwise(floor(nrm * lit(1e6) + lit(0.5)).cast("long")).as("fx"))
       rows.groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("d") =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
           sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
           sum(when(col("fx") === 0L, 1L).otherwise(0L)).as("n_zero"),
           min(col("fx")).as("__mn"), max(col("fx")).as("__mx"),
-          sum(col("fx")).as("__s"))
+          sum(col("fx")).as("__s"), count(col("fx")).as("__c"))
         .select(col("label"), col("n"), col("n_bad_dim"),
           col("n_nonfinite"), col("n_zero"),
           (col("__mn") / lit(1e6)).as("min_norm"),
           (col("__mx") / lit(1e6)).as("max_norm"),
-          (expr("__s div n") / lit(1e6)).as("mean_norm"))
+          (when(col("__c") === 0L, lit(null))
+            .otherwise(expr("__s div __c")) / lit(1e6)).as("mean_norm"))
         .orderBy(col("label"))
     }),
 
@@ -1583,8 +1582,13 @@ object TrainingQueries {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
         .select(col("source"), col("k"),
-          round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          // NULL for a degenerate source (one rank point → zero
+          // x-variance): Spark's 0.0/0.0 is NaN where DuckDB's is
+          // NULL, so the guard is what keeps the engines in agreement
+          when(col("k") * col("sxx") - col("sx") * col("sx") === 0L, lit(null))
+            .otherwise(round(
+              (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
             .as("slope"))
         .orderBy(col("source"))
     }),
@@ -3709,18 +3713,19 @@ object TrainingQueries {
                   ELSE list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1])) END) AS gr
            FROM t0),
          bc AS (SELECT doc_id, gr, count(*) AS c FROM bg GROUP BY 1, 2),
-         rep AS (SELECT doc_id,
+         rep0 AS (SELECT doc_id,
              (floor(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c) * 1e6) / 1e6 <= 0.2
               AND floor(max(c)::DOUBLE / sum(c) * 1e6) / 1e6 <= 0.1) AS rep_pass
            FROM bc GROUP BY doc_id)
          SELECT t0.source, count(*)::BIGINT AS n_docs,
            sum(CASE WHEN NOT g.gopher_pass THEN 1 ELSE 0 END)::BIGINT AS n_gopher_fail,
            sum(CASE WHEN NOT g.block_pass THEN 1 ELSE 0 END)::BIGINT AS n_block_fail,
-           sum(CASE WHEN NOT rep.rep_pass THEN 1 ELSE 0 END)::BIGINT AS n_rep_fail,
+           sum(CASE WHEN NOT coalesce(rep0.rep_pass, true) THEN 1 ELSE 0 END)::BIGINT AS n_rep_fail,
            sum(CASE WHEN NOT g.qual_pass THEN 1 ELSE 0 END)::BIGINT AS n_qual_fail,
-           sum(CASE WHEN g.gopher_pass AND g.block_pass AND rep.rep_pass AND g.qual_pass
+           sum(CASE WHEN g.gopher_pass AND g.block_pass
+                     AND coalesce(rep0.rep_pass, true) AND g.qual_pass
                     THEN 1 ELSE 0 END)::BIGINT AS n_keep
-         FROM t0 JOIN g USING (doc_id) JOIN rep USING (doc_id)
+         FROM t0 JOIN g USING (doc_id) LEFT JOIN rep0 USING (doc_id)
          GROUP BY t0.source ORDER BY t0.source""",
 
     // q196: q105's quantizer replay at nlist=8, rolled to cell sizes
@@ -3754,7 +3759,8 @@ object TrainingQueries {
                     i -> emb[i] * emb[i]))) AS nrm
                 FROM e),
          fx AS (SELECT label, d, isfinite(nrm) AS fin,
-                  floor(nrm * 1e6 + 0.5)::BIGINT AS fx
+                  CASE WHEN isfinite(nrm)
+                       THEN floor(nrm * 1e6 + 0.5)::BIGINT END AS fx
                 FROM nn)
          SELECT label, count(*)::BIGINT AS n,
            sum(CASE WHEN d <> 64 THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
@@ -3762,7 +3768,8 @@ object TrainingQueries {
            sum(CASE WHEN fx = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
            min(fx) / 1e6 AS min_norm,
            max(fx) / 1e6 AS max_norm,
-           (sum(fx) // count(*)) / 1e6 AS mean_norm
+           CASE WHEN count(fx) > 0
+                THEN (sum(fx) // count(fx)) / 1e6 END AS mean_norm
          FROM fx GROUP BY label ORDER BY label""",
 
     // q199: identical rank rule, 1e-6 ln grid and single slope

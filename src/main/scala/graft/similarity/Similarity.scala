@@ -596,7 +596,10 @@ object Similarity {
       df: DataFrame, idCol: String, embCol: String, k: Int,
       tau: Double = 0.0,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val pairs = candidates.getOrElse(cosinePairsExact(df, idCol, embCol, tau))
+    // tau applies to SUPPLIED candidates too (a list built once at a
+    // loose threshold can be reused across stricter calls)
+    val pairs = candidates.map(_.filter(col("cos") >= tau))
+      .getOrElse(cosinePairsExact(df, idCol, embCol, tau))
     val directed = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionByName(pairs

@@ -32,8 +32,8 @@ object JoinStreams {
     * Scale shape: the equi-key keeps it a hash join per micro-batch
     * (state store partitioned by key); `within`/`watermark` directly
     * size the state store — at 100 TB/day feeds the horizon IS the
-    * memory budget, so it's a caller-owned parameter, never a default
-    * buried in the plan.
+    * memory budget. The defaults are interactive-scale conveniences:
+    * size both explicitly for a production feed.
     */
   def attributionJoin(
       left: DataFrame,

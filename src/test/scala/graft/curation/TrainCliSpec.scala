@@ -407,12 +407,14 @@ class TrainCliSpec extends SparkSpec {
 
     Seq(
       (1L, ("the quick brown fox jumps over the lazy dog " * 8).trim),
-      (2L, ("spam spam spam spam spam spam spam spam " * 8).trim))
+      (2L, ("spam spam spam spam spam spam spam spam " * 8).trim),
+      (3L, null.asInstanceOf[String])) // unauditable: must NOT vanish
       .toDF("doc_id", "text").write.parquet(s"$root/docs")
-    assert(cli.taggers(s"$root/docs", s"$root/flags") === 2L)
+    assert(cli.taggers(s"$root/docs", s"$root/flags") === 3L)
     val keep = spark.read.parquet(s"$root/flags")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
     assert(!keep(2L), "pure repetition must fail the tagger bundle")
+    assert(!keep(3L), "a NULL-text doc keeps its audit row, rejected")
     assert(spark.read.parquet(s"$root/flags").columns.toSet ===
       Set("doc_id", "gopher_pass", "block_pass", "qual_pass", "rep_pass", "keep"))
   }

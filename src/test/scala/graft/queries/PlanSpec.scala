@@ -770,9 +770,9 @@ class PlanSpec extends SparkSpec {
       "probe set should broadcast into the corpus scan")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "corpus is being shuffled for the probe join")
-    // the tau gate must run before the argmax exchange
-    assert(p.contains("partial_max") || p.contains("partial_"),
-      "argmax must combine map-side")
+    // the argmax must combine map-side (a partial max of the best
+    // struct per c_id), so only contaminated candidates cross the wire
+    assert(p.contains("partial_max"), "argmax must combine map-side")
   }
 
   test("q192/q193: graph compositions keep windows partitioned; origin join broadcasts") {
