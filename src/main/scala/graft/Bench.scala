@@ -17,7 +17,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's artifact is a bounded tail of the
+    // combined output, and r9's nine WindowExec WARN lines landed AFTER
+    // the result line and flooded the window — the whole round's bench
+    // recorded parsed:null over a fully green run. Warnings belong in
+    // Verify/test runs; the bench's stdout contract is ONE json line.
+    spark.sparkContext.setLogLevel("ERROR")
     // Debug aid (mirrors Verify): SPARK_GRAFT_ONLY=q141_...,q23_...
     // times a subset; committed artifacts always come from full runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -71,23 +76,32 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(fullPath, fullLine)
-    // stdout gets a COMPACT line sized for the driver's bounded tail
-    // capture: every BENCH_r{1..8}.json has a 2000-char tail and
-    // parsed:null — the ~3.6 KB full-name map never fit, and sbt's
-    // trailing "[success] Total time" line eats ~70 more chars. Short
-    // keys (the unique qNN prefix) keep 121 queries ≈1.6 KB, so the
-    // whole line survives inside the window; past 1850 chars fall back
-    // to the totals-only line rather than risk mid-line truncation.
-    val shortQs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val compact =
+    // stdout gets the result LAST, after spark.stop(), so no shutdown
+    // log line can land behind it in the driver's bounded tail capture
+    // (r9: WindowExec WARNs after the result line left parsed:null on
+    // a fully green run — fixed both by ERROR log level above and by
+    // making the json line the final output). Two lines are printed:
+    // the FULL per-query map first (for a whole-stdout parser), then a
+    // COMPACT line sized to survive a ~2 KB tail window (short qNN
+    // keys; precision drops 3→2→1 decimals before falling back to the
+    // totals-only line — a mid-line truncation would be unparseable,
+    // so the compact line must fit whole).
+    def fmtP(v: Double, p: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
+    def compactLine(p: Int): String = {
+      val shortQs = results
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmtP(v, p) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedArr,"queries":$shortQs,"queries_file":"${fullPath.toString}","sf":"$sfDir"}"""
-    val line = if (compact.length <= 1850) compact
-      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedArr,"queries_file":"${fullPath.toString}","sf":"$sfDir"}"""
-    println(line)
-    System.out.flush()
+    }
+    val totalsOnly =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedArr,"queries_file":"${fullPath.toString}","sf":"$sfDir"}"""
+    val compact = Seq(3, 2, 1).map(compactLine)
+      .find(_.length <= 1850).getOrElse(totalsOnly)
     spark.stop()
+    println(fullLine)
+    println(compact)
+    System.out.flush()
     // Incomplete coverage IS a run failure: the driver must never
     // record a green artifact over a bench where queries died.
     if (failed.nonEmpty) sys.exit(1)

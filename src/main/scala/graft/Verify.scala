@@ -49,6 +49,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The FULL declared query list, independent of what actually ran:
+    // any artifact shrink (r8's silent 121→116) is machine-detectable
+    // by diffing this against the compare's result set.
+    Files.writeString(Paths.get(s"$outDir/expected_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     // Explicit per-failure record next to the dump, so a crashed query
     // is distinguishable from a never-declared one in the artifact dir.
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),

@@ -38,13 +38,19 @@ object IncrementalAgg {
     * @param value a 2-decimal double measure (money-like); summed as
     *   DECIMAL(38,2) so the state is exact and merge-order-free.
     */
-  def partials(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
+  def partials(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    // merge/finalizeAgg recover the keys as "everything not named like
+    // state" — a group key named n/sum_v/min_v/max_v would be silently
+    // aggregated as state downstream, so fail fast here instead.
+    require(keys.forall(!stateCols.contains(_)),
+      s"group keys ${keys.mkString(",")} collide with reserved state columns ${stateCols.mkString(",")}")
     df.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         sum(value.cast("decimal(38,2)")).as("sum_v"),
         min(value).as("min_v"),
         max(value).as("max_v"))
+  }
 
   /** Fold any number of partial-state frames into one — groups present
     * in several inputs combine exactly; groups in one pass through.

@@ -159,7 +159,12 @@ object BitmapFunctions {
   import GraftBridge.{column => toCol, expression => toExpr}
 
   def bitmap_ids(id: Column): Column =
-    toCol(BitmapIdsAgg(toExpr(id)).toAggregateExpression())
+    // Cast to LongType mirrors the SQL registration in GraftExtensions:
+    // without it an IntegerType id column reaches update()'s
+    // asInstanceOf[Long] and fails at runtime.
+    toCol(BitmapIdsAgg(
+      org.apache.spark.sql.catalyst.expressions.Cast(toExpr(id), LongType)
+    ).toAggregateExpression())
   def bitmap_count(b: Column): Column = toCol(BitmapCount(toExpr(b)))
   def bitmap_and_count(a: Column, b: Column): Column =
     toCol(BitmapAndCount(toExpr(a), toExpr(b)))

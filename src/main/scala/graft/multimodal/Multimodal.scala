@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * that decode with the JDK's own ImageIO (PNG/JPEG/BMP/GIF/TIFF ship
   * with Java 17 — see [[ImageCodec]]) get true pixel-backed metadata,
   * `Graphics2D` resize, raster embeddings, and a pixel-grid
-  * perceptual hash. Only audio/video decode remains STUBBED behind
-  * `FakeCodec` (those codecs genuinely aren't in the JDK), which also
+  * perceptual hash. The AUDIO half is REAL as well: `kind = "audio"`
+  * payloads decode through `javax.sound.sampled` (WAV/AIFF/AU PCM —
+  * see [[AudioCodec]]) into true sample-backed metadata, resampling
+  * and energy-band fingerprints. Only VIDEO decode remains STUBBED
+  * behind `FakeCodec` (no video codec ships with the JDK), which also
   * serves as the deterministic fallback for undecodable payloads.
   *
   * Scale notes: blobs never pass through a shuffle wider than needed —

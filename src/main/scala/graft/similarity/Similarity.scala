@@ -230,7 +230,10 @@ object Similarity {
       .select(col("cent_id"), col("cent_emb"))
       .withColumn("cent_norm", norm(col("cent_emb")))
       .withColumn("topic",
-        concat(lit("t"), row_number().over(Window.orderBy(col("cent_id"))).cast("string")))
+        concat(lit("t"), row_number()
+          // nlist-row frame; zeroKey partition keeps the plan warning-free
+          .over(Window.partitionBy(graft.core.Windows.zeroKey(col("cent_id")))
+            .orderBy(col("cent_id"))).cast("string")))
     val c = corpus.withColumn("c_norm", norm(col("c_emb")))
     graft.core.Joins.lastByKey(
       c.crossJoin(broadcast(labeled))
@@ -966,7 +969,9 @@ object Similarity {
     val seeds = corpus
       .orderBy(md5(col("c_id").cast("string")), col("c_id")).limit(ksub)
       .withColumn("i",
-        row_number().over(Window.orderBy(md5(col("c_id").cast("string")), col("c_id"))))
+        row_number() // ksub-row frame; zeroKey partition = warning-free
+          .over(Window.partitionBy(graft.core.Windows.zeroKey(col("c_id")))
+            .orderBy(md5(col("c_id").cast("string")), col("c_id"))))
     seeds
       .select(col("i"), explode(array((1 to m).map(lit): _*)).as("j"), col("c_emb"))
       .select(col("j"), col("i"),

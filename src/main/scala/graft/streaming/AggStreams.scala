@@ -36,8 +36,10 @@ object AggStreams {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
     else {
+      // strict v<digits> match: a stray non-numeric entry (editor
+      // backup, copy artifact) must not crash every state read.
       val vs = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
       if (vs.isEmpty) None else Some(vs.max)
     }
   }

@@ -30,7 +30,7 @@ object SketchStreams {
     if (!fs.exists(dir)) None
     else {
       val vs = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
       if (vs.isEmpty) None else Some(vs.max)
     }
   }
@@ -45,7 +45,11 @@ object SketchStreams {
     * window over a state-sized (not stream-sized) frame.
     */
   private[streaming] def reduceSummary(counts: DataFrame, capacity: Int): DataFrame = {
-    val w = Window.orderBy(col("c").desc, col("token"))
+    // zeroKey: same single-partition evaluation the frame needs (it is
+    // state-sized by construction) without WindowExec's no-partition
+    // WARN polluting the bench/driver output tail.
+    val w = Window.partitionBy(graft.core.Windows.zeroKey(col("token")))
+      .orderBy(col("c").desc, col("token"))
     val ranked = counts.withColumn("__rk", row_number().over(w))
     val sub = ranked.agg(
       coalesce(max(when(col("__rk") === capacity + 1, col("c"))), lit(0L))

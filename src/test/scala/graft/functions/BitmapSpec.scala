@@ -25,6 +25,16 @@ class BitmapSpec extends SparkSpec {
     assert(java.util.Arrays.equals(b1, b2))
   }
 
+  test("bitmap_ids Column API accepts non-Long integral ids (casts like the SQL path)") {
+    // Regression: the Column entry point used to skip the Cast the SQL
+    // registration applies, so an IntegerType id crashed update()'s
+    // asInstanceOf[Long] at runtime.
+    val n = Seq(1, 2, 3, 2).toDF("id") // IntegerType
+      .agg(bitmap_ids(col("id")).as("bm"))
+      .select(bitmap_count(col("bm"))).head().getLong(0)
+    assert(n === 3L)
+  }
+
   test("set algebra kernels: and/or/andnot counts") {
     val a = java.util.BitSet.valueOf(Array.empty[Long])
     Seq(1, 2, 3, 100).foreach(a.set)

@@ -835,4 +835,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       "health rollup must combine map-side")
   }
+
+  test("tripwire: NO query plans an unpartitioned Window (the r9 bench-tail WARN source)") {
+    // Every deliberately-bounded single-partition window must carry the
+    // non-foldable Windows.zeroKey partition key — an empty partition
+    // spec in the OPTIMIZED plan both degrades at scale (all rows to
+    // one task) and sprays "WindowExec: No Partition Defined" WARNs
+    // over the driver's bounded output capture (which cost round 9 its
+    // bench artifact). Checked over the optimized logical plan of all
+    // declared queries, so a new query can't reintroduce the hazard.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with unpartitioned windows: ${offenders.mkString(", ")}")
+  }
 }
