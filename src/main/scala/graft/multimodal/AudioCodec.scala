@@ -10,8 +10,9 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   * the media plane, the same move [[ImageCodec]] made for images:
   * [[Multimodal]] routes `kind = "audio"` rows here and falls back to
   * the deterministic stub only when the payload isn't a decodable
-  * audio file. Video remains the one genuinely stubbed modality (no
-  * container/codec support exists in the JDK).
+  * audio file. ([[VideoCodec]] covers the video half for uncompressed
+  * Y4M streams; compressed video remains stubbed — no codec exists in
+  * the JDK.)
   *
   * Everything is per-row pure computation meant to run inside
   * `mapPartitions` on executors: decode streams from a byte array

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * perceptual hash. The AUDIO half is REAL as well: `kind = "audio"`
   * payloads decode through `javax.sound.sampled` (WAV/AIFF/AU PCM —
   * see [[AudioCodec]]) into true sample-backed metadata, resampling
-  * and energy-band fingerprints. Only VIDEO decode remains STUBBED
-  * behind `FakeCodec` (no video codec ships with the JDK), which also
-  * serves as the deterministic fallback for undecodable payloads.
+  * and energy-band fingerprints. The VIDEO half is real for the one
+  * container a pure JVM can honestly parse: uncompressed Y4M streams
+  * decode through [[VideoCodec]] into true frame-backed metadata,
+  * frame sampling, resizing and temporal fingerprints; compressed
+  * video (no codec ships with the JDK) falls back to `FakeCodec`,
+  * which also serves as the deterministic fallback for any
+  * undecodable payload.
   *
   * Scale notes: blobs never pass through a shuffle wider than needed —
   * metadata extraction is a narrow map; `withMediaMeta` batches rows
@@ -115,11 +119,12 @@ object Multimodal {
     * pixel-backed metadata, audio payloads that `javax.sound.sampled`
     * accepts (WAV/AIFF/AU — see [[AudioCodec]]) get REAL sample-backed
     * metadata (`width` carries the sample rate, `height` the channel
-    * count — the audio analogues of the raster dims); everything else
-    * (video, or a payload that isn't what its kind claims) falls back
-    * to the deterministic stub. The fallback is what keeps text-bytes
-    * fixtures and corrupted blobs total — a decode error never kills
-    * a 100 TB job.
+    * count — the audio analogues of the raster dims), video payloads
+    * that parse as Y4M (see [[VideoCodec]]) get REAL frame-backed
+    * metadata; everything else (compressed video, or a payload that
+    * isn't what its kind claims) falls back to the deterministic stub.
+    * The fallback is what keeps text-bytes fixtures and corrupted
+    * blobs total — a decode error never kills a 100 TB job.
     */
   private def md5Hex(payload: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -151,6 +156,21 @@ object Multimodal {
             width = m.sampleRate,
             height = m.channels,
             nFrames = m.nFrames.toInt,
+            sha = md5Hex(r.payload),
+            nSamples = m.nSamples,
+            sampleSum = m.sampleSum)
+        case None => FakeCodec.decode(r.kind, r.payload)
+      }
+    } else if (r.kind == "video") {
+      VideoCodec.tryDecode(r.payload) match {
+        case Some(clip) =>
+          val m = VideoCodec.decodeMeta(clip)
+          MediaMeta(
+            kind = r.kind,
+            nBytes = r.payload.length.toLong,
+            width = m.width,
+            height = m.height,
+            nFrames = m.nFrames,
             sha = md5Hex(r.payload),
             nSamples = m.nSamples,
             sampleSum = m.sampleSum)
@@ -254,6 +274,44 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Deterministic frame geometry for [[synthesizeY4mVideo]]: small
+    * varied rasters and frame rates, all re-derivable from the id
+    * alone so the oracle never parses the container. Width 4..8,
+    * height 4..6, fps 10..14.
+    */
+  def videoDims(id: Long): (Int, Int, Int) = (
+    4 + java.lang.Math.floorMod(id, 5L).toInt,
+    4 + java.lang.Math.floorMod(id, 3L).toInt,
+    10 + java.lang.Math.floorMod(id, 5L).toInt)
+
+  /** Every row as a REAL mono Y4M clip whose concatenated frame lumas
+    * are exactly the text bytes zero-padded to a whole number of
+    * `w×h` frames (empty text → one zero frame): the video twin of
+    * [[synthesizeWavAudio]]/[[synthesizeGrayImages]]. Mono Y4M is
+    * lossless, so decoding returns the padded source bytes
+    * sample-for-sample — the encode→decode round trip the oracle
+    * checks end-to-end. Batched per-partition.
+    */
+  def synthesizeY4mVideo(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (w, h, fps) = videoDims(id)
+          val frameLen = w * h
+          val nFrames = math.max(1, (bytes.length + frameLen - 1) / frameLen)
+          val padded = java.util.Arrays.copyOf(bytes, nFrames * frameLen)
+          val frames = Array.tabulate(nFrames)(f =>
+            java.util.Arrays.copyOfRange(padded, f * frameLen, (f + 1) * frameLen))
+          MediaRow(id, "video", VideoCodec.encodeMonoY4m(frames, w, h, fps))
+        }
+      }.toDF()
+  }
+
   /** Every row as a REAL gray PNG of its text bytes (the all-image
     * corpus the perceptual-dedup plane runs on).
     */
@@ -286,14 +344,25 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       val codec = FakeCodec
       rows.map { r =>
-        val real =
+        val realImage =
           if (r.kind == "image") ImageCodec.resizePng(r.payload, width, height)
           else None
-        real match {
-          case Some(png) =>
+        val realVideo =
+          if (r.kind == "video") VideoCodec.tryDecode(r.payload) else None
+        (realImage, realVideo) match {
+          case (Some(png), _) =>
             val m = ImageCodec.decodeMeta(ImageCodec.tryDecode(png).get)
             TransformedRow(r.media_id, m.width, m.height, m.nSamples, 1)
-          case None =>
+          case (_, Some(clip)) =>
+            // REAL temporal + spatial transform: every stride-th
+            // decoded frame, each resized (exact nearest-neighbour) —
+            // counts read back from the produced rasters, not echoed
+            val sampled = VideoCodec.sampleFrames(clip, stride)
+            val resized = sampled.map(f => VideoCodec.resizeNearest(
+              f, clip.width, clip.height, width, height))
+            TransformedRow(r.media_id, width, height,
+              resized.iterator.map(_.length.toLong).sum, sampled.length)
+          case _ =>
             val resized = codec.resize(r.payload, width, height)
             TransformedRow(r.media_id, width, height, resized.length.toLong,
               codec.sampleFrames(r.payload, stride, frameBytes).length)
@@ -364,6 +433,9 @@ object Multimodal {
               .map { case (fmt, pcm) =>
                 AudioCodec.unsignedSamples(fmt, pcm).map(_.toByte)
               }.getOrElse(r.payload)
+          else if (r.kind == "video")
+            VideoCodec.tryDecode(r.payload)
+              .map(_.frames.flatten).getOrElse(r.payload)
           else r.payload
         val hist = new Array[Double](dim)
         var i = 0
@@ -407,6 +479,11 @@ object Multimodal {
               .map { case (fmt, pcm) =>
                 AudioCodec.energyFingerprint(AudioCodec.unsignedSamples(fmt, pcm))
               }.getOrElse(codec.perceptualHash(r.payload, bits))
+          else if (r.kind == "video")
+            // REAL temporal energy fingerprint over decoded luma
+            VideoCodec.tryDecode(r.payload)
+              .map(VideoCodec.temporalFingerprint(_))
+              .getOrElse(codec.perceptualHash(r.payload, bits))
           else codec.perceptualHash(r.payload, bits)
         (r.media_id, fp)
       }

@@ -2089,6 +2089,42 @@ object TrainingQueries {
       Multimodal.mediaFingerprints(s, media).orderBy(col("media_id"))
     }),
 
+    // REAL Y4M video metadata: every doc as an actual uncompressed
+    // YUV4MPEG2 clip (mono luma = text bytes zero-padded to whole
+    // w×h frames) decoded by graft's own container parser — dims,
+    // frame count, and the exact decoded-luma sum are read back from
+    // real frames, and the oracle re-derives them from (doc_id, text)
+    // alone (mono Y4M is lossless). Closes the last stubbed modality.
+    "q201_video_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4mVideo(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.mediaMetaTable(s, media)
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("n_samples"), col("px_sum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL video temporal fingerprint (the video slot of the
+    // perceptual-hash family): 64 equal-share windows over the
+    // DECODED luma sequence (padding zeros shift window boundaries
+    // but add no energy), bit w = window energy at/above the mean —
+    // exact integer compares end-to-end, so the oracle replays every
+    // bit from the text bytes and the padded length.
+    "q202_video_fp" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4mVideo(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.mediaFingerprints(s, media).orderBy(col("media_id"))
+    }),
+
+    // REAL video frame sampling + spatial resize: every 2nd decoded
+    // frame, each resized 4x4 by exact nearest-neighbour — counts
+    // read back from the produced rasters (frames sampled =
+    // ceil(n_frames/2), samples = 16 per sampled frame), oracle
+    // re-derives both from the frame geometry.
+    "q203_video_frames" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4mVideo(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.mediaTransformTable(s, media, width = 4, height = 4, stride = 2)
+        .orderBy(col("media_id"))
+    }),
+
     // Audio NEAR-dup pairs: the acoustic twin of q126 — energy
     // fingerprints through the generic 64-bit hamming banding
     // (pigeonhole pieces, popcount verify). The corpus is every doc
@@ -2823,6 +2859,76 @@ object TrainingQueries {
     "q128_audio_fp" ->
       s"""WITH $audioFpCte
          SELECT media_id::BIGINT AS media_id, fp FROM af ORDER BY media_id""",
+
+    // q201: mono Y4M is lossless, so every decoded quantity re-derives
+    // from (doc_id, text) alone: dims/fps from the id, frames from
+    // ceil(bytes / (w*h)) (empty text → one zero frame), luma sum =
+    // text-byte sum (zero padding adds nothing).
+    "q201_video_meta" ->
+      """WITH g AS (SELECT doc_id,
+             (4 + doc_id % 5)::INT AS w, (4 + doc_id % 3)::INT AS h,
+             strlen(text)::BIGINT AS len,
+             coalesce(list_sum([ascii(substr(text, i::INT, 1)) FOR i IN range(1, strlen(text)+1)]), 0)::BIGINT AS bsum
+           FROM documents),
+         m AS (SELECT doc_id, w, h,
+             greatest((len + w*h - 1) // (w*h), 1)::INT AS nf, bsum
+           FROM g)
+         SELECT doc_id::BIGINT AS media_id, w AS width, h AS height,
+           nf AS n_frames, (nf::BIGINT * w * h) AS n_samples,
+           bsum AS px_sum
+         FROM m ORDER BY media_id""",
+
+    // q202: the temporal energy bits replayed from text bytes over the
+    // PADDED luma length n = frames·w·h — sample k keeps its byte
+    // index (padding sits at the end, contributing boundaries but no
+    // energy); a window spine covers all 64 bits so zero-energy clips
+    // (empty text) set every bit, exactly as the engine's zero-total
+    // compare does.
+    "q202_video_fp" ->
+      """WITH g AS (SELECT doc_id,
+             (4 + doc_id % 5)::INT AS w, (4 + doc_id % 3)::INT AS h,
+             strlen(text)::BIGINT AS len, text
+           FROM documents),
+         m AS (SELECT doc_id, text, len,
+             (greatest((len + w*h - 1) // (w*h), 1) * w * h)::BIGINT AS n
+           FROM g),
+         v AS (SELECT doc_id, n,
+             unnest(list_transform(range(1, len+1), i -> {'k': i-1, 'x': ascii(substr(text, i::INT, 1))})) AS u
+           FROM m WHERE len > 0),
+         e AS (SELECT doc_id, ((u.k * 64) // n) AS w,
+             sum((u.x::HUGEINT) * u.x) AS ew
+           FROM v GROUP BY doc_id, ((u.k * 64) // n)),
+         tot AS (SELECT doc_id, sum(ew) AS te FROM e GROUP BY doc_id),
+         spine AS (SELECT m.doc_id, unnest(range(0, 64)) AS w FROM m),
+         bits AS (SELECT s.doc_id, s.w,
+             coalesce(e.ew, 0::HUGEINT) AS ew, coalesce(t.te, 0::HUGEINT) AS te
+           FROM spine s
+           LEFT JOIN e ON s.doc_id = e.doc_id AND s.w = e.w
+           LEFT JOIN tot t ON s.doc_id = t.doc_id),
+         fph AS (SELECT doc_id,
+             sum(CASE WHEN ew * 64 >= te THEN 1::HUGEINT << w::INT
+                 ELSE 0::HUGEINT END) AS f
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id::BIGINT AS media_id,
+           (CASE WHEN f >= 9223372036854775808 THEN f - 18446744073709551616
+                 ELSE f END)::BIGINT AS fp
+         FROM fph ORDER BY media_id""",
+
+    // q203: frame sampling + nearest-neighbour resize read back from
+    // produced rasters — every 2nd frame of ceil(bytes/(w·h)) frames,
+    // 16 samples per resized 4×4 frame.
+    "q203_video_frames" ->
+      """WITH g AS (SELECT doc_id,
+             (4 + doc_id % 5)::INT AS w, (4 + doc_id % 3)::INT AS h,
+             strlen(text)::BIGINT AS len
+           FROM documents),
+         m AS (SELECT doc_id,
+             greatest((len + w*h - 1) // (w*h), 1)::BIGINT AS nf
+           FROM g)
+         SELECT doc_id::BIGINT AS media_id, 4 AS resized_w, 4 AS resized_h,
+           ((nf + 1) // 2) * 16 AS resized_n,
+           ((nf + 1) // 2)::INT AS n_frames_sampled
+         FROM m ORDER BY media_id""",
 
     // q136: the corpus-plus-perturbed-variants fingerprint replay
     // (the audioFpCte machinery over the unioned table), then q126's

@@ -256,4 +256,66 @@ class MultimodalSpec extends SparkSpec {
     assert(fps === direct)
     assert(fps !== FakeCodec.perceptualHash(wav, 16), "must not be the stub hash")
   }
+
+  test("synthesizeY4mVideo rows decode with the REAL video codec: dims/fps from id, luma = padded text bytes") {
+    val s = spark
+    import s.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    // id 7: w = 4+7%5 = 6, h = 4+7%3 = 5, fps = 10+7%5 = 12
+    val docs = Seq((7L, text), (3L, "")).toDF("doc_id", "text")
+    val media = synthesizeY4mVideo(docs, "doc_id", "text")
+    val metas = mediaMetaTable(s, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val bytes = text.getBytes("UTF-8")
+    val nf7 = (bytes.length + 29) / 30 // ceil(44/30) = 2
+    assert(metas(7L).getInt(3) === 6 && metas(7L).getInt(4) === 5) // width, height
+    assert(metas(7L).getInt(5) === nf7) // n_frames
+    assert(metas(7L).getLong(7) === nf7.toLong * 30) // n_samples padded
+    assert(metas(7L).getLong(8) === bytes.map(b => (b & 0xff).toLong).sum) // px_sum
+    // empty text: one zero frame of w*h = 7*4 = 28? id 3: w = 4+3 = 7, h = 4+0 = 4
+    assert(metas(3L).getInt(5) === 1)
+    assert(metas(3L).getLong(7) === 28L && metas(3L).getLong(8) === 0L)
+    // fps round-trips through the container itself
+    val payload = media.filter(col("media_id") === 7L)
+      .head().getAs[Array[Byte]]("payload")
+    val clip = VideoCodec.tryDecode(payload).get
+    assert(clip.fpsNum === 12 && clip.fpsDen === 1)
+    assert(clip.frames.flatten.toSeq == java.util.Arrays.copyOf(bytes, nf7 * 30).toSeq)
+  }
+
+  test("video rows that are NOT valid Y4M still take the stub path (fallback totality)") {
+    val s = spark
+    import s.implicits._
+    val raw = MediaRow(5L, "video", "not a y4m stream".getBytes("UTF-8"))
+    val got = withMediaMeta(Seq(raw).toDS()).head()
+    assert(got.meta === FakeCodec.decode("video", raw.payload))
+  }
+
+  test("mediaTransformTable: video rows frame-sample and resize through the REAL decode") {
+    val s = spark
+    import s.implicits._
+    // id 0: w = 4, h = 4, frame = 16 bytes; 5 frames worth of text
+    val text = "x" * (16 * 5)
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val media = synthesizeY4mVideo(docs, "doc_id", "text")
+    val out = mediaTransformTable(s, media, width = 4, height = 4, stride = 2).head()
+    assert(out.getInt(1) === 4 && out.getInt(2) === 4)
+    assert(out.getInt(4) === 3, "frames 0,2,4 of 5") // n_frames_sampled
+    assert(out.getLong(3) === 3L * 16, "samples read back from resized rasters")
+  }
+
+  test("mediaFingerprints: video rows use the REAL temporal fingerprint over decoded luma") {
+    val s = spark
+    import s.implicits._
+    val text = ("a" * 100) ++ ("Z" * 100)
+    val docs = Seq((0L, text)).toDF("doc_id", "text") // w=4, h=4
+    val media = synthesizeY4mVideo(docs, "doc_id", "text")
+    val fp = mediaFingerprints(s, media).head().getLong(1)
+    val bytes = text.getBytes("UTF-8")
+    val nf = (bytes.length + 15) / 16
+    val padded = java.util.Arrays.copyOf(bytes, nf * 16).map(_ & 0xff)
+    assert(fp === AudioCodec.energyFingerprint(padded))
+    val payload = media.head().getAs[Array[Byte]]("payload")
+    assert(fp !== FakeCodec.perceptualHash(payload, 16), "must not be the stub hash")
+  }
 }

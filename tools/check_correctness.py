@@ -8,9 +8,18 @@ Usage: check_correctness.py OUTDIR SFDIR
 
 For each query: run the oracle SQL in DuckDB over the same parquet
 tables, sort columns by name, sort rows, and compare cell-for-cell.
+
+Each line carries the oracle's wall seconds, and results append
+incrementally to OUTDIR/compare_progress.json — a timed-out run still
+leaves the completed prefix on record (round 9's gate recorded `{}`
+when the un-materialized iterative oracles blew its window).
+Full-suite cost at sf0.01 is ~6-7 min on 32 cores with the
+AS MATERIALIZED oracle rewrite (SparkEntry.materializeCtes); it was
+~23 min before it — if this creeps back up, check the slowest lines.
 """
 import json
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -31,13 +40,21 @@ def main(outdir: str, sfdir: str) -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    progress = {}
+
+    def record(name, ok, secs):
+        progress[name] = {"pass": ok, "oracle_sec": round(secs, 2)}
+        json.dump(progress, open(f"{outdir}/compare_progress.json", "w"))
+
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
             got = canon(pd.read_parquet(f"{outdir}/{name}"))
             exp = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: load/run error: {e}")
             n_fail += 1
+            record(name, False, time.time() - t0)
             continue
         status = []
         if list(got.columns) != list(exp.columns):
@@ -58,12 +75,15 @@ def main(outdir: str, sfdir: str) -> int:
                         status.append(
                             f"  col {c} row {i}: got={got[c][i]!r} exp={exp[c][i]!r}"
                             f" ({int(neq.sum())} diffs)")
+        secs = time.time() - t0
         if status:
             print(f"FAIL {name}: " + "; ".join(status))
             n_fail += 1
+            record(name, False, secs)
         else:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows, {secs:.2f}s)")
             n_pass += 1
+            record(name, True, secs)
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
