@@ -189,4 +189,38 @@ object Joins {
       keys, tsCol, tiebreak, rightTsAs)
       .withColumn(tsCol, -col(tsCol))
       .withColumn(rightTsAs, -col(rightTsAs))
+
+  /** AS-OF LEFT JOIN with a match-window bound (pandas
+    * `merge_asof(tolerance=...)`, kdb `wj` with a window): the latest
+    * right at-or-before each left row counts ONLY if it is within
+    * `tolerance` time units — a year-old price is not "the price as
+    * of" today's trade. Rows whose nearest match is staler get NULLs,
+    * exactly as if no right row existed (cf. `orders/prices.py:42`:
+    * the reference's moving-average join treats stale price points as
+    * absent rather than carrying them forward indefinitely).
+    *
+    * Same plan as [[asofJoin]] — one equi-key shuffle, no range
+    * join — plus a map-side staleness test over the carried match.
+    * `tsCol` must be a numeric epoch column on both sides (the
+    * tolerance compare needs subtraction).
+    */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tolerance: Long,
+      tiebreak: Seq[Column] = Seq.empty,
+      rightTsAs: String = "asof_ts"): DataFrame = {
+    require(tolerance >= 0L, s"tolerance must be >= 0, got $tolerance")
+    val joined = asofJoin(left, right, keys, tsCol, tiebreak, rightTsAs)
+    val payload = right.columns
+      .filterNot(c => keys.contains(c) || c == tsCol).toIndexedSeq
+    val stale = col(rightTsAs).isNull ||
+      (col(tsCol) - col(rightTsAs)) > lit(tolerance)
+    joined.select(
+      left.columns.toIndexedSeq.map(col) ++
+        ((rightTsAs +: payload).map(c =>
+          when(stale, lit(null)).otherwise(col(c)).as(c))): _*)
+  }
 }

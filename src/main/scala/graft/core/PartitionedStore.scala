@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Surgical maintenance of `PARTITIONED BY` parquet stores (the
+  * on-disk index layout both [[graft.dedup.LshIndex]] and
+  * [[graft.similarity.Similarity.writeIvfIndex]] use): rewrite ONLY
+  * the named partitions, leave every other directory untouched.
+  */
+object PartitionedStore {
+
+  /** Rewrite the `partCol=v` directories in `parts`, dropping rows
+    * whose `keyCol` appears in `ids`: partition-pruned read, broadcast
+    * anti-join, survivors to a scratch dir, in-place directory swap.
+    * A partition whose rows are all deleted ends up absent — the same
+    * on-disk state a fresh build would produce. Partitions not in
+    * `parts` are never opened.
+    */
+  def deleteKeysFromPartitions(
+      spark: SparkSession, dir: String, partCol: String,
+      parts: Seq[Int], keyCol: String, ids: DataFrame): Unit = {
+    if (parts.isEmpty) return
+    require(ids.columns.toSeq == Seq(keyCol),
+      s"ids frame must be exactly ($keyCol), got ${ids.columns.mkString(",")}")
+    val kept = spark.read.parquet(dir)
+      .filter(col(partCol).isin(parts.map(Integer.valueOf): _*))
+      .join(broadcast(ids), Seq(keyCol), "left_anti")
+    val tmp = s"$dir/../${new java.io.File(dir).getName}__rewrite_tmp"
+    kept.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    parts.foreach { v =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$partCol=$v")
+      val fresh = new org.apache.hadoop.fs.Path(s"$tmp/$partCol=$v")
+      if (fs.exists(live)) fs.delete(live, true)
+      if (fs.exists(fresh)) fs.rename(fresh, live)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+}

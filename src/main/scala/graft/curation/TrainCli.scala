@@ -539,4 +539,24 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
         read(in), idCol, textCol, blocklist, minQuality, maxDupFrac, maxTopFrac)
       .select(col(idCol), col("gopher_pass"), col("block_pass"),
         col("qual_pass"), col("rep_pass"), col("keep")), out)
+
+  /** Right-to-be-forgotten: remove the listed ids from the corpus AND
+    * from the standing LSH index in one step
+    * ([[graft.dedup.LshIndex.delete]] — partition-pruned, only the
+    * directories holding the forgotten docs' rows are rewritten). The
+    * id list is a parquet dir with an `idCol` column (a takedown/GDPR
+    * request table); survivors are written unchanged. Deterministic
+    * and rerun-safe: forgetting an already-forgotten id is a no-op.
+    */
+  def forget(in: String, idsIn: String, out: String,
+      indexPath: Option[String] = None): Long = {
+    val corpus = read(in)
+    val ids = read(idsIn).select(col(idCol)).distinct()
+    indexPath.foreach { p =>
+      graft.dedup.LshIndex.delete(spark, p,
+        corpus.join(ids, Seq(idCol), "left_semi"), idCol, textCol)
+    }
+    write(corpus.join(
+      org.apache.spark.sql.functions.broadcast(ids), Seq(idCol), "left_anti"), out)
+  }
 }

@@ -164,6 +164,47 @@ object LshIndex {
       .select(col("ref_id"), col("new_id"), col("jaccard"))
   }
 
+  /** Remove documents from the index — the right-to-be-forgotten
+    * operation that completes the lifecycle (write → probe → append →
+    * DELETE). Takes the docs' (id, text) rows — the forget flow reads
+    * them from the corpus table by id — because the bucket rows to
+    * remove live in `pb=` partitions derived from the docs' BAND KEYS,
+    * which only the text can reproduce (minhash j seeds xxh64 with j;
+    * the stored signature holds seed-0 hashes only).
+    *
+    * Scale shape: recomputing sketches is deleted-set-sized work; the
+    * rewrite touches ONLY the `pb=`/`sb=` partitions that hold the
+    * deleted docs' rows (read-pruned, filtered with a broadcast
+    * anti-join, swapped back in place) — at 100 TB forgetting k docs
+    * rewrites O(k · bands) partitions out of `numPartitions`, never
+    * the index. Untouched partition directories are not opened
+    * (LshIndexSpec asserts their files survive byte-identical).
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val m = readMeta(spark, path)
+    val del = docs.select(col(idCol).as("doc"),
+      TextFunctions.shingles(col(textCol), m.n).as("sh"))
+    // bucket partitions holding the deleted docs' band keys; bounded
+    // collect (≤ numPartitions values)
+    val pbs = del
+      .select(explode(Dedup.lshBandKeys(col("sh"), m.numHashes, m.bands)).as("bucket"))
+      .select(pb(col("bucket"), m.numPartitions).as("p"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val sbs = del
+      .select(pb(col("doc").cast("string"), m.numPartitions).as("p"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val ids = del.select(col("doc"))
+    graft.core.PartitionedStore.deleteKeysFromPartitions(
+      spark, s"$path/buckets", "pb", pbs, "doc", ids)
+    graft.core.PartitionedStore.deleteKeysFromPartitions(
+      spark, s"$path/sigs", "sb", sbs, "doc", ids)
+  }
+
   private def pb(bucket: org.apache.spark.sql.Column, parts: Int) =
     pmod(xxhash64(bucket), lit(parts.toLong)).cast("int")
 

@@ -280,6 +280,42 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // AS-OF LEFT JOIN with tolerance (pandas merge_asof(tolerance),
+    // kdb window join): q84's attribution but a click older than one
+    // day does NOT count — the stale match is nulled as if absent.
+    // Same one-shuffle carry plan plus a map-side staleness test;
+    // oracle = DuckDB native ASOF + the identical CASE.
+    "q204_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("t_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t_us"), col("value").as("click_value"))
+      Joins.asofJoinTolerance(
+        purchases, clicks,
+        keys = Seq("user_id"), tsCol = "t_us",
+        tolerance = 86400L * 1000000L,
+        tiebreak = Seq(col("click_value")),
+        rightTsAs = "click_t_us")
+        .orderBy(col("event_id"))
+    }),
+
+    // Column profiling (the ANALYZE/dataset-quality report): per-field
+    // rows/nulls/exact-distinct/min/max from ONE scan — the multi
+    // count-distincts fuse through Expand, never k re-reads. min/max
+    // stringify AFTER the typed aggregate so numeric order holds.
+    "q205_column_profile" -> ((s, dir) => {
+      graft.core.Profile.columnProfile(
+        t(s, dir, "events"),
+        Seq(
+          "user_id" -> col("user_id"),
+          "event_type" -> col("event_type"),
+          "event_type_nonclick" -> expr("nullif(event_type, 'click')"),
+          "value_c" -> col("value").cast("decimal(18,2)"),
+          "t_us" -> unix_micros(col("ts"))))
+        .orderBy(col("column"))
+    }),
+
     // Ordered funnel signup → click → purchase: chained running-min
     // windows over ONE (user, time) sort — no per-stage self-joins.
     "q86_funnel" -> ((s, dir) => {
@@ -930,6 +966,53 @@ object RelationalQueries {
          FROM p ASOF LEFT JOIN q
            ON p.user_id = q.user_id AND p.t_us >= q.t_us
          ORDER BY p.event_id""",
+    "q204_asof_tolerance" ->
+      """WITH q AS (
+           SELECT user_id, epoch_us(ts) AS t_us, max(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.event_id, p.user_id, p.t_us,
+             q.t_us AS click_t_us, q.click_value
+           FROM p ASOF LEFT JOIN q
+             ON p.user_id = q.user_id AND p.t_us >= q.t_us)
+         SELECT event_id, user_id, t_us,
+           CASE WHEN click_t_us IS NULL OR t_us - click_t_us > 86400000000
+                THEN NULL ELSE click_t_us END AS click_t_us,
+           CASE WHEN click_t_us IS NULL OR t_us - click_t_us > 86400000000
+                THEN NULL ELSE click_value END AS click_value
+         FROM j ORDER BY event_id""",
+    "q205_column_profile" ->
+      """WITH e AS (SELECT user_id, event_type,
+             nullif(event_type, 'click') AS etnc,
+             CAST(value AS DECIMAL(18,2)) AS vc,
+             epoch_us(ts) AS t_us
+           FROM events)
+         SELECT * FROM (
+           SELECT 'user_id' AS "column", count(*)::BIGINT AS n_rows,
+             (count(*) - count(user_id))::BIGINT AS n_nulls,
+             count(DISTINCT user_id)::BIGINT AS n_distinct,
+             min(user_id)::VARCHAR AS min_s, max(user_id)::VARCHAR AS max_s
+           FROM e
+           UNION ALL
+           SELECT 'event_type', count(*), count(*) - count(event_type),
+             count(DISTINCT event_type), min(event_type), max(event_type)
+           FROM e
+           UNION ALL
+           SELECT 'event_type_nonclick', count(*), count(*) - count(etnc),
+             count(DISTINCT etnc), min(etnc), max(etnc)
+           FROM e
+           UNION ALL
+           SELECT 'value_c', count(*), count(*) - count(vc),
+             count(DISTINCT vc), min(vc)::VARCHAR, max(vc)::VARCHAR
+           FROM e
+           UNION ALL
+           SELECT 't_us', count(*), count(*) - count(t_us),
+             count(DISTINCT t_us), min(t_us)::VARCHAR, max(t_us)::VARCHAR
+           FROM e)
+         ORDER BY "column"""",
     "q86_funnel" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),

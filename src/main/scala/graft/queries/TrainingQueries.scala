@@ -815,6 +815,26 @@ object TrainingQueries {
         .orderBy(col("ref_id"), col("new_id"))
     }),
 
+    // Right-to-be-forgotten over the on-disk index: q122's build, then
+    // DELETE the doc_id % 5 == 0 slice (partition-pruned rewrite — only
+    // the pb/sb directories holding the forgotten docs' rows are
+    // touched), then probe. The oracle is q122's exact cross Jaccard
+    // with the forgotten reference docs absent — a deleted doc must be
+    // exactly as unfindable as one never indexed.
+    "q206_index_forget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("lshidx_f").toString
+      graft.dedup.LshIndex.write(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", tmp, n = 3, numHashes = 64, bands = 16,
+        numPartitions = 16)
+      graft.dedup.LshIndex.delete(s, tmp,
+        docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0),
+        "doc_id", "text")
+      graft.dedup.LshIndex.probe(s, tmp,
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", tau = 0.5)
+        .orderBy(col("ref_id"), col("new_id"))
+    }),
+
     // Cross-corpus novelty (data valuation of an incoming batch):
     // fraction of each new doc's shingles the existing corpus has
     // never seen — reference grams broadcast, batch explodes once.
@@ -3109,6 +3129,22 @@ object TrainingQueries {
                   round(len(list_intersect(r.sh, b.sh))::DOUBLE
                         / len(list_distinct(list_concat(r.sh, b.sh))), 6) AS j
            FROM sh r JOIN sh b ON r.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
+         WHERE j >= 0.5 ORDER BY ref_id, new_id""",
+
+    // q206: q122's replay minus the forgotten reference slice — the
+    // delete must make those docs exactly as absent as never-indexed.
+    "q206_index_forget" ->
+      """WITH sh AS (SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [text]
+                  ELSE list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) END AS sh
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+         SELECT ref_id, new_id, j AS jaccard FROM (
+           SELECT r.doc_id AS ref_id, b.doc_id AS new_id,
+                  round(len(list_intersect(r.sh, b.sh))::DOUBLE
+                        / len(list_distinct(list_concat(r.sh, b.sh))), 6) AS j
+           FROM sh r JOIN sh b
+             ON r.doc_id % 3 = 0 AND r.doc_id % 5 <> 0 AND b.doc_id % 3 <> 0)
          WHERE j >= 0.5 ORDER BY ref_id, new_id""",
 
     // q118: q115's shingle definition on both sides; known = the gram

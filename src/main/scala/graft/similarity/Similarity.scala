@@ -409,6 +409,39 @@ object Similarity {
       .write.mode("append").partitionBy("list_id").parquet(path)
   }
 
+  /** Remove vectors from a [[writeIvfIndex]] directory — the
+    * right-to-be-forgotten operation mirroring
+    * [[graft.dedup.LshIndex.delete]]. Takes the vectors' (c_id, c_emb)
+    * rows — the forget flow reads them from the embedding table by
+    * id — because a vector's rows live in the `list_id=` partition its
+    * EMBEDDING quantizes to under the index's frozen centroids.
+    * Re-assigning the deleted batch is deleted-set-sized work; the
+    * rewrite touches only the assigned cells' directories, never the
+    * index (SimilaritySpec asserts untouched cells survive
+    * byte-identical and probes equal a fresh build without the
+    * vectors).
+    */
+  def deleteFromIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vectors: DataFrame // (c_id, c_emb: array<double>)
+  ): Unit = {
+    val centN = spark.read.parquet(s"$path/_centroids")
+      .select(col("cent_id"), col("cent_emb"))
+      .withColumn("cent_norm", norm(col("cent_emb")))
+    val c = vectors.withColumn("c_norm", norm(col("c_emb")))
+    val assigned = graft.core.Joins.lastByKey(
+      c.crossJoin(broadcast(centN))
+        .withColumn("a_score",
+          cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
+      Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+    // bounded collect: at most nlist cells
+    val cells = assigned.select(col("cent_id").cast("int"))
+      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+    graft.core.PartitionedStore.deleteKeysFromPartitions(
+      spark, path, "list_id", cells, "c_id", vectors.select(col("c_id")))
+  }
+
   /** ANN top-k over a [[writeIvfIndex]] directory. Probe cells are
     * chosen per query against the (bounded, nlist-row) centroid table;
     * the UNION of probed cells — at most nlist longs — becomes a

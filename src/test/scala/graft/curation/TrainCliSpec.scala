@@ -418,4 +418,27 @@ class TrainCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/flags").columns.toSet ===
       Set("doc_id", "gopher_pass", "block_pass", "qual_pass", "rep_pass", "keep"))
   }
+
+  test("forget removes ids from corpus AND index; rerun-safe; probe finds nothing") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli").toString
+    val cli = new TrainCli(spark)
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (2L, "spark structured streaming checkpoints state in a log", "web"),
+      (3L, "columnar parquet scans prune row groups via statistics", "wiki"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$root/docs")
+    Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$root/takedown")
+    cli.indexBuild(s"$root/docs", s"$root/idx", numPartitions = 8)
+    assert(cli.forget(s"$root/docs", s"$root/takedown", s"$root/kept",
+      indexPath = Some(s"$root/idx")) === 2L)
+    // the forgotten doc's exact text no longer probes out of the index
+    Seq((100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text").write.parquet(s"$root/probe")
+    assert(cli.indexProbe(s"$root/idx", s"$root/probe", s"$root/hits") === 0L)
+    // rerun-safe: forgetting an already-forgotten id is a no-op
+    assert(cli.forget(s"$root/kept", s"$root/takedown", s"$root/kept2",
+      indexPath = Some(s"$root/idx")) === 2L)
+  }
 }

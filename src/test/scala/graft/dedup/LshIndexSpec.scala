@@ -98,6 +98,62 @@ class LshIndexSpec extends SparkSpec {
     assert(got.exists(_._1 === 4L))
   }
 
+  test("delete forgets docs: probe == index rebuilt without them; untouched partitions not rewritten") {
+    spark.catalog.clearCache()
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.write(ref, "doc_id", "text", dir,
+      n = 3, numHashes = 64, bands = 16, numPartitions = 8)
+    // snapshot every partition file's (path, size, mtime) before delete
+    def snapshot(sub: String): Map[String, (Long, Long)] = {
+      val base = java.nio.file.Paths.get(s"$dir/$sub")
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      java.nio.file.Files.walk(base).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          out(p.toString) = (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }
+      out.toMap
+    }
+    val before = snapshot("buckets") ++ snapshot("sigs")
+    // forget the near-dup family 1/2/6 (delete rows come from the corpus)
+    val toDelete = ref.filter(col("doc_id").isin(1L, 2L, 6L))
+    LshIndex.delete(spark, dir, toDelete, "doc_id", "text")
+    val after = snapshot("buckets") ++ snapshot("sigs")
+    // deleted docs are unfindable: probing their exact text matches nothing
+    val probeBatch = Seq(
+      doc(100L, "the quick brown fox jumps over the lazy dog by the river bank today"),
+      doc(102L, "spark structured streaming checkpoints state in a write ahead log")
+    ).toDF("doc_id", "text")
+    val got = CacheScope.withReleased {
+      LshIndex.probe(spark, dir, probeBatch, "doc_id", "text", tau = 0.5)
+        .orderBy("ref_id", "new_id").as[(Long, Long, Double)].collect().toSeq
+    }
+    // equality with a FRESH index over corpus \ deleted
+    val dir2 = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.write(ref.filter(!col("doc_id").isin(1L, 2L, 6L)),
+      "doc_id", "text", dir2, n = 3, numHashes = 64, bands = 16, numPartitions = 8)
+    val want = CacheScope.withReleased {
+      LshIndex.probe(spark, dir2, probeBatch, "doc_id", "text", tau = 0.5)
+        .orderBy("ref_id", "new_id").as[(Long, Long, Double)].collect().toSeq
+    }
+    assert(got === want)
+    assert(!got.exists(r => Set(1L, 2L, 6L)(r._1)), "forgotten docs must not match")
+    assert(got.exists(_._1 === 3L), "kept docs must still match")
+    // files in partitions the deleted docs never touched are byte-identical
+    val untouchedSurvivors = before.keySet.intersect(after.keySet)
+      .count(k => before(k) == after(k))
+    assert(untouchedSurvivors > 0,
+      "fixture must leave some partitions untouched for the pruning assert")
+    // and no file OUTSIDE the affected partitions changed: every
+    // changed/removed path must be under a partition dir that held a
+    // deleted doc's rows (we assert the complement: surviving paths
+    // with changed metadata must be none)
+    val changedSurvivors = before.keySet.intersect(after.keySet)
+      .filter(k => before(k) != after(k))
+    assert(changedSurvivors.isEmpty,
+      s"files rewritten in place (must be swap-or-keep): $changedSurvivors")
+  }
+
   test("hot-bucket guard drops template buckets like the in-memory form") {
     spark.catalog.clearCache()
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString

@@ -336,6 +336,53 @@ class SimilaritySpec extends SparkSpec {
       "appended vectors must be reachable through the probe")
   }
 
+  test("deleteFromIvfIndex: probes == fresh build without the vectors; untouched cells byte-identical") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").cast("long").as("c_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    val queries = emb.filter(col("c_id") < 10)
+      .select(col("c_id").as("q_id"), col("c_emb").as("q_emb"))
+    val corpus = emb.filter(col("c_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    Similarity.writeIvfIndex(corpus, dir, nlist = 16)
+    def snapshot(): Map[String, (Long, Long)] = {
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)
+            && p.toString.contains("list_id="))
+          out(p.toString) = (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }
+      out.toMap
+    }
+    val before = snapshot()
+    // a small forget set so some cells stay untouched (the pruning
+    // assert below must not be vacuous)
+    val toForget = corpus.filter(col("c_id") % 97 === 0)
+    Similarity.deleteFromIvfIndex(spark, dir, toForget)
+    val after = snapshot()
+    // probes equal a FRESH index over corpus \ forgotten (frozen cents)
+    val cent = spark.read.parquet(s"$dir/_centroids")
+    val dirFresh = java.nio.file.Files.createTempDirectory("ivffresh").toString
+    Similarity.writeIvfIndex(corpus.filter(col("c_id") % 97 =!= 0), dirFresh,
+      nlist = 16, centroids = Some(cent))
+    val topk = (d: String) =>
+      Similarity.ivfTopKIndexed(spark, d, queries, k = 5, nprobe = 16)
+        .orderBy(col("q_id"), col("rank")).collect().toSeq
+    val got = topk(dir)
+    assert(got === topk(dirFresh))
+    val forgotten = toForget.select("c_id").collect().map(_.getLong(0)).toSet
+    assert(forgotten.nonEmpty && !got.exists(r => forgotten.contains(r.getLong(1))),
+      "forgotten vectors must be unreachable at full probe width")
+    // surviving files outside the rewritten cells are byte-identical,
+    // and the small forget set must leave some cells untouched
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.nonEmpty, "fixture must leave untouched cells")
+    val changedSurvivors = survivors.filter(k => before(k) != after(k))
+    assert(changedSurvivors.isEmpty,
+      s"files rewritten in place (must be swap-or-keep): $changedSurvivors")
+  }
+
   test("semDedup: within-cluster near-dups drop to their smallest keeper") {
     val s = spark
     import s.implicits._
