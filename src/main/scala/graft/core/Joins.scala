@@ -190,6 +190,37 @@ object Joins {
       .withColumn(tsCol, -col(tsCol))
       .withColumn(rightTsAs, -col(rightTsAs))
 
+  /** Bloom-pruned inner equi-join — the classic big⋈selective-big
+    * technique (a.k.a. bloom join / sideways information passing):
+    * build a Bloom filter of the RIGHT side's join keys (one
+    * aggregate, sketch-sized result), broadcast it, and drop left
+    * rows map-side BEFORE the shuffle. A Bloom filter has no false
+    * negatives, so the result is EXACTLY the plain join; `fpp` only
+    * controls how much non-matching left volume still pays the
+    * shuffle. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~matching slice when the right
+    * side is too big to broadcast but its key set is summarizable
+    * (~1.2 bytes/key at 1% fpp). Keys are compared in string space so
+    * one sketch form serves any key type; both sides hash the same
+    * canonical form.
+    */
+  def bloomPrunedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = right.select(col(key).cast("string").as("__k"))
+      .stat.bloomFilter(col("__k"), expectedItems, fpp)
+    val bc = left.sparkSession.sparkContext.broadcast(bloom)
+    // a UDF is the right tool here (same argument as
+    // Dedup.dedupAgainstBloom): membership against a broadcast sketch
+    // has no Column-function form; the probe is one hash per row and
+    // the cast argument stays codegen'd.
+    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    left.filter(mightContain(col(key).cast("string"))).join(right, key)
+  }
+
   /** AS-OF LEFT JOIN with a match-window bound (pandas
     * `merge_asof(tolerance=...)`, kdb `wj` with a window): the latest
     * right at-or-before each left row counts ONLY if it is within

@@ -26,8 +26,40 @@ object PartitionedStore {
     val kept = spark.read.parquet(dir)
       .filter(col(partCol).isin(parts.map(Integer.valueOf): _*))
       .join(broadcast(ids), Seq(keyCol), "left_anti")
+    rewriteAndSwap(spark, dir, partCol, parts, kept)
+  }
+
+  /** Compact the named partitions' files — the small-files
+    * housekeeping every incrementally-appended store needs: each
+    * `append` lands new files beside old ones, and a year of small
+    * batches turns one logical partition into thousands of tiny
+    * parquet files whose open/footer cost dominates the scan. Rewrites
+    * each listed partition as ONE task's output (split only past
+    * `maxRecordsPerFile`), content-identical, via the same pruned-read
+    * + swap path as deletion — partitions not listed are never opened.
+    */
+  def compactPartitions(
+      spark: SparkSession, dir: String, partCol: String,
+      parts: Seq[Int], maxRecordsPerFile: Long = 1000000L): Unit = {
+    if (parts.isEmpty) return
+    val rows = spark.read.parquet(dir)
+      .filter(col(partCol).isin(parts.map(Integer.valueOf): _*))
+      .repartition(col(partCol)) // one task per partition value
+    rewriteAndSwap(spark, dir, partCol, parts, rows,
+      Map("maxRecordsPerFile" -> maxRecordsPerFile.toString))
+  }
+
+  /** Write `rows` (covering exactly the listed partitions) to a
+    * scratch dir, then swap the affected `partCol=v` directories in
+    * place. A partition with no surviving rows ends up absent.
+    */
+  private def rewriteAndSwap(
+      spark: SparkSession, dir: String, partCol: String,
+      parts: Seq[Int], rows: DataFrame,
+      writeOptions: Map[String, String] = Map.empty): Unit = {
     val tmp = s"$dir/../${new java.io.File(dir).getName}__rewrite_tmp"
-    kept.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    rows.write.mode("overwrite").options(writeOptions)
+      .partitionBy(partCol).parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     parts.foreach { v =>

@@ -74,4 +74,40 @@ object Ranges {
       .filter(expr(s"${q(pointCol)} >= ${q(loCol)} AND ${q(pointCol)} < ${q(hiCol)}"))
       .drop(b)
   }
+
+  /** Merge overlapping-or-touching intervals per key (the
+    * gaps-and-islands coverage operator: uptime spans from heartbeat
+    * leases, attention spans from activity windows, coverage from
+    * range scans). An interval starts a new island iff its start lies
+    * strictly past the running max end of everything before it; island
+    * members then aggregate to one merged span.
+    *
+    * Scale shape: ONE (keys, start) sort carries both windows (the
+    * running max and the island running sum share the partitioning and
+    * order), then one hash aggregate per island — no self-join, no
+    * interval explosion. Output: keys, span_start, span_end, n_merged.
+    */
+  def coalesceIntervals(
+      df: DataFrame,
+      keys: Seq[String],
+      loCol: String,
+      hiCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(loCol), col(hiCol))
+    val prevMax = max(col(hiCol)).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__new_island",
+        when(prevMax.isNull || col(loCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new_island")).over(run))
+      .groupBy((keys.map(col) :+ col("__island")): _*)
+      .agg(
+        min(col(loCol)).as("span_start"),
+        max(col(hiCol)).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
 }

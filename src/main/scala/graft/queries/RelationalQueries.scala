@@ -316,6 +316,37 @@ object RelationalQueries {
         .orderBy(col("column"))
     }),
 
+    // Bloom-pruned join (sideways information passing): the urgent
+    // orders' key set rides to the lineitem side as a broadcast Bloom
+    // filter, dropping non-matching fact rows map-side BEFORE the
+    // shuffle. No false negatives → result EXACTLY the plain join
+    // (the oracle); fpp only tunes leftover shuffle volume.
+    "q207_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      Joins.bloomPrunedJoin(li, urgent, "l_orderkey",
+        expectedItems = 100000L, fpp = 0.01)
+        .groupBy(col("o_custkey"))
+        .agg(moneySum(col("l_quantity")).as("qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Interval coalescing (gaps-and-islands coverage): each event
+    // opens a 30-minute activity lease; overlapping-or-touching leases
+    // merge into one span per user. ONE (user, start) sort carries
+    // both windows; no self-join.
+    "q208_interval_merge" -> ((s, dir) => {
+      val leases = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + lit(1800L * 1000000L))
+      graft.core.Ranges.coalesceIntervals(leases, Seq("user_id"), "lo", "hi")
+        .orderBy(col("user_id"), col("span_start"))
+    }),
+
     // Ordered funnel signup → click → purchase: chained running-min
     // windows over ONE (user, time) sort — no per-stage self-joins.
     "q86_funnel" -> ((s, dir) => {
@@ -1013,6 +1044,29 @@ object RelationalQueries {
              count(DISTINCT t_us), min(t_us)::VARCHAR, max(t_us)::VARCHAR
            FROM e)
          ORDER BY "column"""",
+    "q207_bloom_join" ->
+      """SELECT o.o_custkey,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           count(*)::BIGINT AS n_items
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY 1""",
+    "q208_interval_merge" ->
+      """WITH le AS (SELECT user_id, epoch_us(ts) AS lo,
+             epoch_us(ts) + 1800000000 AS hi FROM events),
+         m AS (SELECT user_id, lo, hi,
+             max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM le),
+         isl AS (SELECT user_id, lo, hi,
+             sum(CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY lo, hi
+                 ROWS UNBOUNDED PRECEDING) AS island
+           FROM m)
+         SELECT user_id, min(lo) AS span_start, max(hi) AS span_end,
+           count(*)::BIGINT AS n_merged
+         FROM isl GROUP BY user_id, island
+         ORDER BY user_id, span_start""",
     "q86_funnel" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),

@@ -723,6 +723,23 @@ object TrainingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Multi-probe LSH (Lv et al. 2007): q28's sign-LSH but each query
+    // also probes every bucket ONE sign-flip away (Hamming-1 probe
+    // set) — recall rises toward brute force with the corpus hashed
+    // exactly once. 4 planes so the single-probe buckets are finer
+    // (16 cells) and the probe widening is visible; oracle = same
+    // plane replay with a bit_count(xor) <= 1 candidate test.
+    "q209_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      Similarity.lshTopKMultiProbe(queries, corpus, k = 5, planes = 4, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Media metadata with the IMAGE rows REAL: image-kind docs carry an
     // actual gray PNG of their text bytes (ImageIO encode), and the
     // decode path reads width/height/sample-sum back from REAL pixels.
@@ -2819,6 +2836,23 @@ object TrainingQueries {
              row_number() OVER (PARTITION BY q.vec_id
                ORDER BY ${duckCosPre("q", "c")} DESC, c.vec_id) AS rank
            FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id >= 10)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    // q209: the 4-plane bucket replay; a corpus row is a candidate iff
+    // its bucket is the query's own OR one bit-flip away — exactly the
+    // Hamming-1 probe set the engine explodes.
+    "q209_ann_multiprobe" ->
+      s"""$embCte,
+         b AS (SELECT vec_id, emb, nrm,
+                 ${planeBitSql(0, 1L)} + ${planeBitSql(1, 2L)}
+                 + ${planeBitSql(2, 4L)} + ${planeBitSql(3, 8L)} AS bucket
+               FROM n)
+         SELECT q_id, c_id, cos, rank FROM (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${duckCosPre("q", "c")} AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${duckCosPre("q", "c")} DESC, c.vec_id) AS rank
+           FROM b q JOIN b c
+             ON bit_count(xor(q.bucket, c.bucket)) <= 1
+             AND q.vec_id < 10 AND c.vec_id >= 10)
          WHERE rank <= 5 ORDER BY q_id, rank""",
     // Mirrors ivfTopK(nlist=16, nprobe=4): centroids = the 16 corpus
     // vectors sorting first by md5(vec_id) (seedCentroids' uniform

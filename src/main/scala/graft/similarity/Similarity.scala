@@ -179,6 +179,47 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
   }
 
+  /** Multi-probe LSH top-k (Lv et al., VLDB 2007): each query probes
+    * its OWN bucket plus every bucket one sign-flip away (the
+    * Hamming-1 probe set, `planes + 1` probes) — near-miss neighbours
+    * that landed just across one hyperplane become candidates without
+    * doubling the table count or shrinking `planes`. The standard
+    * recall/probe-cost trade for sign-LSH: recall rises toward brute
+    * force while the CORPUS side stays bucketed exactly once.
+    *
+    * Scale shape: corpus is hashed once (no re-index per probe
+    * width); the query side explodes `planes + 1` probe rows per
+    * query — query-set-sized fan-out, never corpus-sized. A candidate
+    * reachable through several probes is deduplicated per (q_id,
+    * c_id) before scoring, so the ranking sees each pair once.
+    */
+  def lshTopKMultiProbe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      planes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val base = col("__qb")
+    val q = queries
+      .withColumn("q_norm", norm(col("q_emb")))
+      .withColumn("__qb", lshBucket(col("q_emb"), planes, dim))
+      .withColumn("bucket",
+        explode(array(base +: (0 until planes).map(p =>
+          base.bitwiseXOR(lit(1L << p))): _*)))
+      .drop("__qb")
+    val c = corpus
+      .withColumn("c_norm", norm(col("c_emb")))
+      .withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
+    val cand = c.join(q, Seq("bucket"))
+      .dropDuplicates("q_id", "c_id")
+    val scored = cand.withColumn("cos",
+      cosineWithNorms(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank"))
+  }
+
   /** IVF-Flat approximate top-k — the second scale path next to
     * [[lshTopK]]: a coarse quantizer assigns every corpus vector to its
     * nearest centroid (inverted lists), and each query scores only the

@@ -107,4 +107,53 @@ class CoreSpec extends SparkSpec {
     assert(capped.count(_._2.startsWith("cold")) === 3)
     assert(Skew.dropHotKeys(df, "k", None).count() === 63L, "None must be a no-op")
   }
+
+  test("bloomPrunedJoin equals the plain join; the prune filter sits on the left scan") {
+    val s = spark
+    import s.implicits._
+    // parquet-backed (a local fixture would be folded by
+    // ConvertToLocalRelation and hide the filter from the plan)
+    val dir = java.nio.file.Files.createTempDirectory("bloomj").toString
+    (1L to 2000L).map(i => (i % 500, s"l$i")).toDF("k", "lv")
+      .write.parquet(s"$dir/left")
+    (1L to 40L).map(i => (i * 7, s"r$i")).toDF("k", "rv")
+      .write.parquet(s"$dir/right")
+    val left = spark.read.parquet(s"$dir/left")
+    val right = spark.read.parquet(s"$dir/right")
+    val joined = Joins.bloomPrunedJoin(left, right, "k", expectedItems = 100L)
+    val got = joined.orderBy("k", "lv", "rv").collect().toSeq
+    val want = left.join(right, "k").orderBy("k", "lv", "rv").collect().toSeq
+    assert(got === want, "no false negatives: bloom join must equal the plain join")
+    assert(got.nonEmpty)
+    // the membership filter must run over the LEFT SCAN, before any
+    // join machinery — that map-side drop is the operator's point
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("UDF") || plan.contains("ScalaUDF"),
+      s"bloom membership filter missing from the plan:\n$plan")
+  }
+
+  test("PartitionedStore.compactPartitions: content identical, fewer files, untouched partitions intact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pstore").toString + "/t"
+    // partition 0 fragmented across 8 appends; partition 1 written once
+    (1 to 8).foreach { b =>
+      Seq.tabulate(10)(i => (b * 100L + i, 0)).toDF("id", "p")
+        .coalesce(1).write.mode("append").partitionBy("p").parquet(dir)
+    }
+    Seq.tabulate(10)(i => (i.toLong, 1)).toDF("id", "p")
+      .coalesce(1).write.mode("append").partitionBy("p").parquet(dir)
+    def files(p: Int): Seq[java.io.File] =
+      new java.io.File(s"$dir/p=$p").listFiles.toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+    val sizeBefore1 = files(1).map(f => (f.getName, f.lastModified)).toSet
+    assert(files(0).size === 8, "fixture must be fragmented")
+    val before = spark.read.parquet(dir).orderBy("id", "p").collect().toSeq
+    PartitionedStore.compactPartitions(spark, dir, "p", Seq(0))
+    val after = spark.read.parquet(dir).orderBy("id", "p").collect().toSeq
+    assert(after === before, "compaction must not change content")
+    assert(files(0).size === 1, "fragmented partition must compact to one file")
+    assert(files(1).map(f => (f.getName, f.lastModified)).toSet === sizeBefore1,
+      "unlisted partition must not be touched")
+  }
 }

@@ -27,6 +27,40 @@ class TemporalSpec extends SparkSpec {
     assert(got(2) === ((3L, None, None)), "no preceding quote -> nulls")
   }
 
+  test("asofJoinTolerance: within-bound match kept, boundary inclusive, stale match nulled whole") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq((1L, "k", 100L), (2L, "k", 150L), (3L, "k", 151L), (4L, "k", 40L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("k", 90L, 1.0), ("k", 100L, 2.0)).toDF("sym", "t", "px")
+    val got = Joins.asofJoinTolerance(trades, quotes, Seq("sym"), "t",
+        tolerance = 50L, rightTsAs = "qt")
+      .orderBy("trade_id").collect()
+      .map(r => (r.getAs[Long]("trade_id"), Option(r.getAs[Any]("qt")), Option(r.getAs[Any]("px"))))
+    assert(got(0) === ((1L, Some(100L), Some(2.0))), "gap 0 matches")
+    assert(got(1) === ((2L, Some(100L), Some(2.0))), "gap == tolerance is inclusive")
+    assert(got(2) === ((3L, None, None)), "gap just past tolerance nulls the WHOLE match")
+    assert(got(3) === ((4L, None, None)), "no preceding quote stays null")
+  }
+
+  test("coalesceIntervals: overlapping and touching spans merge, gaps split, keys isolate") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L),   // overlap -> one span
+      ("a", 20L, 30L),                  // touching (start == prev end) -> same span
+      ("a", 41L, 50L),                  // gap -> new span
+      ("b", 0L, 10L))                   // other key untouched by a's spans
+      .toDF("k", "lo", "hi")
+    val got = Ranges.coalesceIntervals(iv, Seq("k"), "lo", "hi")
+      .orderBy("k", "span_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("a", 0L, 30L, 3L),
+      ("a", 41L, 50L, 1L),
+      ("b", 0L, 10L, 1L)))
+  }
+
   test("asofJoin: keys never match across partitions; equal-ts right dups resolve by tiebreak") {
     val s = spark
     import s.implicits._

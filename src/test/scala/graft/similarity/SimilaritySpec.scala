@@ -57,6 +57,41 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks === (1 to lsh.length))
   }
 
+  test("lshTopKMultiProbe: recall >= single-probe, exact scores, planes=0 degenerates to brute force") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").cast("long").as("c_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    val queries = emb.filter(col("c_id") < 10)
+      .select(col("c_id").as("q_id"), col("c_emb").as("q_emb"))
+    val corpus = emb.filter(col("c_id") >= 10)
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select(col("q_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("q_id"), col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val single = Similarity.lshTopK(queries, corpus, k = 5, planes = 4)
+    val multi = Similarity.lshTopKMultiProbe(queries, corpus, k = 5, planes = 4)
+    assert(recallOf(multi) >= recallOf(single),
+      "widening the probe set must never lose recall")
+    // multi-probe scores are exact cosines: every returned (q, c) pair
+    // carries the same score brute force computes
+    val bruteScores = Similarity.bruteForceTopK(queries, corpus, k = 1000)
+      .select(col("q_id"), col("c_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    multi.select(col("q_id"), col("c_id"), col("cos")).collect().foreach { r =>
+      assert(bruteScores((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+    // planes=0: one bucket, no flips — identical to brute force
+    val degenerate = Similarity.lshTopKMultiProbe(queries, corpus, k = 5, planes = 0)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    val bruteRows = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    assert(degenerate === bruteRows)
+  }
+
   test("ivfTopK: correct scores, well-formed ranks, full recall at nprobe=nlist") {
     val s = spark
     import s.implicits._
