@@ -359,6 +359,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** TF-IDF-weighted cosine pairs over the term postings index — the
+    * all-pairs similarity search (APSS) operator of Bayardo et al.
+    * (WWW 2007): where Jaccard treats every shared token alike, the
+    * IDF weighting makes rare shared vocabulary count and boilerplate
+    * terms count for almost nothing — the lexical near-dup measure for
+    * corpora whose templates share most of their FREQUENT words.
+    *
+    * Engine-exact fixed point: idf on the 1e-6 floor-ln grid
+    * (floor(ln(N/df)·1e6), the q149 discipline), term weight =
+    * tf · idf_fx as int64, norms and pair dots as exact DECIMAL sums
+    * of int64 products, ONE double expression (dot / (√na·√nb))
+    * floored to 1e-6 at the end — the DuckDB oracle replays every
+    * weight bit-for-bit.
+    *
+    * Scale shape: same as [[jaccardPairsByCount]] — a postings
+    * equi-join (shuffle_hash, never a cross join) generates candidate
+    * pairs, one pair-keyed aggregate computes the dot; zero-weight
+    * postings (df == N) are pruned before the join, and
+    * `maxTermDocFreq` caps the quadratic fan-out of hot terms (which
+    * IDF has already made near-worthless for the score).
+    */
+  def tfidfCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tau: Double,
+      maxTermDocFreq: Option[Int] = None): DataFrame = {
+    val tf = df.select(col(idCol).as("doc"),
+        explode(graft.text.TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("tf"))
+    val n = df.select(col(idCol)).distinct().count()
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val dfKept = maxTermDocFreq
+      .map(c => dfreq.filter(col("df") <= c)).getOrElse(dfreq)
+    val weighted0 = tf.join(dfKept, Seq("t"))
+      .withColumn("idf_fx",
+        floor(log(lit(n.toDouble) / col("df"))* lit(1e6)).cast("long"))
+      .filter(col("idf_fx") > 0L)
+      .select(col("doc"), col("t"), (col("tf") * col("idf_fx")).as("w"))
+    // norms ride the postings like nsh does in jaccardPairsByCount
+    val norms = weighted0.groupBy(col("doc"))
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
+    val idx = weighted0.join(norms, Seq("doc"))
+    idx.as("l").join(idx.as("r").hint("shuffle_hash"), col("l.t") === col("r.t"))
+      .filter(col("l.doc") < col("r.doc"))
+      .groupBy(col("l.doc").as("doc_a"), col("l.n2").as("na"),
+        col("r.doc").as("doc_b"), col("r.n2").as("nb"))
+      .agg(sum((col("l.w") * col("r.w")).cast("decimal(38,0)")).as("dot"))
+      .withColumn("cos",
+        floor(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+          * lit(1e6)) / lit(1e6))
+      .filter(col("cos") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+  }
+
   /** MinHash signature of a shingle set: `numHashes` independent
     * min-hashes, hash j of shingle s = xxh64(s, seed=j). Compiled
     * kernel (SketchOps) — stays in whole-stage codegen.

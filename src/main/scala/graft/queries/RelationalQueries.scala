@@ -347,6 +347,33 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("span_start"))
     }),
 
+    // Linear multi-touch attribution: each purchase's value splits
+    // equally (integer cents, floor division — deterministic, never
+    // over-credits) across the same user's clicks in the preceding
+    // 7 days. The click∈[purchase-7d, purchase] containment runs
+    // through the bucketed interval join (a plain hash join on
+    // (user, bucket) + residual — never the BroadcastNestedLoop a raw
+    // range condition plans as); one purchase-keyed count completes
+    // the split.
+    "q211_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("t_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (col("t_us") - lit(7L * 86400L * 1000000L)).as("lo"),
+          (col("t_us") + lit(1L)).as("hi"), // half-open: include tc == tp
+          round(col("value") * lit(100.0)).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("t_us").as("tc"))
+      graft.core.Ranges.intervalJoin(
+          clicks, "tc", purchases, "lo", "hi",
+          bucket = 86400L * 1000000L, keys = Seq("user_id"))
+        .groupBy(col("event_id"), col("user_id"), col("cents"))
+        .agg(count(lit(1)).as("n_touches"))
+        .select(col("event_id"), col("user_id"), col("n_touches"),
+          expr("cents div n_touches").as("credit_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // Ordered funnel signup → click → purchase: chained running-min
     // windows over ONE (user, time) sort — no per-stage self-joins.
     "q86_funnel" -> ((s, dir) => {
@@ -1067,6 +1094,21 @@ object RelationalQueries {
            count(*)::BIGINT AS n_merged
          FROM isl GROUP BY user_id, island
          ORDER BY user_id, span_start""",
+    "q211_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS t_us, value FROM events),
+         p AS (SELECT event_id, user_id,
+             t_us - 604800000000 AS lo, t_us + 1 AS hi,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, t_us AS tc FROM e WHERE event_type = 'click'),
+         m AS (SELECT p.event_id, p.user_id, p.cents, count(*)::BIGINT AS n_touches
+           FROM p JOIN c ON p.user_id = c.user_id
+             AND c.tc >= p.lo AND c.tc < p.hi
+           GROUP BY 1, 2, 3)
+         SELECT event_id, user_id, n_touches,
+           (cents // n_touches) AS credit_cents
+         FROM m ORDER BY event_id""",
     "q86_funnel" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),

@@ -832,6 +832,18 @@ object TrainingQueries {
         .orderBy(col("ref_id"), col("new_id"))
     }),
 
+    // All-pairs similarity search (Bayardo et al. 2007): TF-IDF-
+    // weighted cosine pairs over the postings index — rare shared
+    // vocabulary counts, boilerplate terms count for almost nothing
+    // (the lexical near-dup measure Jaccard's unweighted sets miss).
+    // Exact fixed point end-to-end: 1e-6 floor-ln idf grid, int64
+    // weights, DECIMAL dot/norm sums, one final double expression.
+    "q210_tfidf_pairs" -> ((s, dir) => {
+      Dedup.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+        tau = 0.9, maxTermDocFreq = Some(500))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Right-to-be-forgotten over the on-disk index: q122's build, then
     // DELETE the doc_id % 5 == 0 slice (partition-pruned rewrite — only
     // the pb/sb directories holding the forgotten docs' rows are
@@ -3164,6 +3176,34 @@ object TrainingQueries {
                         / len(list_distinct(list_concat(r.sh, b.sh))), 6) AS j
            FROM sh r JOIN sh b ON r.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
          WHERE j >= 0.5 ORDER BY ref_id, new_id""",
+
+    // q210: every weight replayed bit-for-bit — same floor-ln grid,
+    // int64 weights, HUGEINT dot/norm sums, identical final double.
+    "q210_tfidf_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id AS doc, t, count(*)::BIGINT AS tf
+           FROM tok GROUP BY 1, 2),
+         nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+         dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         w AS (SELECT doc, t,
+             (tf * CAST(floor(ln(nn.n::DOUBLE / df) * 1e6) AS BIGINT)) AS w
+           FROM tf JOIN dfq USING (t) CROSS JOIN nn
+           WHERE df <= 500
+             AND CAST(floor(ln(nn.n::DOUBLE / df) * 1e6) AS BIGINT) > 0),
+         norms AS (SELECT doc, sum((w::HUGEINT) * w) AS n2 FROM w GROUP BY 1),
+         dots AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+             sum((a.w::HUGEINT) * b.w) AS dot
+           FROM w a JOIN w b ON a.t = b.t AND a.doc < b.doc
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, cos FROM (
+           SELECT d.doc_a, d.doc_b,
+             floor(d.dot::DOUBLE
+               / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) * 1e6) / 1e6 AS cos
+           FROM dots d
+           JOIN norms na ON d.doc_a = na.doc
+           JOIN norms nb ON d.doc_b = nb.doc)
+         WHERE cos >= 0.9 ORDER BY doc_a, doc_b""",
 
     // q206: q122's replay minus the forgotten reference slice — the
     // delete must make those docs exactly as absent as never-indexed.
