@@ -39,11 +39,17 @@ object SparkEntry {
     (RelationalQueries.oracles ++ TrainingQueries.oracles ++ ChainQueries.oracles)
       .map { case (k, sql) => k -> materializeCtes(sql) }
 
-  // `name AS (` → `name AS MATERIALIZED (`; the lookahead skips WINDOW
-  // clauses (`w AS (PARTITION/ORDER …)`) and keeps the rewrite
-  // idempotent. CTE bodies always open with SELECT/VALUES in our SQL.
+  // `name AS (` → `name AS MATERIALIZED (`, but ONLY when the body
+  // opens like a query (SELECT / VALUES / FROM-first / nested WITH) —
+  // a positive whitelist, so a WINDOW clause in ANY form (`w AS
+  // (PARTITION …)`, `w AS (ROWS …)`, `w AS (RANGE …)`) or any other
+  // future parenthesized AS can never be corrupted into invalid SQL at
+  // this shared contract boundary. Idempotent: after rewriting, `AS`
+  // is followed by `MATERIALIZED`, not `(`. Recursive CTEs declared
+  // with a column list (`walk(node, reach) AS (`) don't match the
+  // leading `\w+ AS` and are deliberately left alone.
   private val CteDef =
-    """\b(\w+)\s+AS\s+\((?!\s*(?:PARTITION|ORDER|MATERIALIZED)\b)""".r
+    """\b(\w+)\s+AS\s+\((?=\s*(?:SELECT|VALUES|FROM|WITH)\b)""".r
   private[graft] def materializeCtes(sql: String): String =
     CteDef.replaceAllIn(sql, m => s"${m.group(1)} AS MATERIALIZED (")
 }

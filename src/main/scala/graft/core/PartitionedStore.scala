@@ -52,22 +52,43 @@ object PartitionedStore {
   /** Write `rows` (covering exactly the listed partitions) to a
     * scratch dir, then swap the affected `partCol=v` directories in
     * place. A partition with no surviving rows ends up absent.
+    *
+    * Swap discipline: the live directory is RENAMED ASIDE first (a
+    * rename is atomic on HDFS and POSIX), the fresh one renamed in,
+    * and only then is the backup deleted — a crash mid-swap leaves
+    * either the old or the new directory recoverable, never a silently
+    * missing partition, and every rename's return value is checked
+    * (Hadoop signals failure by returning false, not throwing).
+    * `<dir>__rewrite_bak=v` directories present after a crash are the
+    * recovery breadcrumbs; reruns fail loudly on them rather than
+    * guessing which side is authoritative.
     */
   private def rewriteAndSwap(
       spark: SparkSession, dir: String, partCol: String,
       parts: Seq[Int], rows: DataFrame,
       writeOptions: Map[String, String] = Map.empty): Unit = {
-    val tmp = s"$dir/../${new java.io.File(dir).getName}__rewrite_tmp"
+    val name = new java.io.File(dir).getName
+    val tmp = s"$dir/../${name}__rewrite_tmp"
+    val bak = s"$dir/../${name}__rewrite_bak"
     rows.write.mode("overwrite").options(writeOptions)
       .partitionBy(partCol).parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val bakRoot = new org.apache.hadoop.fs.Path(bak)
+    require(!fs.exists(bakRoot),
+      s"$bak exists — a previous swap crashed mid-flight; reconcile it " +
+        "against the live store before rerunning")
+    fs.mkdirs(bakRoot)
+    def renameOrFail(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to), s"rename $from -> $to failed")
     parts.foreach { v =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$partCol=$v")
       val fresh = new org.apache.hadoop.fs.Path(s"$tmp/$partCol=$v")
-      if (fs.exists(live)) fs.delete(live, true)
-      if (fs.exists(fresh)) fs.rename(fresh, live)
+      val aside = new org.apache.hadoop.fs.Path(s"$bak/$partCol=$v")
+      if (fs.exists(live)) renameOrFail(live, aside)
+      if (fs.exists(fresh)) renameOrFail(fresh, live)
     }
+    fs.delete(bakRoot, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 }

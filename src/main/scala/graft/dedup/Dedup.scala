@@ -398,15 +398,21 @@ object Dedup {
         floor(log(lit(n.toDouble) / col("df"))* lit(1e6)).cast("long"))
       .filter(col("idf_fx") > 0L)
       .select(col("doc"), col("t"), (col("tf") * col("idf_fx")).as("w"))
-    // norms ride the postings like nsh does in jaccardPairsByCount
+    // norms ride the postings like nsh does in jaccardPairsByCount.
+    // Cast to DECIMAL BEFORE the multiply: at ~1e6 docs idf_fx reaches
+    // ~1.4e7 and a rare term repeated ~220x gives w > 3e9, so an int64
+    // w*w would silently wrap (the oracle multiplies in HUGEINT) —
+    // the product must be exact, not just the sum.
+    val wDec = col("w").cast("decimal(38,0)")
     val norms = weighted0.groupBy(col("doc"))
-      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("n2"))
+      .agg(sum(wDec * wDec).as("n2"))
     val idx = weighted0.join(norms, Seq("doc"))
     idx.as("l").join(idx.as("r").hint("shuffle_hash"), col("l.t") === col("r.t"))
       .filter(col("l.doc") < col("r.doc"))
       .groupBy(col("l.doc").as("doc_a"), col("l.n2").as("na"),
         col("r.doc").as("doc_b"), col("r.n2").as("nb"))
-      .agg(sum((col("l.w") * col("r.w")).cast("decimal(38,0)")).as("dot"))
+      .agg(sum(col("l.w").cast("decimal(38,0)") * col("r.w").cast("decimal(38,0)"))
+        .as("dot"))
       .withColumn("cos",
         floor(col("dot").cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))

@@ -187,22 +187,30 @@ object LshIndex {
       idCol: String,
       textCol: String): Unit = {
     val m = readMeta(spark, path)
+    // ONE shingle pass over the deleted set, persisted: pbs, sbs and
+    // both anti-joins otherwise each re-scan (and re-shingle) the
+    // takedown join — the same argument as probe's cached batch. The
+    // persist is self-managed (released in finally), so delete works
+    // outside any CacheScope bracket.
     val del = docs.select(col(idCol).as("doc"),
-      TextFunctions.shingles(col(textCol), m.n).as("sh"))
-    // bucket partitions holding the deleted docs' band keys; bounded
-    // collect (≤ numPartitions values)
-    val pbs = del
-      .select(explode(Dedup.lshBandKeys(col("sh"), m.numHashes, m.bands)).as("bucket"))
-      .select(pb(col("bucket"), m.numPartitions).as("p"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val sbs = del
-      .select(pb(col("doc").cast("string"), m.numPartitions).as("p"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val ids = del.select(col("doc"))
-    graft.core.PartitionedStore.deleteKeysFromPartitions(
-      spark, s"$path/buckets", "pb", pbs, "doc", ids)
-    graft.core.PartitionedStore.deleteKeysFromPartitions(
-      spark, s"$path/sigs", "sb", sbs, "doc", ids)
+      explode(Dedup.lshBandKeys(
+        TextFunctions.shingles(col(textCol), m.n), m.numHashes, m.bands))
+        .as("bucket"))
+      .persist()
+    try {
+      // bounded collects (≤ numPartitions values each)
+      val pbs = del
+        .select(pb(col("bucket"), m.numPartitions).as("p"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val sbs = del
+        .select(pb(col("doc").cast("string"), m.numPartitions).as("p"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val ids = del.select(col("doc")).distinct()
+      graft.core.PartitionedStore.deleteKeysFromPartitions(
+        spark, s"$path/buckets", "pb", pbs, "doc", ids)
+      graft.core.PartitionedStore.deleteKeysFromPartitions(
+        spark, s"$path/sigs", "sb", sbs, "doc", ids)
+    } finally del.unpersist()
   }
 
   private def pb(bucket: org.apache.spark.sql.Column, parts: Int) =

@@ -400,6 +400,28 @@ object Similarity {
     * storage analog of an inverted list. Norms are precomputed into
     * the index so probes skip the sqrt pass.
     */
+  /** THE cell-assignment rule, shared verbatim by index build, append
+    * and delete: nearest broadcast centroid by cosine, ties to the
+    * LOWEST cent_id. One definition on purpose — delete finds a
+    * vector's partition by REPLAYING this assignment, so a tweak that
+    * reached only one copy would silently leave "forgotten" vectors
+    * probeable in a cell delete never opens.
+    */
+  private def assignToCentroids(vectors: DataFrame, centN: DataFrame): DataFrame =
+    graft.core.Joins.lastByKey(
+      vectors.withColumn("c_norm", norm(col("c_emb")))
+        .crossJoin(broadcast(centN))
+        .withColumn("a_score",
+          cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
+      Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+
+  /** The index's frozen quantizer, read back normed. */
+  private def frozenCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_centroids")
+      .select(col("cent_id"), col("cent_emb"))
+      .withColumn("cent_norm", norm(col("cent_emb")))
+
   def writeIvfIndex(
       corpus: DataFrame, // (c_id, c_emb: array<double>)
       path: String,
@@ -408,12 +430,7 @@ object Similarity {
     val cent = centroids.getOrElse(seedCentroids(corpus, nlist))
       .select(col("cent_id"), col("cent_emb"))
     val centN = cent.withColumn("cent_norm", norm(col("cent_emb")))
-    val c = corpus.withColumn("c_norm", norm(col("c_emb")))
-    graft.core.Joins.lastByKey(
-        c.crossJoin(broadcast(centN))
-          .withColumn("a_score",
-            cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
-        Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+    assignToCentroids(corpus, centN)
       .select(col("cent_id").as("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     cent.write.mode("overwrite").parquet(s"$path/_centroids")
@@ -436,19 +453,10 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       batch: DataFrame // (c_id, c_emb: array<double>)
-  ): Unit = {
-    val centN = spark.read.parquet(s"$path/_centroids")
-      .select(col("cent_id"), col("cent_emb"))
-      .withColumn("cent_norm", norm(col("cent_emb")))
-    val c = batch.withColumn("c_norm", norm(col("c_emb")))
-    graft.core.Joins.lastByKey(
-        c.crossJoin(broadcast(centN))
-          .withColumn("a_score",
-            cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
-        Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+  ): Unit =
+    assignToCentroids(batch, frozenCentroids(spark, path))
       .select(col("cent_id").as("list_id"), col("c_id"), col("c_emb"), col("c_norm"))
       .write.mode("append").partitionBy("list_id").parquet(path)
-  }
 
   /** Remove vectors from a [[writeIvfIndex]] directory — the
     * right-to-be-forgotten operation mirroring
@@ -467,20 +475,12 @@ object Similarity {
       path: String,
       vectors: DataFrame // (c_id, c_emb: array<double>)
   ): Unit = {
-    val centN = spark.read.parquet(s"$path/_centroids")
-      .select(col("cent_id"), col("cent_emb"))
-      .withColumn("cent_norm", norm(col("cent_emb")))
-    val c = vectors.withColumn("c_norm", norm(col("c_emb")))
-    val assigned = graft.core.Joins.lastByKey(
-      c.crossJoin(broadcast(centN))
-        .withColumn("a_score",
-          cosineWithNorms(col("c_emb"), col("cent_emb"), col("c_norm"), col("cent_norm"))),
-      Seq("c_id"), Seq(col("a_score"), -col("cent_id")))
+    val assigned = assignToCentroids(vectors, frozenCentroids(spark, path))
     // bounded collect: at most nlist cells
     val cells = assigned.select(col("cent_id").cast("int"))
       .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
     graft.core.PartitionedStore.deleteKeysFromPartitions(
-      spark, path, "list_id", cells, "c_id", vectors.select(col("c_id")))
+      spark, path, "list_id", cells, "c_id", vectors.select(col("c_id")).distinct())
   }
 
   /** ANN top-k over a [[writeIvfIndex]] directory. Probe cells are
