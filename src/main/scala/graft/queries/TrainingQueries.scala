@@ -832,6 +832,31 @@ object TrainingQueries {
         .orderBy(col("ref_id"), col("new_id"))
     }),
 
+    // Matryoshka/truncated-dimension recall scorecard (the
+    // MRL-deployment decision table beside q179's IVF recall): exact
+    // top-5 under PREFIX-dim cosine (16 of 64 dims — 4x cheaper
+    // scan/storage) scored against the full-dim truth per query;
+    // dim=64 rides along as the self-check (recall must be 5/5).
+    // Integer hit counts only — no division to diverge on.
+    "q212_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      def topk(d: Int) = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), slice(col("emb"), 1, d).as("q_emb")),
+        emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("c_id"), slice(col("emb"), 1, d).as("c_emb")),
+        k = 5).select(col("q_id"), col("c_id"))
+      val truth = topk(64)
+      Seq(16, 64).map { d =>
+        topk(d).join(truth, Seq("q_id", "c_id"), "left_semi")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(col("q_id"), lit(d.toLong).as("dim"), col("n_hits"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("dim"), col("q_id"))
+    }),
+
     // All-pairs similarity search (Bayardo et al. 2007): TF-IDF-
     // weighted cosine pairs over the postings index — rare shared
     // vocabulary counts, boilerplate terms count for almost nothing
@@ -3176,6 +3201,34 @@ object TrainingQueries {
                         / len(list_distinct(list_concat(r.sh, b.sh))), 6) AS j
            FROM sh r JOIN sh b ON r.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
          WHERE j >= 0.5 ORDER BY ref_id, new_id""",
+
+    // q212: both rankings replayed per dim — prefix-slice cosines via
+    // the same ascending-fold kernel (list_inner_product == the
+    // engine's array_dot), hit counts as plain inner-join counts.
+    "q212_matryoshka_recall" -> {
+      def cosD(a: String, b: String, d: Int) =
+        s"""round(list_inner_product($a.emb[1:$d], $b.emb[1:$d])
+           / (sqrt(list_inner_product($a.emb[1:$d], $a.emb[1:$d]))
+            * sqrt(list_inner_product($b.emb[1:$d], $b.emb[1:$d]))), 6)"""
+      def topk(d: Int, nameAs: String) =
+        s"""$nameAs AS (SELECT q_id, c_id FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${cosD("q", "c", d)} DESC, c.vec_id) AS rn
+             FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10)
+           WHERE rn <= 5)"""
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+         ${topk(16, "t16")},
+         ${topk(64, "t64")}
+         SELECT q_id, dim, n_hits FROM (
+           SELECT a.q_id, 16::BIGINT AS dim, count(*)::BIGINT AS n_hits
+           FROM t16 a JOIN t64 b USING (q_id, c_id) GROUP BY 1
+           UNION ALL
+           SELECT a.q_id, 64::BIGINT, count(*)::BIGINT
+           FROM t64 a JOIN t64 b USING (q_id, c_id) GROUP BY 1)
+         ORDER BY dim, q_id"""
+    },
 
     // q210: every weight replayed bit-for-bit — same floor-ln grid,
     // int64 weights, HUGEINT dot/norm sums, identical final double.

@@ -208,6 +208,37 @@ object CorpusStreams {
         driftBatch(batch.toDF(), batchId, textCol, refPath, outPath, nBuckets)
     }
 
+  /** One micro-batch of the streaming profile monitor: the
+    * [[graft.core.Profile.columnProfile]] ANALYZE report over the
+    * arriving batch, appended with the batch id — the schema-drift /
+    * data-quality time series beside [[driftBatch]]'s distributional
+    * PSI (null-rate spikes, cardinality collapses and range walks
+    * surface per batch, not at the next full-table audit). Public so
+    * replay semantics are directly testable.
+    */
+  def profileBatch(batch: DataFrame, batchId: Long,
+      fields: Seq[(String, org.apache.spark.sql.Column)],
+      outPath: String): Unit =
+    graft.core.Profile.columnProfile(batch, fields)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(outPath)
+
+  /** Streaming profile monitor: every micro-batch profiled (rows,
+    * nulls, distincts, min/max per field) into a standing time series
+    * — wire with `.option("checkpointLocation", …).start()`. Batches
+    * are independent (no cross-batch state), so at-least-once replay
+    * appends a duplicate row set for a replayed batch id rather than
+    * corrupting anything — readers key on (batch_id, column).
+    */
+  def profileMonitor(stream: DataFrame,
+      fields: Seq[(String, org.apache.spark.sql.Column)],
+      outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        profileBatch(batch.toDF(), batchId, fields, outPath)
+    }
+
   /** Streaming canary/blocklist monitor: one Aho-Corasick automaton
     * pass per arriving document ([[graft.functions.AcFunctions
     * .multiContains]] — map-only, so it runs UNCHANGED on a stream),

@@ -181,6 +181,49 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(bySeverity(1)._3 > 0.5, "the degenerate batch must flag loudly")
   }
 
+  test("profileMonitor: per-batch ANALYZE rows equal the batch profile; replay appends, never corrupts") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("profstream").toString
+    val (in, out, ckpt) = (s"$root/docs", s"$root/prof", s"$root/ckpt")
+    // batch file 1: clean; batch file 2: nulls + cardinality collapse
+    val b1 = (1 to 20).map(i => (i.toLong, s"body $i", "web"))
+    val b2 = (21 to 40).map(i => (i.toLong, if (i % 2 == 0) null else "x", "web"))
+    b1.toDF("doc_id", "text", "source").coalesce(1).write.mode("append").parquet(in)
+    b2.toDF("doc_id", "text", "source").coalesce(1).write.mode("append").parquet(in)
+    val fields = Seq(
+      "doc_id" -> col("doc_id"),
+      "text" -> col("text"))
+    val q = CorpusStreams.profileMonitor(
+        spark.readStream.schema("doc_id LONG, text STRING, source STRING")
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        fields, out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out)
+    assert(rows.select("batch_id").distinct().count() === 2)
+    // each batch's rows equal the batch-mode profile of that file
+    val nullBatch = rows
+      .filter(col("column") === "text" && col("n_nulls") > 0).collect()
+    assert(nullBatch.length === 1, "exactly one batch carries text nulls")
+    assert(nullBatch(0).getAs[Long]("n_nulls") === 10L)
+    assert(nullBatch(0).getAs[Long]("n_distinct") === 1L, "cardinality collapse visible")
+    val clean = graft.core.Profile.columnProfile(
+      b1.toDF("doc_id", "text", "source"), fields)
+      .collect().map(_.toSeq).toSet
+    val cleanBatchId = rows.filter(col("column") === "text" && col("n_nulls") === 0)
+      .head().getAs[Long]("batch_id")
+    val streamedClean = rows.filter(col("batch_id") === cleanBatchId)
+      .drop("batch_id").collect().map(_.toSeq).toSet
+    assert(streamedClean === clean, "stream profile must equal the batch profile")
+    // at-least-once replay: re-running the batch fn appends a duplicate
+    // keyed row set, leaving existing rows intact
+    CorpusStreams.profileBatch(b1.toDF("doc_id", "text", "source"), 0L, fields, out)
+    assert(spark.read.parquet(out).count() === rows.count() + fields.size)
+  }
+
   test("map-only curation ops (splitByHash, hashSample) run unchanged on a stream") {
     val s = spark
     import s.implicits._
