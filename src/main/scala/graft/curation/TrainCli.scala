@@ -540,6 +540,26 @@ class TrainCli(spark: SparkSession, idCol: String = "doc_id", textCol: String = 
       .select(col(idCol), col("gopher_pass"), col("block_pass"),
         col("qual_pass"), col("rep_pass"), col("keep")), out)
 
+  /** Import a JSONL(.gz) corpus drop into parquet — the ingestion
+    * boundary ([[CorpusIo.readJsonl]]): explicit schema (no
+    * inference pass), corrupt lines dropped after being counted into
+    * the returned (kept, quarantined) pair.
+    */
+  def importJsonl(in: String, out: String,
+      schemaDdl: String = "doc_id LONG, text STRING, source STRING")
+      : (Long, Long) = {
+    val all = CorpusIo.readJsonl(spark, in,
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    val bad = all.filter(col("_corrupt").isNotNull).count()
+    (write(all.filter(col("_corrupt").isNull).drop("_corrupt"), out), bad)
+  }
+
+  /** Export a parquet corpus as gzipped JSONL — the interchange
+    * boundary ([[CorpusIo.writeJsonl]]); field order = table order.
+    */
+  def exportJsonl(in: String, out: String, codec: String = "gzip"): Unit =
+    CorpusIo.writeJsonl(read(in), out, codec)
+
   /** Right-to-be-forgotten: remove the listed ids from the corpus AND
     * from the standing LSH index in one step
     * ([[graft.dedup.LshIndex.delete]] — partition-pruned, only the

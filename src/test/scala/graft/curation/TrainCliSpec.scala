@@ -419,6 +419,26 @@ class TrainCliSpec extends SparkSpec {
       Set("doc_id", "gopher_pass", "block_pass", "qual_pass", "rep_pass", "keep"))
   }
 
+  test("importJsonl/exportJsonl: the interchange loop round-trips and quarantines bad lines") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("traincli").toString
+    val cli = new TrainCli(spark)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/drop.jsonl"),
+      """{"doc_id": 1, "text": "alpha", "source": "web"}
+        |garbage line
+        |{"doc_id": 2, "text": "beta", "source": "wiki"}
+        |""".stripMargin)
+    val (kept, quarantined) = cli.importJsonl(s"$root/drop.jsonl", s"$root/docs")
+    assert(kept === 2L && quarantined === 1L)
+    cli.exportJsonl(s"$root/docs", s"$root/exported")
+    val (kept2, q2) = cli.importJsonl(s"$root/exported", s"$root/docs2")
+    assert(kept2 === 2L && q2 === 0L)
+    assert(spark.read.parquet(s"$root/docs2").orderBy("doc_id").collect().toSeq ===
+      spark.read.parquet(s"$root/docs").orderBy("doc_id").collect().toSeq)
+  }
+
   test("forget removes ids from corpus AND index; rerun-safe; probe finds nothing") {
     val s = spark
     import s.implicits._
