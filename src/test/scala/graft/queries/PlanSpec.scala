@@ -836,6 +836,46 @@ class PlanSpec extends SparkSpec {
       "health rollup must combine map-side")
   }
 
+  test("q205: column profile is ONE scan — distincts fuse through Expand, no join") {
+    val p = plan("q205_column_profile")
+    assert(p.contains("Expand"), "multi-distinct must plan through Expand")
+    assert(!p.contains("Join"), "profile must not join")
+    // count scan DETAIL headers ("(n) Scan parquet"), not tree echoes
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1,
+      "profile must read the input exactly once")
+  }
+
+  test("q208: interval coalescing runs on one sort — no self-join, no cartesian") {
+    val p = plan("q208_interval_merge")
+    assert(!p.contains("Join"), "coalescing must not self-join")
+    assert(!p.contains("CartesianProduct"))
+    // both windows (running max + island sum) share one partitioning/order
+    assert(p.linesIterator.count(l => l.contains(" Sort ")) <= 2,
+      "the two windows must share the one (keys, start) sort")
+  }
+
+  test("q210: TF-IDF pairs join postings on the term key — no cartesian, map-side partials") {
+    val p = plan("q210_tfidf_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "APSS must stay a postings equi-join")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "pair dot must combine map-side")
+  }
+
+  test("q211: attribution's range containment is a hash join on (user, bucket), never a nested loop") {
+    val p = plan("q211_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval containment must bucket to an equi-join")
+  }
+
+  test("q204/q209/q212: tolerance asof, multi-probe, matryoshka stay join-shape clean") {
+    Seq("q204_asof_tolerance", "q209_ann_multiprobe", "q212_matryoshka_recall")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      }
+  }
+
   test("tripwire: NO query plans an unpartitioned Window (the r9 bench-tail WARN source)") {
     // Every deliberately-bounded single-partition window must carry the
     // non-foldable Windows.zeroKey partition key — an empty partition
