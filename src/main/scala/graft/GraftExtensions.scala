@@ -26,8 +26,12 @@ import graft.text.TextFunctions
   * codegen exactly as their Scala-API counterparts do.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    // planner capability, config-gated: the keyless range-join rewrite
+    // fires only when spark.graft.intervalJoin.bucket is set
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -374,6 +374,33 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The OPTIMIZER-RULE path for range joins: the query DECLARES the
+    // natural keyless containment (t >= lo AND t < hi against a day
+    // spine) — the shape Catalyst would plan as a BroadcastNestedLoop
+    // — and graft.plans.IntervalJoinRewrite (config-gated, injected
+    // via GraftExtensions / install) rewrites it into the bucketed
+    // equi-join q88/q211 hand-build. Same rows either way (rule-
+    // disabled equality is spec-asserted); the oracle replays the
+    // declared semantics directly.
+    "q213_range_rule" -> ((s, dir) => {
+      graft.plans.IntervalJoinRewrite.install(s)
+      s.conf.set(graft.plans.IntervalJoinRewrite.BucketConf,
+        (86400L * 1000000L).toString)
+      val day = 86400L * 1000000L
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+      val bounds = ev.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
+      val spine = bounds.select(col("t0"),
+          explode(sequence(lit(0L), expr(s"(t1 - t0) div ${day}L"))).as("d"))
+        .select(col("d"),
+          (col("t0") + col("d") * lit(day)).as("lo"),
+          (col("t0") + (col("d") + lit(1L)) * lit(day)).as("hi"))
+      ev.join(spine, col("t_us") >= col("lo") && col("t_us") < col("hi"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("d"))
+    }),
+
     // Ordered funnel signup → click → purchase: chained running-min
     // windows over ONE (user, time) sort — no per-stage self-joins.
     "q86_funnel" -> ((s, dir) => {
@@ -1109,6 +1136,16 @@ object RelationalQueries {
          SELECT event_id, user_id, n_touches,
            (cents // n_touches) AS credit_cents
          FROM m ORDER BY event_id""",
+    "q213_range_rule" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t_us FROM events),
+         b AS (SELECT min(t_us) AS t0, max(t_us) AS t1 FROM e),
+         spine AS (SELECT d,
+             b.t0 + d * 86400000000 AS lo,
+             b.t0 + (d + 1) * 86400000000 AS hi
+           FROM b, unnest(range(0, ((b.t1 - b.t0) // 86400000000) + 1)) AS u(d))
+         SELECT s.d, count(*)::BIGINT AS n_events
+         FROM e JOIN spine s ON e.t_us >= s.lo AND e.t_us < s.hi
+         GROUP BY 1 ORDER BY 1""",
     "q86_funnel" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),

@@ -876,6 +876,13 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q213: the DECLARED keyless range join plans as an equi-join through the optimizer rule") {
+    val p = plan("q213_range_rule")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "IntervalJoinRewrite must turn the declared containment into a bucketed equi-join")
+    assert(p.contains("__graft_ib"), "the rule's bucket key must appear in the plan")
+  }
+
   test("tripwire: NO query plans an unpartitioned Window (the r9 bench-tail WARN source)") {
     // Every deliberately-bounded single-partition window must carry the
     // non-foldable Windows.zeroKey partition key — an empty partition
