@@ -725,6 +725,32 @@ object RelationalQueries {
         .orderBy(col("d"))
     }),
 
+    // Rolling distinct via MERGEABLE sketches — q187's question with
+    // the 100 TB shape: one KMV sketch row per day replaces the
+    // (user, day) membership rows in the spine join, so the rolling
+    // union carries days·|sketch| longs instead of the active-user
+    // table per frame. Exact regime here (k = 65536 > daily actives
+    // at every tested SF), so the output equals q187's exact counts
+    // row-for-row and the ORACLE IS the exact rolling distinct; past
+    // the regime the same plan degrades to a ~1/√k-error estimate
+    // instead of a shuffle explosion.
+    "q214_rolling_kmv" -> ((s, dir) => {
+      val daySk = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("day"))
+        .agg(graft.functions.AggregateFunctions
+          .kmvMinima(col("user_id"), 65536).as("sk"))
+      val days = daySk.select(col("day").as("d"))
+      days.join(daySk,
+          col("day") >= col("d") - lit(6L) && col("day") <= col("d"))
+        .groupBy(col("d"))
+        .agg(flatten(collect_list(col("sk"))).as("m"))
+        .select(col("d"),
+          size(array_distinct(col("m"))).cast("long").as("active_7d"))
+        .orderBy(col("d"))
+    }),
+
     // Join fan-out estimation by deterministic key sampling — the
     // pre-flight a 100 TB join runs BEFORE it runs: hash-gate ~1/16
     // of the KEY SPACE (both sides keep the same keys, so per-key
@@ -1349,6 +1375,16 @@ object RelationalQueries {
 
     // q187: identical (user, day) dedup and day-spine range join.
     "q187_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         days AS (SELECT DISTINCT day AS d FROM ud)
+         SELECT d, count(DISTINCT ud.user_id)::BIGINT AS active_7d
+         FROM days JOIN ud ON ud.day >= days.d - 6 AND ud.day <= days.d
+         GROUP BY d ORDER BY d""",
+
+    // q214: the exact-regime contract — sketch-union counts must equal
+    // the exact rolling distinct, so the oracle IS q187's.
+    "q214_rolling_kmv" ->
       """WITH ud AS (SELECT DISTINCT user_id,
              epoch_us(ts) // 86400000000 AS day FROM events),
          days AS (SELECT DISTINCT day AS d FROM ud)

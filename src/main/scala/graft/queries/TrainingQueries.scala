@@ -1151,6 +1151,22 @@ object TrainingQueries {
     // encoded to 8 small codes/vector, query vec 0 searched by exact
     // int64 table-lookup sums. The oracle replays codebook build,
     // encode, and the ADC ranking end-to-end.
+    // IVF + ADC composite (the FAISS billion-vector shape): coarse
+    // cells prune the search to nprobe lists, PQ codes rank the
+    // survivors — nprobe/nlist of the corpus touched, m bytes read
+    // per candidate instead of d·8. Multi-query; exact int64 table
+    // sums so the oracle replays every rank.
+    "q215_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      Similarity.ivfPqTopK(queries, corpus, k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "q144_pq_adc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id").as("c_id"),
         col("embedding").cast("array<double>").as("c_emb"))
@@ -4308,6 +4324,59 @@ object TrainingQueries {
     // q144: full PQ replay — md5-ordered seed codebooks, per-block
     // argmin encode (rounded L2², codeword-id tiebreak), int64 ADC
     // table sums.
+    // q215: q40's cell pruning composed with q144's codebook/encode/
+    // ADC replay, corpus-restricted and per-query.
+    "q215_ivf_pq" ->
+      s"""$embCte,
+         cent AS (SELECT vec_id AS cent_id, emb AS cent_emb, nrm AS cent_nrm
+                  FROM n WHERE vec_id >= 10
+                  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+         c AS (SELECT vec_id AS c_id, emb, nrm FROM n WHERE vec_id >= 10),
+         q AS (SELECT vec_id AS q_id, emb, nrm FROM n WHERE vec_id < 5),
+         assigned AS (SELECT list_id, c_id FROM (
+           SELECT ct.cent_id AS list_id, c.c_id,
+             row_number() OVER (PARTITION BY c.c_id ORDER BY
+               round(list_sum(list_transform(range(1, 65), i -> c.emb[i] * ct.cent_emb[i]))
+                 / (c.nrm * ct.cent_nrm), 6) DESC, ct.cent_id) AS rn
+           FROM c CROSS JOIN cent ct) WHERE rn = 1),
+         probes AS (SELECT q_id, list_id FROM (
+           SELECT q.q_id, ct.cent_id AS list_id,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               round(list_sum(list_transform(range(1, 65), i -> q.emb[i] * ct.cent_emb[i]))
+                 / (q.nrm * ct.cent_nrm), 6) DESC, ct.cent_id) AS rn
+           FROM q CROSS JOIN cent ct) WHERE rn <= 4),
+         seeds AS (SELECT emb, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS i
+                   FROM e WHERE vec_id >= 10
+                   ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+         js AS (SELECT unnest(range(1, 9)) AS j),
+         cb AS (SELECT js.j, seeds.i, list_slice(seeds.emb, (js.j-1)*8+1, js.j*8) AS cw
+                FROM seeds CROSS JOIN js),
+         blocks AS (SELECT e.vec_id, js.j, list_slice(e.emb, (js.j-1)*8+1, js.j*8) AS sub
+                    FROM e CROSS JOIN js WHERE e.vec_id >= 10),
+         enc AS (SELECT vec_id, j, i AS code FROM (
+                   SELECT b.vec_id, b.j, cc.i,
+                     row_number() OVER (PARTITION BY b.vec_id, b.j ORDER BY
+                       round(list_sum(list_transform(range(1, 9),
+                         t -> (b.sub[t]-cc.cw[t])*(b.sub[t]-cc.cw[t]))), 6), cc.i) AS rn
+                   FROM blocks b JOIN cb cc ON b.j = cc.j) WHERE rn = 1),
+         qblocks AS (SELECT e.vec_id AS q_id, js.j,
+             list_slice(e.emb, (js.j-1)*8+1, js.j*8) AS sub
+           FROM e CROSS JOIN js WHERE e.vec_id < 5),
+         tab AS (SELECT qb.q_id, cc.j, cc.i,
+                   CAST(floor(list_sum(list_transform(range(1, 9),
+                     t -> (qb.sub[t]-cc.cw[t])*(qb.sub[t]-cc.cw[t]))) * 1e6) AS BIGINT) AS efx
+                 FROM cb cc JOIN qblocks qb ON cc.j = qb.j),
+         cand AS (SELECT p.q_id, a.c_id FROM probes p JOIN assigned a USING (list_id)),
+         adc AS (SELECT cand.q_id, enc.vec_id AS c_id, sum(t.efx)::BIGINT AS adc_fx
+                 FROM cand JOIN enc ON cand.c_id = enc.vec_id
+                 JOIN tab t ON t.q_id = cand.q_id AND enc.j = t.j AND enc.code = t.i
+                 GROUP BY 1, 2)
+         SELECT q_id, c_id, adc_fx, rank FROM (
+           SELECT q_id, c_id, adc_fx,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_fx, c_id) AS rank
+           FROM adc)
+         WHERE rank <= 10 ORDER BY q_id, rank""",
+
     "q144_pq_adc" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
          seeds AS (SELECT emb, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS i

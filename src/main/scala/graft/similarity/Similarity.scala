@@ -1084,6 +1084,68 @@ object Similarity {
     * vector scores with m broadcast-joined lookups and one int64 sum.
     * Returns (c_id, adc_fx, rank 1..k) by (adc_fx asc, c_id).
     */
+  /** IVF + ADC composite top-k — the FAISS-style billion-vector
+    * architecture assembled from the two paths this plane already has:
+    * the coarse quantizer prunes the search to `nprobe` cells (the
+    * partition-pruning move of [[ivfTopK]]), and WITHIN the probed
+    * cells candidates rank by the PQ asymmetric-distance table instead
+    * of full-precision vectors — at scale the scan touches nprobe/nlist
+    * of the corpus and reads m bytes per vector instead of d·8.
+    *
+    * Codebooks are global (trained on the full corpus, not per-cell
+    * residuals — the classic residual refinement changes which
+    * codewords exist, none of the dataflow below). Multi-query by
+    * construction: the distance table is |Q|·m·ksub rows, broadcast;
+    * the candidate fan-out is (probed-cell volume)·m, never
+    * corpus·|Q|. Exact int64 table sums, so the DuckDB oracle replays
+    * every rank.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // (q_id, q_emb: array<double>)
+      corpus: DataFrame, // (c_id, c_emb: array<double>)
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      dsub: Int = 8,
+      ksub: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(seedCentroids(corpus, nlist))
+      .select(col("cent_id"), col("cent_emb"))
+      .withColumn("cent_norm", norm(col("cent_emb")))
+    val assigned = assignToCentroids(corpus, cent)
+      .select(col("cent_id").as("list_id"), col("c_id"))
+    val cb = pqCodebooks(corpus, m, dsub, ksub)
+    val codes = pqEncode(corpus, cb, m, dsub)
+    val q = queries.withColumn("q_norm", norm(col("q_emb")))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("p_score").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("p_score",
+        cosineWithNorms(col("q_emb"), col("cent_emb"), col("q_norm"), col("cent_norm")))
+      .withColumn("p_rank", row_number().over(probeW))
+      .filter(col("p_rank") <= nprobe)
+      .select(col("q_id"), col("cent_id").as("list_id"))
+    // per-query ADC table: |Q|·m·ksub rows, broadcast
+    val table = cb.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("j"), col("i"),
+        expr(s"slice(q_emb, (j-1)*$dsub+1, $dsub)").as("qsub"), col("cw"))
+      .select(col("q_id"), col("j"), col("i"),
+        floor(l2sq(col("qsub"), col("cw")) * lit(1e6)).cast("long").as("efx"))
+    val cand = assigned.join(probes, Seq("list_id"))
+      .select(col("q_id"), col("c_id"))
+    val rankW = Window.partitionBy(col("q_id")).orderBy(col("adc_fx").asc, col("c_id"))
+    val tableR = table.select(col("q_id").as("tq"), col("j").as("tj"),
+      col("i").as("ti"), col("efx"))
+    cand.join(codes, Seq("c_id"))
+      .join(broadcast(tableR),
+        col("q_id") === col("tq") && col("j") === col("tj") &&
+          col("code") === col("ti"))
+      .groupBy(col("q_id"), col("c_id")).agg(sum(col("efx")).as("adc_fx"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("adc_fx"), col("rank"))
+  }
+
   def pqSearchAdc(
       queryEmb: DataFrame, // exactly one row: (q_emb: array<double>)
       codes: DataFrame, // (c_id, j, code) from pqEncode

@@ -418,6 +418,42 @@ class SimilaritySpec extends SparkSpec {
       s"files rewritten in place (must be swap-or-keep): $changedSurvivors")
   }
 
+  test("ivfPqTopK at nprobe=nlist equals the single-query ADC primitive per query") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").cast("long").as("c_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    val corpus = emb.filter(col("c_id") >= 10)
+    val queries = emb.filter(col("c_id") < 3)
+      .select(col("c_id").as("q_id"), col("c_emb").as("q_emb"))
+    // full probe width: the cell pruning admits everything, so the
+    // composite must reduce to plain ADC search over the whole corpus
+    val got = Similarity.ivfPqTopK(queries, corpus, k = 7,
+        nlist = 16, nprobe = 16)
+      .select(col("q_id"), col("c_id"), col("adc_fx"))
+      .orderBy(col("q_id"), col("adc_fx"), col("c_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cb = Similarity.pqCodebooks(corpus, m = 8, dsub = 8, ksub = 16)
+    val codes = Similarity.pqEncode(corpus, cb, m = 8, dsub = 8)
+    val want = (0L until 3L).flatMap { qid =>
+      val q = emb.filter(col("c_id") === qid).select(col("c_emb").as("q_emb"))
+      Similarity.pqSearchAdc(q, codes, cb, m = 8, dsub = 8, k = 7)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1))).toSeq
+        .sortBy(t => (t._3, t._2))
+    }
+    assert(got === want)
+    // narrow probes return a subset of the full-width candidates with
+    // identical ADC scores (pruning changes RECALL, never a score)
+    val narrowScores = Similarity.ivfPqTopK(queries, corpus, k = 7,
+        nlist = 16, nprobe = 2)
+      .select(col("q_id"), col("c_id"), col("adc_fx"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val fullAll = Similarity.ivfPqTopK(queries, corpus, k = 1000,
+        nlist = 16, nprobe = 16)
+      .select(col("q_id"), col("c_id"), col("adc_fx"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    narrowScores.foreach { case (k2, v) => assert(fullAll(k2) === v) }
+  }
+
   test("semDedup: within-cluster near-dups drop to their smallest keeper") {
     val s = spark
     import s.implicits._
