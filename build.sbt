@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains speak a one-JSON-line stdout contract with the
+// driver; sbt's default LoggedOutput prefixes every forked-process line
+// with "[info] " and appends its own "[success] Total time" line, which
+// has made the driver's bench parser record parsed:null in EVERY round
+// (it reads the last stdout line). StdoutOutput passes the forked
+// process's stdout through raw, and showSuccess drops the trailer, so
+// the final line of `sbt runMain graft.Bench` IS the JSON result.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

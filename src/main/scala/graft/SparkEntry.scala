@@ -45,9 +45,12 @@ object SparkEntry {
   // (PARTITION …)`, `w AS (ROWS …)`, `w AS (RANGE …)`) or any other
   // future parenthesized AS can never be corrupted into invalid SQL at
   // this shared contract boundary. Idempotent: after rewriting, `AS`
-  // is followed by `MATERIALIZED`, not `(`. Recursive CTEs declared
-  // with a column list (`walk(node, reach) AS (`) don't match the
-  // leading `\w+ AS` and are deliberately left alone.
+  // is followed by `MATERIALIZED`, not `(`. Recursive CTEs: only the
+  // column-list form (`walk(node, reach) AS (`) escapes the regex (no
+  // leading `\w+ AS` match); a bare `WITH RECURSIVE d AS (SELECT …`
+  // DOES get rewritten to AS MATERIALIZED, which DuckDB accepts and
+  // evaluates correctly (verified on the q124 oracles) — the rewrite
+  // is a no-op hint there, not a semantics change.
   private val CteDef =
     """\b(\w+)\s+AS\s+\((?=\s*(?:SELECT|VALUES|FROM|WITH)\b)""".r
   private[graft] def materializeCtes(sql: String): String =

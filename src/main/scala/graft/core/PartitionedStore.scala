@@ -67,9 +67,17 @@ object PartitionedStore {
       spark: SparkSession, dir: String, partCol: String,
       parts: Seq[Int], rows: DataFrame,
       writeOptions: Map[String, String] = Map.empty): Unit = {
-    val name = new java.io.File(dir).getName
-    val tmp = s"$dir/../${name}__rewrite_tmp"
-    val bak = s"$dir/../${name}__rewrite_bak"
+    // Resolve the scratch dirs as true siblings via Path.getParent:
+    // splicing "$dir/.." would hand HDFS a path with a ".." component,
+    // which DFSUtil.isValidName rejects outright — the swap would fail
+    // loudly before any mutation, but on a filesystem the scaladoc
+    // promises to support.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val name = dirPath.getName
+    val parent = Option(dirPath.getParent).getOrElse(
+      sys.error(s"$dir has no parent directory to stage the swap in"))
+    val tmp = new org.apache.hadoop.fs.Path(parent, s"${name}__rewrite_tmp").toString
+    val bak = new org.apache.hadoop.fs.Path(parent, s"${name}__rewrite_bak").toString
     rows.write.mode("overwrite").options(writeOptions)
       .partitionBy(partCol).parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration

@@ -20,12 +20,21 @@ import org.apache.spark.sql.types.LongType
   * This is the (c)-tier Catalyst extension path: the user writes the
   * natural condition, the planner supplies the scalable strategy.
   *
-  * OPT-IN by config: the bucket width is operator knowledge (a width
-  * far below typical interval length multiplies rows; far above it
-  * degrades pruning), so the rule fires only when
-  * `spark.graft.intervalJoin.bucket` is set to a positive long —
-  * never behind the user's back. Scope guards, all required before
-  * firing:
+  * OPT-IN by config, two modes — the rule never fires behind the
+  * user's back:
+  *  - `spark.graft.intervalJoin.bucket` = positive long: fixed width,
+  *    operator-chosen (the r10 form);
+  *  - `spark.graft.intervalJoin.auto` = true: the rule DERIVES the
+  *    width from the data at rewrite time — one bounded driver-side
+  *    aggregation over the interval side (md5-gated 1/16 row sample
+  *    when it is large enough, full pass otherwise) yielding the p90
+  *    interval width and the max. Bucket = max(p90, max/1024, 1): p90
+  *    keeps the typical interval in O(1) buckets, the max/1024 floor
+  *    caps the worst single interval's explode fan-out at 1024 rows,
+  *    so a hand-set width can never silently multiply rows the way a
+  *    day-bucket over year-wide intervals would. The explicit bucket
+  *    conf, when set, overrides the sample. The choice is logged.
+  * Scope guards, all required before firing:
   *  - INNER join whose condition is EXACTLY the two sandwich
   *    conjuncts (a join that also has an equality key is already an
   *    equi-join — Spark handles the range as a residual there);
@@ -42,6 +51,24 @@ import org.apache.spark.sql.types.LongType
 object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketConf = "spark.graft.intervalJoin.bucket"
+  val AutoConf = "spark.graft.intervalJoin.auto"
+
+  /** Smallest gated-sample size the width stats are trusted at; below
+    * it the derivation falls back to the ungated full-pass stats (tiny
+    * interval sides — a day spine — would otherwise sample to nothing).
+    */
+  private val MinGatedSample = 256L
+  /** Worst-interval explode cap: bucket >= maxWidth/MaxFanout. */
+  private val MaxFanout = 1024L
+
+  /** Re-entrancy guard: the width-stats query built in [[deriveBucket]]
+    * is itself optimized by this rule (it is registered session-wide);
+    * if the interval side CONTAINS a matching sandwich join, deriving
+    * inside deriving would recurse without this.
+    */
+  private val deriving = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
 
   /** Hook into a LIVE session (extensions can only be injected at
     * build time; `experimental.extraOptimizations` is the sanctioned
@@ -57,13 +84,62 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     scala.util.Try(conf.getConfString(BucketConf)).toOption
       .flatMap(_.toLongOption).filter(_ > 0)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = bucketWidth match {
-    case None => plan
-    case Some(b) =>
-      plan.transformUp {
-        case j @ Join(_, _, Inner, Some(cond), _) =>
-          rewrite(j, cond, b).getOrElse(j)
+  private def autoEnabled: Boolean =
+    scala.util.Try(conf.getConfString(AutoConf)).toOption
+      .flatMap(_.toBooleanOption).getOrElse(false)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (deriving.get() || (bucketWidth.isEmpty && !autoEnabled)) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) =>
+        rewrite(j, cond).getOrElse(j)
+    }
+
+  /** AUTO-mode width: one bounded aggregation over the interval side.
+    * Gated (md5(lo) 1/16) stats are preferred when the gate keeps at
+    * least [[MinGatedSample]] rows — at scale the gate keeps the
+    * percentile state small; on tiny sides the ungated pass is
+    * authoritative. Returns None (→ no rewrite) when the side is empty
+    * or the stats job fails: falling back to Catalyst's nested loop is
+    * always row-correct.
+    */
+  private def deriveBucket(
+      intervals: LogicalPlan, lo: Expression, hi: Expression): Option[Long] = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.active
+    deriving.set(true)
+    try {
+      val base = Project(Seq(
+          Alias(Subtract(hi, lo), "__graft_w")(),
+          Alias(lo, "__graft_g")()),
+        Filter(GreaterThan(hi, lo), intervals))
+      val row = org.apache.spark.sql.GraftBridge.ofRows(spark, base)
+        .select(col("__graft_w").as("w"),
+          (substring(md5(col("__graft_g").cast("string")), 1, 1) === "0").as("in"))
+        .agg(
+          count(when(col("in"), 1)).as("ns"),
+          percentile_approx(when(col("in"), col("w")), lit(0.9), lit(1000)).as("p90s"),
+          max(when(col("in"), col("w"))).as("maxs"),
+          percentile_approx(col("w"), lit(0.9), lit(1000)).as("p90a"),
+          max(col("w")).as("maxa"))
+        .collect()(0)
+      if (row.isNullAt(3)) None // empty interval side
+      else {
+        val gated = !row.isNullAt(0) && row.getLong(0) >= MinGatedSample
+        val (p90, maxW) =
+          if (gated) (row.getLong(1), row.getLong(2))
+          else (row.getLong(3), row.getLong(4))
+        val b = math.max(1L, math.max(p90, maxW / MaxFanout))
+        logInfo(s"IntervalJoinRewrite auto bucket=$b " +
+          s"(p90=$p90 max=$maxW gatedSample=$gated)")
+        Some(b)
       }
+    } catch {
+      case e: Exception =>
+        logWarning(s"IntervalJoinRewrite width sampling failed; " +
+          s"leaving the declared join unrewritten: ${e.getMessage}")
+        None
+    } finally deriving.set(false)
   }
 
   /** `(point, lo, hi)` when `e` is one side of the sandwich. */
@@ -78,7 +154,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  private def rewrite(j: Join, cond: Expression, b: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     if (conjuncts.length != 2) return None
     val parsed = Seq(conjuncts, conjuncts.reverse).flatMap {
@@ -103,6 +179,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if (fromLeft(point) && fromRight(lo) && fromRight(hi)) true
       else if (fromRight(point) && fromLeft(lo) && fromLeft(hi)) false
       else return None
+
+    // Fixed conf width wins; otherwise AUTO mode samples the interval
+    // side. Both unavailable (sampling failed / empty side) → no
+    // rewrite, nested loop stands.
+    val b = bucketWidth.orElse {
+      if (autoEnabled)
+        deriveBucket(if (pointOnLeft) j.right else j.left, lo, hi)
+      else None
+    }.getOrElse(return None)
 
     val bLit = Literal(b, LongType)
     def div(e: Expression) = IntegralDivide(e, bLit)

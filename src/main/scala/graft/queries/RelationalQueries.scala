@@ -384,21 +384,36 @@ object RelationalQueries {
     // declared semantics directly.
     "q213_range_rule" -> ((s, dir) => {
       graft.plans.IntervalJoinRewrite.install(s)
-      s.conf.set(graft.plans.IntervalJoinRewrite.BucketConf,
-        (86400L * 1000000L).toString)
-      val day = 86400L * 1000000L
-      val ev = t(s, dir, "events")
-        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
-      val bounds = ev.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
-      val spine = bounds.select(col("t0"),
-          explode(sequence(lit(0L), expr(s"(t1 - t0) div ${day}L"))).as("d"))
-        .select(col("d"),
-          (col("t0") + col("d") * lit(day)).as("lo"),
-          (col("t0") + (col("d") + lit(1L)) * lit(day)).as("hi"))
-      ev.join(spine, col("t_us") >= col("lo") && col("t_us") < col("hi"))
-        .groupBy(col("d"))
-        .agg(count(lit(1)).as("n_events"))
-        .orderBy(col("d"))
+      // AUTO width (no hand-set bucket): the rule samples the interval
+      // side's widths at rewrite time (md5-gated, p90) and derives the
+      // bucket itself; BucketConf stays available as an override but is
+      // deliberately NOT set here. The conf is scoped try/finally so a
+      // session that runs q213 mid-suite doesn't leave the rewrite
+      // armed for every later keyless long-sandwich join.
+      s.conf.set(graft.plans.IntervalJoinRewrite.AutoConf, "true")
+      try {
+        val day = 86400L * 1000000L
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+        val bounds = ev.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
+        val spine = bounds.select(col("t0"),
+            explode(sequence(lit(0L), expr(s"(t1 - t0) div ${day}L"))).as("d"))
+          .select(col("d"),
+            (col("t0") + col("d") * lit(day)).as("lo"),
+            (col("t0") + (col("d") + lit(1L)) * lit(day)).as("hi"))
+        val out = ev.join(spine, col("t_us") >= col("lo") && col("t_us") < col("hi"))
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("d"))
+        // EXECUTE inside the armed scope: DataFrames are lazy, and any
+        // downstream action (.count, .write) re-optimizes the whole
+        // tree — after the finally that replan would fall back to the
+        // nested loop. The eager localCheckpoint runs the rewritten
+        // plan now and hands the caller its (days-sized) result; the
+        // plan-shape assert lives in IntervalJoinRewriteSpec, which
+        // builds the armed plan directly.
+        out.localCheckpoint(true)
+      } finally s.conf.unset(graft.plans.IntervalJoinRewrite.AutoConf)
     }),
 
     // Ordered funnel signup → click → purchase: chained running-min
@@ -735,19 +750,40 @@ object RelationalQueries {
     // the regime the same plan degrades to a ~1/√k-error estimate
     // instead of a shuffle explosion.
     "q214_rolling_kmv" -> ((s, dir) => {
+      val k = 65536
       val daySk = t(s, dir, "events")
         .select(col("user_id"),
           expr("unix_micros(ts) div 86400000000").as("day"))
         .groupBy(col("day"))
         .agg(graft.functions.AggregateFunctions
-          .kmvMinima(col("user_id"), 65536).as("sk"))
-      val days = daySk.select(col("day").as("d"))
-      days.join(daySk,
-          col("day") >= col("d") - lit(6L) && col("day") <= col("d"))
-        .groupBy(col("d"))
-        .agg(flatten(collect_list(col("sk"))).as("m"))
+          .kmvMinima(col("user_id"), k).as("sk"))
+      // Frame membership DECLARED as an equi key: each frame-end day d
+      // owns member days d-6..d, a 7x explode of the days-sized spine
+      // that hash-joins on day — the bucketed form IntervalJoinRewrite
+      // produces for sandwich joins, hand-applied here so the flagship
+      // sketch-merge query never plans a BroadcastNestedLoop
+      // (PlanSpec-asserted). Member days with no events drop out of
+      // the inner join exactly as they fell outside the old range
+      // predicate.
+      val frames = daySk.select(col("day").as("d"))
         .select(col("d"),
-          size(array_distinct(col("m"))).cast("long").as("active_7d"))
+          explode(sequence(col("d") - lit(6L), col("d"))).as("day"))
+      frames.join(daySk, "day")
+        .groupBy(col("d"))
+        .agg(flatten(collect_list(col("sk"))).as("m"),
+          max(size(col("sk"))).as("max_day_sk"))
+        .select(col("d"),
+          // Exact-regime tripwire: a day sketch at capacity (|sk| = k)
+          // means >= k distinct users that day — past that regime the
+          // merged union silently under-counts while the oracle stays
+          // exact. Fail loudly with the cause instead of a cell diff.
+          when(col("max_day_sk") >= lit(k),
+            raise_error(lit(s"q214 exact-regime breach: a day sketch " +
+              s"saturated at k=$k; rolling distinct would under-count — " +
+              "raise k or read the estimate query (q218) instead"))
+              .cast("long"))
+            .otherwise(size(array_distinct(col("m"))).cast("long"))
+            .as("active_7d"))
         .orderBy(col("d"))
     }),
 

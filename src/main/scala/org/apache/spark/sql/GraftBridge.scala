@@ -11,6 +11,16 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap an already-resolved logical plan as a DataFrame — the seam an
+    * optimizer rule needs to run a (driver-side, bounded) statistics
+    * query over one side of a join it is about to rewrite. Spark's own
+    * `Dataset.ofRows` is `private[sql]`; this re-export is the whole
+    * reason the file lives in this package.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Eager ColumnNode → Expression conversion. `expression` defers the
     * conversion inside a `ColumnNodeExpression` placeholder, which only
     * the Dataset boundary unwraps — an expression returned from a

@@ -85,6 +85,49 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  private def withAuto[T](body: => T): T = {
+    IntervalJoinRewrite.install(spark)
+    spark.conf.set(IntervalJoinRewrite.AutoConf, "true")
+    try body
+    finally spark.conf.unset(IntervalJoinRewrite.AutoConf)
+  }
+
+  test("auto mode derives the bucket from sampled interval widths — no width conf set") {
+    val naive = rows(points.join(intervals,
+      col("p") >= col("lo") && col("p") < col("hi")))
+    val (fast, plan) = withAuto {
+      val f = points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+      (rows(f), f.queryExecution.executedPlan.toString)
+    }
+    assert(fast === naive, "auto-derived bucket must not change rows")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"auto mode failed to rewrite:\n$plan")
+    // fixture widths (hi>lo only): 10, 290, 100 → ungated p90 = 290,
+    // max/1024 = 0 → bucket 290; the divisor is visible in the plan
+    assert(plan.contains("div 290"), s"expected the sampled p90 width 290:\n$plan")
+  }
+
+  test("explicit bucket conf overrides the auto sample") {
+    val plan = withAuto {
+      withBucket(100L) {
+        points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+          .queryExecution.executedPlan.toString
+      }
+    }
+    assert(plan.contains("div 100") && !plan.contains("div 290"),
+      s"explicit width must win over the sample:\n$plan")
+  }
+
+  test("auto mode leaves the join alone when the interval side is empty") {
+    val got = withAuto {
+      val f = points.join(intervals.filter(col("iid") < 0L),
+        col("p") >= col("lo") && col("p") < col("hi"))
+      (rows(f), f.queryExecution.optimizedPlan.toString)
+    }
+    assert(got._1.isEmpty)
+    assert(!got._2.contains("__graft_ib"), "no stats → no rewrite")
+  }
+
   test("wide intervals fan out by width/bucket, correctness independent of bucket choice") {
     Seq(7L, 64L, 1000000L).foreach { b =>
       val got = withBucket(b) {

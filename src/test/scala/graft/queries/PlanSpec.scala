@@ -877,10 +877,37 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q213: the DECLARED keyless range join plans as an equi-join through the optimizer rule") {
-    val p = plan("q213_range_rule")
+    // q213 itself hands back the rewritten plan's RESULT (an eager
+    // localCheckpoint — the armed conf is try/finally-scoped so the
+    // rewrite can't leak into later queries), so the plan-shape gate
+    // rebuilds the declared join here with AUTO mode armed: no width
+    // conf anywhere, the rule samples the spine's widths itself.
+    import org.apache.spark.sql.functions._
+    graft.plans.IntervalJoinRewrite.install(spark)
+    spark.conf.set(graft.plans.IntervalJoinRewrite.AutoConf, "true")
+    try {
+      val day = 86400L * 1000000L
+      val ev = graft.Tables.load(spark, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+      val bounds = ev.agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
+      val spine = bounds.select(col("t0"),
+          explode(sequence(lit(0L), expr(s"(t1 - t0) div ${day}L"))).as("d"))
+        .select(col("d"),
+          (col("t0") + col("d") * lit(day)).as("lo"),
+          (col("t0") + (col("d") + lit(1L)) * lit(day)).as("hi"))
+      val p = ev.join(spine, col("t_us") >= col("lo") && col("t_us") < col("hi"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n_events"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "IntervalJoinRewrite must turn the declared containment into a bucketed equi-join")
+      assert(p.contains("__graft_ib"), "the rule's bucket key must appear in the plan")
+    } finally spark.conf.unset(graft.plans.IntervalJoinRewrite.AutoConf)
+  }
+
+  test("q214: the sketch-merge frame join is a hash equi-join on the member day") {
+    val p = plan("q214_rolling_kmv")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      "IntervalJoinRewrite must turn the declared containment into a bucketed equi-join")
-    assert(p.contains("__graft_ib"), "the rule's bucket key must appear in the plan")
+      "the flagship sketch-merge query must not plan a nested loop")
   }
 
   test("tripwire: NO query plans an unpartitioned Window (the r9 bench-tail WARN source)") {
