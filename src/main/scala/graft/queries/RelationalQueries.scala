@@ -416,6 +416,43 @@ object RelationalQueries {
       } finally s.conf.unset(graft.plans.IntervalJoinRewrite.AutoConf)
     }),
 
+    // The OPTIMIZER-RULE path for AS-OF joins: the query DECLARES the
+    // natural pair semantics — join every purchase to every click in
+    // its 7-day lookback window, keep the latest per purchase via
+    // max_by — the shape Catalyst executes by materializing EVERY
+    // in-window (purchase, click) pair through the join (per-key
+    // cartesian on hot users). graft.plans.AsofJoinRewrite
+    // (config-gated, try/finally-scoped) rewrites it into the q84/q204
+    // carry-forward window plan: one shuffle per side, NO join in the
+    // physical plan. Rows identical either way (spec-asserted); the
+    // oracle is DuckDB's NATIVE ASOF JOIN plus the same staleness cut.
+    "q216_declared_asof" -> ((s, dir) => {
+      graft.plans.AsofJoinRewrite.install(s)
+      s.conf.set(graft.plans.AsofJoinRewrite.EnabledConf, "true")
+      try {
+        val tol = 7L * 86400L * 1000000L
+        val ev = t(s, dir, "events").withColumn("t_us", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("t_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("t_us").as("ct"),
+            round(col("value") * lit(100.0)).cast("long").as("cents"))
+          .groupBy(col("cu"), col("ct"))
+          .agg(max(col("cents")).as("cents")) // unique (user, ts): ties resolved
+        val out = purchases.join(clicks,
+            col("user_id") === col("cu") &&
+              col("ct") <= col("t_us") &&
+              col("ct") > col("t_us") - lit(tol))
+          .groupBy(col("event_id"), col("user_id"), col("t_us"))
+          .agg(max_by(col("cents"), col("ct")).as("click_cents"),
+            max(col("ct")).as("click_t_us"))
+          .orderBy(col("event_id"))
+        // Execute inside the armed scope (the q213 discipline): any
+        // later action would re-optimize with the rule disarmed.
+        out.localCheckpoint(true)
+      } finally s.conf.unset(graft.plans.AsofJoinRewrite.EnabledConf)
+    }),
+
     // Ordered funnel signup → click → purchase: chained running-min
     // windows over ONE (user, time) sort — no per-stage self-joins.
     "q86_funnel" -> ((s, dir) => {
@@ -1112,6 +1149,25 @@ object RelationalQueries {
            q.t_us AS click_t_us, q.click_value
          FROM p ASOF LEFT JOIN q
            ON p.user_id = q.user_id AND p.t_us >= q.t_us
+         ORDER BY p.event_id""",
+    // q216: the engine's DECLARED pair-join+max_by runs through
+    // AsofJoinRewrite; the oracle is DuckDB's native ASOF (inner) join
+    // — nearest click at-or-before, then the identical strict 7-day
+    // staleness cut. ASOF inner drops no-match purchases exactly as
+    // the declared inner join + group-by does.
+    "q216_declared_asof" ->
+      """WITH q AS (
+           SELECT user_id AS cu, epoch_us(ts) AS ct,
+             max(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.t_us,
+           q.cents AS click_cents, q.ct AS click_t_us
+         FROM p ASOF JOIN q
+           ON p.user_id = q.cu AND p.t_us >= q.ct
+         WHERE p.t_us - q.ct < 604800000000
          ORDER BY p.event_id""",
     "q204_asof_tolerance" ->
       """WITH q AS (

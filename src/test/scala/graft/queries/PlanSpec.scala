@@ -904,6 +904,39 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.IntervalJoinRewrite.AutoConf)
   }
 
+  test("q216: the DECLARED asof aggregation plans JOIN-FREE through AsofJoinRewrite") {
+    // q216 returns the rewritten plan's result (localCheckpoint, armed
+    // conf scoped) — rebuild the declared shape armed, over the real
+    // events table, and demand the carry-window plan: no join operator
+    // of any kind in the physical plan.
+    import org.apache.spark.sql.functions._
+    graft.plans.AsofJoinRewrite.install(spark)
+    spark.conf.set(graft.plans.AsofJoinRewrite.EnabledConf, "true")
+    try {
+      val tol = 7L * 86400L * 1000000L
+      val ev = graft.Tables.load(spark, dir, "events")
+        .withColumn("t_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("t_us").as("ct"),
+          round(col("value") * lit(100.0)).cast("long").as("cents"))
+        .groupBy(col("cu"), col("ct"))
+        .agg(max(col("cents")).as("cents"))
+      val p = purchases.join(clicks,
+          col("user_id") === col("cu") &&
+            col("ct") <= col("t_us") &&
+            col("ct") > col("t_us") - lit(tol))
+        .groupBy(col("event_id"), col("user_id"), col("t_us"))
+        .agg(max_by(col("cents"), col("ct")).as("click_cents"),
+          max(col("ct")).as("click_t_us"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Join"),
+        s"declared asof must plan join-free through the rewrite:\n$p")
+      assert(p.contains("Window"), "expected the carry-forward window plan")
+    } finally spark.conf.unset(graft.plans.AsofJoinRewrite.EnabledConf)
+  }
+
   test("q214: the sketch-merge frame join is a hash equi-join on the member day") {
     val p = plan("q214_rolling_kmv")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
