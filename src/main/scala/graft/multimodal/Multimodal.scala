@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * perceptual hash. The AUDIO half is REAL as well: `kind = "audio"`
   * payloads decode through `javax.sound.sampled` (WAV/AIFF/AU PCM —
   * see [[AudioCodec]]) into true sample-backed metadata, resampling
-  * and energy-band fingerprints. The VIDEO half is real for the one
-  * container a pure JVM can honestly parse: uncompressed Y4M streams
-  * decode through [[VideoCodec]] into true frame-backed metadata,
-  * frame sampling, resizing and temporal fingerprints; compressed
-  * video (no codec ships with the JDK) falls back to `FakeCodec`,
-  * which also serves as the deterministic fallback for any
-  * undecodable payload.
+  * and energy-band fingerprints. The VIDEO half is real for the
+  * containers a pure JVM can honestly parse: uncompressed Y4M streams
+  * ([[VideoCodec]]) and RIFF/AVI with DIB-24 or Motion-JPEG frames
+  * ([[AviCodec]] — MJPG frames are complete baseline JPEGs decoded by
+  * ImageIO) all yield true frame-backed metadata, frame sampling,
+  * resizing and temporal fingerprints; entropy-coded inter-frame
+  * video (MP4/WebM — no such codec ships with the JDK) falls back to
+  * `FakeCodec`, which also serves as the deterministic fallback for
+  * any undecodable payload.
   *
   * Scale notes: blobs never pass through a shuffle wider than needed —
   * metadata extraction is a narrow map; `withMediaMeta` batches rows
@@ -120,8 +122,9 @@ object Multimodal {
     * accepts (WAV/AIFF/AU — see [[AudioCodec]]) get REAL sample-backed
     * metadata (`width` carries the sample rate, `height` the channel
     * count — the audio analogues of the raster dims), video payloads
-    * that parse as Y4M (see [[VideoCodec]]) get REAL frame-backed
-    * metadata; everything else (compressed video, or a payload that
+    * that parse as Y4M or DIB/MJPG AVI (see [[VideoCodec]] /
+    * [[AviCodec]]) get REAL frame-backed metadata; everything else
+    * (entropy-coded video, or a payload that
     * isn't what its kind claims) falls back to the deterministic stub.
     * The fallback is what keeps text-bytes fixtures and corrupted
     * blobs total — a decode error never kills a 100 TB job.
@@ -129,6 +132,15 @@ object Multimodal {
   private def md5Hex(payload: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(payload).map("%02x".format(_)).mkString
+
+  /** One video-decode gate for every call site: Y4M first (cheap magic
+    * check), then RIFF/AVI (DIB-24 lossless or real MJPG via ImageIO);
+    * None falls to the stub. Both containers produce the same
+    * [[VideoCodec.VideoClip]], so sampling/resize/fingerprints are
+    * container-agnostic downstream.
+    */
+  def decodeVideo(payload: Array[Byte]): Option[VideoCodec.VideoClip] =
+    VideoCodec.tryDecode(payload).orElse(AviCodec.tryDecode(payload))
 
   private def decodeOne(r: MediaRow): MediaMeta =
     if (r.kind == "image") {
@@ -162,7 +174,7 @@ object Multimodal {
         case None => FakeCodec.decode(r.kind, r.payload)
       }
     } else if (r.kind == "video") {
-      VideoCodec.tryDecode(r.payload) match {
+      decodeVideo(r.payload) match {
         case Some(clip) =>
           val m = VideoCodec.decodeMeta(clip)
           MediaMeta(
@@ -312,6 +324,39 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Every row as a REAL RIFF/AVI clip whose frames carry the text
+    * bytes zero-padded into w×h lumas — same [[videoDims]] geometry as
+    * [[synthesizeY4mVideo]], different container. `mjpeg = false`
+    * writes lossless 24-bpp DIB frames (`00db`): decode returns the
+    * padded bytes sample-for-sample, so the Y4M oracles replay
+    * UNCHANGED over the AVI container. `mjpeg = true` writes a REAL
+    * baseline JPEG per frame (`00dc`, ImageIO): geometry (dims,
+    * frames, sample counts) replays exactly; pixel sums are
+    * decoder-defined, as for any real MJPEG asset. Batched
+    * per-partition (JPEG encoder amortized).
+    */
+  def synthesizeAviVideo(df: DataFrame, idCol: String, textCol: String,
+      mjpeg: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (w, h, fps) = videoDims(id)
+          val frameLen = w * h
+          val nFrames = math.max(1, (bytes.length + frameLen - 1) / frameLen)
+          val padded = java.util.Arrays.copyOf(bytes, nFrames * frameLen)
+          val frames = Array.tabulate(nFrames)(f =>
+            java.util.Arrays.copyOfRange(padded, f * frameLen, (f + 1) * frameLen))
+          MediaRow(id, "video",
+            AviCodec.encodeAvi(frames, w, h, fps, mjpeg = mjpeg))
+        }
+      }.toDF()
+  }
+
   /** Every row as a REAL gray PNG of its text bytes (the all-image
     * corpus the perceptual-dedup plane runs on).
     */
@@ -348,7 +393,7 @@ object Multimodal {
           if (r.kind == "image") ImageCodec.resizePng(r.payload, width, height)
           else None
         val realVideo =
-          if (r.kind == "video") VideoCodec.tryDecode(r.payload) else None
+          if (r.kind == "video") decodeVideo(r.payload) else None
         (realImage, realVideo) match {
           case (Some(png), _) =>
             val m = ImageCodec.decodeMeta(ImageCodec.tryDecode(png).get)
@@ -434,7 +479,7 @@ object Multimodal {
                 AudioCodec.unsignedSamples(fmt, pcm).map(_.toByte)
               }.getOrElse(r.payload)
           else if (r.kind == "video")
-            VideoCodec.tryDecode(r.payload)
+            decodeVideo(r.payload)
               .map(_.frames.flatten).getOrElse(r.payload)
           else r.payload
         val hist = new Array[Double](dim)
@@ -481,7 +526,7 @@ object Multimodal {
               }.getOrElse(codec.perceptualHash(r.payload, bits))
           else if (r.kind == "video")
             // REAL temporal energy fingerprint over decoded luma
-            VideoCodec.tryDecode(r.payload)
+            decodeVideo(r.payload)
               .map(VideoCodec.temporalFingerprint(_))
               .getOrElse(codec.perceptualHash(r.payload, bits))
           else codec.perceptualHash(r.payload, bits)

@@ -817,7 +817,7 @@ object RelationalQueries {
           when(col("max_day_sk") >= lit(k),
             raise_error(lit(s"q214 exact-regime breach: a day sketch " +
               s"saturated at k=$k; rolling distinct would under-count — " +
-              "raise k or read the estimate query (q218) instead"))
+              "raise k or read the estimate query (q219) instead"))
               .cast("long"))
             .otherwise(size(array_distinct(col("m"))).cast("long"))
             .as("active_7d"))
