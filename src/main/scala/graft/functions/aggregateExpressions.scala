@@ -553,6 +553,27 @@ object KmvSketchAgg {
     h ^ java.lang.Long.MIN_VALUE
   }
 
+  /** Merge two sketches (unsigned-ascending minima arrays, as
+    * [[KmvSketchAgg]] outputs): distinct union, k smallest — the
+    * associative/commutative fold a STANDING per-group sketch table
+    * needs ([[graft.streaming.SketchStateStreams]]): merging a day's
+    * delta sketch into the stored day sketch equals sketching the
+    * union of the raw sets, so state never has to re-see raw history.
+    */
+  def mergeMinima(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+    val out = new Array[Long](math.min(k, a.length + b.length))
+    var i = 0; var j = 0; var n = 0
+    var last = 0L; var any = false
+    while (n < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length ||
+        (i < a.length && java.lang.Long.compareUnsigned(a(i), b(j)) <= 0)
+      val v = if (takeA) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (!any || v != last) { out(n) = v; n = n + 1; last = v; any = true }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
   /** Distinct-count estimate from unsigned-ascending minima (as
     * [[KmvSketchAgg]] outputs): exact when the sketch never filled.
     */

@@ -824,6 +824,35 @@ object RelationalQueries {
         .orderBy(col("d"))
     }),
 
+    // q214's rolling distinct answered from PERSISTED sketch state —
+    // the 24/7 form: history is deterministically sliced into three
+    // "micro-batches" (md5-gated thirds), each folded into a standing
+    // (day, sk) table through the exactly-once marker discipline
+    // (SketchStateStreams / AggStreams layout), and the rolling window
+    // is answered FROM THE STATE ALONE — raw events are never
+    // re-scanned at query time. KMV merges are exact set-union
+    // algebra, so the streamed fold equals the batch recompute and the
+    // oracle stays q187's EXACT rolling distinct.
+    "q221_rolling_kmv_state" -> ((s, dir) => {
+      val k = 65536
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_kmv_state").toString
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_id"))
+      (0 until 3).foreach { i =>
+        val slice = ev.filter(
+          pmod(conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(3)) === lit(i.toLong))
+        graft.streaming.SketchStateStreams.maintainBatch(
+          slice, i.toLong, "user_id", "day", k, statePath)
+      }
+      val state = graft.streaming.AggStreams.currentState(s, statePath)
+        .getOrElse(sys.error("kmv state missing after fold"))
+      graft.streaming.SketchStateStreams.rollingDistinct(state, 7, k)
+        .orderBy(col("d"))
+    }),
+
     // Join fan-out estimation by deterministic key sampling — the
     // pre-flight a 100 TB join runs BEFORE it runs: hash-gate ~1/16
     // of the KEY SPACE (both sides keep the same keys, so per-key
@@ -1467,6 +1496,17 @@ object RelationalQueries {
 
     // q187: identical (user, day) dedup and day-spine range join.
     "q187_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         days AS (SELECT DISTINCT day AS d FROM ud)
+         SELECT d, count(DISTINCT ud.user_id)::BIGINT AS active_7d
+         FROM days JOIN ud ON ud.day >= days.d - 6 AND ud.day <= days.d
+         GROUP BY d ORDER BY d""",
+
+    // q221: the state-table fold is exact set-union algebra in the
+    // same regime, so the oracle is q187's exact rolling distinct too
+    // — how history was sliced into batches must not be observable.
+    "q221_rolling_kmv_state" ->
       """WITH ud AS (SELECT DISTINCT user_id,
              epoch_us(ts) // 86400000000 AS day FROM events),
          days AS (SELECT DISTINCT day AS d FROM ud)
