@@ -178,6 +178,54 @@ object Curation {
       .partitionBy("shard")
       .parquet(path)
 
+  /** Read a [[writeTrainingShards]] directory back. The `shard`
+    * partition column and the stored `shard_pos` come back with the
+    * rows, so `orderBy(shard, shard_pos)` IS the deterministic replay
+    * order a training loader consumes — and, being content-keyed, it
+    * equals [[shuffleShards]] recomputed on the same ids exactly
+    * (spec: CurationSpec round-trip; query: q222's manifest join).
+    */
+  def readTrainingShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Per-source verification record of a shard directory against the
+    * corpus it claims to materialize — the check a training job runs
+    * BEFORE consuming 100 TB of shards: row counts, the q184
+    * content fingerprint (order-free modular sum of per-doc content
+    * hashes), and an ORDER-SENSITIVE fingerprint (each hash weighted
+    * by its 1-based replay position) that catches drops, duplicates,
+    * and reorderings alike. `manifest_ok` per source = all three agree
+    * with the declared corpus put through the same deterministic
+    * shuffle in memory — disk round-trip vs pure computation.
+    */
+  def verifyShardManifest(
+      shards: DataFrame, declared: DataFrame,
+      idCol: String, sourceCol: String, textCol: String,
+      numShards: Int): DataFrame = {
+    val h = conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
+    val M = "2305843009213693951"
+    def manifest(df: DataFrame) = df
+      .select(col(sourceCol).as("source"), h.as("h"),
+        col("shard"), col("shard_pos"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"CAST(sum(CAST(h AS DECIMAL(38,0))) % $M AS LONG)")
+          .as("fingerprint"),
+        expr(s"CAST(sum(CAST(h AS DECIMAL(38,0)) * (shard * 100000L + shard_pos + 1L)) % $M AS LONG)")
+          .as("order_fp"))
+    val got = manifest(shards)
+    val want = manifest(shuffleShards(declared, idCol, numShards))
+      .select(col("source"), col("n_docs").as("n_docs_w"),
+        col("fingerprint").as("fingerprint_w"), col("order_fp").as("order_fp_w"))
+    got.join(want, Seq("source"), "full_outer")
+      .select(col("source"), col("n_docs"), col("fingerprint"), col("order_fp"),
+        // a source absent on either side is a FALSE, not a NULL
+        coalesce(col("n_docs") === col("n_docs_w") &&
+          col("fingerprint") === col("fingerprint_w") &&
+          col("order_fp") === col("order_fp_w"), lit(false)).as("manifest_ok"))
+  }
+
   /** Sequence packing: assign documents (in ascending `idCol` order)
     * to fixed-capacity training sequences by running token count —
     * doc d lands in pack `floor(cumsum_before(d) / seqLen)` at offset

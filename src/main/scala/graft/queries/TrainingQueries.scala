@@ -1764,6 +1764,26 @@ object TrainingQueries {
         .orderBy(col("source_contained"), col("source_container"))
     }),
 
+    // Training-shard ROUND TRIP (the missing read half of q56/
+    // writeTrainingShards): materialize the corpus as shard=N parquet
+    // dirs, read it back, and verify the readback against the declared
+    // corpus with q184's content fingerprint PLUS an order-sensitive
+    // fingerprint (hash × 1-based replay position) — drops, dupes and
+    // reorders all diverge. The oracle replays shard/shard_pos from
+    // the md5 keys (q56's formula) and both fingerprints from text;
+    // manifest_ok must come back true for every source.
+    "q222_shard_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_shards").toString
+      Curation.writeTrainingShards(docs, "doc_id", path, numShards = 8)
+      Curation.verifyShardManifest(
+        Curation.readTrainingShards(s, path), docs,
+        "doc_id", "source", "text", numShards = 8)
+        .orderBy(col("source"))
+    }),
+
     // Dataset version manifest: per source, a content-addressed
     // fingerprint (order-independent modular sum of per-doc content
     // hashes) + row/token/distinct counts — the reproducibility
@@ -4272,6 +4292,25 @@ object TrainingQueries {
              AS pct_contained
          FROM mx JOIN ss ON mx.source_contained = ss.source_contained
          ORDER BY mx.source_contained, mx.source_container""",
+
+    // q222: shard/shard_pos replayed from the md5 keys (q56's
+    // formula), content + position-weighted fingerprints from text;
+    // the round trip is the identity, so manifest_ok is uniformly
+    // true — any reader drop/dupe/reorder would break the engine side
+    // of the compare, not this oracle.
+    "q222_shard_roundtrip" ->
+      """WITH d AS (SELECT doc_id, source, text,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS k,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+           FROM documents),
+         s AS (SELECT source, h, (k % 8) AS shard,
+             (row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) - 1) AS shard_pos
+           FROM d)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           CAST(sum(h::HUGEINT) % 2305843009213693951 AS BIGINT) AS fingerprint,
+           CAST(sum(h::HUGEINT * (shard * 100000 + shard_pos + 1)) % 2305843009213693951 AS BIGINT) AS order_fp,
+           true AS manifest_ok
+         FROM s GROUP BY source ORDER BY source""",
 
     // q184: same md5-int60 content hash, HUGEINT modular sum.
     "q184_version_manifest" ->

@@ -157,6 +157,56 @@ class CurationSpec extends SparkSpec {
     assert(seen.toSeq === seen.sorted.toSeq)
   }
 
+  test("shard round-trip: reader replays the exact permutation; manifest catches corruption") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"text body $i", if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("shards_rt").toString
+    Curation.writeTrainingShards(docs, "doc_id", dir, numShards = 4)
+
+    // reader round-trip: (shard, shard_pos)-ordered ids equal the
+    // in-memory shuffle recomputed on the same ids — the disk hop is
+    // invisible
+    val back = Curation.readTrainingShards(spark, dir)
+    val replayed = back.orderBy(col("shard"), col("shard_pos"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = Curation.shuffleShards(docs, "doc_id", 4)
+      .orderBy(col("shard"), col("shard_pos"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(replayed === want, "reader must replay the content-keyed permutation")
+
+    // manifest verification: all sources OK on the honest round trip
+    val ok = Curation.verifyShardManifest(back, docs,
+      "doc_id", "source", "text", 4)
+    assert(ok.collect().forall(_.getAs[Boolean]("manifest_ok")))
+
+    // a REORDER with identical content trips only the order
+    // fingerprint: same rows, shard_pos reversed per shard
+    val reordered = back.withColumn("shard_pos",
+      max(col("shard_pos")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard")))
+        - col("shard_pos"))
+    val ro = Curation.verifyShardManifest(reordered, docs,
+      "doc_id", "source", "text", 4)
+    assert(ro.collect().forall(!_.getAs[Boolean]("manifest_ok")),
+      "an order change with identical content must still fail (order_fp)")
+
+    // corrupt the store: drop one whole shard directory → the manifest
+    // must flag EVERY source that lost rows, by count and fingerprint
+    def rmdir(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmdir)); f.delete()
+    }
+    rmdir(new java.io.File(s"$dir/shard=2"))
+    spark.catalog.refreshByPath(dir) // drop the cached file listing
+    val bad = Curation.verifyShardManifest(
+      Curation.readTrainingShards(spark, dir), docs,
+      "doc_id", "source", "text", 4)
+    assert(bad.collect().forall(!_.getAs[Boolean]("manifest_ok")),
+      "a dropped shard must fail verification for the sources it hit")
+  }
+
   test("mixCorpus: scarcest source caps the budget, unlisted sources drop, deterministic") {
     val s = spark
     import s.implicits._

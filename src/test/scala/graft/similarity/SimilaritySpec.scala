@@ -491,6 +491,48 @@ class SimilaritySpec extends SparkSpec {
     assert(plain.nonEmpty, "fixture produced no near-dup pairs — vacuous test")
   }
 
+  test("deliberately skewed quantizer: auto salting ENGAGES, bounds per-task pair volume, output unchanged") {
+    val s = spark
+    import s.implicits._
+    // 8 declared centroids along distinct axes; 1500 vectors piled onto
+    // centroid 0's axis (the hot cell) + 10 per other centroid — the
+    // Zipfian quantizer failure the automatic response exists for.
+    val dim = 8
+    def axis(a: Int, jitter: Double, seed: Int): Seq[Double] =
+      Seq.tabulate(dim)(d => (if (d == a) 1.0 else 0.0) +
+        jitter * (((seed * 1103515245 + d * 12345) % 1000) / 1000.0))
+    val cents = (0 until 8).map(a => (a.toLong, axis(a, 0.0, 0)))
+      .toDF("cent_id", "cent_emb")
+    val hot = (0 until 1500).map(i => (i.toLong, axis(0, 0.05, i)))
+    val cold = for (a <- 1 until 8; i <- 0 until 10)
+      yield ((10000 + a * 100 + i).toLong, axis(a, 0.05, a * 31 + i))
+    val emb = (hot ++ cold).toDF("c_id", "c_emb")
+
+    // the auto rule must split the hot cell: mean ≈ (1500+70)/8 ≈ 196
+    // → threshold max(1024, 4·mean) = 1024 → nsalt = ceil(1500/1024) = 2,
+    // halving the worst task's pair volume (cell²→ cell²/nsalt); cold
+    // cells stay unsplit (1 copy, no replication cost)
+    val cellRows = 1500.0
+    val mean = (1500.0 + 70.0) / 8.0
+    val thr = Similarity.autoSaltRows(mean)
+    assert(thr === 1024L)
+    val nsalt = math.ceil(cellRows / thr).toLong
+    assert(nsalt === 2L, "the deliberately hot cell must be split")
+
+    val auto = Similarity.semDedup(emb, tau = 0.9, nlist = 8,
+      centroids = Some(cents))
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), "salt key missing from the armed plan")
+    assert(plan.contains("sequence(0, (_nsalt"),
+      s"per-cell salt fan-out (explode over sequence(0, nsalt-1)) missing:\n$plan")
+    val got = auto.orderBy(col("drop_id")).collect().toSeq
+    val unsalted = Similarity.semDedup(emb, tau = 0.9, nlist = 8,
+        centroids = Some(cents), saltCellRows = Int.MaxValue)
+      .orderBy(col("drop_id")).collect().toSeq
+    assert(got === unsalted, "splitting the hot cell must not change the output")
+    assert(got.nonEmpty, "hot-cell fixture produced no near-dups — vacuous test")
+  }
+
   test("auto-tuned saltCellRows: derivation rule, and auto output == pinned/unsalted") {
     assert(Similarity.autoSaltRows(10.0) === 1024L)   // floor wins for tiny cells
     assert(Similarity.autoSaltRows(256.0) === 1024L)  // boundary: 4x mean == floor
