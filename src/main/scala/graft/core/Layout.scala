@@ -67,4 +67,133 @@ object Layout {
       col("x_max") >= x0 && col("x_min") <= x1 &&
         col("y_max") >= y0 && col("y_min") <= y1)
       .count()
+
+  /** Zone-map manifest directory name: the leading `_` keeps Spark's
+    * parquet reader from treating it as table data (hidden-file rule).
+    */
+  val ManifestDir = "_graft_zonemaps"
+
+  /** Persist per-file zone maps — (file, row count, min/max per listed
+    * column, long-cast) — beside the table. Parquet row-group stats
+    * already prune WITHIN a file, but the scan still opens every
+    * footer; at 100 TB the planner-side win is pruning the FILE LIST
+    * before any footer is touched, which needs the stats in ONE small
+    * table instead of a million footers — the job Delta's add-file
+    * stats and Iceberg's manifests do. One distributed scan builds it;
+    * nothing driver-sized is collected here.
+    */
+  def writeManifest(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone maps need at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"${c}__min"),
+      max(col(c).cast("long")).as(s"${c}__max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+  }
+
+  /** Incremental manifest maintenance — the append path. A 100 TB
+    * store takes appends daily; rebuilding the manifest from scratch
+    * re-scans the WHOLE table for a batch that touched 0.1% of it.
+    * This scans ONLY the data files the manifest does not know yet
+    * (read by explicit path list), computes their zone maps, and
+    * unions them in — rows for already-manifested files are carried
+    * over verbatim, so the incremental manifest is row-identical to a
+    * full rebuild (spec-asserted). No-op when nothing is new.
+    *
+    * The column list is taken from the existing manifest's schema, so
+    * an append can never silently manifest a different stat set.
+    */
+  def appendManifest(spark: SparkSession, path: String): Unit = {
+    val manPath = s"$path/$ManifestDir"
+    val man = spark.read.parquet(manPath)
+    val cols = man.columns.toSeq.collect {
+      case c if c.endsWith("__min") => c.stripSuffix("__min")
+    }
+    val known = man.select(col("file")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
+    val fresh = (liveDataFiles(spark, path) -- known).toSeq.sorted
+    if (fresh.isEmpty) return
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"${c}__min"),
+      max(col(c).cast("long")).as(s"${c}__max")))
+    val add = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    // union under the OLD manifest's column order, then swap: the
+    // manifest dir itself is replaced atomically enough for a
+    // single-writer maintenance job (same discipline as writeManifest's
+    // overwrite); readers racing an append already face the staleness
+    // tripwire either way.
+    val merged = man.unionByName(add.select(man.columns.map(col): _*))
+      .localCheckpoint(true) // sever the lineage reading the dir being overwritten
+    merged.write.mode("overwrite").parquet(manPath)
+  }
+
+  /** The table's live data files, scheme-normalized (`input_file_name`
+    * reports `file:///…` while Hadoop listings print `file:/…` — the
+    * URI path component is the stable identity). Hidden (`_`/`.`)
+    * entries are skipped exactly as Spark's own listing skips them.
+    */
+  private def liveDataFiles(spark: SparkSession, path: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Iterator[String] =
+      fs.listStatus(p).iterator.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Iterator.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Iterator.single(st.getPath.toUri.getPath)
+      }
+    walk(root).toSet
+  }
+
+  /** The data files a conjunction of `(column, lo, hi)` boxes (both
+    * bounds inclusive) must read, per the manifest. Collecting the
+    * surviving FILE LIST on the driver is the same metadata-scale
+    * bound every lakehouse planner accepts — one short string per
+    * file, never row data.
+    *
+    * Staleness is a hard error, not a wrong answer: the manifest's
+    * file set must exactly match the live listing, so a file appended
+    * (or a partition rewritten) after the manifest was built fails
+    * loudly with a rebuild instruction instead of silently vanishing
+    * from query results. (A conservative consequence: an all-empty
+    * part file — which a range write only produces on degenerate key
+    * distributions — also demands a rebuild, because an absent
+    * manifest row is indistinguishable from a missed file.)
+    */
+  def prunedFiles(
+      spark: SparkSession, path: String,
+      boxes: Seq[(String, Long, Long)]): Seq[String] = {
+    val man = spark.read.parquet(s"$path/$ManifestDir")
+    val manifested = man.select(col("file")).collect().map(_.getString(0))
+    val norm = manifested.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val live = liveDataFiles(spark, path)
+    require(norm == live,
+      s"zone-map manifest at $path/$ManifestDir is stale " +
+        s"(${(live -- norm).size} unmanifested / ${(norm -- live).size} ghost " +
+        "files) — rebuild it with Layout.writeManifest before pruned reads")
+    boxes.foldLeft(man) { case (m, (c, lo, hi)) =>
+      m.filter(col(s"${c}__max") >= lo && col(s"${c}__min") <= hi)
+    }.select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Manifest-pruned scan: read ONLY the files whose zone maps
+    * intersect every box, then re-apply the boxes as a residual so the
+    * result equals the full-scan filter row-for-row. An empty survivor
+    * list short-circuits to a zero-row frame with the table's schema.
+    */
+  def prunedRead(
+      spark: SparkSession, path: String,
+      boxes: Seq[(String, Long, Long)]): DataFrame = {
+    require(boxes.nonEmpty, "a pruned read needs at least one box predicate")
+    val kept = prunedFiles(spark, path, boxes)
+    val residual = boxes.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(kept: _*).filter(residual)
+  }
 }

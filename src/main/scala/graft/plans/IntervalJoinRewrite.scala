@@ -34,10 +34,24 @@ import org.apache.spark.sql.types.LongType
   *    so a hand-set width can never silently multiply rows the way a
   *    day-bucket over year-wide intervals would. The explicit bucket
   *    conf, when set, overrides the sample. The choice is logged.
+  * A third opt-in, `spark.graft.intervalJoin.keyed` = true, widens the
+  * match to KEYED sandwiches — `l.k = r.k AND p >= lo AND p < hi`, the
+  * dominant real shape (per-user lookback windows, per-provider IP
+  * ranges). Catalyst already plans those as an equi-join on `k` with
+  * the range as a residual, which is fine when keys are selective —
+  * but a skewed / low-cardinality key degenerates to a per-key-group
+  * cartesian (every point × every interval of the hot key flows
+  * through the residual). Adding the bucket id as a SECOND hash key
+  * splits each key group by time bucket, bounding the candidate set
+  * per (key, bucket) regardless of key skew. Because selective keys
+  * are better off WITHOUT the explode fan-out, the keyed form never
+  * fires unless this conf says so.
+  *
   * Scope guards, all required before firing:
-  *  - INNER join whose condition is EXACTLY the two sandwich
-  *    conjuncts (a join that also has an equality key is already an
-  *    equi-join — Spark handles the range as a residual there);
+  *  - INNER join whose condition is the two sandwich conjuncts, plus
+  *    (keyed mode only) any number of cross-side equality conjuncts —
+  *    every non-sandwich conjunct must be a deterministic `EqualTo`
+  *    spanning the two children or the rule stays out;
   *  - point expression from one side only, both bounds from the other,
   *    all LongType and deterministic;
   *  - rows with NULL point/bounds produce no output either way (the
@@ -52,6 +66,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketConf = "spark.graft.intervalJoin.bucket"
   val AutoConf = "spark.graft.intervalJoin.auto"
+  val KeyedConf = "spark.graft.intervalJoin.keyed"
 
   /** Smallest gated-sample size the width stats are trusted at; below
     * it the derivation falls back to the ungated full-pass stats (tiny
@@ -86,6 +101,10 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def autoEnabled: Boolean =
     scala.util.Try(conf.getConfString(AutoConf)).toOption
+      .flatMap(_.toBooleanOption).getOrElse(false)
+
+  private def keyedEnabled: Boolean =
+    scala.util.Try(conf.getConfString(KeyedConf)).toOption
       .flatMap(_.toBooleanOption).getOrElse(false)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -155,17 +174,34 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = {
+    // Never re-fire on our own output: the rewritten join's condition
+    // (bucket equality + original conjuncts) would itself match the
+    // KEYED pattern — the bucket equality parses as just another key —
+    // and the optimizer's fixed-point batch would stack a fresh
+    // explode + width-sampling job per iteration, up to the 100-pass
+    // cap (row-correct but catastrophically slow). The marker
+    // attributes are ours alone, so their presence means "done".
+    if (cond.references.exists(a =>
+      a.name == "__graft_pb" || a.name == "__graft_ib")) return None
     val conjuncts = splitConjunctivePredicates(cond)
-    if (conjuncts.length != 2) return None
-    val parsed = Seq(conjuncts, conjuncts.reverse).flatMap {
-      case Seq(c1, c2) => for {
-        (p1, lo) <- asLower(c1)
-        (p2, hi) <- asUpper(c2)
-        if p1.semanticEquals(p2)
-      } yield (p1, lo, hi)
-      case _ => None
-    }.headOption
-    val (point, lo, hi) = parsed.getOrElse(return None)
+    // Locate ONE sandwich pair anywhere in the conjunct list; in keyed
+    // mode everything else must be a cross-side equality. Keyless mode
+    // keeps the strict two-conjunct contract (an equality key means
+    // Catalyst already has an equi-join — extra fan-out only pays off
+    // when the operator opts in for skewed keys).
+    val idx = conjuncts.indices
+    val sandwich = (for {
+      i <- idx.iterator
+      k <- idx.iterator if i != k
+      (p1, lo) <- asLower(conjuncts(i)).iterator
+      (p2, hi) <- asUpper(conjuncts(k)).iterator
+      if p1.semanticEquals(p2)
+    } yield (i, k, p1, lo, hi)).nextOption()
+    val (li, ui, point, lo, hi) = sandwich.getOrElse(return None)
+    val keys = conjuncts.zipWithIndex.collect {
+      case (c, n) if n != li && n != ui => c
+    }
+    if (keys.nonEmpty && !keyedEnabled) return None
     if (point.dataType != LongType || lo.dataType != LongType ||
       hi.dataType != LongType) return None
     if (!point.deterministic || !lo.deterministic || !hi.deterministic)
@@ -175,6 +211,13 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       e.references.nonEmpty && e.references.subsetOf(j.left.outputSet)
     val fromRight = (e: Expression) =>
       e.references.nonEmpty && e.references.subsetOf(j.right.outputSet)
+    // every key conjunct: a deterministic equality spanning the sides
+    val keysOk = keys.forall {
+      case EqualTo(a, b) if a.deterministic && b.deterministic =>
+        (fromLeft(a) && fromRight(b)) || (fromRight(a) && fromLeft(b))
+      case _ => false
+    }
+    if (!keysOk) return None
     val pointOnLeft =
       if (fromLeft(point) && fromRight(lo) && fromRight(hi)) true
       else if (fromRight(point) && fromLeft(lo) && fromLeft(hi)) false

@@ -453,6 +453,43 @@ object RelationalQueries {
       } finally s.conf.unset(graft.plans.AsofJoinRewrite.EnabledConf)
     }),
 
+    // The KEYED range-join rule: the query DECLARES the dominant real
+    // shape — user key equality + time sandwich (clicks inside each
+    // purchase's 3-day lookback). Catalyst alone plans an equi-join on
+    // user_id with the range as a residual — fine when users are
+    // selective, a per-key cartesian when one user is hot. With
+    // spark.graft.intervalJoin.keyed=true IntervalJoinRewrite adds the
+    // time bucket as a SECOND hash key (auto-derived width: every
+    // lookback is exactly 3 days wide, so p90 = one 3-day bucket),
+    // bounding candidates per (user, bucket) regardless of skew. Rows
+    // identical either way (IntervalJoinRewriteSpec asserts it on a
+    // deliberately hot key); the oracle replays the declared join.
+    "q223_keyed_range_rule" -> ((s, dir) => {
+      graft.plans.IntervalJoinRewrite.install(s)
+      s.conf.set(graft.plans.IntervalJoinRewrite.AutoConf, "true")
+      s.conf.set(graft.plans.IntervalJoinRewrite.KeyedConf, "true")
+      try {
+        val look = 3L * 86400L * 1000000L
+        val ev = t(s, dir, "events").withColumn("t_us", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("pu"),
+            (col("t_us") - lit(look)).as("lo"), col("t_us").as("hi"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("t_us"))
+        val out = clicks.join(purchases,
+            col("user_id") === col("pu") &&
+              col("t_us") >= col("lo") && col("t_us") < col("hi"))
+          .groupBy(col("p_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy(col("p_id"))
+        // Execute inside the armed scope (the q213 discipline).
+        out.localCheckpoint(true)
+      } finally {
+        s.conf.unset(graft.plans.IntervalJoinRewrite.AutoConf)
+        s.conf.unset(graft.plans.IntervalJoinRewrite.KeyedConf)
+      }
+    }),
+
     // Ordered funnel signup → click → purchase: chained running-min
     // windows over ONE (user, time) sort — no per-stage self-joins.
     "q86_funnel" -> ((s, dir) => {
@@ -1039,6 +1076,74 @@ object RelationalQueries {
           min(col("user_id")).as("user_min"), max(col("user_id")).as("user_max"),
           min(col("minute")).as("minute_min"), max(col("minute")).as("minute_max"))
         .orderBy(col("bucket"))
+    }),
+
+    // Zone-map pruned scan: q162's layout made load-bearing. Events
+    // land z-ordered on (user, minute) in 16 files, a per-file min/max
+    // MANIFEST is written beside them (Layout.writeManifest — the
+    // one-small-table form of a million parquet footers), and the
+    // 2-D box query (users 10-50, first day) reads ONLY the files
+    // whose boxes intersect — the require tripwire fails the query if
+    // pruning ever stops working rather than letting it degrade to a
+    // full scan silently. Residual re-filter makes the pruned read
+    // row-identical to the full scan, which is exactly what the
+    // oracle replays (DuckDB never sees the layout — only the
+    // declared filter).
+    "q224_zonemap_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("minute"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("zonemap_q").toString + "/events_z"
+      graft.core.Layout.writeZOrdered(
+        ev, tmp, col("user_id"), col("minute"), files = 16)
+      graft.core.Layout.writeManifest(s, tmp, Seq("user_id", "minute"))
+      // first-day minute bound: one scalar aggregate, driver-bounded
+      val m0 = ev.agg(min(col("minute"))).collect()(0).getLong(0)
+      val boxes = Seq(("user_id", 10L, 50L), ("minute", m0, m0 + 1439L))
+      val kept = graft.core.Layout.prunedFiles(s, tmp, boxes)
+      require(kept.nonEmpty && kept.size < 16,
+        s"zone maps failed to prune: ${kept.size}/16 files survive the box")
+      graft.core.Layout.prunedRead(s, tmp, boxes)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("minute")).as("minute_min"),
+          max(col("minute")).as("minute_max"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Zone-map APPEND path: the store takes a late batch (md5-gated
+    // ~1/16 of events) as plain appended files and the manifest is
+    // maintained INCREMENTALLY — Layout.appendManifest scans only the
+    // unmanifested files, never the standing table (the difference
+    // between a 0.1% batch costing 0.1% and costing a full 100 TB
+    // rescan). The pruned box read then answers over base+appended
+    // together; the oracle replays the same filter over ALL events —
+    // append + incremental manifest must be semantically invisible.
+    "q225_zonemap_append" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("minute"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val base = ev.filter(col("g") =!= "f").drop("g")
+      val late = ev.filter(col("g") === "f").drop("g")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("zonemap_app_q").toString + "/events_z"
+      graft.core.Layout.writeZOrdered(
+        base, tmp, col("user_id"), col("minute"), files = 16)
+      graft.core.Layout.writeManifest(s, tmp, Seq("user_id", "minute"))
+      late.repartition(2).write.mode("append").parquet(tmp)
+      graft.core.Layout.appendManifest(s, tmp)
+      val m0 = ev.agg(min(col("minute"))).collect()(0).getLong(0)
+      val boxes = Seq(("user_id", 0L, 9L), ("minute", m0, m0 + 10079L))
+      val kept = graft.core.Layout.prunedFiles(s, tmp, boxes)
+      val total = s.read.parquet(s"$tmp/${graft.core.Layout.ManifestDir}").count()
+      require(kept.nonEmpty && kept.size < total,
+        s"zone maps failed to prune after append: ${kept.size}/$total files")
+      graft.core.Layout.prunedRead(s, tmp, boxes)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("minute")).as("minute_sum"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1198,6 +1303,20 @@ object RelationalQueries {
            ON p.user_id = q.cu AND p.t_us >= q.ct
          WHERE p.t_us - q.ct < 604800000000
          ORDER BY p.event_id""",
+    // q223: the declared keyed sandwich — the oracle replays the join
+    // exactly as written (DuckDB plans its own IEJoin for it).
+    "q223_keyed_range_rule" ->
+      """WITH p AS (
+           SELECT event_id AS p_id, user_id AS pu,
+             epoch_us(ts) - 259200000000 AS lo, epoch_us(ts) AS hi
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'click')
+         SELECT p.p_id, count(*)::BIGINT AS n_clicks
+         FROM c JOIN p ON c.user_id = p.pu
+           AND c.t_us >= p.lo AND c.t_us < p.hi
+         GROUP BY 1 ORDER BY 1""",
     "q204_asof_tolerance" ->
       """WITH q AS (
            SELECT user_id, epoch_us(ts) AS t_us, max(value) AS click_value
@@ -1670,6 +1789,30 @@ object RelationalQueries {
            min(user_id) AS user_min, max(user_id) AS user_max,
            min(minute) AS minute_min, max(minute) AS minute_max
          FROM nt GROUP BY 1 ORDER BY bucket"""
-    }
+    },
+    // q224: the layout and the manifest are invisible to semantics —
+    // the oracle is the declared 2-D box filter over events.
+    "q224_zonemap_scan" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(ts) // 60000000 AS minute FROM events),
+         b AS (SELECT min(minute) AS m0 FROM e)
+         SELECT e.user_id, count(*)::BIGINT AS n,
+           min(e.minute) AS minute_min, max(e.minute) AS minute_max
+         FROM e, b
+         WHERE e.user_id BETWEEN 10 AND 50
+           AND e.minute BETWEEN b.m0 AND b.m0 + 1439
+         GROUP BY 1 ORDER BY 1""",
+    // q225: base/late split, append, and incremental manifest are all
+    // invisible — the oracle filters ALL events by the declared box.
+    "q225_zonemap_append" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(ts) // 60000000 AS minute FROM events),
+         b AS (SELECT min(minute) AS m0 FROM e)
+         SELECT e.user_id, count(*)::BIGINT AS n,
+           sum(e.minute)::BIGINT AS minute_sum
+         FROM e, b
+         WHERE e.user_id BETWEEN 0 AND 9
+           AND e.minute BETWEEN b.m0 AND b.m0 + 10079
+         GROUP BY 1 ORDER BY 1"""
   )
 }

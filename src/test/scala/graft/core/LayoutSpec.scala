@@ -53,4 +53,84 @@ class LayoutSpec extends SparkSpec {
     // and the layout loses no rows
     assert(spark.read.parquet(zDir).count() === 4096L)
   }
+
+  test("zone-map manifest: pruned read equals the full-scan filter while touching fewer files") {
+    val rows = (0 until 4096).map { i =>
+      val x = (i * 2654435761L) % 64
+      val y = (i * 40503L) % 64
+      (i.toLong, x, y)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("zonemap").toString + "/t"
+    Layout.writeZOrdered(rows.toDF("id", "x", "y"), dir,
+      col("x"), col("y"), files = 16)
+    Layout.writeManifest(spark, dir, Seq("x", "y"))
+    val boxes = Seq(("x", 8L, 15L), ("y", 8L, 15L))
+    val kept = Layout.prunedFiles(spark, dir, boxes)
+    assert(kept.nonEmpty && kept.size < 16,
+      s"tight 2-D box should prune the file list, kept ${kept.size}/16")
+    val pruned = Layout.prunedRead(spark, dir, boxes)
+      .orderBy(col("id")).collect().map(_.getLong(0)).toSeq
+    val full = spark.read.parquet(dir)
+      .filter(col("x").between(8, 15) && col("y").between(8, 15))
+      .orderBy(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(pruned === full, "pruning must never change the result")
+    assert(full.nonEmpty)
+    // a box intersecting nothing returns an empty frame with the schema
+    val none = Layout.prunedRead(spark, dir, Seq(("x", 1000L, 2000L)))
+    assert(none.columns.toSeq === Seq("id", "x", "y") && none.count() === 0L)
+  }
+
+  test("zone-map manifest: a file appended after the build fails the pruned read loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("zonemapstale").toString + "/t"
+    val df = (0 until 100).map(i => (i.toLong, i.toLong % 8, i.toLong % 5))
+      .toDF("id", "x", "y")
+    Layout.writeZOrdered(df, dir, col("x"), col("y"), files = 4)
+    Layout.writeManifest(spark, dir, Seq("x", "y"))
+    // sneak one more data file in behind the manifest's back
+    Seq((9999L, 3L, 3L)).toDF("id", "x", "y")
+      .write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.prunedRead(spark, dir, Seq(("x", 0L, 3L)))
+    }
+    assert(e.getMessage.contains("stale"),
+      s"staleness must be loud, got: ${e.getMessage}")
+    // rebuild heals it, and the late row is visible again
+    Layout.writeManifest(spark, dir, Seq("x", "y"))
+    val ids = Layout.prunedRead(spark, dir, Seq(("x", 3L, 3L)))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids.contains(9999L))
+  }
+
+  test("incremental manifest append equals a full rebuild and only scans the new files") {
+    val dir = java.nio.file.Files.createTempDirectory("zonemapapp").toString + "/t"
+    val base = (0 until 1000).map(i => (i.toLong, i.toLong % 32, i.toLong % 17))
+      .toDF("id", "x", "y")
+    Layout.writeZOrdered(base, dir, col("x"), col("y"), files = 8)
+    Layout.writeManifest(spark, dir, Seq("x", "y"))
+    // a later batch lands as plain appended files
+    (1000 until 1200).map(i => (i.toLong, 100L + i % 4, 100L + i % 3))
+      .toDF("id", "x", "y")
+      .repartition(2).write.mode("append").parquet(dir)
+    Layout.appendManifest(spark, dir)
+    def manRows() = spark.read.parquet(s"$dir/${Layout.ManifestDir}")
+      .collect().map(r => (new org.apache.hadoop.fs.Path(r.getString(
+        r.fieldIndex("file"))).toUri.getPath,
+        r.getLong(r.fieldIndex("n_rows")),
+        r.getLong(r.fieldIndex("x__min")), r.getLong(r.fieldIndex("x__max")),
+        r.getLong(r.fieldIndex("y__min")), r.getLong(r.fieldIndex("y__max"))))
+      .toSet
+    val incremental = manRows()
+    // idempotent: nothing new -> byte-identical manifest rows
+    Layout.appendManifest(spark, dir)
+    assert(manRows() === incremental)
+    // a full rebuild produces the same rows
+    Layout.writeManifest(spark, dir, Seq("x", "y"))
+    assert(manRows() === incremental,
+      "incremental manifest must equal the full rebuild")
+    // the appended region prunes to the appended files only
+    val keptNew = Layout.prunedFiles(spark, dir, Seq(("x", 100L, 104L)))
+    assert(keptNew.size <= 2, s"appended-region box kept ${keptNew.size} files")
+    val n = Layout.prunedRead(spark, dir, Seq(("x", 100L, 104L))).count()
+    assert(n === 200L)
+  }
 }

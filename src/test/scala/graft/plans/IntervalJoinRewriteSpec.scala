@@ -128,6 +128,81 @@ class IntervalJoinRewriteSpec extends SparkSpec {
     assert(!got._2.contains("__graft_ib"), "no stats → no rewrite")
   }
 
+  private def withKeyed[T](b: Long)(body: => T): T = {
+    IntervalJoinRewrite.install(spark)
+    spark.conf.set(IntervalJoinRewrite.BucketConf, b.toString)
+    spark.conf.set(IntervalJoinRewrite.KeyedConf, "true")
+    try body
+    finally {
+      spark.conf.unset(IntervalJoinRewrite.BucketConf)
+      spark.conf.unset(IntervalJoinRewrite.KeyedConf)
+    }
+  }
+
+  // ONE hot key: the shape where Catalyst's equi-join-on-key plan
+  // degenerates to a per-key cartesian through the range residual
+  private lazy val keyedDir = {
+    val root = java.nio.file.Files.createTempDirectory("ivjoink").toString
+    (0L until 200L).map(i => (i, 1L, i * 10L))
+      .toDF("pid", "k", "p").write.parquet(s"$root/points")
+    (0L until 50L).map(i => (1000L + i, 1L, i * 40L, i * 40L + 40L))
+      .toDF("iid", "k", "lo", "hi").write.parquet(s"$root/intervals")
+    root
+  }
+  private lazy val kpoints = spark.read.parquet(s"$keyedDir/points")
+  private lazy val kintervals = spark.read.parquet(s"$keyedDir/intervals")
+  private def keyedJoin = kpoints.join(kintervals,
+    kpoints("k") === kintervals("k") &&
+      col("p") >= col("lo") && col("p") < col("hi"))
+
+  test("keyed mode: equality key + sandwich gains the bucket as a second hash key") {
+    val naive = rows(keyedJoin) // key-only equi-join, range as residual
+    val (fast, opt) = withKeyed(40L) {
+      val f = keyedJoin
+      (rows(f), f.queryExecution.optimizedPlan.toString)
+    }
+    assert(fast === naive, "keyed rewrite must not change rows")
+    assert(fast.size === 200L, "every point lands in exactly one interval")
+    assert(opt.contains("__graft_pb") && opt.contains("__graft_ib"),
+      s"keyed sandwich did not rewrite:\n$opt")
+    // the bucket id must actually be a JOIN KEY, not a residual: the
+    // physical hash keys list both the user key and the bucket
+    val phys = withKeyed(40L)(keyedJoin.queryExecution.executedPlan.toString)
+    assert(phys.contains("__graft_pb"), s"bucket key absent from physical plan:\n$phys")
+  }
+
+  test("keyed mode stays out without the keyed conf, and out of non-equality extras") {
+    // same join, keyed conf NOT set: untouched even with bucket set
+    val opt = withBucket(40L)(keyedJoin.queryExecution.optimizedPlan.toString)
+    assert(!opt.contains("__graft_ib"),
+      "keyed sandwich must not rewrite unless spark.graft.intervalJoin.keyed=true")
+    // a non-equality extra conjunct blocks the keyed match too
+    val ineq = withKeyed(40L) {
+      kpoints.join(kintervals,
+        kpoints("k") =!= kintervals("k") &&
+          col("p") >= col("lo") && col("p") < col("hi"))
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(!ineq.contains("__graft_ib"), "inequality extras must block the rewrite")
+  }
+
+  test("keyed mode: multiple equality keys all survive as join keys") {
+    val p2 = kpoints.withColumn("k2", col("pid") % 3)
+    val i2 = kintervals.withColumn("k2", col("iid") % 3)
+    val q = p2.join(i2,
+      p2("k") === i2("k") && p2("k2") === i2("k2") &&
+        col("p") >= col("lo") && col("p") < col("hi"))
+    val naive = rows(q)
+    val (fast, opt) = withKeyed(40L) {
+      val f = p2.join(i2,
+        p2("k") === i2("k") && p2("k2") === i2("k2") &&
+          col("p") >= col("lo") && col("p") < col("hi"))
+      (rows(f), f.queryExecution.optimizedPlan.toString)
+    }
+    assert(fast === naive)
+    assert(opt.contains("__graft_ib"), s"two-key sandwich did not rewrite:\n$opt")
+  }
+
   test("wide intervals fan out by width/bucket, correctness independent of bucket choice") {
     Seq(7L, 64L, 1000000L).foreach { b =>
       val got = withBucket(b) {
