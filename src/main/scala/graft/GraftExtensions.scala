@@ -28,9 +28,13 @@ import graft.text.TextFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
-    // planner capability, config-gated: the keyless range-join rewrite
-    // fires only when spark.graft.intervalJoin.bucket is set
+    // planner capabilities, each config-gated and inert by default:
+    // range-join rewrite (spark.graft.intervalJoin.bucket/auto), as-of
+    // rewrite (spark.graft.asofJoin.rewrite), zone-map scan pruning
+    // (spark.graft.zonemap.auto)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ZoneMapPruneRule)
   }
 }
 

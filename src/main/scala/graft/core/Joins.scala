@@ -254,4 +254,53 @@ object Joins {
         ((rightTsAs +: payload).map(c =>
           when(stale, lit(null)).otherwise(col(c)).as(c))): _*)
   }
+
+  /** Point-in-interval DICTIONARY enrichment with no join operator at
+    * all: the interval table (id, [lo, hi) bounds, LongType) is
+    * collected once, validated sorted/non-overlapping, and compiled
+    * into a [[graft.functions.RangeLookup]] binary-search expression —
+    * O(log m) per row inside whole-stage codegen, zero shuffle, zero
+    * explode. The map-side sibling of [[graft.plans.IntervalJoinRewrite]]:
+    * the rewrite is for interval sides too big to hold in memory; this
+    * is the strictly better plan when they are dimension-sized (geo/IP
+    * blocks, maintenance windows, tier tables — the usual case).
+    *
+    * Adds `asCol` = the containing interval's id, NULL when no
+    * interval contains the point (filter for inner semantics, keep for
+    * left). `maxRows` bounds the driver-side collect LOUDLY — the same
+    * explicit budget a broadcast-hash-join threshold encodes.
+    *
+    * Overlapping intervals are rejected, not resolved: a dictionary
+    * with two answers for one point is a data bug upstream.
+    */
+  def rangeDictJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, idCol: String, loCol: String, hiCol: String,
+      asCol: String, maxRows: Int = 4 << 20): DataFrame = {
+    val rows = intervals
+      .select(col(loCol).cast("long"), col(hiCol).cast("long"),
+        col(idCol).cast("long"))
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"range dictionary exceeds maxRows=$maxRows — broadcast enrichment " +
+        "is for dimension-sized interval tables; use Ranges.intervalJoin " +
+        "or IntervalJoinRewrite for fact-sized interval sides")
+    val sorted = rows.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        "range dictionary bounds and ids must be non-null")
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.sortBy(_._1)
+    sorted.foreach { case (lo, hi, id) =>
+      require(lo < hi, s"empty interval [$lo, $hi) for id $id") }
+    sorted.sliding(2).foreach {
+      case Array((lo1, hi1, id1), (lo2, _, id2)) =>
+        require(hi1 <= lo2,
+          s"overlapping intervals: id $id1 [$lo1, $hi1) and id $id2 [$lo2, …)")
+      case _ => ()
+    }
+    points.withColumn(asCol,
+      graft.functions.GraftFunctions.range_lookup(
+        col(pointCol).cast("long"),
+        sorted.map(_._1), sorted.map(_._2), sorted.map(_._3)))
+  }
 }

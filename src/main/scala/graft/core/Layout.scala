@@ -136,7 +136,7 @@ object Layout {
     * URI path component is the stable identity). Hidden (`_`/`.`)
     * entries are skipped exactly as Spark's own listing skips them.
     */
-  private def liveDataFiles(spark: SparkSession, path: String): Set[String] = {
+  private[graft] def liveDataFiles(spark: SparkSession, path: String): Set[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def walk(p: org.apache.hadoop.fs.Path): Iterator[String] =
@@ -178,6 +178,38 @@ object Layout {
     boxes.foldLeft(man) { case (m, (c, lo, hi)) =>
       m.filter(col(s"${c}__max") >= lo && col(s"${c}__min") <= hi)
     }.select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** [[prunedFiles]] without the hard staleness error — the contract
+    * the OPTIONAL auto-prune rule ([[graft.plans.ZoneMapPruneRule]])
+    * needs: when the manifest is absent, stale, or carries stats for
+    * none of the requested columns, the right response is "don't
+    * prune" (the full scan is always row-correct), never a thrown
+    * error from inside the optimizer. Returns the surviving file list
+    * plus the manifest's total file count; boxes without manifest
+    * stats are ignored (pruning on a conjunct SUBSET is sound — every
+    * matching row satisfies all conjuncts).
+    */
+  private[graft] def prunedFilesIfFresh(
+      spark: SparkSession, path: String,
+      boxes: Seq[(String, Long, Long)]): Option[(Seq[String], Long)] = {
+    val manPath = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    val fs = manPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manPath)) return None
+    val man = spark.read.parquet(manPath.toString)
+    val have = man.columns.toSet
+    val usable = boxes.filter { case (c, _, _) =>
+      have(s"${c}__min") && have(s"${c}__max")
+    }
+    if (usable.isEmpty) return None
+    val manifested = man.select(col("file")).collect().map(_.getString(0))
+    val norm = manifested
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    if (norm != liveDataFiles(spark, path)) return None
+    val kept = usable.foldLeft(man) { case (m, (c, lo, hi)) =>
+      m.filter(col(s"${c}__max") >= lo && col(s"${c}__min") <= hi)
+    }.select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+    Some((kept, manifested.length.toLong))
   }
 
   /** Manifest-pruned scan: read ONLY the files whose zone maps

@@ -1,0 +1,145 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table version log — snapshot isolation and time travel for a plain
+  * parquet directory, the Delta/Iceberg capability a standing 100 TB
+  * training corpus cannot run without: "train on exactly version N"
+  * must stay answerable after later appends, and a rerun must be able
+  * to PROVE it read the same bytes. A version is a manifest of the
+  * table's live data files (relative path + length) written to
+  * `_graft_log/v<n>.list`; reading a version scans exactly that file
+  * list, so later appends are invisible by construction — no copied
+  * data, no lock, metadata-scale cost only (one short line per file,
+  * the same bound every lakehouse commit log accepts).
+  *
+  * Guarantees and limits, stated plainly:
+  *  - single-writer discipline, like every maintenance path here
+  *    ([[PartitionedStore]], [[Layout.appendManifest]]): snapshots are
+  *    taken between batch writes, not raced against them;
+  *  - append-only tables time-travel for free; a compaction/delete
+  *    ([[PartitionedStore]] rewrites) INVALIDATES older versions —
+  *    [[readVersion]] verifies every listed file still exists with its
+  *    recorded length and fails LOUDLY otherwise (the vacuum horizon,
+  *    surfaced as an error instead of silently wrong rows);
+  *  - paths are stored relative to the table root, so a table moved or
+  *    mounted elsewhere keeps its history.
+  */
+object VersionLog {
+
+  val LogDir = "_graft_log"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rootUriPath(dir: String): String = {
+    val p = new Path(dir).toUri.getPath
+    if (p.endsWith("/")) p.dropRight(1) else p
+  }
+
+  private def versionPath(dir: String, v: Int): Path =
+    new Path(s"$dir/$LogDir/v${"%05d".format(v)}.list")
+
+  /** Recorded versions, ascending (empty when no snapshot exists). */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val log = new Path(s"$dir/$LogDir")
+    val f = fs(spark, dir)
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .sorted
+  }
+
+  /** The live data files as (relativePath, length), sorted — the
+    * deterministic content a snapshot records and compares against.
+    */
+  private def liveEntries(
+      spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val root = rootUriPath(dir)
+    val f = fs(spark, dir)
+    Layout.liveDataFiles(spark, dir).toSeq.map { p =>
+      require(p.startsWith(root + "/"),
+        s"data file $p escapes the table root $root")
+      val rel = p.stripPrefix(root + "/")
+      (rel, f.getFileStatus(new Path(p)).getLen)
+    }.sortBy(_._1)
+  }
+
+  private def readEntries(
+      spark: SparkSession, dir: String, v: Int): Seq[(String, Long)] = {
+    val p = versionPath(dir, v)
+    val f = fs(spark, dir)
+    require(f.exists(p), s"version $v is not recorded at $dir/$LogDir")
+    val in = f.open(p)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      out.toByteArray
+    } finally in.close()
+    new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"corrupt version record in $p: '$line'")
+        (line.substring(i + 1), line.substring(0, i).toLong)
+      }
+  }
+
+  /** Record the table's current live file set as the next version.
+    * Idempotent: when the live set equals the latest recorded version,
+    * no new version is written and the existing number is returned.
+    * The record is written to a temp name and renamed into place, so a
+    * reader can never observe a half-written version file.
+    */
+  def snapshot(spark: SparkSession, dir: String): Int = {
+    val live = liveEntries(spark, dir)
+    require(live.nonEmpty, s"refusing to snapshot an empty table at $dir")
+    val vs = versions(spark, dir)
+    if (vs.nonEmpty && readEntries(spark, dir, vs.last) == live)
+      return vs.last
+    val next = vs.lastOption.getOrElse(0) + 1
+    val f = fs(spark, dir)
+    val target = versionPath(dir, next)
+    f.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent, s".v$next.tmp")
+    val out = f.create(tmp, true)
+    try out.write(live.map { case (rel, len) => s"$len\t$rel\n" }
+      .mkString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    require(f.rename(tmp, target),
+      s"could not commit version $next at $target (concurrent writer?)")
+    next
+  }
+
+  /** Read the table AS OF version `v`: exactly the files that version
+    * recorded, verified present with their recorded lengths. A missing
+    * or resized file means the history was rewritten (compaction /
+    * delete / vacuum) and this version is gone — a loud error, never a
+    * silently partial table.
+    */
+  def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val entries = readEntries(spark, dir, v)
+    val root = rootUriPath(dir)
+    val f = fs(spark, dir)
+    val bad = entries.filter { case (rel, len) =>
+      val p = new Path(s"$root/$rel")
+      !f.exists(p) || f.getFileStatus(p).getLen != len
+    }
+    require(bad.isEmpty,
+      s"version $v of $dir is no longer readable — ${bad.size} of " +
+        s"${entries.size} recorded files are missing or rewritten " +
+        s"(e.g. ${bad.take(3).map(_._1).mkString(", ")}); the history " +
+        "was compacted past this version")
+    spark.read.parquet(entries.map { case (rel, _) => s"$root/$rel" }: _*)
+  }
+
+  /** Latest recorded version (error when none exists). */
+  def latest(spark: SparkSession, dir: String): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions recorded at $dir/$LogDir")
+    vs.last
+  }
+}

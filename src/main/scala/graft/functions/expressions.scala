@@ -120,6 +120,65 @@ case class ZInterleave(left: Expression, right: Expression)
   override def prettyName: String = "z_interleave"
 }
 
+/** Static kernel for [[RangeLookup]] — the binary search lives here so
+  * both `eval` and the generated code call the same compiled method.
+  */
+object RangeLookupOps {
+  /** Index of the interval `[los(i), his(i))` containing `p`, or -1.
+    * Requires `los` ascending and intervals non-overlapping (validated
+    * once where the dictionary is built, not per row).
+    */
+  def find(los: Array[Long], his: Array[Long], p: Long): Int = {
+    var i = java.util.Arrays.binarySearch(los, p)
+    if (i < 0) i = -i - 2 // insertion point - 1 = last lo <= p
+    if (i >= 0 && p < his(i)) i else -1
+  }
+}
+
+/** `range_lookup(point)` against a BROADCAST sorted interval dictionary
+  * — the map-side O(log m) plan for point-in-interval enrichment (IP →
+  * geo block, ts → maintenance window, id → tier) when the dictionary
+  * fits in memory. The alternatives Catalyst would pick from a DECLARED
+  * `p >= lo AND p < hi` join are a BroadcastNestedLoopJoin (O(m) per
+  * row) or, via [[graft.plans.IntervalJoinRewrite]], a bucketed
+  * equi-join (a shuffle + explode fan-out); for a dimension-sized
+  * dictionary this expression does the same work with NO join operator
+  * at all, inside whole-stage codegen.
+  *
+  * The sorted bound/id arrays ride along as REFERENCE OBJECTS in the
+  * generated code (not source literals), so dictionary size never
+  * blows up codegen; they ship to executors once per task binary, the
+  * same way any broadcast hash relation does. Returns the matching
+  * interval's id, or NULL when no interval contains the point —
+  * callers choose inner (filter) or left (keep null) semantics.
+  * Build through [[graft.core.Joins.rangeDictJoin]], which validates
+  * sortedness/non-overlap once.
+  */
+case class RangeLookup(child: Expression,
+    los: Array[Long], his: Array[Long], ids: Array[Long])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(p: Any): Any = {
+    val i = RangeLookupOps.find(los, his, p.asInstanceOf[Long])
+    if (i < 0) null else ids(i)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val losRef = ctx.addReferenceObj("rangeLos", los, "long[]")
+    val hisRef = ctx.addReferenceObj("rangeHis", his, "long[]")
+    val idsRef = ctx.addReferenceObj("rangeIds", ids, "long[]")
+    val idx = ctx.freshName("rangeIdx")
+    nullSafeCodeGen(ctx, ev, p => s"""
+      int $idx = graft.functions.RangeLookupOps.find($losRef, $hisRef, $p);
+      if ($idx < 0) { ${ev.isNull} = true; } else { ${ev.value} = $idsRef[$idx]; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "range_lookup"
+}
+
 /** Column-API entry points (the library's public scalar surface). */
 object GraftFunctions {
   import GraftBridge.{column => toCol, expression => toExpr}
@@ -134,4 +193,7 @@ object GraftFunctions {
     toCol(HexToDouble(toExpr(s)))
   def z_interleave(x: Column, y: Column): Column =
     toCol(ZInterleave(toExpr(x), toExpr(y)))
+  def range_lookup(point: Column,
+      los: Array[Long], his: Array[Long], ids: Array[Long]): Column =
+    toCol(RangeLookup(toExpr(point), los, his, ids))
 }

@@ -1144,6 +1144,112 @@ object RelationalQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("minute")).as("minute_sum"))
         .orderBy(col("user_id"))
+    }),
+
+    // AUTOMATIC zone-map pruning — the optimizer-rule form of q224's
+    // explicit prunedRead: the query DECLARES a plain
+    // `read.parquet(dir).filter(box)` and graft.plans.ZoneMapPruneRule
+    // (config-gated, try/finally-scoped) prunes the scan's FILE LIST
+    // from the `_graft_zonemaps` manifest at optimization time, before
+    // any footer opens; the declared filter stays as the residual so
+    // rows match the full scan exactly. The tripwire asserts the scan
+    // really was pruned (marker index, < all files); the oracle replays
+    // the declared filter over ALL events.
+    "q226_zonemap_rule" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("minute"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("zonemap_rule_q").toString + "/events_z"
+      graft.core.Layout.writeZOrdered(
+        ev, tmp, col("user_id"), col("minute"), files = 16)
+      graft.core.Layout.writeManifest(s, tmp, Seq("user_id", "minute"))
+      val m0 = ev.agg(min(col("minute"))).collect()(0).getLong(0)
+      graft.plans.ZoneMapPruneRule.install(s)
+      s.conf.set(graft.plans.ZoneMapPruneRule.AutoConf, "true")
+      try {
+        val q = s.read.parquet(tmp)
+          .filter(col("user_id") >= 10L && col("user_id") <= 50L &&
+            col("minute") >= m0 && col("minute") <= m0 + 1439L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            min(col("minute")).as("minute_min"),
+            max(col("minute")).as("minute_max"))
+          .orderBy(col("user_id"))
+        val pruned = q.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case z: graft.plans.ZoneMapPrunedIndex => z.allFiles().size
+                  case _ => Int.MaxValue
+                }
+              case _ => Int.MaxValue
+            }
+        }
+        require(pruned.nonEmpty && pruned.min < 16,
+          s"zone-map rule failed to prune the declared scan: $pruned")
+        // EXECUTE inside the armed scope (same discipline as q213): a
+        // later action would re-optimize after the finally disarms.
+        q.localCheckpoint(true)
+      } finally s.conf.unset(graft.plans.ZoneMapPruneRule.AutoConf)
+    }),
+
+    // TIME TRAVEL via the version log (core/VersionLog): base events
+    // (md5-gated ~15/16) land, snapshot → v1; a late batch appends,
+    // snapshot → v2. Reading AS OF v1 sees exactly the pre-append
+    // table even though the directory now holds more files — snapshot
+    // isolation from a metadata-scale file-list commit log, no data
+    // copied. Tripwires: version numbering, snapshot idempotence (a
+    // re-snapshot of an unchanged table mints NO new version), and v2
+    // covering everything. The oracle replays the md5 gate: per user,
+    // events visible at v1 vs now.
+    "q227_time_travel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val base = ev.filter(col("g") =!= "f").drop("g")
+      val late = ev.filter(col("g") === "f").drop("g")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("timetravel_q").toString + "/events_v"
+      base.repartition(4).write.parquet(tmp)
+      val v1 = graft.core.VersionLog.snapshot(s, tmp)
+      late.repartition(2).write.mode("append").parquet(tmp)
+      val v2 = graft.core.VersionLog.snapshot(s, tmp)
+      require(v1 == 1 && v2 == 2, s"version numbering broke: v1=$v1 v2=$v2")
+      require(graft.core.VersionLog.snapshot(s, tmp) == v2,
+        "re-snapshot of an unchanged table must not mint a new version")
+      val atV1 = graft.core.VersionLog.readVersion(s, tmp, v1)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_v1"))
+      graft.core.VersionLog.readVersion(s, tmp, v2)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_now"))
+        .join(atV1, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"), col("n_now"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Broadcast RANGE-DICTIONARY enrichment (Joins.rangeDictJoin): a
+    // dimension-sized interval table (user-id tiers here; IP blocks /
+    // maintenance windows in production) compiles into a binary-search
+    // RangeLookup expression — O(log m) per row inside whole-stage
+    // codegen, NO join operator, zero shuffle, zero explode. The
+    // map-side sibling of q213/q223's rewrite for interval sides that
+    // fit in memory (the usual case). Null lookups = out-of-dictionary
+    // points, filtered here for inner semantics; the oracle runs the
+    // same tiers as a declared range join.
+    "q229_range_dict" -> ((s, dir) => {
+      import s.implicits._
+      val tiers = Seq(
+        (1L, 0L, 1L), (2L, 1L, 3L), (3L, 3L, 8L), (4L, 8L, 21L),
+        (5L, 21L, 55L), (6L, 55L, 200L)).toDF("tid", "lo", "hi")
+      val enriched = graft.core.Joins.rangeDictJoin(
+        t(s, dir, "events"), "user_id", tiers, "tid", "lo", "hi", "tid")
+      enriched.filter(col("tid").isNotNull)
+        .groupBy(col("tid"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("tid"))
     })
   )
 
@@ -1813,6 +1919,38 @@ object RelationalQueries {
          FROM e, b
          WHERE e.user_id BETWEEN 0 AND 9
            AND e.minute BETWEEN b.m0 AND b.m0 + 10079
+         GROUP BY 1 ORDER BY 1""",
+    // q226: the layout write, manifest, and the rule's file pruning are
+    // all invisible — the oracle filters ALL events by the declared box.
+    "q226_zonemap_rule" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(ts) // 60000000 AS minute FROM events),
+         b AS (SELECT min(minute) AS m0 FROM e)
+         SELECT e.user_id, count(*)::BIGINT AS n,
+           min(e.minute) AS minute_min, max(e.minute) AS minute_max
+         FROM e, b
+         WHERE e.user_id BETWEEN 10 AND 50
+           AND e.minute BETWEEN b.m0 AND b.m0 + 1439
+         GROUP BY 1 ORDER BY 1""",
+    // q227: the parquet writes, snapshots, and version reads are the
+    // machinery under test; semantically v1 = the md5-gated base set
+    // and v2 = everything, which is exactly what the oracle replays.
+    "q227_time_travel" ->
+      """SELECT user_id,
+           count(*) FILTER (WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+             <> 'f')::BIGINT AS n_v1,
+           count(*)::BIGINT AS n_now
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // q229: the same tier dictionary as a declared range join — the
+    // broadcast binary-search enrichment must be semantically invisible.
+    "q229_range_dict" ->
+      """WITH tiers(tid, lo, hi) AS (VALUES
+           (1, 0, 1), (2, 1, 3), (3, 3, 8), (4, 8, 21),
+           (5, 21, 55), (6, 55, 200))
+         SELECT t.tid::BIGINT AS tid, count(*)::BIGINT AS n,
+           count(DISTINCT e.user_id)::BIGINT AS n_users
+         FROM events e JOIN tiers t
+           ON e.user_id >= t.lo AND e.user_id < t.hi
          GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -1784,6 +1784,32 @@ object TrainingQueries {
         .orderBy(col("source"))
     }),
 
+    // WebDataset-style TAR shard interchange (multimodal/TarShards):
+    // the corpus round-trips through the container multimodal training
+    // loaders consume — per-sample `<id>.json` + `<id>.bin` entries in
+    // content-key-assigned, id-sorted, mtime-zeroed POSIX tars (pure
+    // JVM ustar, byte-deterministic), streamed from executors and
+    // parsed back where each shard lands. The oracle is the identity:
+    // read-back == the documents table, column for column.
+    "q228_tar_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("meta", to_json(struct(col("lang"), col("source"))))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tar").toString + "/wds"
+      val summary = graft.multimodal.TarShards.write(
+        docs, "doc_id", "payload", "meta", path, shards = 8)
+      val written = summary.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+      require(written == docs.count(),
+        s"tar shards dropped rows: wrote $written")
+      graft.multimodal.TarShards.read(s, path)
+        .select(col("id").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"),
+          get_json_object(col("meta"), "$.lang").as("lang"),
+          get_json_object(col("meta"), "$.source").as("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dataset version manifest: per source, a content-addressed
     // fingerprint (order-independent modular sum of per-doc content
     // hashes) + row/token/distinct counts — the reproducibility
@@ -4311,6 +4337,13 @@ object TrainingQueries {
            CAST(sum(h::HUGEINT * (shard * 100000 + shard_pos + 1)) % 2305843009213693951 AS BIGINT) AS order_fp,
            true AS manifest_ok
          FROM s GROUP BY source ORDER BY source""",
+
+    // q228: the tar container round-trip is the identity over the
+    // documents table — sharding, entry layout, and parsing are all
+    // semantically invisible.
+    "q228_tar_shards" ->
+      """SELECT doc_id, text, lang, source
+         FROM documents ORDER BY doc_id""",
 
     // q184: same md5-int60 content hash, HUGEINT modular sum.
     "q184_version_manifest" ->

@@ -1,0 +1,87 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Version-log time travel: snapshot isolation across appends,
+  * idempotent snapshots, loud failure after history rewrite, and
+  * root-relative portability.
+  */
+class VersionLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("vlog").toString + "/t"
+    (0L until 100L).map(i => (i, i % 10)).toDF("id", "k")
+      .repartition(4).write.parquet(dir)
+    dir
+  }
+
+  test("reads of an old version are isolated from later appends") {
+    val dir = freshTable()
+    val v1 = VersionLog.snapshot(spark, dir)
+    assert(v1 === 1)
+    (100L until 130L).map(i => (i, i % 10)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    val v2 = VersionLog.snapshot(spark, dir)
+    assert(v2 === 2)
+    assert(VersionLog.readVersion(spark, dir, 1).count() === 100L)
+    assert(VersionLog.readVersion(spark, dir, 2).count() === 130L)
+    assert(VersionLog.readVersion(spark, dir, 1)
+      .agg(max(col("id"))).collect()(0).getLong(0) === 99L)
+    assert(VersionLog.latest(spark, dir) === 2)
+    assert(VersionLog.versions(spark, dir) === Seq(1, 2))
+  }
+
+  test("snapshot is idempotent on an unchanged table") {
+    val dir = freshTable()
+    assert(VersionLog.snapshot(spark, dir) === 1)
+    assert(VersionLog.snapshot(spark, dir) === 1)
+    assert(VersionLog.versions(spark, dir) === Seq(1))
+  }
+
+  test("a rewritten history fails loudly, never partially") {
+    val dir = freshTable()
+    VersionLog.snapshot(spark, dir)
+    // compact: rewrite the whole table as one file (old files gone)
+    val all = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tmp = java.nio.file.Files.createTempDirectory("vlogc").toString + "/c"
+    all.toSeq.toDF("id", "k").coalesce(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+      if (!st.getPath.getName.startsWith("_")) fs.delete(st.getPath, false)
+    }
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).foreach { st =>
+      if (!st.getPath.getName.startsWith("_"))
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, st.getPath.getName))
+    }
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.readVersion(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("no longer readable"))
+    // but a fresh snapshot of the compacted table starts a new version
+    assert(VersionLog.snapshot(spark, dir) === 2)
+    assert(VersionLog.readVersion(spark, dir, 2).count() === 100L)
+  }
+
+  test("unknown versions and empty tables are loud errors") {
+    val dir = freshTable()
+    intercept[IllegalArgumentException] {
+      VersionLog.readVersion(spark, dir, 7)
+    }
+    intercept[IllegalArgumentException] { VersionLog.latest(spark, dir) }
+    val empty = java.nio.file.Files.createTempDirectory("vloge").toString + "/t"
+    new java.io.File(empty).mkdirs()
+    intercept[IllegalArgumentException] { VersionLog.snapshot(spark, empty) }
+  }
+
+  test("relative paths make a moved table keep its history") {
+    val dir = freshTable()
+    VersionLog.snapshot(spark, dir)
+    val moved = dir + "_moved"
+    assert(new java.io.File(dir).renameTo(new java.io.File(moved)))
+    assert(VersionLog.readVersion(spark, moved, 1).count() === 100L)
+  }
+}
