@@ -142,4 +142,47 @@ object VersionLog {
     require(vs.nonEmpty, s"no versions recorded at $dir/$LogDir")
     vs.last
   }
+
+  /** Rows ADDED between two versions — incremental consumption (the
+    * change-data-feed read): the file-list diff identifies exactly the
+    * files that appeared after `fromV`, and ONLY those are scanned. A
+    * downstream job that processed version N catches up to version M
+    * by reading `readChanges(N, M)` — work proportional to the delta,
+    * never a re-scan or a row-level anti-join over 100 TB. Only valid
+    * for append-only history between the two versions: a file present
+    * in `fromV` but missing (or resized) in `toV` means rows were
+    * rewritten, and the diff would silently misreport — that is a loud
+    * error here. An empty delta returns an empty frame with the
+    * table's schema.
+    */
+  def readChanges(
+      spark: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
+    val before = readEntries(spark, dir, fromV)
+    val after = readEntries(spark, dir, toV).toMap
+    val rewritten = before.filter { case (rel, len) =>
+      !after.get(rel).contains(len)
+    }
+    require(rewritten.isEmpty,
+      s"history between v$fromV and v$toV of $dir is not append-only — " +
+        s"${rewritten.size} files from v$fromV are missing or resized in " +
+        s"v$toV (e.g. ${rewritten.take(3).map(_._1).mkString(", ")}); " +
+        "an incremental read over a rewrite would misreport changes")
+    val beforeSet = before.map(_._1).toSet
+    val root = rootUriPath(dir)
+    val fresh = after.keys.filterNot(beforeSet).toSeq.sorted
+    if (fresh.isEmpty)
+      readVersion(spark, dir, toV).limit(0)
+    else {
+      val f = fs(spark, dir)
+      val bad = fresh.filter { rel =>
+        val p = new Path(s"$root/$rel")
+        !f.exists(p) || f.getFileStatus(p).getLen != after(rel)
+      }
+      require(bad.isEmpty,
+        s"version $toV of $dir is no longer readable — " +
+          s"${bad.take(3).mkString(", ")} missing or rewritten")
+      spark.read.parquet(fresh.map(rel => s"$root/$rel"): _*)
+    }
+  }
 }

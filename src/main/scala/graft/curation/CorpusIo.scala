@@ -68,4 +68,21 @@ object CorpusIo {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .text(path)
   }
+
+  /** ORC boundary adapters — the other columnar format corpora arrive
+    * in (Hive-era warehouses ship ORC the way lakehouses ship
+    * parquet). Spark's ORC support is native and columnar, so unlike
+    * JSONL there is no schema-inference tax — the footer carries the
+    * schema — and predicate pushdown / column pruning work exactly as
+    * on parquet; these exist so ingestion from an ORC-shaped upstream
+    * is one call, not a format detour through JSONL.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(
+      df: DataFrame, path: String, maxRecordsPerFile: Long = 0L): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .orc(path)
 }

@@ -60,6 +60,39 @@ object Curation {
       .drop(key)
   }
 
+  /** PER-GROUP weighted priority sample (Duffield–Lund–Thorup priority
+    * sampling, on the content-keyed uniform): each row's priority is
+    * `w/u` with `u = (hashKey + 1) / 2^60`; the k HIGHEST priorities
+    * per group are the sample — equivalently, rank ASCENDING by
+    * `key = (hashKey + 1) / w` and keep rank <= k. Unlike
+    * [[weightedSampleExact]]'s `ln(u)/w` (a transcendental, rounded to
+    * the repo's 6dp cross-engine grid), this key is ONE int64→double
+    * conversion and ONE IEEE division — bit-identical in any IEEE-754
+    * engine, so the oracle replays ranks exactly, and the per-group
+    * form gives every stratum its own exact-size weighted sample in
+    * one pass. Rows with `w <= 0` or NULL cannot be sampled.
+    *
+    * Scale shape: map-only key, then a rank window per group — Spark's
+    * WindowGroupLimit pushes the `rank <= k` cap into per-partition
+    * heaps before the shuffle, so the exchange carries O(groups · k),
+    * not the corpus.
+    */
+  def prioritySamplePerGroup(
+      df: DataFrame, idCol: String, groupCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val key = freshName(df, "_pkey")
+    val u = (hashSampleKey(col(idCol)) + lit(1L)).cast("double")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(key).asc, col(idCol).asc)
+    df.filter(weight > 0)
+      .withColumn(key, u / weight.cast("double"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop(key)
+  }
+
   /** Deterministic Bernoulli-style sample: keeps rows whose hash key
     * falls under `fraction` of the key space. Unlike `df.sample`
     * (seeded RNG walked in partition order), the decision is a pure

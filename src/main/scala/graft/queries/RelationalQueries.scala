@@ -1250,6 +1250,64 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("tid"))
+    }),
+
+    // INCREMENTAL consumption between versions (VersionLog.readChanges,
+    // the change-data-feed read): a downstream job that processed v1
+    // catches up to v2 by scanning ONLY the files that appeared in
+    // between — work proportional to the delta, never a re-scan or a
+    // row-level anti-join. Tripwires: the self-delta is empty; the
+    // result is exactly the late batch, which the oracle replays from
+    // the md5 gate.
+    "q230_version_changes" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val base = ev.filter(col("g") =!= "f").drop("g")
+      val late = ev.filter(col("g") === "f").drop("g")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("vchanges_q").toString + "/events_v"
+      base.repartition(4).write.parquet(tmp)
+      val v1 = graft.core.VersionLog.snapshot(s, tmp)
+      late.repartition(2).write.mode("append").parquet(tmp)
+      val v2 = graft.core.VersionLog.snapshot(s, tmp)
+      require(graft.core.VersionLog.readChanges(s, tmp, v1, v1).count() == 0L,
+        "self-delta must be empty")
+      graft.core.VersionLog.readChanges(s, tmp, v1, v2)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_new"), sum(col("event_id")).as("id_sum"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Exactly-once VERSIONED streaming ingestion (IngestStreams over
+    // VersionLog): three md5-gated micro-batches land as b<id>/ dirs
+    // with commit markers; batch 1 is REPLAYED (foreachBatch's failure
+    // contract) and must no-op — a duplicated landing would double the
+    // oracle's counts. The latest version then answers like the plain
+    // table: ingestion mechanics are semantically invisible.
+    "q231_versioned_ingest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("vingest_q").toString + "/events_ing"
+      val batches = Seq(
+        ev.filter(col("g") < "5"),
+        ev.filter(col("g") >= "5" && col("g") < "a"),
+        ev.filter(col("g") >= "a")).map(_.drop("g"))
+      graft.streaming.IngestStreams.ingestBatch(batches(0), 0L, tmp)
+      graft.streaming.IngestStreams.ingestBatch(batches(1), 1L, tmp)
+      graft.streaming.IngestStreams.ingestBatch(batches(1), 1L, tmp) // replay
+      graft.streaming.IngestStreams.ingestBatch(batches(2), 2L, tmp)
+      val vs = graft.core.VersionLog.versions(s, tmp)
+      require(vs == Seq(1, 2, 3),
+        s"three batches + one replay must mint exactly 3 versions: $vs")
+      graft.core.VersionLog.readVersion(
+          s, tmp, graft.core.VersionLog.latest(s, tmp))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1951,6 +2009,19 @@ object RelationalQueries {
            count(DISTINCT e.user_id)::BIGINT AS n_users
          FROM events e JOIN tiers t
            ON e.user_id >= t.lo AND e.user_id < t.hi
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // q230: the delta between v1 and v2 is exactly the gated late batch.
+    "q230_version_changes" ->
+      """SELECT user_id, count(*)::BIGINT AS n_new,
+           sum(event_id)::BIGINT AS id_sum
+         FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = 'f'
+         GROUP BY 1 ORDER BY 1""",
+    // q231: batch slicing, markers, replays, and version reads are all
+    // invisible — the latest version answers like the plain table.
+    "q231_versioned_ingest" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+           count(DISTINCT user_id)::BIGINT AS n_users
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

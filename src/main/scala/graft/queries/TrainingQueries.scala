@@ -1810,6 +1810,36 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PER-GROUP weighted priority sample (Duffield–Lund–Thorup on the
+    // content-keyed uniform): rank ascending by (hash+1)/w — one
+    // int64→double conversion + one IEEE division, NO transcendental,
+    // so the oracle replays every rank bit-for-bit (weightedSampleExact's
+    // ln(u)/w needs the 6dp grid; this doesn't). Per-source exact-size
+    // weighted samples in one pass; WindowGroupLimit caps the shuffle
+    // at groups × k.
+    "q232_priority_sample" -> ((s, dir) => {
+      Curation.prioritySamplePerGroup(
+          t(s, dir, "documents"), "doc_id", "source", col("n_chars"), k = 5)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("sample_rank"))
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
+    // ORC corpus interchange: the Hive-era columnar boundary — write
+    // the corpus as ORC, read it back; footer-carried schema (no
+    // inference pass), pushdown/pruning as on parquet. The oracle is
+    // the identity over the documents table.
+    "q233_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString + "/docs_orc"
+      graft.curation.CorpusIo.writeOrc(docs, path)
+      graft.curation.CorpusIo.readOrc(s, path)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dataset version manifest: per source, a content-addressed
     // fingerprint (order-independent modular sum of per-doc content
     // hashes) + row/token/distinct counts — the reproducibility
@@ -4343,6 +4373,24 @@ object TrainingQueries {
     // semantically invisible.
     "q228_tar_shards" ->
       """SELECT doc_id, text, lang, source
+         FROM documents ORDER BY doc_id""",
+
+    // q232: the priority-sampling rank replayed exactly — the key is
+    // (hash+1)::DOUBLE / w::DOUBLE, IEEE-identical in both engines.
+    "q232_priority_sample" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)::DOUBLE
+               / n_chars::DOUBLE AS key
+           FROM documents WHERE n_chars > 0),
+         r AS (SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
+           FROM d)
+         SELECT source, doc_id, n_chars, rk::BIGINT AS sample_rank
+         FROM r WHERE rk <= 5 ORDER BY source, rk""",
+
+    // q233: the ORC container round-trip is the identity.
+    "q233_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
 
     // q184: same md5-int60 content hash, HUGEINT modular sum.

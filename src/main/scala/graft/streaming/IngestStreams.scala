@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.core.VersionLog
+
+/** Exactly-once VERSIONED ingestion: each micro-batch lands as its own
+  * `b<batchId>/` parquet directory inside a [[graft.core.VersionLog]]
+  * table, so the standing corpus is append-only, replay-safe, and
+  * time-travelable — the landing zone a 24/7 training pipeline feeds,
+  * with "train on exactly version N" and
+  * [[graft.core.VersionLog.readChanges]] incremental catch-up falling
+  * out of the same commit log.
+  *
+  * Durability protocol (the [[AggStreams]] marker discipline, adapted
+  * to data files): write the batch dir (mode overwrite — a replay of a
+  * half-written attempt rewrites it cleanly), THEN the `_commits`
+  * marker, THEN snapshot. Crash analysis, in order:
+  *  - mid-write: no marker → the replay overwrites the partial dir; no
+  *    snapshot ever referenced its files (snapshots happen after the
+  *    marker), so no version breaks;
+  *  - after write, before marker: same — the rewrite mints new file
+  *    names, but nothing recorded the old ones;
+  *  - after marker, before snapshot: the replay no-ops; the batch's
+  *    rows are live but unversioned until the NEXT snapshot (any later
+  *    batch, or the caller's final [[VersionLog.snapshot]]) — snapshot
+  *    LAG, never row loss or duplication.
+  * Rows are never duplicated (the marker gates the only write) and
+  * recorded versions are never invalidated (batch dirs are written at
+  * most once after their marker exists — nothing deletes files a
+  * snapshot listed).
+  *
+  * Batch dirs are plain names (`b7/`), not `batch=7/` partition
+  * syntax: version reads go through explicit file lists, and a
+  * partition column materializing out of the ingestion mechanism would
+  * change the table's schema.
+  */
+object IngestStreams {
+
+  /** Land one micro-batch exactly once (idempotent per batchId). */
+  def ingestBatch(batch: DataFrame, batchId: Long, tablePath: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new Path(s"$tablePath/_commits/v$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    batch.write.mode("overwrite").parquet(s"$tablePath/b$batchId")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
+    VersionLog.snapshot(spark, tablePath)
+  }
+
+  /** Streaming writer landing every micro-batch into the versioned
+    * table; caller picks trigger + checkpoint and starts it.
+    */
+  def ingest(stream: DataFrame, tablePath: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, tablePath)
+    }
+}

@@ -77,6 +77,36 @@ class VersionLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { VersionLog.snapshot(spark, empty) }
   }
 
+  test("readChanges scans only the delta and errors on rewrites") {
+    val dir = freshTable()
+    VersionLog.snapshot(spark, dir)
+    (100L until 120L).map(i => (i, i % 10)).toDF("id", "k")
+      .repartition(2).write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    val delta = VersionLog.readChanges(spark, dir, 1, 2)
+    assert(delta.select(min(col("id")), max(col("id")), count(lit(1)))
+      .collect()(0).toSeq === Seq(100L, 119L, 20L))
+    // self-delta is empty but keeps the schema
+    val self = VersionLog.readChanges(spark, dir, 2, 2)
+    assert(self.count() === 0L)
+    assert(self.columns.toSeq === Seq("id", "k"))
+    intercept[IllegalArgumentException] {
+      VersionLog.readChanges(spark, dir, 2, 1)
+    }
+    // a rewrite between versions breaks append-only: delete a v1 file,
+    // re-snapshot, and the incremental read across it must refuse
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = VersionLog.readVersion(spark, dir, 1)
+      .inputFiles.head
+    fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(victim)), false)
+    VersionLog.snapshot(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.readChanges(spark, dir, 1, 3)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("relative paths make a moved table keep its history") {
     val dir = freshTable()
     VersionLog.snapshot(spark, dir)

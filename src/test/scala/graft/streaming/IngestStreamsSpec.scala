@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.VersionLog
+
+/** Versioned exactly-once ingestion: batches land once, replays no-op,
+  * crash windows recover cleanly, versions time-travel per batch, and
+  * the streaming wrapper matches direct batch calls.
+  */
+class IngestStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batches land exactly once; replays no-op; versions accrue") {
+    val dir = Files.createTempDirectory("ingest").toString + "/t"
+    IngestStreams.ingestBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L, dir)
+    IngestStreams.ingestBatch(Seq((3L, "c")).toDF("id", "v"), 1L, dir)
+    IngestStreams.ingestBatch(Seq((3L, "c")).toDF("id", "v"), 1L, dir) // replay
+    IngestStreams.ingestBatch(Seq((4L, "d")).toDF("id", "v"), 2L, dir)
+    assert(VersionLog.versions(spark, dir) === Seq(1, 2, 3))
+    assert(VersionLog.readVersion(spark, dir, 1).count() === 2L)
+    assert(VersionLog.readVersion(spark, dir, 2).count() === 3L)
+    assert(VersionLog.readVersion(spark, dir, 3).count() === 4L)
+    // incremental consumption across the ingested versions
+    assert(VersionLog.readChanges(spark, dir, 1, 3)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(3L, 4L))
+  }
+
+  test("crash window 1: partial batch dir without a marker is rewritten cleanly") {
+    val dir = Files.createTempDirectory("ingestc1").toString + "/t"
+    IngestStreams.ingestBatch(Seq((1L, "a")).toDF("id", "v"), 0L, dir)
+    // simulate a crashed attempt of batch 1: data landed, no marker
+    Seq((99L, "junk"), (98L, "junk")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/b1")
+    IngestStreams.ingestBatch(Seq((2L, "b")).toDF("id", "v"), 1L, dir)
+    val ids = VersionLog.readVersion(spark, dir, VersionLog.latest(spark, dir))
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L, 2L), "the junk attempt must be fully replaced")
+  }
+
+  test("crash window 2: marker without snapshot = lag, repaired by the next snapshot") {
+    val dir = Files.createTempDirectory("ingestc2").toString + "/t"
+    IngestStreams.ingestBatch(Seq((1L, "a")).toDF("id", "v"), 0L, dir)
+    // simulate: batch 1 wrote data + marker, crashed before snapshot
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/b1")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_commits/v1"), false).close()
+    // replay no-ops (no duplication)...
+    IngestStreams.ingestBatch(Seq((2L, "b")).toDF("id", "v"), 1L, dir)
+    assert(VersionLog.versions(spark, dir) === Seq(1))
+    // ...and the next batch's snapshot picks the lagged rows up
+    IngestStreams.ingestBatch(Seq((3L, "c")).toDF("id", "v"), 2L, dir)
+    assert(VersionLog.readVersion(spark, dir, VersionLog.latest(spark, dir))
+      .count() === 3L)
+  }
+
+  test("the streaming wrapper lands micro-batches like direct calls") {
+    val root = Files.createTempDirectory("ingests").toString
+    val in = s"$root/in"
+    val table = s"$root/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    Seq((3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("id bigint, v string")
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = IngestStreams.ingest(stream, table)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val latest = VersionLog.latest(spark, table)
+    assert(VersionLog.readVersion(spark, table, latest).count() === 3L)
+    // re-running the whole stream from the checkpoint adds nothing
+    runOnce()
+    assert(VersionLog.latest(spark, table) === latest)
+    assert(VersionLog.readVersion(spark, table, latest).count() === 3L)
+  }
+}
