@@ -180,6 +180,87 @@ object Layout {
     }.select(col("file")).collect().map(_.getString(0)).toSeq.sorted
   }
 
+  /** Metadata-only row count: `SELECT count(*)` answered from the
+    * zone-map manifest's per-file `n_rows` — zero data files opened,
+    * the count-from-commit-log shortcut every lakehouse serves. The
+    * same staleness tripwire as [[prunedFiles]]: a count over a stale
+    * manifest would be silently wrong, so it is a hard error instead.
+    */
+  def countFromManifest(spark: SparkSession, path: String): Long = {
+    val man = spark.read.parquet(s"$path/$ManifestDir")
+    val manifested = man.select(col("file")).collect().map(_.getString(0))
+    val norm = manifested
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    require(norm == liveDataFiles(spark, path),
+      s"zone-map manifest at $path/$ManifestDir is stale — rebuild it " +
+        "with Layout.writeManifest before metadata-only counts")
+    man.agg(sum(col("n_rows"))).collect()(0).getLong(0)
+  }
+
+  /** Per-file BLOOM manifest dir (hidden from table scans like
+    * [[ManifestDir]]).
+    */
+  val BloomManifestDir = "_graft_blooms"
+
+  /** Persist per-file Bloom filters of the listed columns beside the
+    * table. Zone maps prune RANGE predicates; a point lookup on a
+    * high-cardinality key that is ~uniform across files (any
+    * hash-distributed id) intersects every min/max box and prunes
+    * nothing — the per-file Bloom answers "can this file contain
+    * key X?" with no false negatives, so an `id IN (…)` probe opens
+    * only the files that might hold those ids (Iceberg/Delta's
+    * bloom-filter-index story, as one small table). One distributed
+    * scan; `expectedPerFile`/`fpp` size the bit arrays.
+    */
+  def writeBloomManifest(spark: SparkSession, path: String,
+      cols: Seq[String], expectedPerFile: Long, fpp: Double = 0.01): Unit = {
+    require(cols.nonEmpty, "bloom manifests need at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.map(c =>
+      graft.functions.AggregateFunctions.bloomAgg(col(c), expectedPerFile, fpp)
+        .as(s"${c}__bloom"))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(s"$path/$BloomManifestDir")
+  }
+
+  /** The files an `col IN (values)` point lookup must read, per the
+    * bloom manifest: a file survives when ANY probed value might be
+    * present. No false negatives ⇒ result-complete; fpp only costs
+    * extra files. Stale manifests are a hard error (same contract as
+    * [[prunedFiles]]). Driver-side cost: the file-count-sized manifest
+    * with one ~KB sketch per file — metadata scale.
+    */
+  def bloomPrunedFiles(spark: SparkSession, path: String,
+      column: String, values: Seq[String]): Seq[String] = {
+    require(values.nonEmpty, "a point-lookup prune needs probe values")
+    val man = spark.read.parquet(s"$path/$BloomManifestDir")
+      .select(col("file"), col(s"${column}__bloom")).collect()
+    val norm = man.map(r =>
+      new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
+    require(norm == liveDataFiles(spark, path),
+      s"bloom manifest at $path/$BloomManifestDir is stale — rebuild it " +
+        "with Layout.writeBloomManifest before pruned point lookups")
+    man.filter { r =>
+      val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      values.exists(bloom.mightContainString)
+    }.map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Bloom-pruned point lookup: read only the files whose sketches
+    * admit any probed value, then re-apply the IN as a residual —
+    * row-identical to the full scan by the no-false-negative
+    * guarantee. Empty survivor list short-circuits.
+    */
+  def bloomPrunedRead(spark: SparkSession, path: String,
+      column: String, values: Seq[String]): DataFrame = {
+    val kept = bloomPrunedFiles(spark, path, column, values)
+    val residual = col(column).cast("string").isin(values: _*)
+    if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(kept: _*).filter(residual)
+  }
+
   /** [[prunedFiles]] without the hard staleness error — the contract
     * the OPTIONAL auto-prune rule ([[graft.plans.ZoneMapPruneRule]])
     * needs: when the manifest is absent, stale, or carries stats for

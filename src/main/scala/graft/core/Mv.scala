@@ -1,0 +1,98 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate MATERIALIZED VIEW over a
+  * [[VersionLog]] source — the reference keeps its contract/token-
+  * transfer MVs fresh by full recompute (`operations/
+  * contract_transactions.py:103-112`); at 100 TB a refresh must cost
+  * the DELTA, not the table. Maintains additive aggregates (count +
+  * long sums) per key group: each refresh folds ONLY the rows added
+  * since the last refreshed source version into the standing state.
+  *
+  * EXACTLY-ONCE by the versioned-state discipline
+  * ([[graft.streaming.AggStreams]]'s, keyed by SOURCE VERSION instead
+  * of batch id): state for source version N lands at `v=N/`, the
+  * commit marker is written AFTER the state, readers take the highest
+  * committed version, and a crash-replay of the same refresh rewrites
+  * the same `v=N/` dir idempotently — a delta is never folded twice
+  * (where a bare cursor would double-count on replay).
+  *
+  * Scale shape per refresh: one delta-sized aggregation + one
+  * state-sized merge (unionByName + re-aggregate — additive partials
+  * re-sum exactly), nothing proportional to the source table.
+  */
+object Mv {
+
+  /** Source versions with committed MV state, ascending. */
+  def committedVersions(spark: SparkSession, mvDir: String): Seq[Int] = {
+    val commits = new Path(s"$mvDir/_commits")
+    val f = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(commits)) Seq.empty
+    else f.listStatus(commits).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("v") => n.stripPrefix("v").toInt }
+      .sorted
+  }
+
+  /** Refresh the MV to the source's latest version. Returns the
+    * (fromVersion, toVersion) range folded (from 0 on the first
+    * refresh), or None when already fresh.
+    */
+  def refresh(spark: SparkSession, srcDir: String, mvDir: String,
+      keys: Seq[String], sumCols: Seq[String]): Option[(Int, Int)] = {
+    require(keys.nonEmpty, "an aggregate MV needs at least one key")
+    val latest = VersionLog.latest(spark, srcDir)
+    val cur = committedVersions(spark, mvDir).lastOption
+    if (cur.contains(latest)) return None
+    val delta = cur match {
+      case Some(v) => VersionLog.readChanges(spark, srcDir, v, latest)
+      case None => VersionLog.readVersion(spark, srcDir, latest)
+    }
+    val aggs = sum(lit(1L)).as("n_rows") +:
+      sumCols.map(c => sum(col(c).cast("long")).as(s"${c}__sum"))
+    val valCols = "n_rows" +: sumCols.map(c => s"${c}__sum")
+    val dAgg = delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val merged = cur match {
+      case Some(v) =>
+        val state = spark.read.parquet(s"$mvDir/v=$v")
+        // additive partials re-sum exactly; unionByName keeps the
+        // merge one exchange over state + delta, not the source
+        state.unionByName(dAgg)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col(valCols.head)).as(valCols.head),
+            valCols.tail.map(c => sum(col(c)).as(c)): _*)
+      case None => dAgg
+    }
+    merged.write.mode("overwrite").parquet(s"$mvDir/v=$latest")
+    val marker = new Path(s"$mvDir/_commits/v$latest")
+    val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(marker.getParent)
+    if (!f.exists(marker)) f.create(marker, false).close()
+    Some((cur.getOrElse(0), latest))
+  }
+
+  /** The MV's current contents (highest committed state). */
+  def read(spark: SparkSession, mvDir: String): DataFrame = {
+    val vs = committedVersions(spark, mvDir)
+    require(vs.nonEmpty, s"no committed MV state at $mvDir")
+    spark.read.parquet(s"$mvDir/v=${vs.last}")
+  }
+
+  /** Drop all but the newest `keepLast` committed states (the MV's own
+    * vacuum — old states exist only to make replays idempotent and as
+    * refresh provenance).
+    */
+  def prune(spark: SparkSession, mvDir: String, keepLast: Int = 2): Int = {
+    require(keepLast >= 1)
+    val vs = committedVersions(spark, mvDir)
+    val drop = vs.dropRight(keepLast)
+    val f = new Path(mvDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach { v =>
+      f.delete(new Path(s"$mvDir/v=$v"), true)
+      f.delete(new Path(s"$mvDir/_commits/v$v"), false)
+    }
+    drop.size
+  }
+}

@@ -88,30 +88,99 @@ object VersionLog {
       }
   }
 
-  /** Record the table's current live file set as the next version.
-    * Idempotent: when the live set equals the latest recorded version,
-    * no new version is written and the existing number is returned.
-    * The record is written to a temp name and renamed into place, so a
-    * reader can never observe a half-written version file.
+  /** Record the table's current live file set as the next version —
+    * MINUS any files a [[compact]] already superseded: a file listed
+    * by an older version but absent from the latest version's list was
+    * compacted away and merely awaits [[vacuum]]; including it would
+    * double-count its rows. Idempotent: when the effective set equals
+    * the latest recorded version, no new version is written and the
+    * existing number is returned. The record is written to a temp name
+    * and renamed into place, so a reader can never observe a
+    * half-written version file.
     */
   def snapshot(spark: SparkSession, dir: String): Int = {
-    val live = liveEntries(spark, dir)
-    require(live.nonEmpty, s"refusing to snapshot an empty table at $dir")
     val vs = versions(spark, dir)
+    val superseded: Set[String] = if (vs.isEmpty) Set.empty else {
+      val latestFiles = readEntries(spark, dir, vs.last).map(_._1).toSet
+      vs.init.flatMap(v => readEntries(spark, dir, v).map(_._1))
+        .toSet -- latestFiles
+    }
+    val live = liveEntries(spark, dir)
+      .filterNot { case (rel, _) => superseded(rel) }
+    require(live.nonEmpty, s"refusing to snapshot an empty table at $dir")
     if (vs.nonEmpty && readEntries(spark, dir, vs.last) == live)
       return vs.last
-    val next = vs.lastOption.getOrElse(0) + 1
+    writeEntries(spark, dir, vs.lastOption.getOrElse(0) + 1, live)
+  }
+
+  private def writeEntries(spark: SparkSession, dir: String, next: Int,
+      entries: Seq[(String, Long)]): Int = {
     val f = fs(spark, dir)
     val target = versionPath(dir, next)
     f.mkdirs(target.getParent)
     val tmp = new Path(target.getParent, s".v$next.tmp")
     val out = f.create(tmp, true)
-    try out.write(live.map { case (rel, len) => s"$len\t$rel\n" }
+    try out.write(entries.map { case (rel, len) => s"$len\t$rel\n" }
       .mkString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     require(f.rename(tmp, target),
       s"could not commit version $next at $target (concurrent writer?)")
     next
+  }
+
+  /** OPTIMIZE: rewrite the LATEST version's content as `files` compact
+    * files under `c<newVersion>/` and record that list as the next
+    * version — WITHOUT touching the old files, so every older version
+    * keeps time-traveling until [[vacuum]] reclaims it (Delta's
+    * OPTIMIZE + VACUUM split: the log is the truth, the directory is
+    * just storage). Rows are bit-identical by construction; the
+    * directory temporarily holds both copies, which [[snapshot]] and
+    * [[vacuum]] both understand via the superseded-file rule.
+    */
+  def compact(spark: SparkSession, dir: String, files: Int): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"nothing to compact: no versions at $dir")
+    val next = vs.last + 1
+    val root = rootUriPath(dir)
+    readVersion(spark, dir, vs.last)
+      .repartition(files)
+      .write.mode("overwrite").parquet(s"$root/c$next")
+    val f = fs(spark, dir)
+    val entries = f.listStatus(new Path(s"$root/c$next")).toSeq
+      .filter(st => !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => (s"c$next/${st.getPath.getName}", st.getLen))
+      .sortBy(_._1)
+    writeEntries(spark, dir, next, entries)
+  }
+
+  /** VACUUM: drop all but the newest `keepLast` version records and
+    * DELETE the data files only those dropped versions referenced —
+    * the reclaim step after [[compact]], and the explicit horizon
+    * beyond which time travel ends (readVersion on a vacuumed version
+    * fails as "not recorded"). Files referenced by any kept version
+    * are never touched; unsnapshotted files (ingest lag) are not
+    * referenced by dropped versions, so they are never touched either.
+    * Returns (droppedVersionCount, deletedFileCount).
+    */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val vs = versions(spark, dir)
+    val drop = vs.dropRight(keepLast)
+    if (drop.isEmpty) return (0, 0)
+    val kept = vs.takeRight(keepLast)
+      .flatMap(v => readEntries(spark, dir, v).map(_._1)).toSet
+    val victims = drop.flatMap(v => readEntries(spark, dir, v).map(_._1))
+      .distinct.filterNot(kept)
+    val root = rootUriPath(dir)
+    val f = fs(spark, dir)
+    var deleted = 0
+    victims.foreach { rel =>
+      val p = new Path(s"$root/$rel")
+      if (f.exists(p) && f.delete(p, false)) deleted += 1
+    }
+    drop.foreach(v => f.delete(versionPath(dir, v), false))
+    (drop.size, deleted)
   }
 
   /** Read the table AS OF version `v`: exactly the files that version

@@ -587,6 +587,77 @@ object KmvSketchAgg {
 }
 
 /** Column wrappers for the custom aggregates. */
+/** Bloom-filter summary of a group's value set as a native aggregate —
+  * the per-group form of `DataFrameStatFunctions.bloomFilter` (which
+  * only summarizes a whole frame): each partial keeps one fixed-size
+  * bit array, merge is bitwise OR (Spark's `BloomFilter.mergeInPlace`),
+  * eval emits the serialized sketch as `binary`. Built for per-FILE
+  * bloom manifests ([[graft.core.Layout.writeBloomManifest]]): zone
+  * maps prune range predicates, but a point lookup on a high-
+  * cardinality key that is ~uniform across files (any hash-distributed
+  * id) intersects every min/max box — a per-file Bloom answers
+  * "can this file contain id X?" in one probe with no false negatives.
+  * Values are hashed in string space (same canonicalization as
+  * [[graft.core.Joins.bloomPrunedJoin]]) so one sketch form serves any
+  * key type.
+  */
+case class BloomFilterAgg(
+    child: Expression,
+    expectedItems: Long,
+    fpp: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.util.sketch.BloomFilter] {
+
+  require(expectedItems > 0 && fpp > 0 && fpp < 1,
+    s"bloom_agg needs expectedItems > 0 and fpp in (0,1): $expectedItems, $fpp")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+
+  override def update(
+      buffer: org.apache.spark.util.sketch.BloomFilter,
+      input: InternalRow): org.apache.spark.util.sketch.BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buffer.putString(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(
+      buffer: org.apache.spark.util.sketch.BloomFilter,
+      other: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.util.sketch.BloomFilter = {
+    buffer.mergeInPlace(other)
+    buffer
+  }
+
+  override def eval(buffer: org.apache.spark.util.sketch.BloomFilter): Any =
+    serialize(buffer)
+
+  override def serialize(
+      buffer: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    buffer.writeTo(bos)
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "bloom_agg"
+}
+
 object AggregateFunctions {
 
   /** Heavy hitters over a string column: at most `capacity` counters
@@ -633,5 +704,15 @@ object AggregateFunctions {
     GraftBridge.column(
       QuantileSketchAgg(GraftBridge.eagerExpression(c.cast("double")),
         capacity, probabilities)
+        .toAggregateExpression())
+
+  /** Per-group Bloom summary (serialized `binary`): no false
+    * negatives, `fpp` false positives at `expectedItems` — the
+    * membership sketch behind per-file bloom manifests.
+    */
+  def bloomAgg(c: Column, expectedItems: Long, fpp: Double): Column =
+    GraftBridge.column(
+      BloomFilterAgg(GraftBridge.eagerExpression(c.cast("string")),
+        expectedItems, fpp)
         .toAggregateExpression())
 }

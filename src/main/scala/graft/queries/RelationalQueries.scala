@@ -1308,6 +1308,146 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
+    }),
+
+    // CURSOR-DRIVEN incremental rollup (core/Incremental over
+    // VersionLog.readChanges): two runs each process exactly their
+    // delta (full v1, then only the appended batch), the accumulated
+    // per-user partials sum to the full recompute, and a third run
+    // with no new version is a no-op that never touches data.
+    // At-least-once + idempotent-append = the standing-rollup pattern
+    // a 100 TB events table is consumed by.
+    "q234_incremental_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val root = java.nio.file.Files
+        .createTempDirectory("incr_q").toString
+      val table = s"$root/events_v"
+      val acc = s"$root/acc"
+      val cursor = s"$root/cursor"
+      ev.filter(col("g") =!= "f").drop("g").repartition(4).write.parquet(table)
+      graft.core.VersionLog.snapshot(s, table)
+      def step() = graft.core.Incremental.runOnce(s, table, cursor) { d =>
+        d.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(acc)
+      }
+      require(step().contains((0, 1)), "first run must process v1 in full")
+      ev.filter(col("g") === "f").drop("g")
+        .repartition(2).write.mode("append").parquet(table)
+      graft.core.VersionLog.snapshot(s, table)
+      require(step().contains((1, 2)), "second run must process only the delta")
+      require(step().isEmpty, "a run with no new version must no-op")
+      s.read.parquet(acc)
+        .groupBy(col("user_id")).agg(sum(col("n")).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Per-file BLOOM manifest point lookup (Layout.writeBloomManifest /
+    // bloomPrunedRead): doc_ids are hash-spread across 16 files, so
+    // every file's min/max box intersects any id probe — zone maps
+    // prune NOTHING here. The per-file Bloom answers "can this file
+    // hold id X?" with no false negatives; the IN-probe opens only the
+    // surviving files (tripwire: < all 16), and the residual keeps the
+    // result row-identical to the full scan the oracle runs.
+    "q235_bloom_lookup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("bloom_q").toString + "/docs_b"
+      docs.repartition(16, col("doc_id")).write.parquet(tmp)
+      graft.core.Layout.writeBloomManifest(
+        s, tmp, Seq("doc_id"), expectedPerFile = 4096, fpp = 0.01)
+      val probes = Seq("7", "42", "123", "256", "499")
+      val kept = graft.core.Layout.bloomPrunedFiles(s, tmp, "doc_id", probes)
+      require(kept.size < 16,
+        s"bloom manifest failed to prune the point lookup: ${kept.size}/16")
+      graft.core.Layout.bloomPrunedRead(s, tmp, "doc_id", probes)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Metadata-only count: count(*) answered from the zone-map
+    // manifest's per-file n_rows — zero data files opened (the
+    // commit-log count every lakehouse serves), stale manifests a hard
+    // error. The oracle counts the actual rows.
+    "q236_metadata_count" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("metacount_q").toString + "/events_m"
+      ev.repartition(8).write.parquet(tmp)
+      graft.core.Layout.writeManifest(s, tmp, Seq("user_id"))
+      Seq(graft.core.Layout.countFromManifest(s, tmp)).toDF("n_rows")
+    }),
+
+    // Incrementally-maintained aggregate MV (core/Mv): the reference
+    // recomputes its MVs in full; here each refresh folds ONLY the
+    // delta since the last refreshed source version into the standing
+    // per-user state, exactly-once via version-keyed state dirs +
+    // commit markers (a crash-replay rewrites the same v=N dir instead
+    // of double-folding the delta — simulated below by deleting the
+    // marker and refreshing again). The final MV must equal the full
+    // recompute the oracle runs.
+    "q237_incremental_mv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val root = java.nio.file.Files.createTempDirectory("mv_q").toString
+      val table = s"$root/events_v"
+      val mv = s"$root/mv"
+      ev.filter(col("g") =!= "f").drop("g").repartition(4).write.parquet(table)
+      graft.core.VersionLog.snapshot(s, table)
+      require(graft.core.Mv.refresh(s, table, mv,
+        Seq("user_id"), Seq("event_id")).contains((0, 1)))
+      ev.filter(col("g") === "f").drop("g")
+        .repartition(2).write.mode("append").parquet(table)
+      graft.core.VersionLog.snapshot(s, table)
+      require(graft.core.Mv.refresh(s, table, mv,
+        Seq("user_id"), Seq("event_id")).contains((1, 2)))
+      require(graft.core.Mv.refresh(s, table, mv,
+        Seq("user_id"), Seq("event_id")).isEmpty, "fresh MV must no-op")
+      // crash-replay simulation: lose the last commit marker — the
+      // refresh must REWRITE v=2 from the v=1 state, not double-fold
+      val fs = new org.apache.hadoop.fs.Path(mv)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$mv/_commits/v2"), false)
+      require(graft.core.Mv.refresh(s, table, mv,
+        Seq("user_id"), Seq("event_id")).contains((1, 2)))
+      graft.core.Mv.read(s, mv)
+        .select(col("user_id"), col("n_rows"),
+          col("event_id__sum").as("id_sum"))
+        .orderBy(col("user_id"))
+    }),
+
+    // OPTIMIZE + VACUUM lifecycle (VersionLog.compact/vacuum): the
+    // latest version's content is rewritten as ONE compact file while
+    // the pre-compaction version KEEPS time-traveling (the log is the
+    // truth, the directory is storage); vacuum then reclaims the old
+    // files and ends time travel at an explicit horizon — dropped
+    // versions fail "not recorded", never silently partial. The
+    // surviving latest answers like the plain table.
+    "q238_compact_vacuum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("vacuum_q").toString + "/events_v"
+      ev.repartition(8).write.parquet(tmp)
+      graft.core.VersionLog.snapshot(s, tmp)
+      val v2 = graft.core.VersionLog.compact(s, tmp, files = 1)
+      require(v2 == 2)
+      // pre-vacuum: BOTH versions read, identically
+      require(graft.core.VersionLog.readVersion(s, tmp, 1).count() ==
+        graft.core.VersionLog.readVersion(s, tmp, 2).count())
+      val (dropped, deleted) = graft.core.VersionLog.vacuum(s, tmp, keepLast = 1)
+      require(dropped == 1 && deleted == 8,
+        s"vacuum must reclaim the 8 pre-compaction files: $dropped/$deleted")
+      require(scala.util.Try(
+        graft.core.VersionLog.readVersion(s, tmp, 1)).isFailure,
+        "a vacuumed version must fail loudly, not read partially")
+      graft.core.VersionLog.readVersion(s, tmp, 2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2022,6 +2162,27 @@ object RelationalQueries {
     "q231_versioned_ingest" ->
       """SELECT event_type, count(*)::BIGINT AS n,
            count(DISTINCT user_id)::BIGINT AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // q234: delta-by-delta partial rollups must sum to the full answer.
+    "q234_incremental_rollup" ->
+      """SELECT user_id, count(*)::BIGINT AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // q235: the bloom prune + residual is row-identical to the plain IN.
+    "q235_bloom_lookup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id IN (7, 42, 123, 256, 499) ORDER BY doc_id""",
+    // q236: the manifest's n_rows sum is the exact count.
+    "q236_metadata_count" ->
+      """SELECT count(*)::BIGINT AS n_rows FROM events""",
+    // q237: delta-folded MV state == the full recompute.
+    "q237_incremental_mv" ->
+      """SELECT user_id, count(*)::BIGINT AS n_rows,
+           sum(event_id)::BIGINT AS id_sum
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // q238: compaction and vacuum are invisible to the surviving version.
+    "q238_compact_vacuum" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+           sum(event_id)::BIGINT AS id_sum
          FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

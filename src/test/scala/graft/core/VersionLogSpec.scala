@@ -107,6 +107,37 @@ class VersionLogSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("compact keeps old versions readable; vacuum reclaims them loudly") {
+    val dir = freshTable() // 100 rows in 4 files
+    VersionLog.snapshot(spark, dir)
+    (100L until 110L).map(i => (i, i % 10)).toDF("id", "k")
+      .repartition(2).write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    val v3 = VersionLog.compact(spark, dir, files = 1)
+    assert(v3 === 3)
+    // all three versions answer, v3 == v2 row-for-row
+    assert(VersionLog.readVersion(spark, dir, 1).count() === 100L)
+    assert(VersionLog.readVersion(spark, dir, 2).count() === 110L)
+    assert(VersionLog.readVersion(spark, dir, 3)
+      .select("id").orderBy("id").collect().toSeq ===
+      VersionLog.readVersion(spark, dir, 2)
+        .select("id").orderBy("id").collect().toSeq)
+    // a snapshot between compact and vacuum must NOT resurrect the
+    // superseded pre-compaction files
+    (110L until 112L).map(i => (i, i)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    val v4 = VersionLog.snapshot(spark, dir)
+    assert(VersionLog.readVersion(spark, dir, v4).count() === 112L)
+    val (dropped, deleted) = VersionLog.vacuum(spark, dir, keepLast = 1)
+    assert(dropped === 3)
+    assert(deleted === 6, s"the 4 v1 + 2 v2-delta files must go: $deleted")
+    assert(VersionLog.versions(spark, dir) === Seq(4))
+    assert(VersionLog.readVersion(spark, dir, 4).count() === 112L)
+    intercept[IllegalArgumentException] {
+      VersionLog.readVersion(spark, dir, 2)
+    }
+  }
+
   test("relative paths make a moved table keep its history") {
     val dir = freshTable()
     VersionLog.snapshot(spark, dir)
