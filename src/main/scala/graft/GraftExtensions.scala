@@ -187,6 +187,24 @@ object GraftExtensions {
           a(0), org.apache.spark.sql.types.StringType),
         intArg("kmv_minima", a(1))).toAggregateExpression()
     },
+    // bloom_agg(x, expectedItems, fpp): per-group Bloom membership
+    // sketch (serialized binary) — the per-file bloom-manifest kernel
+    reg("bloom_agg") { a =>
+      arity("bloom_agg", a, 3)
+      val fpp = {
+        require(a(2).foldable, "bloom_agg: fpp must be a literal")
+        a(2).eval(null) match {
+          case d: Double => d
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg: fpp must be a double literal, got $other")
+        }
+      }
+      BloomFilterAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          a(0), org.apache.spark.sql.types.StringType),
+        intArg("bloom_agg", a(1)).toLong, fpp).toAggregateExpression()
+    },
     // quantile_sketch(x, capacity, p1[, p2, ...]): mergeable quantile
     // summary, exact under `capacity` rows per group
     reg("quantile_sketch") { a =>

@@ -39,16 +39,52 @@ import graft.core.VersionLog
   */
 object IngestStreams {
 
-  /** Land one micro-batch exactly once (idempotent per batchId). */
+  /** Land one micro-batch exactly once (idempotent per batchId).
+    *
+    * Schema drift is a LOUD error, not a silent parquet mix: the first
+    * batch pins the table's schema (names + types, nullability-
+    * insensitive) at `_schema.json`; a later batch that disagrees —
+    * an upstream producer change, the classic slow-poison of a
+    * standing ingest — fails with both schemas named instead of
+    * writing files future readers can't reconcile.
+    */
   def ingestBatch(batch: DataFrame, batchId: Long, tablePath: String): Unit = {
     val spark = batch.sparkSession
     val marker = new Path(s"$tablePath/_commits/v$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
+    checkSchema(batch, tablePath, fs)
     batch.write.mode("overwrite").parquet(s"$tablePath/b$batchId")
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
     VersionLog.snapshot(spark, tablePath)
+  }
+
+  private def canonical(schema: org.apache.spark.sql.types.StructType): String =
+    schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .mkString(",")
+
+  private def checkSchema(batch: DataFrame, tablePath: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val p = new Path(s"$tablePath/_schema.json")
+    val mine = canonical(batch.schema)
+    if (!fs.exists(p)) {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(mine.getBytes("UTF-8")) finally out.close()
+    } else {
+      val in = fs.open(p)
+      val pinned =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+          new String(bos.toByteArray, "UTF-8")
+        } finally in.close()
+      require(pinned == mine,
+        s"schema drift on ingest into $tablePath — pinned [$pinned] vs " +
+          s"batch [$mine]; migrate the table explicitly instead of mixing " +
+          "file schemas")
+    }
   }
 
   /** Streaming writer landing every micro-batch into the versioned

@@ -84,6 +84,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(u.getString(1) === "example.com")
   }
 
+  test("bloom_agg is SQL-callable and matches the Scala API bits") {
+    GraftExtensions.registerAll(spark)
+    val s = spark
+    import s.implicits._
+    (0L until 100L).map(Tuple1(_)).toDF("id").createOrReplaceTempView("bloomids")
+    val viaSql = spark.sql(
+      "SELECT bloom_agg(id, 200, 0.01) AS b FROM bloomids").head()
+      .getAs[Array[Byte]](0)
+    val viaApi = spark.table("bloomids")
+      .agg(graft.functions.AggregateFunctions.bloomAgg(
+        org.apache.spark.sql.functions.col("id"), 200L, 0.01))
+      .head().getAs[Array[Byte]](0)
+    assert(viaSql.toSeq === viaApi.toSeq)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(viaSql))
+    assert((0L until 100L).forall(i => bloom.mightContainString(i.toString)),
+      "no false negatives")
+  }
+
   test("nfc_normalize composes combining marks; strip_accents folds them away") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql(

@@ -60,6 +60,24 @@ class IngestStreamsSpec extends SparkSpec {
       .count() === 3L)
   }
 
+  test("schema drift on a later batch is a loud error, not a silent mix") {
+    val dir = Files.createTempDirectory("ingestsd").toString + "/t"
+    IngestStreams.ingestBatch(Seq((1L, "a")).toDF("id", "v"), 0L, dir)
+    // same names, different type → refuse
+    val drift = intercept[IllegalArgumentException] {
+      IngestStreams.ingestBatch(Seq((2, "b")).toDF("id", "v"), 1L, dir)
+    }
+    assert(drift.getMessage.contains("schema drift"))
+    // different column set → refuse
+    intercept[IllegalArgumentException] {
+      IngestStreams.ingestBatch(Seq((2L, "b", 1L)).toDF("id", "v", "extra"), 2L, dir)
+    }
+    // the matching shape still lands
+    IngestStreams.ingestBatch(Seq((2L, "b")).toDF("id", "v"), 3L, dir)
+    assert(VersionLog.readVersion(spark, dir, VersionLog.latest(spark, dir))
+      .count() === 2L)
+  }
+
   test("the streaming wrapper lands micro-batches like direct calls") {
     val root = Files.createTempDirectory("ingests").toString
     val in = s"$root/in"
