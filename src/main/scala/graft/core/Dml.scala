@@ -1,0 +1,137 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write row DML over a [[VersionLog]] table — DELETE and
+  * MERGE (upsert), the two mutations a standing corpus actually takes
+  * (right-to-be-forgotten scrubs; late corrections / backfills). Both
+  * follow the lakehouse copy-on-write shape:
+  *
+  *  1. ONE scan of the latest version finds the files that contain any
+  *     affected row (`input_file_name` + the predicate / key semi-join
+  *     — filters push into the parquet scan, so untouched files cost a
+  *     footer, not a read);
+  *  2. only those files are rewritten (minus deleted rows / minus
+  *     superseded key rows), into a fresh `d<N>/` or `m<N>/` dir;
+  *  3. the next version lists (untouched ∪ rewritten ∪ inserted) —
+  *     the OLD version still lists the old files, so the pre-mutation
+  *     table keeps time-traveling until [[VersionLog.vacuum]], and a
+  *     crashed mutation leaves only an unreferenced orphan dir, never
+  *     a half-mutated version.
+  *
+  * Work scales with the AFFECTED files, not the table: a delete that
+  * touches 0.1% of files rewrites 0.1% (pair with Z-ordered layout /
+  * zone-map-friendly predicates so affected rows cluster into few
+  * files).
+  */
+object Dml {
+
+  private def listDirEntries(
+      spark: SparkSession, root: String, sub: String): Seq[(String, Long)] = {
+    val f = VersionLog.fs(spark, root)
+    val p = new Path(s"$root/$sub")
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => (s"$sub/${st.getPath.getName}", st.getLen))
+      .sortBy(_._1)
+  }
+
+  private def relOf(root: String, fileUri: String): String = {
+    val p = new Path(fileUri).toUri.getPath
+    require(p.startsWith(root + "/"), s"file $p escapes table root $root")
+    p.stripPrefix(root + "/")
+  }
+
+  /** DELETE rows matching `predicate` (NULL predicate rows are KEPT —
+    * only a definite TRUE deletes, SQL DELETE semantics). Returns
+    * (newVersion, rowsDeleted). No matching rows → no new version.
+    */
+  def deleteWhere(
+      spark: SparkSession, dir: String, predicate: Column): (Int, Long) = {
+    val vs = VersionLog.versions(spark, dir)
+    require(vs.nonEmpty, s"no versions at $dir — snapshot before DML")
+    val root = VersionLog.rootUriPath(dir)
+    val entries = VersionLog.readEntries(spark, dir, vs.last)
+    val current = VersionLog.readVersion(spark, dir, vs.last)
+    // one pruned scan: which files hold any TRUE-matching row?
+    val affectedFiles = current
+      .filter(coalesce(predicate, lit(false)))
+      .select(input_file_name().as("f"))
+      .distinct().collect().map(r => relOf(root, r.getString(0))).toSet
+    if (affectedFiles.isEmpty) return (vs.last, 0L)
+    val next = vs.last + 1
+    val affectedPaths = affectedFiles.toSeq.sorted.map(rel => s"$root/$rel")
+    val affected = spark.read.parquet(affectedPaths: _*)
+    val deleted = affected.filter(coalesce(predicate, lit(false))).count()
+    // an all-rows delete is refused BEFORE any write — a versioned
+    // table never goes empty (row-based check: file counts lie when
+    // schema-only empty part files exist). Parquet count() is
+    // footer-metadata cheap.
+    require(deleted < current.count(),
+      s"DELETE would empty the table at $dir — drop the table instead")
+    affected.filter(!coalesce(predicate, lit(false)))
+      .write.mode("overwrite").parquet(s"$root/d$next")
+    val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
+    val newEntries = (untouched ++ listDirEntries(spark, root, s"d$next"))
+      .sortBy(_._1)
+    (VersionLog.writeEntries(spark, dir, next, newEntries), deleted)
+  }
+
+  /** MERGE (upsert): rows of `updates` REPLACE current rows sharing
+    * their `keys` values; keys absent from the table INSERT. `updates`
+    * must carry the table's schema and at most one row per key (both
+    * checked loudly — a duplicate-key merge is ambiguous, not a race
+    * to resolve silently). Returns (newVersion, replaced, inserted).
+    */
+  def mergeInto(spark: SparkSession, dir: String,
+      updates: DataFrame, keys: Seq[String]): (Int, Long, Long) = {
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    val vs = VersionLog.versions(spark, dir)
+    require(vs.nonEmpty, s"no versions at $dir — snapshot before DML")
+    val root = VersionLog.rootUriPath(dir)
+    val entries = VersionLog.readEntries(spark, dir, vs.last)
+    val current = VersionLog.readVersion(spark, dir, vs.last)
+    require(current.columns.toSeq == updates.columns.toSeq,
+      s"MERGE schema mismatch: table [${current.columns.mkString(",")}] " +
+        s"vs updates [${updates.columns.mkString(",")}]")
+    val dupKeys = updates.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).count()
+    require(dupKeys == 0L,
+      s"MERGE updates carry $dupKeys duplicate keys — ambiguous upsert")
+    val upKeys = updates.select(keys.map(col): _*)
+    // one semi-joined scan finds the files holding superseded rows;
+    // the key set is updates-sized — broadcast-friendly by nature.
+    // input_file_name is captured BEFORE the join: after it the plan
+    // has two file sources and the function refuses to bind.
+    val affectedFiles = current
+      .withColumn("__graft_file", input_file_name())
+      .join(broadcast(upKeys), keys, "left_semi")
+      .select(col("__graft_file"))
+      .distinct().collect().map(r => relOf(root, r.getString(0))).toSet
+    val next = vs.last + 1
+    val replacedDir = s"m${next}_kept"
+    val replaced =
+      if (affectedFiles.isEmpty) 0L
+      else {
+        val affectedPaths = affectedFiles.toSeq.sorted.map(rel => s"$root/$rel")
+        val affected = spark.read.parquet(affectedPaths: _*)
+        val n = affected.join(broadcast(upKeys), keys, "left_semi").count()
+        affected.join(broadcast(upKeys), keys, "left_anti")
+          .write.mode("overwrite").parquet(s"$root/$replacedDir")
+        n
+      }
+    updates.write.mode("overwrite").parquet(s"$root/m${next}_new")
+    val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
+    val newEntries = (untouched ++
+      (if (affectedFiles.isEmpty) Seq.empty
+       else listDirEntries(spark, root, replacedDir)) ++
+      listDirEntries(spark, root, s"m${next}_new")).sortBy(_._1)
+    val inserted = updates.count() - replaced
+    (VersionLog.writeEntries(spark, dir, next, newEntries),
+      replaced, inserted)
+  }
+}

@@ -32,10 +32,10 @@ object VersionLog {
 
   val LogDir = "_graft_log"
 
-  private def fs(spark: SparkSession, dir: String) =
+  private[core] def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def rootUriPath(dir: String): String = {
+  private[core] def rootUriPath(dir: String): String = {
     val p = new Path(dir).toUri.getPath
     if (p.endsWith("/")) p.dropRight(1) else p
   }
@@ -69,7 +69,7 @@ object VersionLog {
     }.sortBy(_._1)
   }
 
-  private def readEntries(
+  private[core] def readEntries(
       spark: SparkSession, dir: String, v: Int): Seq[(String, Long)] = {
     val p = versionPath(dir, v)
     val f = fs(spark, dir)
@@ -113,7 +113,7 @@ object VersionLog {
     writeEntries(spark, dir, vs.lastOption.getOrElse(0) + 1, live)
   }
 
-  private def writeEntries(spark: SparkSession, dir: String, next: Int,
+  private[core] def writeEntries(spark: SparkSession, dir: String, next: Int,
       entries: Seq[(String, Long)]): Int = {
     val f = fs(spark, dir)
     val target = versionPath(dir, next)

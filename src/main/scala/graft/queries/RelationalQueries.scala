@@ -1448,6 +1448,66 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
         .orderBy(col("event_type"))
+    }),
+
+    // Copy-on-write DELETE (core/Dml.deleteWhere): one pruned scan
+    // finds the files holding matching rows, ONLY those rewrite (the
+    // 0.1%-touched ⇒ 0.1%-rewritten contract), the new version lists
+    // untouched ∪ rewritten — and the PRE-delete version still
+    // time-travels (tripwire: v1 count == v2 count + deleted). The
+    // oracle replays the surviving predicate over events.
+    "q239_cow_delete" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("cowdel_q").toString + "/events_v"
+      ev.repartitionByRange(8, col("user_id")).write.parquet(tmp)
+      graft.core.VersionLog.snapshot(s, tmp)
+      val (v2, ndel) = graft.core.Dml.deleteWhere(
+        s, tmp, col("user_id") % 7 === 3)
+      require(v2 == 2 && ndel > 0, s"delete must mint v2 and remove rows")
+      val before = graft.core.VersionLog.readVersion(s, tmp, 1).count()
+      val after = graft.core.VersionLog.readVersion(s, tmp, 2).count()
+      require(before == after + ndel,
+        s"time travel broke across the delete: $before != $after + $ndel")
+      graft.core.VersionLog.readVersion(s, tmp, 2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Copy-on-write MERGE/upsert (core/Dml.mergeInto): late
+    // corrections (md5-gated rows move to user_id+1000) and backfills
+    // (a second gated set re-keyed to fresh event_ids) land in one
+    // merge — matched keys REPLACE, absent keys INSERT, only files
+    // holding superseded rows rewrite, and the pre-merge version keeps
+    // time-traveling. The oracle replays the anti-join ∪ updates
+    // algebra over events.
+    "q240_cow_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("cowmerge_q").toString + "/events_v"
+      ev.drop("g").repartitionByRange(8, col("event_id")).write.parquet(tmp)
+      graft.core.VersionLog.snapshot(s, tmp)
+      val corrections = ev.filter(col("g") === "f").drop("g")
+        .withColumn("user_id", col("user_id") + 1000L)
+      val backfills = ev.filter(col("g") === "0").drop("g")
+        .withColumn("event_id", col("event_id") + 10000000L)
+      val updates = corrections.unionByName(backfills)
+      val (v2, replaced, inserted) = graft.core.Dml.mergeInto(
+        s, tmp, updates, Seq("event_id"))
+      require(v2 == 2 && replaced > 0 && inserted > 0,
+        s"merge must both replace and insert: $replaced/$inserted")
+      val v1n = graft.core.VersionLog.readVersion(s, tmp, 1).count()
+      require(graft.core.VersionLog.readVersion(s, tmp, 2).count() ==
+        v1n + inserted, "merge row accounting broke")
+      graft.core.VersionLog.readVersion(s, tmp, 2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2183,6 +2243,29 @@ object RelationalQueries {
     "q238_compact_vacuum" ->
       """SELECT event_type, count(*)::BIGINT AS n,
            sum(event_id)::BIGINT AS id_sum
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // q239: the survivors of the declared DELETE predicate.
+    "q239_cow_delete" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+           count(DISTINCT user_id)::BIGINT AS n_users
+         FROM events WHERE user_id % 7 <> 3
+         GROUP BY 1 ORDER BY 1""",
+    // q240: MERGE algebra replayed — (table ANTI-JOIN update keys) ∪
+    // updates, where updates = gated corrections ∪ re-keyed backfills.
+    "q240_cow_merge" ->
+      """WITH u AS (
+           SELECT event_id, user_id + 1000 AS user_id, event_type
+           FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = 'f'
+           UNION ALL
+           SELECT event_id + 10000000 AS event_id, user_id, event_type
+           FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'),
+         m AS (
+           SELECT e.event_id, e.user_id, e.event_type FROM events e
+           WHERE e.event_id NOT IN (SELECT event_id FROM u)
+           UNION ALL
+           SELECT * FROM u)
+         SELECT event_type, count(*)::BIGINT AS n,
+           sum(user_id)::BIGINT AS user_sum
+         FROM m GROUP BY 1 ORDER BY 1"""
   )
 }

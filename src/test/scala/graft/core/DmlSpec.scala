@@ -1,0 +1,114 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Copy-on-write DML: file-level work bounds (untouched files shared
+  * between versions byte-for-byte), time travel across mutations,
+  * SQL NULL semantics, guard rails, and vacuum integration.
+  */
+class DmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("dml").toString + "/t"
+    (0L until 100L).map(i => (i, i % 10, s"v$i")).toDF("id", "k", "v")
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    dir
+  }
+
+  test("delete rewrites only affected files; old version intact") {
+    val dir = freshTable()
+    val (v2, n) = Dml.deleteWhere(spark, dir, col("id") >= 90L)
+    assert(v2 === 2 && n === 10L)
+    assert(VersionLog.readVersion(spark, dir, 1).count() === 100L)
+    assert(VersionLog.readVersion(spark, dir, 2).count() === 90L)
+    assert(VersionLog.readVersion(spark, dir, 2)
+      .agg(max(col("id"))).collect()(0).getLong(0) === 89L)
+    // copy-on-write evidence: the range layout puts ids 90+ in one
+    // file — the other files must be SHARED between v1 and v2
+    val e1 = VersionLog.readEntries(spark, dir, 1).toSet
+    val e2 = VersionLog.readEntries(spark, dir, 2).toSet
+    assert((e1 intersect e2).size === 3,
+      s"3 of 4 range files must be untouched: ${(e1 intersect e2).size}")
+  }
+
+  test("null predicates keep rows; no-match deletes mint no version") {
+    val dir = java.nio.file.Files.createTempDirectory("dmln").toString + "/t"
+    Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("id", "w").write.parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    val (v2, n) = Dml.deleteWhere(spark, dir, col("w") > 10L)
+    assert(v2 === 2 && n === 1L)
+    // the NULL-w row survives (SQL DELETE semantics: only TRUE deletes)
+    assert(VersionLog.readVersion(spark, dir, 2)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L))
+    assert(Dml.deleteWhere(spark, dir, col("w") > 999L) === ((2, 0L)))
+    // deleting everything is refused
+    intercept[IllegalArgumentException] {
+      Dml.deleteWhere(spark, dir, lit(true))
+    }
+  }
+
+  test("merge replaces matched keys, inserts new ones, shares untouched files") {
+    val dir = freshTable()
+    val updates = Seq((5L, 99L, "patched"), (200L, 0L, "new"))
+      .toDF("id", "k", "v")
+    val (v2, replaced, inserted) = Dml.mergeInto(spark, dir, updates, Seq("id"))
+    assert((v2, replaced, inserted) === ((2, 1L, 1L)))
+    val now = VersionLog.readVersion(spark, dir, 2)
+    assert(now.count() === 101L)
+    assert(now.filter(col("id") === 5L).select("v").head().getString(0)
+      === "patched")
+    assert(now.filter(col("id") === 200L).count() === 1L)
+    assert(VersionLog.readVersion(spark, dir, 1)
+      .filter(col("id") === 5L).select("v").head().getString(0) === "v5")
+    val shared = VersionLog.readEntries(spark, dir, 1).toSet intersect
+      VersionLog.readEntries(spark, dir, 2).toSet
+    assert(shared.size === 3, s"only id=5's file rewrites: ${shared.size}")
+  }
+
+  test("merge guard rails: duplicate keys and schema drift refuse") {
+    val dir = freshTable()
+    intercept[IllegalArgumentException] {
+      Dml.mergeInto(spark, dir,
+        Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("id", "k", "v"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Dml.mergeInto(spark, dir, Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    }
+  }
+
+  test("right-to-be-forgotten: delete + vacuum leaves NO readable trace") {
+    val dir = freshTable()
+    VersionLog.compact(spark, dir, files = 2) // some history first
+    val (_, n) = Dml.deleteWhere(spark, dir, col("id") === 7L)
+    assert(n === 1L)
+    VersionLog.vacuum(spark, dir, keepLast = 1)
+    // every surviving READABLE surface is clean: the only version...
+    val vs = VersionLog.versions(spark, dir)
+    assert(vs.size === 1)
+    assert(VersionLog.readVersion(spark, dir, vs.head)
+      .filter(col("id") === 7L).count() === 0L)
+    // ...and the raw directory bytes (no orphan file still carries it)
+    val live = Layout.liveDataFiles(spark, dir).toSeq.sorted
+    assert(live.nonEmpty)
+    assert(spark.read.parquet(live: _*)
+      .filter(col("id") === 7L).count() === 0L)
+  }
+
+  test("vacuum after DML reclaims the replaced files") {
+    val dir = freshTable()
+    Dml.deleteWhere(spark, dir, col("id") < 25L)
+    val (dropped, deleted) = VersionLog.vacuum(spark, dir, keepLast = 1)
+    assert(dropped === 1 && deleted === 1,
+      s"exactly the one rewritten range file reclaims: $deleted")
+    assert(VersionLog.readVersion(spark, dir, 2).count() === 75L)
+    intercept[IllegalArgumentException] {
+      VersionLog.readVersion(spark, dir, 1)
+    }
+  }
+}
