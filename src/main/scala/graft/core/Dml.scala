@@ -95,9 +95,14 @@ object Dml {
     val root = VersionLog.rootUriPath(dir)
     val entries = VersionLog.readEntries(spark, dir, vs.last)
     val current = VersionLog.readVersion(spark, dir, vs.last)
-    require(current.columns.toSeq == updates.columns.toSeq,
-      s"MERGE schema mismatch: table [${current.columns.mkString(",")}] " +
-        s"vs updates [${updates.columns.mkString(",")}]")
+    // names AND types (nullability-insensitive): a name-only check
+    // would let an int32 updates column land beside int64 files — the
+    // silent parquet mix the ingest guard exists to prevent
+    def canon(df: DataFrame) = df.schema.fields.toSeq
+      .map(fd => s"${fd.name}:${fd.dataType.catalogString}")
+    require(canon(current) == canon(updates),
+      s"MERGE schema mismatch: table [${canon(current).mkString(",")}] " +
+        s"vs updates [${canon(updates).mkString(",")}]")
     val dupKeys = updates.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).count()
     require(dupKeys == 0L,
@@ -114,15 +119,21 @@ object Dml {
       .distinct().collect().map(r => relOf(root, r.getString(0))).toSet
     val next = vs.last + 1
     val replacedDir = s"m${next}_kept"
-    val replaced =
-      if (affectedFiles.isEmpty) 0L
+    // replaced = table ROWS removed; matchedKeys = distinct update keys
+    // that hit (counted over the affected files, never a second table
+    // scan) — they differ when the table holds duplicate keys, where
+    // one update row legitimately replaces several table rows
+    val (replaced, matchedKeys) =
+      if (affectedFiles.isEmpty) (0L, 0L)
       else {
         val affectedPaths = affectedFiles.toSeq.sorted.map(rel => s"$root/$rel")
         val affected = spark.read.parquet(affectedPaths: _*)
         val n = affected.join(broadcast(upKeys), keys, "left_semi").count()
+        val mk = affected.join(broadcast(upKeys), keys, "left_semi")
+          .select(keys.map(col): _*).distinct().count()
         affected.join(broadcast(upKeys), keys, "left_anti")
           .write.mode("overwrite").parquet(s"$root/$replacedDir")
-        n
+        (n, mk)
       }
     updates.write.mode("overwrite").parquet(s"$root/m${next}_new")
     val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
@@ -130,7 +141,10 @@ object Dml {
       (if (affectedFiles.isEmpty) Seq.empty
        else listDirEntries(spark, root, replacedDir)) ++
       listDirEntries(spark, root, s"m${next}_new")).sortBy(_._1)
-    val inserted = updates.count() - replaced
+    // update keys are unique (checked above), so inserts = the keys
+    // that matched nothing — exact and non-negative even when the
+    // table holds duplicate keys
+    val inserted = updates.count() - matchedKeys
     (VersionLog.writeEntries(spark, dir, next, newEntries),
       replaced, inserted)
   }

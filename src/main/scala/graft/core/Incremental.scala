@@ -68,7 +68,18 @@ object Incremental {
     readCursor(spark, cursorPath) match {
       case Some(v) if v >= latest => None
       case Some(v) =>
-        process(VersionLog.readChanges(spark, dir, v, latest))
+        val delta =
+          try VersionLog.readChanges(spark, dir, v, latest)
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"cursor $cursorPath is stuck at source version $v: " +
+                  s"${e.getMessage}. If the source was compacted or " +
+                  "vacuumed past it, decide between reprocessing " +
+                  "(Incremental.reset + a full run) or skipping ahead " +
+                  "(Incremental.reset to the latest version).", e)
+          }
+        process(delta)
         writeCursor(spark, cursorPath, latest)
         Some((v, latest))
       case None =>
@@ -76,5 +87,20 @@ object Incremental {
         writeCursor(spark, cursorPath, latest)
         Some((0, latest))
     }
+  }
+
+  /** Explicit cursor override — the OPERATOR-decided recovery when the
+    * source history was rewritten past the cursor (see [[runOnce]]'s
+    * error): reset to 0 (delete) to reprocess from the latest full
+    * version, or pin to a known-processed version to skip ahead. Never
+    * called automatically: both directions change delivery semantics.
+    */
+  def reset(spark: SparkSession, cursorPath: String,
+      toVersion: Option[Int]): Unit = toVersion match {
+    case Some(v) => writeCursor(spark, cursorPath, v)
+    case None =>
+      val p = new Path(cursorPath)
+      fs(spark, cursorPath).delete(p, false)
+      ()
   }
 }

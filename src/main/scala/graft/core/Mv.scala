@@ -47,7 +47,15 @@ object Mv {
     val cur = committedVersions(spark, mvDir).lastOption
     if (cur.contains(latest)) return None
     val delta = cur match {
-      case Some(v) => VersionLog.readChanges(spark, srcDir, v, latest)
+      case Some(v) =>
+        try VersionLog.readChanges(spark, srcDir, v, latest)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"MV at $mvDir cannot fold incrementally from source " +
+                s"version $v: ${e.getMessage}. If the source was " +
+                "compacted/vacuumed past it, run Mv.rebuild.", e)
+        }
       case None => VersionLog.readVersion(spark, srcDir, latest)
     }
     val aggs = sum(lit(1L)).as("n_rows") +:
@@ -80,12 +88,30 @@ object Mv {
     spark.read.parquet(s"$mvDir/v=${vs.last}")
   }
 
+  /** Rebuild the MV from scratch against the source's LATEST version —
+    * the recovery path when the source history was compacted or
+    * vacuumed past the MV's refreshed version (readChanges then
+    * rightly refuses: an incremental fold over a rewrite would
+    * double-count). All prior state and commits are dropped first.
+    */
+  def rebuild(spark: SparkSession, srcDir: String, mvDir: String,
+      keys: Seq[String], sumCols: Seq[String]): (Int, Int) = {
+    val f = new Path(mvDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(mvDir), true)
+    refresh(spark, srcDir, mvDir, keys, sumCols)
+      .getOrElse(sys.error(s"rebuild of $mvDir found no source version"))
+  }
+
   /** Drop all but the newest `keepLast` committed states (the MV's own
     * vacuum — old states exist only to make replays idempotent and as
-    * refresh provenance).
+    * refresh provenance). `keepLast >= 2` is enforced: the NEWEST
+    * commit's crash-replay path re-reads the state UNDER it — pruning
+    * to one state would break exactly-once for the marker-loss window.
     */
   def prune(spark: SparkSession, mvDir: String, keepLast: Int = 2): Int = {
-    require(keepLast >= 1)
+    require(keepLast >= 2,
+      "keepLast >= 2: the newest commit's replay re-folds from the state " +
+        "under it — pruning that state breaks the exactly-once window")
     val vs = committedVersions(spark, mvDir)
     val drop = vs.dropRight(keepLast)
     val f = new Path(mvDir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -88,25 +88,89 @@ object VersionLog {
       }
   }
 
+  /** Reserved first-segment dir names the maintenance paths write
+    * ([[compact]] `c<N>/`, [[graft.core.Dml]] `d<N>/` / `m<N>_*`,
+    * [[graft.streaming.IngestStreams]] `b<N>/`). Files under them
+    * become table data ONLY by being listed in a version (or, for
+    * `b<N>`, by the ingest marker) — a reserved dir on disk that no
+    * record claims is a CRASHED attempt's orphan, and [[snapshot]]
+    * must never resurrect it (it would double-count every surviving
+    * row of a crashed compact/DELETE/MERGE alongside the originals).
+    */
+  private val ReservedDir = "^(b\\d+|c\\d+|d\\d+|m\\d+_(kept|new))$".r
+
+  /** Cumulative record of files SUPERSEDED by rewrites (compacted /
+    * DML-replaced but possibly still on disk awaiting [[vacuum]]) —
+    * maintained by [[writeEntries]] so [[snapshot]] reads ONE file
+    * instead of re-reading every historical manifest per call (a 24/7
+    * per-batch ingest would otherwise go quadratic in batch count).
+    */
+  private def supersededPath(dir: String): Path =
+    new Path(s"$dir/$LogDir/superseded.list")
+
+  private[core] def readSuperseded(spark: SparkSession, dir: String): Set[String] = {
+    val p = supersededPath(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Set.empty
+    else {
+      val in = f.open(p)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+      new String(bytes, StandardCharsets.UTF_8).split("\n")
+        .filter(_.nonEmpty).toSet
+    }
+  }
+
+  private def writeSuperseded(
+      spark: SparkSession, dir: String, rels: Set[String]): Unit = {
+    val p = supersededPath(dir)
+    val f = fs(spark, dir)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, ".superseded.tmp")
+    val out = f.create(tmp, true)
+    try out.write(rels.toSeq.sorted.map(_ + "\n")
+      .mkString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    require(f.rename(tmp, p), s"could not update $p")
+  }
+
   /** Record the table's current live file set as the next version —
-    * MINUS any files a [[compact]] already superseded: a file listed
-    * by an older version but absent from the latest version's list was
-    * compacted away and merely awaits [[vacuum]]; including it would
-    * double-count its rows. Idempotent: when the effective set equals
-    * the latest recorded version, no new version is written and the
-    * existing number is returned. The record is written to a temp name
-    * and renamed into place, so a reader can never observe a
-    * half-written version file.
+    * MINUS files a rewrite already superseded (listed by an older
+    * version but replaced since; including them would double-count
+    * their rows) and MINUS uncommitted reserved-dir files (a crashed
+    * compact/DML/ingest attempt's orphans — see [[ReservedDir]]).
+    * Idempotent: when the effective set equals the latest recorded
+    * version, no new version is written and the existing number is
+    * returned. The record is written to a temp name and renamed into
+    * place, so a reader can never observe a half-written version file.
     */
   def snapshot(spark: SparkSession, dir: String): Int = {
     val vs = versions(spark, dir)
-    val superseded: Set[String] = if (vs.isEmpty) Set.empty else {
-      val latestFiles = readEntries(spark, dir, vs.last).map(_._1).toSet
-      vs.init.flatMap(v => readEntries(spark, dir, v).map(_._1))
-        .toSet -- latestFiles
+    val superseded = readSuperseded(spark, dir)
+    val latestFiles: Set[String] =
+      if (vs.isEmpty) Set.empty
+      else readEntries(spark, dir, vs.last).map(_._1).toSet
+    val f = fs(spark, dir)
+    def committed(rel: String): Boolean = {
+      val seg = rel.takeWhile(_ != '/')
+      if (rel.indexOf('/') < 0 || ReservedDir.findFirstIn(seg).isEmpty) true
+      else if (latestFiles(rel)) true
+      else if (seg.startsWith("b"))
+        f.exists(new Path(s"$dir/_commits/v${seg.stripPrefix("b")}"))
+      else false // c/d/m dir no version references: a crashed rewrite
     }
+    // a superseded entry is honored only once the latest version really
+    // dropped the file: [[writeEntries]] records supersessions BEFORE
+    // committing the version, so a crash between the two leaves entries
+    // for files still legitimately listed — excluding those would write
+    // a version MISSING live rows
     val live = liveEntries(spark, dir)
-      .filterNot { case (rel, _) => superseded(rel) }
+      .filterNot { case (rel, _) => superseded(rel) && !latestFiles(rel) }
+      .filter { case (rel, _) => committed(rel) }
     require(live.nonEmpty, s"refusing to snapshot an empty table at $dir")
     if (vs.nonEmpty && readEntries(spark, dir, vs.last) == live)
       return vs.last
@@ -118,6 +182,18 @@ object VersionLog {
     val f = fs(spark, dir)
     val target = versionPath(dir, next)
     f.mkdirs(target.getParent)
+    // maintain the cumulative superseded record FIRST: files the
+    // previous version listed that this one drops were rewritten away.
+    // Recording before the version commit makes the pair crash-safe in
+    // both orders — a premature entry (version never committed) is
+    // neutralized by snapshot's latest-version guard, where the
+    // reverse order would lose supersessions forever.
+    if (next > 1) {
+      val removed = readEntries(spark, dir, next - 1).map(_._1).toSet --
+        entries.map(_._1).toSet
+      if (removed.nonEmpty)
+        writeSuperseded(spark, dir, readSuperseded(spark, dir) ++ removed)
+    }
     val tmp = new Path(target.getParent, s".v$next.tmp")
     val out = f.create(tmp, true)
     try out.write(entries.map { case (rel, len) => s"$len\t$rel\n" }
@@ -180,6 +256,10 @@ object VersionLog {
       if (f.exists(p) && f.delete(p, false)) deleted += 1
     }
     drop.foreach(v => f.delete(versionPath(dir, v), false))
+    // reclaimed files can never be resurrected — prune them from the
+    // superseded record so it stays bounded by the un-vacuumed window
+    val sup = readSuperseded(spark, dir)
+    if (sup.nonEmpty) writeSuperseded(spark, dir, sup -- victims)
     (drop.size, deleted)
   }
 

@@ -76,6 +76,10 @@ object Curation {
     * WindowGroupLimit pushes the `rank <= k` cap into per-partition
     * heaps before the shuffle, so the exchange carries O(groups · k),
     * not the corpus.
+    *
+    * `sample_rank` is the declared OUTPUT column (replacing a
+    * same-named input is the contract, as with [[shuffleShards]]'s
+    * shard/shard_pos); the internal key column is collision-safe.
     */
   def prioritySamplePerGroup(
       df: DataFrame, idCol: String, groupCol: String,

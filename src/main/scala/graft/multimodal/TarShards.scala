@@ -72,9 +72,14 @@ object TarShards {
     * `path` (replaced wholesale). Returns the per-shard summary
     * `(shard, n_docs, payload_bytes)` — bounded by the shard count.
     *
-    * Executors open the filesystem from the task-side Hadoop default
-    * configuration (the cluster classpath), the same contract every
-    * direct-output committer relies on.
+    * Task-side durability: executors rebuild the DRIVER's Hadoop
+    * configuration from a broadcast (runtime-set credentials /
+    * endpoints included — a bare `new Configuration()` would see only
+    * the classpath defaults), and each shard streams to an
+    * attempt-unique hidden temp renamed into place on completion — so
+    * a retried or speculative task can never collide with (or corrupt)
+    * another attempt's output; whichever attempt renames first wins
+    * and the loser discards its temp.
     */
   def write(
       df: DataFrame, idCol: String, payloadCol: String, metaCol: String,
@@ -87,6 +92,12 @@ object TarShards {
     if (fs.exists(root)) require(fs.delete(root, true), s"cannot replace $path")
     fs.mkdirs(root)
     val dirStr = root.toString
+    val confMap: Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toMap
+    }
+    val confBc = spark.sparkContext.broadcast(confMap)
     val summaries = df
       .select(
         pmod(Curation.hashSampleKey(col(idCol)), lit(shards.toLong))
@@ -101,18 +112,30 @@ object TarShards {
         // One streaming pass: a partition holds whole shard groups
         // (hash-partitioned on the shard id), sorted (shard, id); each
         // row is written out as soon as it arrives — per-row memory.
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confBc.value.foreach { case (k, v) => conf.set(k, v) }
         val fsx = new Path(dirStr).getFileSystem(conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val done = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
         var cur = -1
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var tmp: Path = null
         var n = 0L
         var bytes = 0L
         def closeShard(): Unit = if (out != null) {
           out.write(new Array[Byte](2 * BlockSize)) // end-of-archive
           out.close()
+          val dest = new Path(dirStr, f"shard-$cur%05d.tar")
+          // attempt-unique temp → rename: first finisher wins, a
+          // racing speculative attempt discards its own temp
+          if (!fsx.rename(tmp, dest)) {
+            require(fsx.exists(dest),
+              s"rename of $tmp to $dest failed with no winner present")
+            fsx.delete(tmp, false)
+          }
           done += ((cur, n, bytes))
-          out = null
+          out = null; tmp = null
         }
         def entry(name: String, data: Array[Byte]): Unit = {
           out.write(header(name, data.length.toLong))
@@ -123,7 +146,8 @@ object TarShards {
           if (shard != cur) {
             closeShard()
             cur = shard; n = 0L; bytes = 0L
-            out = fsx.create(new Path(dirStr, f"shard-$shard%05d.tar"), false)
+            tmp = new Path(dirStr, f".shard-$shard%05d.tar.attempt-$attempt")
+            out = fsx.create(tmp, true)
           }
           entry(s"$id.json",
             (if (meta == null) "" else meta).getBytes(StandardCharsets.UTF_8))

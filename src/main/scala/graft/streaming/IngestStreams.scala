@@ -69,9 +69,15 @@ object IngestStreams {
     val p = new Path(s"$tablePath/_schema.json")
     val mine = canonical(batch.schema)
     if (!fs.exists(p)) {
+      // tmp+rename like every other commit file: a crash mid-write
+      // would otherwise pin a truncated schema and wedge every
+      // subsequent batch on a phantom "drift"
       fs.mkdirs(p.getParent)
-      val out = fs.create(p, false)
+      val tmp = new Path(p.getParent, "._schema.json.tmp")
+      val out = fs.create(tmp, true)
       try out.write(mine.getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, p) || fs.exists(p),
+        s"could not pin the ingest schema at $p")
     } else {
       val in = fs.open(p)
       val pinned =

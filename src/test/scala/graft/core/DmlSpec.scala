@@ -71,7 +71,7 @@ class DmlSpec extends SparkSpec {
     assert(shared.size === 3, s"only id=5's file rewrites: ${shared.size}")
   }
 
-  test("merge guard rails: duplicate keys and schema drift refuse") {
+  test("merge guard rails: duplicate keys, missing columns, and TYPE drift refuse") {
     val dir = freshTable()
     intercept[IllegalArgumentException] {
       Dml.mergeInto(spark, dir,
@@ -80,6 +80,25 @@ class DmlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dml.mergeInto(spark, dir, Seq((1L, "a")).toDF("id", "v"), Seq("id"))
     }
+    // same names, int k instead of long: would write a mixed-type table
+    val typeDrift = intercept[IllegalArgumentException] {
+      Dml.mergeInto(spark, dir, Seq((1L, 1, "a")).toDF("id", "k", "v"), Seq("id"))
+    }
+    assert(typeDrift.getMessage.contains("schema mismatch"))
+  }
+
+  test("merge accounting stays sane when the TABLE holds duplicate keys") {
+    val dir = java.nio.file.Files.createTempDirectory("dmldup").toString + "/t"
+    Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("id", "v").write.parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    val (v2, replaced, inserted) = Dml.mergeInto(spark, dir,
+      Seq((1L, "patched"), (9L, "new")).toDF("id", "v"), Seq("id"))
+    // both id=1 rows are removed (replaced=2), one key inserted —
+    // never a negative insert count
+    assert((v2, replaced, inserted) === ((2, 2L, 1L)))
+    val now = VersionLog.readVersion(spark, dir, 2)
+      .orderBy("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(now === Seq((1L, "patched"), (2L, "z"), (9L, "new")))
   }
 
   test("right-to-be-forgotten: delete + vacuum leaves NO readable trace") {

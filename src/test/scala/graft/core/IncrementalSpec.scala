@@ -31,6 +31,28 @@ class IncrementalSpec extends SparkSpec {
     assert(seen === Vector((0L until 10L).toSeq, (10L until 17L).toSeq))
   }
 
+  test("a compacted source gives a guided error; reset is the recovery") {
+    val root = java.nio.file.Files.createTempDirectory("incrcompact").toString
+    val dir = s"$root/t"
+    val cursor = s"$root/cursor"
+    (0L until 10L).map(Tuple1(_)).toDF("id").write.parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    Incremental.runOnce(spark, dir, cursor)(_ => ())
+    VersionLog.compact(spark, dir, files = 1)
+    val e = intercept[IllegalArgumentException] {
+      Incremental.runOnce(spark, dir, cursor)(_ => ())
+    }
+    assert(e.getMessage.contains("Incremental.reset"))
+    // operator decision: skip ahead to the compacted version
+    Incremental.reset(spark, cursor, Some(VersionLog.latest(spark, dir)))
+    assert(Incremental.runOnce(spark, dir, cursor)(_ => ()) === None)
+    // or reprocess everything from scratch
+    Incremental.reset(spark, cursor, None)
+    var n = -1L
+    assert(Incremental.runOnce(spark, dir, cursor)(d => n = d.count()).isDefined)
+    assert(n === 10L)
+  }
+
   test("a crash before the cursor write replays the same delta (at-least-once)") {
     val root = java.nio.file.Files.createTempDirectory("incrc").toString
     val dir = s"$root/t"

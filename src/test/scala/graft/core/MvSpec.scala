@@ -59,5 +59,23 @@ class MvSpec extends SparkSpec {
     assert(Mv.prune(spark, mv, keepLast = 2) === 2)
     assert(Mv.committedVersions(spark, mv) === Seq(3, 4))
     assert(mvRows(mv).size === 4)
+    // keepLast=1 would delete the state the newest commit's replay
+    // path re-folds from — refused
+    intercept[IllegalArgumentException] { Mv.prune(spark, mv, keepLast = 1) }
+  }
+
+  test("a compacted source refuses incremental refresh; rebuild recovers") {
+    val root = java.nio.file.Files.createTempDirectory("mvc").toString
+    val src = s"$root/src"; val mv = s"$root/mv"
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "w").write.parquet(src)
+    VersionLog.snapshot(spark, src)
+    Mv.refresh(spark, src, mv, Seq("k"), Seq("w"))
+    VersionLog.compact(spark, src, files = 1)
+    val e = intercept[IllegalArgumentException] {
+      Mv.refresh(spark, src, mv, Seq("k"), Seq("w"))
+    }
+    assert(e.getMessage.contains("Mv.rebuild"))
+    Mv.rebuild(spark, src, mv, Seq("k"), Seq("w"))
+    assert(mvRows(mv) === Seq(("a", 1L, 1L), ("b", 1L, 2L)))
   }
 }

@@ -138,6 +138,30 @@ class VersionLogSpec extends SparkSpec {
     }
   }
 
+  test("snapshot never resurrects a crashed rewrite's orphan files") {
+    val dir = freshTable()
+    VersionLog.snapshot(spark, dir)
+    // simulate compact/DELETE crashed after writing its rewrite dir
+    // but before committing the version: the full content sits in c99/
+    spark.read.parquet(dir).coalesce(1).write.parquet(s"$dir/c99")
+    // and an uncommitted ingest attempt (no marker) sits in b7/
+    Seq((999L, 0L)).toDF("id", "k").write.parquet(s"$dir/b7")
+    (100L until 105L).map(i => (i, i % 10)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    val v2 = VersionLog.snapshot(spark, dir)
+    // neither orphan is listed: rows would double / leak otherwise
+    assert(VersionLog.readVersion(spark, dir, v2).count() === 105L)
+    assert(VersionLog.readEntries(spark, dir, v2)
+      .forall { case (rel, _) => !rel.startsWith("c99/") && !rel.startsWith("b7/") })
+    // a COMMITTED ingest dir (marker present) is included
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_commits"))
+    f.create(new org.apache.hadoop.fs.Path(s"$dir/_commits/v7"), false).close()
+    val v3 = VersionLog.snapshot(spark, dir)
+    assert(VersionLog.readVersion(spark, dir, v3).count() === 106L)
+  }
+
   test("relative paths make a moved table keep its history") {
     val dir = freshTable()
     VersionLog.snapshot(spark, dir)
