@@ -1,0 +1,78 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thin operator CLI over the table-lifecycle plane — the counterpart
+  * of [[graft.curation.TrainCli]] for the versioned-table machinery,
+  * so the full lakehouse flow is runnable end-to-end without writing
+  * Scala:
+  *
+  *   snapshot     record the live file set as the next version
+  *   versions     list recorded versions
+  *   readAsOf     materialize a version to a parquet output
+  *   changes      materialize the delta between two versions
+  *   compact      OPTIMIZE the latest version into few files
+  *   vacuum       drop old versions + reclaim their files
+  *   delete       copy-on-write DELETE by a SQL predicate string
+  *   merge        copy-on-write upsert from an updates parquet dir
+  *   mvRefresh    fold the source's new versions into a standing MV
+  *   mvRead       materialize the MV's current state
+  *   forget       delete + vacuum in one step (right-to-be-forgotten:
+  *                no surviving READABLE version carries the rows)
+  *
+  * Predicates arrive as SQL expression strings (`"user_id % 7 = 3"`)
+  * — the operator's language — parsed by Spark's own parser via
+  * `expr`. Every command is deterministic and rerun-safe with the
+  * semantics of the API it fronts.
+  */
+class LakeCli(spark: SparkSession) {
+
+  def snapshot(dir: String): Int = VersionLog.snapshot(spark, dir)
+
+  def versions(dir: String): Seq[Int] = VersionLog.versions(spark, dir)
+
+  def readAsOf(dir: String, version: Int, out: String): Long = {
+    val df = VersionLog.readVersion(spark, dir, version)
+    df.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).count()
+  }
+
+  def changes(dir: String, fromV: Int, toV: Int, out: String): Long = {
+    val df = VersionLog.readChanges(spark, dir, fromV, toV)
+    df.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).count()
+  }
+
+  def compact(dir: String, files: Int): Int =
+    VersionLog.compact(spark, dir, files)
+
+  def vacuum(dir: String, keepLast: Int): (Int, Int) =
+    VersionLog.vacuum(spark, dir, keepLast)
+
+  def delete(dir: String, predicateSql: String): (Int, Long) =
+    Dml.deleteWhere(spark, dir, expr(predicateSql))
+
+  def merge(dir: String, updatesIn: String, keys: Seq[String]): (Int, Long, Long) =
+    Dml.mergeInto(spark, dir, spark.read.parquet(updatesIn), keys)
+
+  def mvRefresh(srcDir: String, mvDir: String,
+      keys: Seq[String], sumCols: Seq[String]): Option[(Int, Int)] =
+    Mv.refresh(spark, srcDir, mvDir, keys, sumCols)
+
+  def mvRead(mvDir: String, out: String): Long = {
+    Mv.read(spark, mvDir).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).count()
+  }
+
+  /** DELETE + VACUUM to the horizon in one step: after it, NO readable
+    * version carries the matching rows and their bytes are reclaimed —
+    * the takedown shape [[graft.curation.TrainCli.forget]] provides
+    * for corpora, applied to a versioned table. Returns rows deleted.
+    */
+  def forget(dir: String, predicateSql: String): Long = {
+    val (_, deleted) = Dml.deleteWhere(spark, dir, expr(predicateSql))
+    VersionLog.vacuum(spark, dir, keepLast = 1)
+    deleted
+  }
+}

@@ -1508,6 +1508,43 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("user_id")).as("user_sum"))
         .orderBy(col("event_type"))
+    }),
+
+    // The 24/7 STANDING-ROLLUP loop (IngestStreams.ingestBatchWithMv):
+    // each micro-batch lands versioned AND folds into the MV in one
+    // exactly-once step — including a replay of the middle batch and a
+    // crash healed between the two legs (the batch landed, its MV fold
+    // didn't; the next batch's refresh folds BOTH versions' deltas,
+    // because refresh keys on source version, not batch id). The final
+    // MV must equal the full recompute the oracle runs.
+    "q241_ingest_mv_loop" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val root = java.nio.file.Files
+        .createTempDirectory("ingmv_q").toString
+      val table = s"$root/events_v"
+      val mv = s"$root/mv"
+      val keys = Seq("event_type")
+      val sums = Seq("user_id")
+      val batches = Seq(
+        ev.filter(col("g") < "5"),
+        ev.filter(col("g") >= "5" && col("g") < "a"),
+        ev.filter(col("g") >= "a")).map(_.drop("g"))
+      import graft.streaming.IngestStreams
+      IngestStreams.ingestBatchWithMv(batches(0), 0L, table, mv, keys, sums)
+      // crash between the legs: batch 1 lands but its MV fold is lost
+      IngestStreams.ingestBatch(batches(1), 1L, table)
+      // replay of batch 1 after the crash: lands nothing, but refresh
+      // heals the MV by folding the missed version's delta
+      IngestStreams.ingestBatchWithMv(batches(1), 1L, table, mv, keys, sums)
+      IngestStreams.ingestBatchWithMv(batches(2), 2L, table, mv, keys, sums)
+      require(graft.core.Mv.committedVersions(s, mv).last ==
+        graft.core.VersionLog.latest(s, table), "MV must track the table")
+      graft.core.Mv.read(s, mv)
+        .select(col("event_type"), col("n_rows"),
+          col("user_id__sum").as("user_sum"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2266,6 +2303,11 @@ object RelationalQueries {
            SELECT * FROM u)
          SELECT event_type, count(*)::BIGINT AS n,
            sum(user_id)::BIGINT AS user_sum
-         FROM m GROUP BY 1 ORDER BY 1"""
+         FROM m GROUP BY 1 ORDER BY 1""",
+    // q241: the landed-and-folded MV == the full recompute.
+    "q241_ingest_mv_loop" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+           sum(user_id)::BIGINT AS user_sum
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

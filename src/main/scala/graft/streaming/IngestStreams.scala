@@ -101,4 +101,27 @@ object IngestStreams {
       (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, tablePath)
     }
+
+  /** Landing + standing rollup in one exactly-once step: each
+    * micro-batch lands versioned, then [[graft.core.Mv.refresh]] folds
+    * the new version's delta into the MV — the 24/7 "table AND its
+    * aggregate are both always current" loop, each leg idempotent on
+    * its own marker (a replay after any crash point re-lands nothing
+    * and re-folds nothing; a batch that died between the two legs is
+    * healed because refresh keys on SOURCE VERSION, not batch id).
+    */
+  def ingestBatchWithMv(batch: DataFrame, batchId: Long, tablePath: String,
+      mvDir: String, keys: Seq[String], sumCols: Seq[String]): Unit = {
+    ingestBatch(batch, batchId, tablePath)
+    graft.core.Mv.refresh(batch.sparkSession, tablePath, mvDir, keys, sumCols)
+    ()
+  }
+
+  /** Streaming form of [[ingestBatchWithMv]]. */
+  def ingestWithMv(stream: DataFrame, tablePath: String, mvDir: String,
+      keys: Seq[String], sumCols: Seq[String]): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        ingestBatchWithMv(batch, batchId, tablePath, mvDir, keys, sumCols)
+    }
 }

@@ -78,6 +78,35 @@ class IngestStreamsSpec extends SparkSpec {
       .count() === 2L)
   }
 
+  test("ingestWithMv keeps table and MV in lockstep across a full stream re-run") {
+    val root = Files.createTempDirectory("ingestmv").toString
+    val in = s"$root/in"
+    val table = s"$root/t"
+    val mv = s"$root/mv"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "grp")
+      .coalesce(1).write.mode("append").parquet(in)
+    Seq((3L, "a")).toDF("id", "grp")
+      .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("id bigint, grp string")
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = IngestStreams.ingestWithMv(stream, table, mv, Seq("grp"), Seq("id"))
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    def mvRows() = graft.core.Mv.read(spark, mv)
+      .select("grp", "n_rows", "id__sum").orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mvRows() === Seq(("a", 2L, 4L), ("b", 1L, 2L)))
+    runOnce() // full checkpoint replay: nothing lands, nothing re-folds
+    assert(mvRows() === Seq(("a", 2L, 4L), ("b", 1L, 2L)))
+    assert(graft.core.Mv.committedVersions(spark, mv).last ===
+      graft.core.VersionLog.latest(spark, table))
+  }
+
   test("the streaming wrapper lands micro-batches like direct calls") {
     val root = Files.createTempDirectory("ingests").toString
     val in = s"$root/in"
