@@ -212,16 +212,88 @@ object Layout {
     * bloom-filter-index story, as one small table). One distributed
     * scan; `expectedPerFile`/`fpp` size the bit arrays.
     */
+  /** Per-file bloom rows for an explicit file list. Files the
+    * aggregate never sees — ZERO-ROW part files (an anti-join with an
+    * empty partition writes one) — get explicit empty-sketch rows, or
+    * the manifest would permanently miss them and every staleness
+    * check after would fail.
+    */
+  private def bloomRows(spark: SparkSession, files: Seq[String],
+      cols: Seq[String], expected: Long, fpp: Double): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: (cols.map(c =>
+      graft.functions.AggregateFunctions.bloomAgg(col(c), expected, fpp)
+        .as(s"${c}__bloom")) :+
+      lit(expected).as("__expected") :+ lit(fpp).as("__fpp"))
+    val agged = spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val covered = agged.select(col("file")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+      .toSet
+    val missing = files.filterNot(covered)
+    if (missing.isEmpty) agged
+    else {
+      val emptyBloom = {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
+          .writeTo(bos)
+        bos.toByteArray
+      }
+      val fill = spark.createDataFrame(
+        spark.sparkContext.parallelize(missing.map { f =>
+          org.apache.spark.sql.Row.fromSeq(
+            f +: 0L +: cols.map(_ => emptyBloom) :+ expected :+ fpp)
+        }, 1), agged.schema)
+      agged.unionByName(fill)
+    }
+  }
+
   def writeBloomManifest(spark: SparkSession, path: String,
       cols: Seq[String], expectedPerFile: Long, fpp: Double = 0.01): Unit = {
     require(cols.nonEmpty, "bloom manifests need at least one column")
-    val aggs = count(lit(1)).as("n_rows") +: cols.map(c =>
-      graft.functions.AggregateFunctions.bloomAgg(col(c), expectedPerFile, fpp)
-        .as(s"${c}__bloom"))
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    // explicit live-file list, not the directory: a plain dir read
+    // skips non-partition subdirs (e.g. the versioned store's b<N>/
+    // batch dirs) and the manifest MUST cover exactly what
+    // liveDataFiles sees — the staleness contract's identity
+    val files = liveDataFiles(spark, path).toSeq.sorted
+    require(files.nonEmpty, s"no data files to manifest at $path")
+    bloomRows(spark, files, cols, expectedPerFile, fpp)
       .write.mode("overwrite").parquet(s"$path/$BloomManifestDir")
+  }
+
+  /** Incremental bloom-manifest maintenance — the append path, the
+    * [[appendManifest]] twin: scans ONLY the data files the manifest
+    * does not know yet, sketches them with the SAME sizing the
+    * manifest was built with (carried in its `__expected`/`__fpp`
+    * columns, so an append can never silently change the fpp), and
+    * unions them in. Idempotent no-op when nothing is new.
+    */
+  def appendBloomManifest(spark: SparkSession, path: String): Unit = {
+    val manPath = s"$path/$BloomManifestDir"
+    val man = spark.read.parquet(manPath)
+    val cols = man.columns.toSeq.collect {
+      case c if c.endsWith("__bloom") => c.stripSuffix("__bloom")
+    }
+    val head = man.select(col("__expected"), col("__fpp")).head()
+    val (expected, fpp) = (head.getLong(0), head.getDouble(1))
+    val live = liveDataFiles(spark, path)
+    val norm = udf((f: String) =>
+      new org.apache.hadoop.fs.Path(f).toUri.getPath)
+    // ghost rows (manifested file no longer on disk — a vacuumed or
+    // orphan-cleaned file) are dropped in the same rewrite: a deleted
+    // file's sketch can only cause false "exists" answers
+    val kept = man.filter(norm(col("file")).isin(live.toSeq: _*))
+    val known = kept.select(col("file")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
+    val fresh = (live -- known).toSeq.sorted
+    if (fresh.isEmpty && known.size.toLong == man.count()) return
+    val merged =
+      (if (fresh.isEmpty) kept
+       else kept.unionByName(
+         bloomRows(spark, fresh, cols, expected, fpp)
+           .select(man.columns.map(col): _*)))
+        .localCheckpoint(true) // sever lineage over the dir being replaced
+    merged.write.mode("overwrite").parquet(manPath)
   }
 
   /** The files an `col IN (values)` point lookup must read, per the

@@ -1545,6 +1545,46 @@ object RelationalQueries {
         .select(col("event_type"), col("n_rows"),
           col("user_id__sum").as("user_sum"))
         .orderBy(col("event_type"))
+    }),
+
+    // IDEMPOTENT-BY-KEY ingestion (IngestStreams.ingestBatchDedup):
+    // three md5-gated batches OVERLAP heavily (0-7, 4-b, 8-f) — the
+    // at-least-once upstream shape — and each landing drops the keys
+    // the standing table already holds, probed through the
+    // incrementally-maintained per-file bloom manifest (no false
+    // negatives ⇒ no duplicate can slip through; only bloom-admitted
+    // files are read for the exact anti-join). A replayed batch lands
+    // nothing. The final table must equal the distinct events — the
+    // plain-table oracle.
+    "q242_dedup_ingest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("ddingest_q").toString + "/events_dd"
+      import graft.streaming.IngestStreams
+      val batches = Seq(
+        ev.filter(col("g") < "8"),
+        ev.filter(col("g") >= "4" && col("g") < "c"),
+        ev.filter(col("g") >= "8")).map(_.drop("g"))
+      val (l0, d0) = IngestStreams.ingestBatchDedup(
+        batches(0), 0L, tmp, "event_id", 4096L)
+      val (l1, d1) = IngestStreams.ingestBatchDedup(
+        batches(1), 1L, tmp, "event_id", 4096L)
+      val (l2, d2) = IngestStreams.ingestBatchDedup(
+        batches(2), 2L, tmp, "event_id", 4096L)
+      require(d0 == 0 && d1 > 0 && d2 > 0,
+        s"the overlapping windows must be deduped: $d0/$d1/$d2")
+      require(l0 + l1 + l2 == ev.count(),
+        "every distinct key must land exactly once")
+      require(IngestStreams.ingestBatchDedup(
+        batches(2), 2L, tmp, "event_id", 4096L) == ((0L, 0L)),
+        "a replayed batch must land nothing")
+      graft.core.VersionLog.readVersion(
+          s, tmp, graft.core.VersionLog.latest(s, tmp))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2308,6 +2348,11 @@ object RelationalQueries {
     "q241_ingest_mv_loop" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,
            sum(user_id)::BIGINT AS user_sum
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // q242: dedup ingestion over overlapping windows == each event once.
+    "q242_dedup_ingest" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+           sum(event_id)::BIGINT AS id_sum
          FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.core.VersionLog
+import graft.core.{Layout, VersionLog}
 
 /** Exactly-once VERSIONED ingestion: each micro-batch lands as its own
   * `b<batchId>/` parquet directory inside a [[graft.core.VersionLog]]
@@ -123,5 +123,90 @@ object IngestStreams {
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         ingestBatchWithMv(batch, batchId, tablePath, mvDir, keys, sumCols)
+    }
+
+  /** IDEMPOTENT-BY-KEY landing: rows whose `keyCol` already exists in
+    * the standing table are dropped BEFORE the batch lands — the
+    * at-least-once upstream (a re-delivered Kafka window, an
+    * overlapping backfill) becomes exactly-once BY KEY in the table,
+    * on top of [[ingestBatch]]'s exactly-once-by-batch markers.
+    *
+    * The existence probe never rescans the table: a per-file bloom
+    * manifest ([[graft.core.Layout]]) is maintained INCREMENTALLY
+    * (each batch sketches only its own new files), candidate keys
+    * probe the blooms driver-side (no false negatives — a missed
+    * duplicate is impossible), and only the files the blooms admit are
+    * read for the exact anti-join. Cost per batch: batch-sized work +
+    * the admitted-file reads, never O(table).
+    *
+    * Returns (landed, dropped). Batch-internal duplicate keys are a
+    * loud error (ambiguous — which payload should land?); the manifest
+    * is healed on entry (append is idempotent), so a crash after
+    * landing but before the manifest append cannot wedge the stream.
+    */
+  def ingestBatchDedup(batch: DataFrame, batchId: Long, tablePath: String,
+      keyCol: String, expectedPerFile: Long = 1 << 20,
+      fpp: Double = 0.01): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val marker = new Path(s"$tablePath/_commits/v$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return (0L, 0L)
+    // clear THIS batch's uncommitted partial landing before anything
+    // reads the directory: a crashed attempt's b-dir would otherwise
+    // be healed into the bloom manifest and make the replay drop rows
+    // that never actually landed (foreachBatch replays in order, so
+    // the only possible orphan is this batch's own)
+    fs.delete(new Path(s"$tablePath/b$batchId"), true)
+    val dupKeys = batch.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).count()
+    require(dupKeys == 0L,
+      s"batch $batchId carries $dupKeys duplicate keys — ambiguous landing")
+    // a table with data but no manifest (bootstrap over a plain-ingest
+    // history) gets one full-scan manifest build — skipping the probe
+    // instead would silently duplicate keys
+    val hasData = VersionLog.versions(spark, tablePath).nonEmpty
+    val preManifested =
+      fs.exists(new Path(s"$tablePath/${Layout.BloomManifestDir}"))
+    if (hasData && !preManifested)
+      Layout.writeBloomManifest(spark, tablePath, Seq(keyCol), expectedPerFile, fpp)
+    else if (preManifested)
+      Layout.appendBloomManifest(spark, tablePath) // heal append lag
+    val manifested = hasData || preManifested
+    val fresh =
+      if (!manifested) batch
+      else {
+        val keys = batch.select(col(keyCol).cast("string"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val hit = Layout.bloomPrunedFiles(spark, tablePath, keyCol, keys)
+        if (hit.isEmpty) batch
+        else batch.join(
+          spark.read.parquet(hit: _*).select(col(keyCol)),
+          Seq(keyCol), "left_anti")
+      }
+    val landed = fresh.count()
+    val dropped = batch.count() - landed
+    if (landed > 0) {
+      checkSchema(batch, tablePath, fs) // refuse drift BEFORE writing
+      fresh.write.mode("overwrite").parquet(s"$tablePath/b$batchId")
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
+    if (landed > 0) {
+      VersionLog.snapshot(spark, tablePath)
+      if (manifested) Layout.appendBloomManifest(spark, tablePath)
+      else Layout.writeBloomManifest(
+        spark, tablePath, Seq(keyCol), expectedPerFile, fpp)
+    }
+    (landed, dropped)
+  }
+
+  /** Streaming form of [[ingestBatchDedup]]. */
+  def ingestDedup(stream: DataFrame, tablePath: String, keyCol: String,
+      expectedPerFile: Long = 1 << 20, fpp: Double = 0.01): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        ingestBatchDedup(batch, batchId, tablePath, keyCol, expectedPerFile, fpp)
+        ()
     }
 }

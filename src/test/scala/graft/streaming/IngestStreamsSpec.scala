@@ -78,6 +78,42 @@ class IngestStreamsSpec extends SparkSpec {
       .count() === 2L)
   }
 
+  test("dedup ingest drops existing keys; crash orphans and manifest lag heal") {
+    val dir = Files.createTempDirectory("ingestdd").toString + "/t"
+    def batch(ids: Seq[Long]) = ids.map(i => (i, s"p$i")).toDF("id", "v")
+    assert(IngestStreams.ingestBatchDedup(batch(1L to 10L), 0L, dir, "id", 64L)
+      === ((10L, 0L)))
+    // overlapping re-delivery: 6..15 → only 11..15 land
+    assert(IngestStreams.ingestBatchDedup(batch(6L to 15L), 1L, dir, "id", 64L)
+      === ((5L, 5L)))
+    // crash simulation for batch 2: a partial landing with no marker,
+    // then a heal pass that (wrongly, in the crashed world) manifested
+    // the orphan — the replay must still land every new key
+    batch(Seq(16L)).write.parquet(s"$dir/b2")
+    graft.core.Layout.appendBloomManifest(spark, dir)
+    assert(IngestStreams.ingestBatchDedup(batch(14L to 20L), 2L, dir, "id", 64L)
+      === ((5L, 2L))) // 16..20 land — 16 was never committed
+    val ids = graft.core.VersionLog.readVersion(
+        spark, dir, graft.core.VersionLog.latest(spark, dir))
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids === (1L to 20L))
+    // full replay of a committed batch is a no-op
+    assert(IngestStreams.ingestBatchDedup(batch(14L to 20L), 2L, dir, "id", 64L)
+      === ((0L, 0L)))
+  }
+
+  test("dedup ingest bootstraps a bloom manifest over a plain-ingest history") {
+    val dir = Files.createTempDirectory("ingestddb").toString + "/t"
+    def batch(ids: Seq[Long]) = ids.map(i => (i, s"p$i")).toDF("id", "v")
+    IngestStreams.ingestBatch(batch(1L to 5L), 0L, dir) // no manifest yet
+    val (landed, dropped) =
+      IngestStreams.ingestBatchDedup(batch(3L to 8L), 1L, dir, "id", 64L)
+    assert((landed, dropped) === ((3L, 3L)), "bootstrap must not skip the probe")
+    assert(graft.core.VersionLog.readVersion(
+        spark, dir, graft.core.VersionLog.latest(spark, dir))
+      .count() === 8L)
+  }
+
   test("ingestWithMv keeps table and MV in lockstep across a full stream re-run") {
     val root = Files.createTempDirectory("ingestmv").toString
     val in = s"$root/in"
