@@ -85,6 +85,8 @@ object GraftExtensions {
     reg("hex_be_to_long") { a => arity("hex_be_to_long", a, 1); HexBeToLong(a(0)) },
     reg("hex_to_double") { a => arity("hex_to_double", a, 1); HexToDouble(a(0)) },
     reg("z_interleave") { a => arity("z_interleave", a, 2); ZInterleave(a(0), a(1)) },
+    reg("z_interleave3") { a =>
+      arity("z_interleave3", a, 3); ZInterleave3(a(0), a(1), a(2)) },
     // compiled sketch kernels (functions/sketchExpressions.scala)
     reg("shingles") { a => arity("shingles", a, 2); Shingles(a(0), intArg("shingles", a(1))) },
     reg("ngrams_all") { a => arity("ngrams_all", a, 2); NgramsAll(a(0), intArg("ngrams_all", a(1))) },

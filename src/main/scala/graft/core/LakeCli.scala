@@ -32,6 +32,8 @@ class LakeCli(spark: SparkSession) {
 
   def versions(dir: String): Seq[Int] = VersionLog.versions(spark, dir)
 
+  def history(dir: String): DataFrame = VersionLog.history(spark, dir)
+
   def readAsOf(dir: String, version: Int, out: String): Long = {
     val df = VersionLog.readVersion(spark, dir, version)
     df.write.mode("overwrite").parquet(out)

@@ -44,6 +44,20 @@ object Layout {
       .drop("_zv")
       .write.mode("overwrite").parquet(path)
 
+  /** 3-D form of [[writeZOrdered]] (tenant × time × key is the common
+    * shape): every file gets a tight bounding box in ALL THREE
+    * dimensions, so single-column, 2-of-3 and full-box predicates all
+    * prune — where a 2-D curve leaves the third column unpruned.
+    * Dimensions wider than 21 bits must be bucketed first.
+    */
+  def writeZOrdered3(df: DataFrame, path: String,
+      x: Column, y: Column, z: Column, files: Int): Unit =
+    df.withColumn("_zv", GraftFunctions.z_interleave3(x, y, z))
+      .repartitionByRange(files, col("_zv"))
+      .sortWithinPartitions(col("_zv"))
+      .drop("_zv")
+      .write.mode("overwrite").parquet(path)
+
   /** Per-file bounding boxes of two dimension columns over a written
     * table — the pruning diagnostic: a file whose [min, max] box
     * misses the predicate box is skipped by parquet stats. One scan +
@@ -82,14 +96,40 @@ object Layout {
     * stats and Iceberg's manifests do. One distributed scan builds it;
     * nothing driver-sized is collected here.
     */
-  def writeManifest(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
-    require(cols.nonEmpty, "zone maps need at least one column")
+  /** Per-file zone-map rows for an explicit file list; zero-row part
+    * files get explicit all-NULL stat rows (min/max of nothing), so
+    * the manifest's file set can never silently miss a file the
+    * staleness identity will demand. NULL stats prune correctly: no
+    * box test passes on them, and zero rows match nothing.
+    */
+  private def zoneMapRows(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"${c}__min"),
       max(col(c).cast("long")).as(s"${c}__max")))
-    spark.read.parquet(path)
+    val agged = spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    val covered = agged.select(col("file")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+      .toSet
+    val missing = files.filterNot(covered)
+    if (missing.isEmpty) agged
+    else agged.unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(missing.map { f =>
+        org.apache.spark.sql.Row.fromSeq(
+          f +: 0L +: cols.flatMap(_ => Seq(null, null)))
+      }, 1), agged.schema))
+  }
+
+  def writeManifest(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone maps need at least one column")
+    // explicit live-file list: a plain dir read skips non-partition
+    // subdirs (the versioned store's b<N>/ batch dirs), and the
+    // manifest must cover exactly what liveDataFiles sees
+    val files = liveDataFiles(spark, path).toSeq.sorted
+    require(files.nonEmpty, s"no data files to manifest at $path")
+    zoneMapRows(spark, files, cols)
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")
   }
 
@@ -115,12 +155,7 @@ object Layout {
       .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
     val fresh = (liveDataFiles(spark, path) -- known).toSeq.sorted
     if (fresh.isEmpty) return
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"${c}__min"),
-      max(col(c).cast("long")).as(s"${c}__max")))
-    val add = spark.read.parquet(fresh: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    val add = zoneMapRows(spark, fresh, cols)
     // union under the OLD manifest's column order, then swap: the
     // manifest dir itself is replaced atomically enough for a
     // single-writer maintenance job (same discipline as writeManifest's

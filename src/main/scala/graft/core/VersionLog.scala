@@ -285,6 +285,26 @@ object VersionLog {
     spark.read.parquet(entries.map { case (rel, _) => s"$root/$rel" }: _*)
   }
 
+  /** DESCRIBE HISTORY: one row per recorded version — file count,
+    * total bytes, and the file/byte DELTA vs the previous version
+    * (negative removals mean a compaction/DML rewrite). Metadata-only:
+    * built from the version records alone, no data file opened.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, dir)
+    val rows = vs.foldLeft(
+      (Seq.empty[(Int, Long, Long, Long, Long)], Set.empty[String])) {
+      case ((acc, prevFiles), v) =>
+        val es = readEntries(spark, dir, v)
+        val added = es.count(e => !prevFiles(e._1)).toLong
+        val removed = prevFiles.size.toLong - es.count(e => prevFiles(e._1))
+        (acc :+ ((v, es.size.toLong, es.map(_._2).sum, added, removed)),
+          es.map(_._1).toSet)
+    }._1
+    rows.toDF("version", "n_files", "bytes", "files_added", "files_removed")
+  }
+
   /** Latest recorded version (error when none exists). */
   def latest(spark: SparkSession, dir: String): Int = {
     val vs = versions(spark, dir)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType}
 
@@ -100,6 +100,24 @@ object ZOps {
   /** Morton/Z-value of (x, y): x on even bits, y on odd. */
   def interleave(x: Long, y: Long): Long =
     part1by1(x) | (part1by1(y) << 1)
+
+  /** Spread the low 21 bits of `v` onto every third bit position
+    * (0,3,…,60) — the 3-D Morton spread; 21 bits/dim keeps the
+    * 63-bit key strictly positive in signed int64.
+    */
+  def part1by2(v: Long): Long = {
+    var x = v & 0x1FFFFFL
+    x = (x | (x << 32)) & 0x1F00000000FFFFL
+    x = (x | (x << 16)) & 0x1F0000FF0000FFL
+    x = (x | (x << 8)) & 0x100F00F00F00F00FL
+    x = (x | (x << 4)) & 0x10C30C30C30C30C3L
+    x = (x | (x << 2)) & 0x1249249249249249L
+    x
+  }
+
+  /** 3-D Morton/Z-value of (x, y, z). */
+  def interleave3(x: Long, y: Long, z: Long): Long =
+    part1by2(x) | (part1by2(y) << 1) | (part1by2(z) << 2)
 }
 
 /** `z_interleave(x, y)` — Morton-interleave the low 31 bits of two
@@ -118,6 +136,27 @@ case class ZInterleave(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "z_interleave"
+}
+
+/** `z_interleave3(x, y, z)` — 3-D Morton key of three int64 dimension
+  * keys (21 bits each; codegen'd): the layout key for tables filtered
+  * on THREE columns at once (tenant × time × key is the common shape),
+  * where a 2-D curve leaves the third dimension unpruned.
+  */
+case class ZInterleave3(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    ZOps.interleave3(x.asInstanceOf[Long], y.asInstanceOf[Long],
+      z.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y, z) => s"graft.functions.ZOps.interleave3($x, $y, $z)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "z_interleave3"
 }
 
 /** Static kernel for [[RangeLookup]] — the binary search lives here so
@@ -193,6 +232,8 @@ object GraftFunctions {
     toCol(HexToDouble(toExpr(s)))
   def z_interleave(x: Column, y: Column): Column =
     toCol(ZInterleave(toExpr(x), toExpr(y)))
+  def z_interleave3(x: Column, y: Column, z: Column): Column =
+    toCol(ZInterleave3(toExpr(x), toExpr(y), toExpr(z)))
   def range_lookup(point: Column,
       los: Array[Long], his: Array[Long], ids: Array[Long]): Column =
     toCol(RangeLookup(toExpr(point), los, his, ids))

@@ -1585,6 +1585,77 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
         .orderBy(col("event_type"))
+    }),
+
+    // VERSIONED + ZONE-MAPPED composition: three gated batches land
+    // through the versioned store (each batch range-partitioned on
+    // `minute` so its files carry tight time ranges), the zone-map
+    // manifest is maintained INCREMENTALLY per batch (only the new
+    // b<N>/ files are scanned — the explicit-list manifest path), and
+    // a first-day box prune answers over the full history. Tripwires:
+    // files pruned < total, history's deltas match the three landings.
+    // The oracle replays the declared box over ALL events.
+    "q243_versioned_zonemap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("minute"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("vzm_q").toString + "/events_v"
+      import graft.streaming.IngestStreams
+      import graft.core.{Layout, VersionLog}
+      val batches = Seq(
+        ev.filter(col("g") < "6"),
+        ev.filter(col("g") >= "6" && col("g") < "b"),
+        ev.filter(col("g") >= "b")).map(
+        _.drop("g").repartitionByRange(4, col("minute")))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        IngestStreams.ingestBatch(b, i.toLong, tmp)
+        if (i == 0) Layout.writeManifest(s, tmp, Seq("minute"))
+        else Layout.appendManifest(s, tmp)
+      }
+      val hist = VersionLog.history(s, tmp)
+        .select(col("version"), col("files_added"), col("files_removed"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      require(hist.map(_._1).toSeq == Seq(1, 2, 3) &&
+        hist.forall(h => h._2 == 4 && h._3 == 0),
+        s"history must show 3 append-only versions of 4 files: ${hist.toSeq}")
+      val m0 = ev.agg(min(col("minute"))).collect()(0).getLong(0)
+      val boxes = Seq(("minute", m0, m0 + 1439L))
+      val kept = Layout.prunedFiles(s, tmp, boxes)
+      require(kept.nonEmpty && kept.size < 12,
+        s"zone maps over the versioned store failed to prune: ${kept.size}/12")
+      Layout.prunedRead(s, tmp, boxes)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("minute")).as("minute_sum"))
+        .orderBy(col("user_id"))
+    }),
+
+    // 3-D Z-ORDER layout (functions/ZInterleave3 + Layout.writeZOrdered3):
+    // tenant × time × key filtered together — a 2-D curve leaves the
+    // third column unpruned; the 21-bit-per-dim Morton key gives every
+    // file a tight box in ALL THREE, and the zone-map manifest prunes a
+    // 3-D box before any footer opens. Oracle replays the declared box.
+    "q244_zorder3" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("minute"),
+          pmod(col("event_id"), lit(64L)).as("eb"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("z3_q").toString + "/events_z3"
+      graft.core.Layout.writeZOrdered3(
+        ev, tmp, col("user_id"), col("minute"), col("eb"), files = 27)
+      graft.core.Layout.writeManifest(s, tmp, Seq("user_id", "minute", "eb"))
+      val m0 = ev.agg(min(col("minute"))).collect()(0).getLong(0)
+      val boxes = Seq(("user_id", 10L, 50L),
+        ("minute", m0, m0 + 1439L), ("eb", 0L, 15L))
+      val kept = graft.core.Layout.prunedFiles(s, tmp, boxes)
+      require(kept.nonEmpty && kept.size < 27,
+        s"3-D zone maps failed to prune: ${kept.size}/27 files")
+      graft.core.Layout.prunedRead(s, tmp, boxes)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("eb")).as("eb_sum"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -2353,6 +2424,31 @@ object RelationalQueries {
     "q242_dedup_ingest" ->
       """SELECT event_type, count(*)::BIGINT AS n,
            sum(event_id)::BIGINT AS id_sum
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // q243: versioned landing + incremental zone maps + box prune are
+    // all invisible — the oracle filters ALL events by the declared box.
+    "q243_versioned_zonemap" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(ts) // 60000000 AS minute FROM events),
+         b AS (SELECT min(minute) AS m0 FROM e)
+         SELECT e.user_id, count(*)::BIGINT AS n,
+           sum(e.minute)::BIGINT AS minute_sum
+         FROM e, b
+         WHERE e.minute BETWEEN b.m0 AND b.m0 + 1439
+         GROUP BY 1 ORDER BY 1""",
+    // q244: the 3-D layout + prune is invisible — the oracle filters
+    // ALL events by the declared 3-D box.
+    "q244_zorder3" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(ts) // 60000000 AS minute,
+             event_id % 64 AS eb FROM events),
+         b AS (SELECT min(minute) AS m0 FROM e)
+         SELECT e.user_id, count(*)::BIGINT AS n,
+           sum(e.eb)::BIGINT AS eb_sum
+         FROM e, b
+         WHERE e.user_id BETWEEN 10 AND 50
+           AND e.minute BETWEEN b.m0 AND b.m0 + 1439
+           AND e.eb BETWEEN 0 AND 15
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -23,6 +23,53 @@ class LayoutSpec extends SparkSpec {
     assert(ZOps.interleave(0x7FFFFFFFL, 0x7FFFFFFFL) > 0L)
   }
 
+  test("interleave3 matches a bit-by-bit reference; dims occupy disjoint bit lanes") {
+    def ref(x: Long, y: Long, z: Long): Long =
+      (0 until 21).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (3 * i)) |
+          (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))
+      }
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (123456L, 98765L, 4321L), (0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL),
+      (0xFFFFFFFFL, 7L, 9L)) // >21 bits masks down
+    cases.foreach { case (x, y, z) =>
+      assert(ZOps.interleave3(x, y, z) ===
+        ref(x & 0x1FFFFFL, y & 0x1FFFFFL, z & 0x1FFFFFL), s"($x, $y, $z)")
+    }
+    assert(ZOps.interleave3(0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL) === (1L << 63) - 1)
+    // lanes are disjoint: each dim recovers from its own bit mask
+    val k = ZOps.interleave3(0x15555L, 0x0AAAAL, 0x1F0F0L)
+    assert((k & 0x1249249249249249L) === ZOps.part1by2(0x15555L))
+    assert(((k >> 1) & 0x1249249249249249L) === ZOps.part1by2(0x0AAAAL))
+    assert(((k >> 2) & 0x1249249249249249L) === ZOps.part1by2(0x1F0F0L))
+  }
+
+  test("3-D z-order prunes a box on ANY of the three dims; 2-D leaves the third unpruned") {
+    // full 16x16x16 grid: z is INDEPENDENT of (x, y) — every (x, y)
+    // cell contains all 16 z values (a modular scramble would make the
+    // dims linearly correlated and hand the 2-D layout accidental
+    // z locality)
+    val rows = (0 until 4096).map { i =>
+      ((i % 16).toLong, ((i / 16) % 16).toLong, (i / 256).toLong)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val d3 = java.nio.file.Files.createTempDirectory("z3").toString + "/t"
+    val d2 = java.nio.file.Files.createTempDirectory("z2").toString + "/t"
+    Layout.writeZOrdered3(df, d3, col("x"), col("y"), col("z"), files = 8)
+    Layout.writeZOrdered(df, d2, col("x"), col("y"), files = 8)
+    Layout.writeManifest(spark, d3, Seq("x", "y", "z"))
+    Layout.writeManifest(spark, d2, Seq("x", "y", "z"))
+    val box = Seq(("z", 0L, 3L))
+    val kept3 = Layout.prunedFiles(spark, d3, box).size
+    val kept2 = Layout.prunedFiles(spark, d2, box).size
+    assert(kept3 < 8, s"3-D layout must prune a z-only box: $kept3/8")
+    assert(kept2 === 8, "the 2-D layout has no z locality — nothing prunes")
+    // and the pruned read stays row-identical
+    assert(Layout.prunedRead(spark, d3, box).count() ===
+      df.filter(col("z") <= 3L).count())
+  }
+
   test("z-ordered layout yields tight 2-D file boxes; single-dim sort does not prune the other dim") {
     // 64x64 grid of (x, y) points, shuffled-ish order by construction
     val rows = (0 until 4096).map { i =>

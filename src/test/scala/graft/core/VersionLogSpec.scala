@@ -138,6 +138,24 @@ class VersionLogSpec extends SparkSpec {
     }
   }
 
+  test("history reports per-version file/byte deltas, metadata-only") {
+    val dir = freshTable() // 4 files
+    VersionLog.snapshot(spark, dir)
+    (100L until 110L).map(i => (i, i)).toDF("id", "k")
+      .repartition(2).write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    VersionLog.compact(spark, dir, files = 1)
+    val h = VersionLog.history(spark, dir)
+      .orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(h.toSeq === Seq(
+      (1, 4L, 4L, 0L), // base: 4 files added
+      (2, 6L, 2L, 0L), // append: +2
+      (3, 1L, 1L, 6L))) // compact: 1 new file replaces all 6
+    assert(VersionLog.history(spark, dir)
+      .agg(min(col("bytes"))).collect()(0).getLong(0) > 0L)
+  }
+
   test("snapshot never resurrects a crashed rewrite's orphan files") {
     val dir = freshTable()
     VersionLog.snapshot(spark, dir)
