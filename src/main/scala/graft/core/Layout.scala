@@ -127,7 +127,7 @@ object Layout {
     // explicit live-file list: a plain dir read skips non-partition
     // subdirs (the versioned store's b<N>/ batch dirs), and the
     // manifest must cover exactly what liveDataFiles sees
-    val files = liveDataFiles(spark, path).toSeq.sorted
+    val files = dataFiles(spark, path).toSeq.sorted
     require(files.nonEmpty, s"no data files to manifest at $path")
     zoneMapRows(spark, files, cols)
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")
@@ -145,24 +145,47 @@ object Layout {
     * The column list is taken from the existing manifest's schema, so
     * an append can never silently manifest a different stat set.
     */
+  /** Manifested file strings split into (kept rows' predicate, ghost
+    * originals): ghosts are manifested files no longer in the table's
+    * committed set (vacuumed, or a crashed attempt's orphans cleaned
+    * up) — a SMALL list by construction, so the filter is a short
+    * NOT-IN over original strings, never a UDF or a table-sized
+    * expression.
+    */
+  private def ghostSplit(fileStrs: Seq[String],
+      data: Set[String]): (Set[String], Seq[String]) = {
+    val pairs = fileStrs.map(f =>
+      (f, new org.apache.hadoop.fs.Path(f).toUri.getPath))
+    (pairs.collect { case (_, n) if data(n) => n }.toSet,
+      pairs.collect { case (o, n) if !data(n) => o })
+  }
+
   def appendManifest(spark: SparkSession, path: String): Unit = {
     val manPath = s"$path/$ManifestDir"
     val man = spark.read.parquet(manPath)
     val cols = man.columns.toSeq.collect {
       case c if c.endsWith("__min") => c.stripSuffix("__min")
     }
-    val known = man.select(col("file")).collect()
-      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
-    val fresh = (liveDataFiles(spark, path) -- known).toSeq.sorted
-    if (fresh.isEmpty) return
-    val add = zoneMapRows(spark, fresh, cols)
+    val data = dataFiles(spark, path)
+    val (known, ghosts) = ghostSplit(
+      man.select(col("file")).collect().map(_.getString(0)).toSeq, data)
+    val fresh = (data -- known).toSeq.sorted
+    if (fresh.isEmpty && ghosts.isEmpty) return
+    // ghost rows (vacuumed / orphan-cleaned files) drop in the same
+    // rewrite — a deleted file's stats would otherwise hold the
+    // staleness identity hostage until a full rebuild
+    val kept = if (ghosts.isEmpty) man
+      else man.filter(!col("file").isin(ghosts: _*))
     // union under the OLD manifest's column order, then swap: the
     // manifest dir itself is replaced atomically enough for a
     // single-writer maintenance job (same discipline as writeManifest's
     // overwrite); readers racing an append already face the staleness
     // tripwire either way.
-    val merged = man.unionByName(add.select(man.columns.map(col): _*))
-      .localCheckpoint(true) // sever the lineage reading the dir being overwritten
+    val merged =
+      (if (fresh.isEmpty) kept
+       else kept.unionByName(
+         zoneMapRows(spark, fresh, cols).select(man.columns.map(col): _*)))
+        .localCheckpoint(true) // sever the lineage reading the dir being overwritten
     merged.write.mode("overwrite").parquet(manPath)
   }
 
@@ -171,6 +194,29 @@ object Layout {
     * URI path component is the stable identity). Hidden (`_`/`.`)
     * entries are skipped exactly as Spark's own listing skips them.
     */
+  /** The files a MANIFEST over `path` must cover: for a plain
+    * directory, every non-hidden on-disk file; for a VERSIONED table
+    * (a `_graft_log` exists), only the COMMITTED live set — on-disk
+    * orphans of a crashed compact/DML/ingest attempt are invisible to
+    * readers ([[VersionLog.snapshot]]'s rule), so a manifest or an
+    * existence probe that counted them would either go permanently
+    * stale or treat never-landed rows as existing. Empty when the
+    * path does not exist yet (a first ingest's target).
+    */
+  private[graft] def dataFiles(spark: SparkSession, path: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Set.empty
+    else if (f.exists(new org.apache.hadoop.fs.Path(s"$path/${VersionLog.LogDir}"))) {
+      val rootPath = {
+        val p = root.toUri.getPath
+        if (p.endsWith("/")) p.dropRight(1) else p
+      }
+      VersionLog.committedLiveEntries(spark, path)
+        .map { case (rel, _) => s"$rootPath/$rel" }.toSet
+    } else liveDataFiles(spark, path)
+  }
+
   private[graft] def liveDataFiles(spark: SparkSession, path: String): Set[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -205,7 +251,7 @@ object Layout {
     val man = spark.read.parquet(s"$path/$ManifestDir")
     val manifested = man.select(col("file")).collect().map(_.getString(0))
     val norm = manifested.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
-    val live = liveDataFiles(spark, path)
+    val live = dataFiles(spark, path)
     require(norm == live,
       s"zone-map manifest at $path/$ManifestDir is stale " +
         s"(${(live -- norm).size} unmanifested / ${(norm -- live).size} ghost " +
@@ -226,7 +272,7 @@ object Layout {
     val manifested = man.select(col("file")).collect().map(_.getString(0))
     val norm = manifested
       .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
-    require(norm == liveDataFiles(spark, path),
+    require(norm == dataFiles(spark, path),
       s"zone-map manifest at $path/$ManifestDir is stale — rebuild it " +
         "with Layout.writeManifest before metadata-only counts")
     man.agg(sum(col("n_rows"))).collect()(0).getLong(0)
@@ -290,7 +336,7 @@ object Layout {
     // skips non-partition subdirs (e.g. the versioned store's b<N>/
     // batch dirs) and the manifest MUST cover exactly what
     // liveDataFiles sees — the staleness contract's identity
-    val files = liveDataFiles(spark, path).toSeq.sorted
+    val files = dataFiles(spark, path).toSeq.sorted
     require(files.nonEmpty, s"no data files to manifest at $path")
     bloomRows(spark, files, cols, expectedPerFile, fpp)
       .write.mode("overwrite").parquet(s"$path/$BloomManifestDir")
@@ -311,17 +357,19 @@ object Layout {
     }
     val head = man.select(col("__expected"), col("__fpp")).head()
     val (expected, fpp) = (head.getLong(0), head.getDouble(1))
-    val live = liveDataFiles(spark, path)
-    val norm = udf((f: String) =>
-      new org.apache.hadoop.fs.Path(f).toUri.getPath)
-    // ghost rows (manifested file no longer on disk — a vacuumed or
-    // orphan-cleaned file) are dropped in the same rewrite: a deleted
-    // file's sketch can only cause false "exists" answers
-    val kept = man.filter(norm(col("file")).isin(live.toSeq: _*))
-    val known = kept.select(col("file")).collect()
-      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
+    val live = dataFiles(spark, path)
+    // ghost rows (manifested file no longer committed — vacuumed or
+    // orphan-cleaned) drop in the same rewrite: a deleted file's sketch
+    // can only cause false "exists" answers. The ghost list is SMALL by
+    // construction (the rewritten window), so the filter is a short
+    // NOT-IN over original strings — never a UDF or a live-set-sized
+    // expression tree.
+    val (known, ghosts) = ghostSplit(
+      man.select(col("file")).collect().map(_.getString(0)).toSeq, live)
+    val kept = if (ghosts.isEmpty) man
+      else man.filter(!col("file").isin(ghosts: _*))
     val fresh = (live -- known).toSeq.sorted
-    if (fresh.isEmpty && known.size.toLong == man.count()) return
+    if (fresh.isEmpty && ghosts.isEmpty) return
     val merged =
       (if (fresh.isEmpty) kept
        else kept.unionByName(
@@ -345,7 +393,7 @@ object Layout {
       .select(col("file"), col(s"${column}__bloom")).collect()
     val norm = man.map(r =>
       new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
-    require(norm == liveDataFiles(spark, path),
+    require(norm == dataFiles(spark, path),
       s"bloom manifest at $path/$BloomManifestDir is stale — rebuild it " +
         "with Layout.writeBloomManifest before pruned point lookups")
     man.filter { r =>
@@ -393,7 +441,7 @@ object Layout {
     val manifested = man.select(col("file")).collect().map(_.getString(0))
     val norm = manifested
       .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
-    if (norm != liveDataFiles(spark, path)) return None
+    if (norm != dataFiles(spark, path)) return None
     val kept = usable.foldLeft(man) { case (m, (c, lo, hi)) =>
       m.filter(col(s"${c}__max") >= lo && col(s"${c}__min") <= hi)
     }.select(col("file")).collect().map(_.getString(0)).toSeq.sorted

@@ -148,7 +148,20 @@ object VersionLog {
     * returned. The record is written to a temp name and renamed into
     * place, so a reader can never observe a half-written version file.
     */
-  def snapshot(spark: SparkSession, dir: String): Int = {
+  /** The table's COMMITTED live files — what [[snapshot]] would record
+    * right now: on-disk files minus supersessions (honored only once
+    * the latest version really dropped the file — [[writeEntries]]
+    * records them BEFORE the version commit, so a crash between the
+    * two leaves entries for files still legitimately listed) and minus
+    * uncommitted reserved-dir orphans (crashed compact/DML/ingest
+    * attempts — see [[ReservedDir]]). This is ALSO the file set every
+    * manifest ([[Layout]] zone maps / blooms) over a versioned table
+    * must key on: a probe that counted a crashed MERGE's orphan rows
+    * as "existing" would drop re-delivered keys that never actually
+    * landed anywhere readable.
+    */
+  private[core] def committedLiveEntries(
+      spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val vs = versions(spark, dir)
     val superseded = readSuperseded(spark, dir)
     val latestFiles: Set[String] =
@@ -163,14 +176,14 @@ object VersionLog {
         f.exists(new Path(s"$dir/_commits/v${seg.stripPrefix("b")}"))
       else false // c/d/m dir no version references: a crashed rewrite
     }
-    // a superseded entry is honored only once the latest version really
-    // dropped the file: [[writeEntries]] records supersessions BEFORE
-    // committing the version, so a crash between the two leaves entries
-    // for files still legitimately listed — excluding those would write
-    // a version MISSING live rows
-    val live = liveEntries(spark, dir)
+    liveEntries(spark, dir)
       .filterNot { case (rel, _) => superseded(rel) && !latestFiles(rel) }
       .filter { case (rel, _) => committed(rel) }
+  }
+
+  def snapshot(spark: SparkSession, dir: String): Int = {
+    val vs = versions(spark, dir)
+    val live = committedLiveEntries(spark, dir)
     require(live.nonEmpty, s"refusing to snapshot an empty table at $dir")
     if (vs.nonEmpty && readEntries(spark, dir, vs.last) == live)
       return vs.last

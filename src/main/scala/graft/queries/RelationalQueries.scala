@@ -1637,18 +1637,23 @@ object RelationalQueries {
     // file a tight box in ALL THREE, and the zone-map manifest prunes a
     // 3-D box before any footer opens. Oracle replays the declared box.
     "q244_zorder3" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val raw = t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           expr("unix_micros(ts) div 60000000").as("minute"),
           pmod(col("event_id"), lit(64L)).as("eb"))
+      // layout keys need 21 bits per dim: epoch-minutes (~25 bits)
+      // must be rebased to the dataset origin (writeZOrdered3's
+      // documented bucketing contract) — rm spans the dataset's time
+      // width, which fits 21 bits for ~4 years of minutes
+      val m0 = raw.agg(min(col("minute"))).collect()(0).getLong(0)
+      val ev = raw.withColumn("rm", col("minute") - lit(m0)).drop("minute")
       val tmp = java.nio.file.Files
         .createTempDirectory("z3_q").toString + "/events_z3"
       graft.core.Layout.writeZOrdered3(
-        ev, tmp, col("user_id"), col("minute"), col("eb"), files = 27)
-      graft.core.Layout.writeManifest(s, tmp, Seq("user_id", "minute", "eb"))
-      val m0 = ev.agg(min(col("minute"))).collect()(0).getLong(0)
+        ev, tmp, col("user_id"), col("rm"), col("eb"), files = 27)
+      graft.core.Layout.writeManifest(s, tmp, Seq("user_id", "rm", "eb"))
       val boxes = Seq(("user_id", 10L, 50L),
-        ("minute", m0, m0 + 1439L), ("eb", 0L, 15L))
+        ("rm", 0L, 1439L), ("eb", 0L, 15L))
       val kept = graft.core.Layout.prunedFiles(s, tmp, boxes)
       require(kept.nonEmpty && kept.size < 27,
         s"3-D zone maps failed to prune: ${kept.size}/27 files")

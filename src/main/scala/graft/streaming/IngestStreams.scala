@@ -156,16 +156,29 @@ object IngestStreams {
     // reads the directory: a crashed attempt's b-dir would otherwise
     // be healed into the bloom manifest and make the replay drop rows
     // that never actually landed (foreachBatch replays in order, so
-    // the only possible orphan is this batch's own)
+    // the only possible INGEST orphan is this batch's own; compact/DML
+    // orphans are excluded by Layout.dataFiles' committed view)
     fs.delete(new Path(s"$tablePath/b$batchId"), true)
-    val dupKeys = batch.groupBy(col(keyCol)).count()
-      .filter(col("count") > 1).count()
-    require(dupKeys == 0L,
-      s"batch $batchId carries $dupKeys duplicate keys — ambiguous landing")
-    // a table with data but no manifest (bootstrap over a plain-ingest
-    // history) gets one full-scan manifest build — skipping the probe
-    // instead would silently duplicate keys
-    val hasData = VersionLog.versions(spark, tablePath).nonEmpty
+    // ONE validation pass: row count, null keys, duplicate keys
+    val stats = batch.agg(count(lit(1)).as("n"),
+      count(col(keyCol)).as("nk"),
+      countDistinct(col(keyCol)).as("nd")).head()
+    val batchRows = stats.getLong(0)
+    if (batchRows == 0L) { // Spark runs no-data micro-batches by design
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, false).close()
+      return (0L, 0L)
+    }
+    require(stats.getLong(0) == stats.getLong(1),
+      s"batch $batchId carries NULL keys — they can never be deduplicated " +
+        "(NULL = NULL never matches); clean or synthesize keys upstream")
+    require(stats.getLong(1) == stats.getLong(2),
+      s"batch $batchId carries duplicate keys — ambiguous landing")
+    // a table with COMMITTED data (versions, or marker-committed b-dirs
+    // from a crash before the first snapshot) but no manifest gets one
+    // full-scan manifest build — skipping the probe would silently
+    // duplicate keys
+    val hasData = Layout.dataFiles(spark, tablePath).nonEmpty
     val preManifested =
       fs.exists(new Path(s"$tablePath/${Layout.BloomManifestDir}"))
     if (hasData && !preManifested)
@@ -184,12 +197,17 @@ object IngestStreams {
           spark.read.parquet(hit: _*).select(col(keyCol)),
           Seq(keyCol), "left_anti")
       }
-    val landed = fresh.count()
-    val dropped = batch.count() - landed
-    if (landed > 0) {
-      checkSchema(batch, tablePath, fs) // refuse drift BEFORE writing
-      fresh.write.mode("overwrite").parquet(s"$tablePath/b$batchId")
-    }
+    // cache across the count + write: the anti-join reads every
+    // bloom-admitted file — computing it twice doubles the probe cost
+    fresh.persist()
+    val landed = try {
+      val n = fresh.count()
+      if (n > 0) {
+        checkSchema(batch, tablePath, fs) // refuse drift BEFORE writing
+        fresh.write.mode("overwrite").parquet(s"$tablePath/b$batchId")
+      }
+      n
+    } finally { fresh.unpersist(); () }
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
     if (landed > 0) {
@@ -198,7 +216,7 @@ object IngestStreams {
       else Layout.writeBloomManifest(
         spark, tablePath, Seq(keyCol), expectedPerFile, fpp)
     }
-    (landed, dropped)
+    (landed, batchRows - landed)
   }
 
   /** Streaming form of [[ingestBatchDedup]]. */

@@ -102,6 +102,43 @@ class IngestStreamsSpec extends SparkSpec {
       === ((0L, 0L)))
   }
 
+  test("dedup ingest: empty batches commit and advance; null keys refuse") {
+    val dir = Files.createTempDirectory("ingestdde").toString + "/t"
+    def batch(ids: Seq[Long]) = ids.map(i => (i, s"p$i")).toDF("id", "v")
+    IngestStreams.ingestBatchDedup(batch(1L to 5L), 0L, dir, "id", 64L)
+    // a no-data micro-batch (Spark runs them by design) must not wedge
+    assert(IngestStreams.ingestBatchDedup(
+      batch(Seq.empty), 1L, dir, "id", 64L) === ((0L, 0L)))
+    // ...and its marker commits, so the replay is a fast no-op
+    assert(IngestStreams.ingestBatchDedup(
+      batch(6L to 7L), 1L, dir, "id", 64L) === ((0L, 0L)))
+    // NULL keys can never be deduplicated — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      IngestStreams.ingestBatchDedup(
+        Seq((Some(8L), "x"), (None: Option[Long], "y")).toDF("id", "v"),
+        2L, dir, "id", 64L)
+    }
+    assert(e.getMessage.contains("NULL keys"))
+    assert(IngestStreams.ingestBatchDedup(batch(8L to 9L), 3L, dir, "id", 64L)
+      === ((2L, 0L)))
+  }
+
+  test("a crashed MERGE's orphan files never count as existing keys") {
+    val dir = Files.createTempDirectory("ingestddo").toString + "/t"
+    def batch(ids: Seq[Long]) = ids.map(i => (i, s"p$i")).toDF("id", "v")
+    IngestStreams.ingestBatchDedup(batch(1L to 5L), 0L, dir, "id", 64L)
+    // crashed Dml.mergeInto: its insert dir landed, no version commit
+    batch(Seq(100L, 101L)).write.parquet(s"$dir/m2_new")
+    // a re-delivered batch carrying those keys must LAND them — the
+    // orphan rows are invisible to every reader, so dropping the keys
+    // here would lose them everywhere
+    assert(IngestStreams.ingestBatchDedup(
+      batch(Seq(100L, 101L)), 1L, dir, "id", 64L) === ((2L, 0L)))
+    assert(graft.core.VersionLog.readVersion(
+        spark, dir, graft.core.VersionLog.latest(spark, dir))
+      .filter(col("id") >= 100L).count() === 2L)
+  }
+
   test("dedup ingest bootstraps a bloom manifest over a plain-ingest history") {
     val dir = Files.createTempDirectory("ingestddb").toString + "/t"
     def batch(ids: Seq[Long]) = ids.map(i => (i, s"p$i")).toDF("id", "v")
