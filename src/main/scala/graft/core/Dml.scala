@@ -107,6 +107,12 @@ object Dml {
       .count().filter(col("count") > 1).count()
     require(dupKeys == 0L,
       s"MERGE updates carry $dupKeys duplicate keys — ambiguous upsert")
+    // an empty updates frame is a no-op, not a new version: minting one
+    // anyway would accumulate duplicate versions + empty part files
+    // under repeated no-op merges (snapshot() is idempotent; MERGE
+    // must be too)
+    val upCount = updates.count()
+    if (upCount == 0L) return (vs.last, 0L, 0L)
     val upKeys = updates.select(keys.map(col): _*)
     // one semi-joined scan finds the files holding superseded rows;
     // the key set is updates-sized — broadcast-friendly by nature.
@@ -144,7 +150,7 @@ object Dml {
     // update keys are unique (checked above), so inserts = the keys
     // that matched nothing — exact and non-negative even when the
     // table holds duplicate keys
-    val inserted = updates.count() - matchedKeys
+    val inserted = upCount - matchedKeys
     (VersionLog.writeEntries(spark, dir, next, newEntries),
       replaced, inserted)
   }

@@ -51,8 +51,9 @@ object Incremental {
     val out = f.create(tmp, true)
     try out.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    require(f.rename(tmp, p), s"could not advance the cursor at $cursorPath")
+    // atomic overwrite, never delete-then-rename: a crash between the
+    // two would lose the cursor and silently reprocess from scratch
+    VersionLog.atomicReplace(spark, tmp, p)
   }
 
   /** Run one incremental step: apply `process` to the rows added since

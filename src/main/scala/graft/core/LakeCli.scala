@@ -71,8 +71,18 @@ class LakeCli(spark: SparkSession) {
     * version carries the matching rows and their bytes are reclaimed —
     * the takedown shape [[graft.curation.TrainCli.forget]] provides
     * for corpora, applied to a versioned table. Returns rows deleted.
+    *
+    * A snapshot is taken FIRST: marker-committed ingest batches that no
+    * version lists yet (the documented snapshot lag) are folded into
+    * the head before the DELETE sees it — without this, matching rows
+    * sitting in a lagging `b<N>/` dir would survive the DELETE
+    * untouched and silently resurface at the next snapshot. Residual
+    * window that remains, stated plainly: a batch whose marker commits
+    * AFTER this snapshot (a concurrent live ingest) is not covered —
+    * quiesce the ingest stream, or run forget again after it drains.
     */
   def forget(dir: String, predicateSql: String): Long = {
+    VersionLog.snapshot(spark, dir)
     val (_, deleted) = Dml.deleteWhere(spark, dir, expr(predicateSql))
     VersionLog.vacuum(spark, dir, keepLast = 1)
     deleted

@@ -412,9 +412,21 @@ object Layout {
       column: String, values: Seq[String]): DataFrame = {
     val kept = bloomPrunedFiles(spark, path, column, values)
     val residual = col(column).cast("string").isin(values: _*)
-    if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+    if (kept.isEmpty) emptyLike(spark, path)
     else spark.read.parquet(kept: _*).filter(residual)
   }
+
+  /** Zero-row frame with the table's schema, derived from the COMMITTED
+    * file list — a bare `spark.read.parquet(path)` cannot infer a
+    * schema on a versioned table whose data lives only under `b<N>/`
+    * subdirs (no top-level parquet files), so the empty-survivor branch
+    * of a pruned read must go through the same file list the prune did.
+    */
+  private def emptyLike(spark: SparkSession, path: String): DataFrame =
+    dataFiles(spark, path).toSeq.sorted.headOption match {
+      case Some(f) => spark.read.parquet(f).filter(lit(false))
+      case None => spark.read.parquet(path).filter(lit(false))
+    }
 
   /** [[prunedFiles]] without the hard staleness error — the contract
     * the OPTIONAL auto-prune rule ([[graft.plans.ZoneMapPruneRule]])
@@ -461,7 +473,7 @@ object Layout {
     val residual = boxes.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
-    if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+    if (kept.isEmpty) emptyLike(spark, path)
     else spark.read.parquet(kept: _*).filter(residual)
   }
 }

@@ -124,6 +124,33 @@ object VersionLog {
     }
   }
 
+  /** Atomically replace `target` with `tmp` — there is NO window where
+    * `target` is absent (a delete-then-rename pair would have one, and
+    * a crash inside it loses the record being replaced: the exact
+    * hazard for the cumulative superseded list, whose loss would let
+    * the next [[snapshot]] resurrect compacted/DML-replaced files and
+    * double-count their rows). Local filesystems go through java.nio's
+    * ATOMIC_MOVE; anything else uses FileContext rename with the
+    * OVERWRITE option (atomic on HDFS — the Delta/HDFS commit
+    * primitive).
+    */
+  private[graft] def atomicReplace(
+      spark: SparkSession, tmp: Path, target: Path): Unit = {
+    val scheme = Option(target.toUri.getScheme)
+      .orElse(Option(fs(spark, target.toString).getUri.getScheme))
+    if (scheme.forall(_ == "file")) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   private def writeSuperseded(
       spark: SparkSession, dir: String, rels: Set[String]): Unit = {
     val p = supersededPath(dir)
@@ -134,8 +161,7 @@ object VersionLog {
     try out.write(rels.toSeq.sorted.map(_ + "\n")
       .mkString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    require(f.rename(tmp, p), s"could not update $p")
+    atomicReplace(spark, tmp, p)
   }
 
   /** Record the table's current live file set as the next version —

@@ -142,13 +142,23 @@ object TarShards {
           out.write(data)
           out.write(new Array[Byte](pad(data.length.toLong)))
         }
+        var prevId: String = null
         rows.foreach { case (shard, id, payload, meta) =>
           if (shard != cur) {
             closeShard()
             cur = shard; n = 0L; bytes = 0L
             tmp = new Path(dirStr, f".shard-$shard%05d.tar.attempt-$attempt")
             out = fsx.create(tmp, true)
+            prevId = null
           }
+          // rows arrive sorted (shard, id), so a duplicate id is
+          // ADJACENT — refuse it at write time: two entries sharing a
+          // name inside one tar would silently collapse to a single
+          // row on read-back, violating the round-trip contract
+          require(id != prevId,
+            s"duplicate id '$id' in shard $shard — tar entry names must " +
+              "be unique; dedup the id column before sharding")
+          prevId = id
           entry(s"$id.json",
             (if (meta == null) "" else meta).getBytes(StandardCharsets.UTF_8))
           entry(s"$id.bin", if (payload == null) Array.emptyByteArray else payload)
@@ -200,6 +210,15 @@ object TarShards {
         val entries = parseTar(bytes)
         val byBase = entries.groupBy(_._1.replaceAll("\\.(json|bin)$", ""))
         byBase.toSeq.map { case (base, es) =>
+          // exactly one .json + one .bin per id: a foreign writer's tar
+          // with repeated entry names would otherwise silently collapse
+          // to one row here (write() refuses duplicates, but read()
+          // must hold the contract on its own)
+          require(es.size == 2,
+            s"sample $base in $p has ${es.size} tar entries " +
+              s"(${es.map(_._1).mkString(", ")}) — expected exactly one " +
+              ".json and one .bin; duplicate ids violate the round-trip " +
+              "contract")
           val m = es.collectFirst { case (n, d) if n.endsWith(".json") =>
             new String(d, StandardCharsets.UTF_8) }
           val b = es.collectFirst { case (n, d) if n.endsWith(".bin") => d }

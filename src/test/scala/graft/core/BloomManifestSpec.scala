@@ -61,4 +61,27 @@ class BloomManifestSpec extends SparkSpec {
     assert(Layout.countFromManifest(spark, dir) === 2000L)
     assert(spark.read.parquet(dir).count() === 2000L)
   }
+
+  test("empty-survivor pruned reads work on b-dir-only versioned tables") {
+    import spark.implicits._
+    // data lives ONLY under b<N>/ subdirs — a bare dir read cannot
+    // infer a schema, so the zero-survivor branch must derive its
+    // empty frame from the committed file list
+    val dir = java.nio.file.Files.createTempDirectory("bmv").toString + "/t"
+    (0L until 40L).map(i => (i, i % 4)).toDF("id", "k")
+      .write.parquet(s"$dir/b0")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_commits/v0"), false).close()
+    VersionLog.snapshot(spark, dir)
+    Layout.writeBloomManifest(spark, dir, Seq("id"), 1024L)
+    val miss = Layout.bloomPrunedRead(spark, dir, "id", Seq("777777"))
+    assert(miss.count() === 0L)
+    assert(miss.columns.toSeq === Seq("id", "k"))
+    Layout.writeManifest(spark, dir, Seq("id"))
+    val missZ = Layout.prunedRead(spark, dir, Seq(("id", 5000L, 6000L)))
+    assert(missZ.count() === 0L)
+    assert(missZ.columns.toSeq === Seq("id", "k"))
+  }
 }

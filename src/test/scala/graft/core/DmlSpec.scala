@@ -130,4 +130,17 @@ class DmlSpec extends SparkSpec {
       VersionLog.readVersion(spark, dir, 1)
     }
   }
+
+  test("an empty or fully no-op updates frame mints no new version") {
+    val dir = freshTable()
+    val before = VersionLog.versions(spark, dir)
+    val empty = Seq.empty[(Long, Long, String)].toDF("id", "k", "v")
+    assert(Dml.mergeInto(spark, dir, empty, Seq("id")) === ((1, 0L, 0L)))
+    assert(VersionLog.versions(spark, dir) === before)
+    // repeated no-op merges stay idempotent — no version/file creep
+    assert(Dml.mergeInto(spark, dir, empty, Seq("id")) === ((1, 0L, 0L)))
+    assert(VersionLog.versions(spark, dir) === before)
+    val live = Layout.liveDataFiles(spark, dir)
+    assert(live.forall(f => !f.contains("/m")), s"no m-dir files: $live")
+  }
 }

@@ -57,4 +57,33 @@ class LakeCliSpec extends SparkSpec {
     val live = Layout.liveDataFiles(spark, dir).toSeq
     assert(spark.read.parquet(live: _*).filter(col("id") >= 25L).count() === 0L)
   }
+
+  test("forget covers marker-committed batches the snapshot lagged on") {
+    val cli = new LakeCli(spark)
+    val root = java.nio.file.Files.createTempDirectory("lakelag").toString
+    val dir = s"$root/t"
+    (0L until 20L).map(i => (i, i % 2)).toDF("id", "k")
+      .write.parquet(dir)
+    cli.snapshot(dir)
+    // a committed ingest batch (marker present) that NO version lists
+    // yet — the documented snapshot lag; pre-fix, its matching rows
+    // survived the DELETE and resurfaced at the next snapshot
+    (90L until 100L).map(i => (i, i % 2)).toDF("id", "k")
+      .write.parquet(s"$dir/b0")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_commits/v0"), false).close()
+    assert(cli.forget(dir, "id >= 90") === 10L)
+    // no readable surface carries the rows — including after a fresh
+    // snapshot (nothing lagging resurrects them)
+    val v = cli.versions(dir).last
+    assert(VersionLog.readVersion(spark, dir, v)
+      .filter(col("id") >= 90L).count() === 0L)
+    cli.snapshot(dir)
+    val v2 = cli.versions(dir).last
+    assert(VersionLog.readVersion(spark, dir, v2)
+      .filter(col("id") >= 90L).count() === 0L)
+    assert(VersionLog.readVersion(spark, dir, v2).count() === 20L)
+  }
 }

@@ -84,4 +84,35 @@ class TarShardsSpec extends SparkSpec {
     val e = intercept[Exception] { TarShards.read(spark, dir).collect() }
     assert(e.getMessage != null)
   }
+
+  test("duplicate ids are rejected at write time, not collapsed on read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tardup").toString + "/w"
+    val df = Seq(
+      ("a", Array[Byte](1), "{}"),
+      ("a", Array[Byte](2), "{}"),
+      ("b", Array[Byte](3), "{}")).toDF("id", "payload", "meta")
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.write(df, "id", "payload", "meta", dir, shards = 1)
+    }
+    assert(e.getMessage.contains("duplicate id") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate id")))
+  }
+
+  test("a foreign tar with repeated entry names fails the read loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("tardup2").toString + "/w"
+    new java.io.File(dir).mkdirs()
+    val meta = "{}".getBytes(StandardCharsets.UTF_8)
+    val bin = Array[Byte](1, 2, 3)
+    def ent(name: String, data: Array[Byte]): Array[Byte] =
+      TarShards.header(name, data.length.toLong) ++ data ++
+        new Array[Byte]((512 - data.length % 512) % 512)
+    val arch = ent("x.json", meta) ++ ent("x.bin", bin) ++
+      ent("x.bin", Array[Byte](9)) ++ new Array[Byte](1024)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/shard-00000.tar"), arch)
+    val e = intercept[Exception] { TarShards.read(spark, dir).collect() }
+    assert(e.getMessage.contains("expected exactly one") ||
+      Option(e.getCause).exists(_.getMessage.contains("expected exactly one")))
+  }
 }
