@@ -78,7 +78,8 @@ object Dml {
     val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
     val newEntries = (untouched ++ listDirEntries(spark, root, s"d$next"))
       .sortBy(_._1)
-    (VersionLog.writeEntries(spark, dir, next, newEntries), deleted)
+    (VersionLog.writeEntries(spark, dir, next, newEntries, op = "delete"),
+      deleted)
   }
 
   /** MERGE (upsert): rows of `updates` REPLACE current rows sharing
@@ -137,7 +138,13 @@ object Dml {
         val n = affected.join(broadcast(upKeys), keys, "left_semi").count()
         val mk = affected.join(broadcast(upKeys), keys, "left_semi")
           .select(keys.map(col): _*).distinct().count()
+        // re-select the table's column order before writing: a
+        // using-column join moves the join keys to the FRONT, and the
+        // rewritten files must keep the same physical layout as the
+        // rest of the table (positional consumers — exceptAll in the
+        // change feed — depend on it)
         affected.join(broadcast(upKeys), keys, "left_anti")
+          .select(current.columns.map(col): _*)
           .write.mode("overwrite").parquet(s"$root/$replacedDir")
         (n, mk)
       }
@@ -151,7 +158,7 @@ object Dml {
     // that matched nothing — exact and non-negative even when the
     // table holds duplicate keys
     val inserted = upCount - matchedKeys
-    (VersionLog.writeEntries(spark, dir, next, newEntries),
+    (VersionLog.writeEntries(spark, dir, next, newEntries, op = "merge"),
       replaced, inserted)
   }
 }

@@ -75,9 +75,10 @@ object Incremental {
             case e: IllegalArgumentException =>
               throw new IllegalArgumentException(
                 s"cursor $cursorPath is stuck at source version $v: " +
-                  s"${e.getMessage}. If the source was compacted or " +
-                  "vacuumed past it, decide between reprocessing " +
-                  "(Incremental.reset + a full run) or skipping ahead " +
+                  s"${e.getMessage}. A DML version needs a row-level " +
+                  "consumer (Incremental.runOnceFeed); a vacuumed " +
+                  "source needs an operator decision — reprocess " +
+                  "(Incremental.reset + a full run) or skip ahead " +
                   "(Incremental.reset to the latest version).", e)
           }
         process(delta)
@@ -85,6 +86,33 @@ object Incremental {
         Some((v, latest))
       case None =>
         process(VersionLog.readVersion(spark, dir, latest))
+        writeCursor(spark, cursorPath, latest)
+        Some((0, latest))
+    }
+  }
+
+  /** [[runOnce]] over the row-level CHANGE FEED: `process` receives
+    * inserts AND deletes (tagged `_change_type`/`_commit_version` —
+    * see [[VersionLog.readChangeFeed]]), so the consumer survives
+    * copy-on-write DELETE/MERGE and restores on its source, not just
+    * appends and compactions. Same AT-LEAST-ONCE cursor contract:
+    * pair with a sink that applies the signed events idempotently.
+    * The first run delivers the full latest version as inserts.
+    */
+  def runOnceFeed(spark: SparkSession, dir: String, cursorPath: String)(
+      process: DataFrame => Unit): Option[(Int, Int)] = {
+    import org.apache.spark.sql.functions.lit
+    val latest = VersionLog.latest(spark, dir)
+    readCursor(spark, cursorPath) match {
+      case Some(v) if v >= latest => None
+      case Some(v) =>
+        process(VersionLog.readChangeFeed(spark, dir, v, latest))
+        writeCursor(spark, cursorPath, latest)
+        Some((v, latest))
+      case None =>
+        process(VersionLog.readVersion(spark, dir, latest)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(latest)))
         writeCursor(spark, cursorPath, latest)
         Some((0, latest))
     }

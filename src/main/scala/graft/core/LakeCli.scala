@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *   snapshot     record the live file set as the next version
   *   versions     list recorded versions
   *   readAsOf     materialize a version to a parquet output
-  *   changes      materialize the delta between two versions
+  *   changes      materialize the insert delta between two versions
+  *   changeFeed   materialize the row-level change feed (CDC)
+  *   restore      re-point the head at an old version (un-DML)
   *   compact      OPTIMIZE the latest version into few files
   *   vacuum       drop old versions + reclaim their files
   *   delete       copy-on-write DELETE by a SQL predicate string
@@ -45,6 +47,17 @@ class LakeCli(spark: SparkSession) {
     df.write.mode("overwrite").parquet(out)
     spark.read.parquet(out).count()
   }
+
+  /** Row-level change feed (inserts + deletes across DML/restores). */
+  def changeFeed(dir: String, fromV: Int, toV: Int, out: String): Long = {
+    VersionLog.readChangeFeed(spark, dir, fromV, toV)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).count()
+  }
+
+  /** Re-point the head at an old version (metadata-only un-DML). */
+  def restore(dir: String, version: Int): Int =
+    VersionLog.restore(spark, dir, version)
 
   def compact(dir: String, files: Int): Int =
     VersionLog.compact(spark, dir, files)

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * transfer MVs fresh by full recompute (`operations/
   * contract_transactions.py:103-112`); at 100 TB a refresh must cost
   * the DELTA, not the table. Maintains additive aggregates (count +
-  * long sums) per key group: each refresh folds ONLY the rows added
-  * since the last refreshed source version into the standing state.
+  * long sums) per key group: each refresh folds ONLY the source's
+  * row-level change feed since the last refreshed version — inserts
+  * with weight +1, deletes/preimages with weight −1 — so the MV
+  * survives compaction (a skipped logical no-op) and copy-on-write
+  * DELETE/MERGE on its source, not just appends.
   *
   * EXACTLY-ONCE by the versioned-state discipline
   * ([[graft.streaming.AggStreams]]'s, keyed by SOURCE VERSION instead
@@ -46,23 +49,31 @@ object Mv {
     val latest = VersionLog.latest(spark, srcDir)
     val cur = committedVersions(spark, mvDir).lastOption
     if (cur.contains(latest)) return None
+    // the row-level CHANGE FEED, not the insert-only read: compaction
+    // versions contribute nothing (skipped inside the feed), and DML
+    // versions arrive as signed events — a delete/preimage folds in
+    // with weight −1, so the MV survives OPTIMIZE and copy-on-write
+    // DELETE/MERGE on its source instead of dying at the first rewrite
     val delta = cur match {
       case Some(v) =>
-        try VersionLog.readChanges(spark, srcDir, v, latest)
+        try VersionLog.readChangeFeed(spark, srcDir, v, latest)
         catch {
           case e: IllegalArgumentException =>
             throw new IllegalArgumentException(
               s"MV at $mvDir cannot fold incrementally from source " +
                 s"version $v: ${e.getMessage}. If the source was " +
-                "compacted/vacuumed past it, run Mv.rebuild.", e)
+                "vacuumed past it, run Mv.rebuild.", e)
         }
       case None => VersionLog.readVersion(spark, srcDir, latest)
+        .withColumn("_change_type", lit("insert"))
     }
-    val aggs = sum(lit(1L)).as("n_rows") +:
-      sumCols.map(c => sum(col(c).cast("long")).as(s"${c}__sum"))
+    val sgn = when(col("_change_type") === "delete", lit(-1L))
+      .otherwise(lit(1L))
+    val aggs = sum(sgn).as("n_rows") +:
+      sumCols.map(c => sum(sgn * col(c).cast("long")).as(s"${c}__sum"))
     val valCols = "n_rows" +: sumCols.map(c => s"${c}__sum")
     val dAgg = delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val merged = cur match {
+    val merged = (cur match {
       case Some(v) =>
         val state = spark.read.parquet(s"$mvDir/v=$v")
         // additive partials re-sum exactly; unionByName keeps the
@@ -72,7 +83,11 @@ object Mv {
           .agg(sum(col(valCols.head)).as(valCols.head),
             valCols.tail.map(c => sum(col(c)).as(c)): _*)
       case None => dAgg
-    }
+    // a group whose rows were ALL deleted leaves the MV entirely (the
+    // full recompute would not have it) — the filter runs on the
+    // MERGED state, never the delta, whose legitimate zero-n_rows
+    // partials (an update within a group) must still fold in
+    }).filter(col("n_rows") =!= 0L)
     merged.write.mode("overwrite").parquet(s"$mvDir/v=$latest")
     val marker = new Path(s"$mvDir/_commits/v$latest")
     val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -89,10 +104,10 @@ object Mv {
   }
 
   /** Rebuild the MV from scratch against the source's LATEST version —
-    * the recovery path when the source history was compacted or
-    * vacuumed past the MV's refreshed version (readChanges then
-    * rightly refuses: an incremental fold over a rewrite would
-    * double-count). All prior state and commits are dropped first.
+    * the recovery path when the source history was VACUUMED past the
+    * MV's refreshed version (the change feed then rightly refuses: its
+    * files are gone) or hit an unclassifiable rewrite. All prior state
+    * and commits are dropped first.
     */
   def rebuild(spark: SparkSession, srcDir: String, mvDir: String,
       keys: Seq[String], sumCols: Seq[String]): (Int, Int) = {

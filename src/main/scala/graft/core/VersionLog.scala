@@ -69,8 +69,14 @@ object VersionLog {
     }.sortBy(_._1)
   }
 
-  private[core] def readEntries(
-      spark: SparkSession, dir: String, v: Int): Seq[(String, Long)] = {
+  /** One version record: its `#key=value` header lines (op label,
+    * later the schema) and its (relativePath, length) entries. Header
+    * lines were introduced with the change-feed work; records without
+    * them (older logs) read back with an empty header and their op is
+    * inferred from the reserved-dir naming contract — see [[step]].
+    */
+  private[core] def readVersionFile(spark: SparkSession, dir: String,
+      v: Int): (Map[String, String], Seq[(String, Long)]) = {
     val p = versionPath(dir, v)
     val f = fs(spark, dir)
     require(f.exists(p), s"version $v is not recorded at $dir/$LogDir")
@@ -80,13 +86,25 @@ object VersionLog {
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       out.toByteArray
     } finally in.close()
-    new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
-      .filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('\t')
-        require(i > 0, s"corrupt version record in $p: '$line'")
-        (line.substring(i + 1), line.substring(0, i).toLong)
-      }
+    val lines = new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
+      .filter(_.nonEmpty)
+    val (hdr, data) = lines.partition(_.startsWith("#"))
+    val header = hdr.map { l =>
+      val i = l.indexOf('=')
+      require(i > 1, s"corrupt version header in $p: '$l'")
+      (l.substring(1, i), l.substring(i + 1))
+    }.toMap
+    val entries = data.map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0, s"corrupt version record in $p: '$line'")
+      (line.substring(i + 1), line.substring(0, i).toLong)
+    }
+    (header, entries)
   }
+
+  private[core] def readEntries(
+      spark: SparkSession, dir: String, v: Int): Seq[(String, Long)] =
+    readVersionFile(spark, dir, v)._2
 
   /** Reserved first-segment dir names the maintenance paths write
     * ([[compact]] `c<N>/`, [[graft.core.Dml]] `d<N>/` / `m<N>_*`,
@@ -217,7 +235,10 @@ object VersionLog {
   }
 
   private[core] def writeEntries(spark: SparkSession, dir: String, next: Int,
-      entries: Seq[(String, Long)]): Int = {
+      entries: Seq[(String, Long)], op: String = "append",
+      schemaJson: Option[String] = None): Int = {
+    require(!op.contains('\n') && !op.contains('='),
+      s"invalid op label '$op'")
     val f = fs(spark, dir)
     val target = versionPath(dir, next)
     f.mkdirs(target.getParent)
@@ -235,12 +256,63 @@ object VersionLog {
     }
     val tmp = new Path(target.getParent, s".v$next.tmp")
     val out = f.create(tmp, true)
-    try out.write(entries.map { case (rel, len) => s"$len\t$rel\n" }
-      .mkString.getBytes(StandardCharsets.UTF_8))
+    // the op label travels INSIDE the version record (a `#op=` header
+    // line), so classification commits atomically with the version —
+    // a sidecar file would leave a crash window where a committed
+    // rewrite reads back as an append and poisons every change feed
+    val header = s"#op=$op\n" +
+      schemaJson.map(j => s"#schema=$j\n").getOrElse("")
+    try out.write((header + entries.map { case (rel, len) => s"$len\t$rel\n" }
+      .mkString).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     require(f.rename(tmp, target),
       s"could not commit version $next at $target (concurrent writer?)")
     next
+  }
+
+  /** One recorded version TRANSITION (v-1 → v): the op that minted it,
+    * the entries it added, and the entries it removed. The op comes
+    * from the record's `#op=` header; headerless records (older logs)
+    * are inferred from the reserved-dir contract — [[compact]] writes
+    * only under `c<v>/`, [[Dml.deleteWhere]] only under `d<v>/`,
+    * [[Dml.mergeInto]] only under `m<v>_kept|new/` — and anything else
+    * with removals is an unclassifiable "rewrite". A file present in both
+    * versions but RESIZED is an in-place rewrite: always "rewrite",
+    * whatever the header claims.
+    */
+  private[core] case class Step(v: Int, op: String,
+      added: Seq[(String, Long)], removed: Seq[(String, Long)])
+
+  private[core] def step(spark: SparkSession, dir: String, v: Int): Step = {
+    val (hdr, cur) = readVersionFile(spark, dir, v)
+    val prev = readEntries(spark, dir, v - 1)
+    val prevSet = prev.map(_._1).toSet
+    val curMap = cur.toMap
+    val added = cur.filterNot { case (rel, _) => prevSet(rel) }
+    val removed = prev.filterNot { case (rel, _) => curMap.contains(rel) }
+    val resized = prev.filter { case (rel, len) =>
+      curMap.get(rel).exists(_ != len) }
+    def allUnder(p: String) =
+      added.nonEmpty && added.forall(_._1.startsWith(p))
+    // structure first, label second: resized files are ALWAYS a
+    // rewrite, and a step that removed files can never be an append —
+    // whatever its header claims (a snapshot taken after files
+    // vanished out-of-band writes op=append over a structural rewrite,
+    // and trusting it would silently misreport the feed)
+    val op =
+      if (resized.nonEmpty) "rewrite"
+      else if (removed.isEmpty) "append"
+      else hdr.getOrElse("op",
+        if (allUnder(s"c$v/")) "compact"
+        else if (allUnder(s"d$v/")) "delete"
+        else if (added.nonEmpty && added.forall(e =>
+          e._1.startsWith(s"m${v}_kept/") || e._1.startsWith(s"m${v}_new/")))
+          "merge"
+        else "rewrite") match {
+        case "append" => "rewrite" // a labeled append with removals lies
+        case x => x
+      }
+    Step(v, op, added, removed ++ resized)
   }
 
   /** OPTIMIZE: rewrite the LATEST version's content as `files` compact
@@ -266,7 +338,35 @@ object VersionLog {
         !st.getPath.getName.startsWith("."))
       .map(st => (s"c$next/${st.getPath.getName}", st.getLen))
       .sortBy(_._1)
-    writeEntries(spark, dir, next, entries)
+    writeEntries(spark, dir, next, entries, op = "compact")
+  }
+
+  /** RESTORE: re-point the head at version `v`'s exact file list as a
+    * NEW version — metadata-only, no data copied — the operator loop
+    * closer after a bad MERGE/DELETE: the bad version stays in history
+    * (auditable, still time-travelable), the restore is one more
+    * append-only log record, and the restored files are verified still
+    * present at their recorded lengths first (a vacuumed target fails
+    * loudly — that history is gone). Idempotent: restoring the current
+    * head returns it unchanged.
+    */
+  def restore(spark: SparkSession, dir: String, v: Int): Int = {
+    val vs = versions(spark, dir)
+    require(vs.contains(v), s"version $v is not recorded at $dir/$LogDir")
+    val entries = readEntries(spark, dir, v)
+    if (readEntries(spark, dir, vs.last) == entries) return vs.last
+    val root = rootUriPath(dir)
+    val f = fs(spark, dir)
+    val bad = entries.filter { case (rel, len) =>
+      val p = new Path(s"$root/$rel")
+      !f.exists(p) || f.getFileStatus(p).getLen != len
+    }
+    require(bad.isEmpty,
+      s"cannot restore version $v of $dir — ${bad.size} of " +
+        s"${entries.size} recorded files are missing or rewritten " +
+        s"(e.g. ${bad.take(3).map(_._1).mkString(", ")}); that history " +
+        "was vacuumed")
+    writeEntries(spark, dir, vs.last + 1, entries, op = "restore")
   }
 
   /** VACUUM: drop all but the newest `keepLast` version records and
@@ -351,46 +451,139 @@ object VersionLog {
     vs.last
   }
 
-  /** Rows ADDED between two versions — incremental consumption (the
-    * change-data-feed read): the file-list diff identifies exactly the
-    * files that appeared after `fromV`, and ONLY those are scanned. A
-    * downstream job that processed version N catches up to version M
-    * by reading `readChanges(N, M)` — work proportional to the delta,
-    * never a re-scan or a row-level anti-join over 100 TB. Only valid
-    * for append-only history between the two versions: a file present
-    * in `fromV` but missing (or resized) in `toV` means rows were
-    * rewritten, and the diff would silently misreport — that is a loud
-    * error here. An empty delta returns an empty frame with the
-    * table's schema.
+  /** Verify `entries` are still on disk at their recorded lengths and
+    * return their absolute paths — the vacuum-horizon tripwire every
+    * incremental read shares: a change-feed file reclaimed by [[vacuum]]
+    * means that slice of history is gone, and the read fails loudly
+    * instead of silently misreporting.
+    */
+  private def verifiedPaths(spark: SparkSession, dir: String,
+      entries: Seq[(String, Long)], what: String): Seq[String] = {
+    val root = rootUriPath(dir)
+    val f = fs(spark, dir)
+    val bad = entries.filter { case (rel, len) =>
+      val p = new Path(s"$root/$rel")
+      !f.exists(p) || f.getFileStatus(p).getLen != len
+    }
+    require(bad.isEmpty,
+      s"$what of $dir is no longer readable — " +
+        s"${bad.take(3).map(_._1).mkString(", ")} missing or rewritten " +
+        "(vacuumed past the incremental-read horizon)")
+    entries.map { case (rel, _) => s"$root/$rel" }
+  }
+
+  /** Rows INSERTED between two versions — the incremental-consumption
+    * read a downstream cursor/MV catches up with. Walks the history
+    * STEP BY STEP (never a naive endpoint file-diff): append steps
+    * contribute their new files (scanned by explicit path, work
+    * proportional to the delta, never a table re-scan); COMPACTION
+    * steps contribute nothing and are SKIPPED — a compact rewrites the
+    * previous version's rows identically, so it is a logical no-op,
+    * and an incremental consumer must survive it (the appended files a
+    * later compact superseded are still on disk until [[vacuum]], and
+    * are read directly). A DML step (delete/merge/restore, or an
+    * unclassifiable rewrite) changes rows, not just files — that is a
+    * loud, RESUMABLE error naming the exact boundary version: catch up
+    * to just before it with this read, then consume the row-level
+    * [[readChangeFeed]] across it (or rebuild downstream state). An
+    * empty delta returns an empty frame with the table's schema.
     */
   def readChanges(
       spark: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
     require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
-    val before = readEntries(spark, dir, fromV)
-    val after = readEntries(spark, dir, toV).toMap
-    val rewritten = before.filter { case (rel, len) =>
-      !after.get(rel).contains(len)
-    }
-    require(rewritten.isEmpty,
-      s"history between v$fromV and v$toV of $dir is not append-only — " +
-        s"${rewritten.size} files from v$fromV are missing or resized in " +
-        s"v$toV (e.g. ${rewritten.take(3).map(_._1).mkString(", ")}); " +
-        "an incremental read over a rewrite would misreport changes")
-    val beforeSet = before.map(_._1).toSet
-    val root = rootUriPath(dir)
-    val fresh = after.keys.filterNot(beforeSet).toSeq.sorted
-    if (fresh.isEmpty)
-      readVersion(spark, dir, toV).limit(0)
-    else {
-      val f = fs(spark, dir)
-      val bad = fresh.filter { rel =>
-        val p = new Path(s"$root/$rel")
-        !f.exists(p) || f.getFileStatus(p).getLen != after(rel)
+    readEntries(spark, dir, fromV) // both endpoints must be recorded
+    readEntries(spark, dir, toV)
+    val fresh = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    (fromV + 1 to toV).foreach { v =>
+      val st = step(spark, dir, v)
+      st.op match {
+        case "append" => fresh ++= st.added
+        case "compact" | "evolve" => () // logical no-op: skipped
+        case other => throw new IllegalArgumentException(
+          s"history between v$fromV and v$toV of $dir is not " +
+            s"append-only — version $v is a $other rewrite, and an " +
+            "insert-only incremental read across it would misreport " +
+            s"changes. Catch up with readChanges($fromV, ${v - 1}), " +
+            s"then consume row-level changes via readChangeFeed(${v - 1}" +
+            s", $toV), or rebuild downstream state")
       }
-      require(bad.isEmpty,
-        s"version $toV of $dir is no longer readable — " +
-          s"${bad.take(3).mkString(", ")} missing or rewritten")
-      spark.read.parquet(fresh.map(rel => s"$root/$rel"): _*)
     }
+    if (fresh.isEmpty) readVersion(spark, dir, toV).limit(0)
+    else spark.read.parquet(verifiedPaths(spark, dir, fresh.toSeq.sortBy(_._1),
+      s"the v$fromV→v$toV delta"): _*)
+  }
+
+  /** Row-level CHANGE FEED between two versions — the CDC read that
+    * survives DML where [[readChanges]] cannot: every step contributes
+    * `insert` and/or `delete` events (an update = delete of the old
+    * row + insert of the new — consumers needing pairing join by key),
+    * tagged with `_change_type` and `_commit_version`. Per step:
+    *
+    *  - append → its new files, as inserts; compaction → nothing
+    *    (bit-identical rows, a logical no-op);
+    *  - DELETE → the rewritten files' rows EXCEPT ALL the kept rows
+    *    (`d<v>/`) — bag semantics, work bounded by the affected files;
+    *  - MERGE → preimages (affected rows EXCEPT ALL `m<v>_kept/`) as
+    *    deletes, `m<v>_new/` (upserts + inserts) as inserts;
+    *  - RESTORE → dropped files as deletes, re-listed files as inserts
+    *    (exact at file granularity: a restore moves whole files);
+    *  - an unclassifiable rewrite is a loud error — rebuild downstream.
+    *
+    * Deterministic and additive: folding the feed into any snapshot of
+    * `fromV` reproduces `toV`'s rows exactly (spec-asserted), which is
+    * what makes [[Mv.refresh]]'s signed fold correct across DML.
+    */
+  def readChangeFeed(
+      spark: SparkSession, dir: String, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV <= toV, s"fromV=$fromV must be <= toV=$toV")
+    readEntries(spark, dir, fromV)
+    readEntries(spark, dir, toV)
+    def rd(entries: Seq[(String, Long)], v: Int): Option[DataFrame] =
+      if (entries.isEmpty) None
+      else Some(spark.read.parquet(
+        verifiedPaths(spark, dir, entries, s"the v$v change feed"): _*))
+    def tag(df: DataFrame, typ: String, v: Int): DataFrame =
+      df.withColumn("_change_type", lit(typ))
+        .withColumn("_commit_version", lit(v))
+    val pieces = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    (fromV + 1 to toV).foreach { v =>
+      val st = step(spark, dir, v)
+      st.op match {
+        case "append" =>
+          rd(st.added, v).foreach(df => pieces += tag(df, "insert", v))
+        case "compact" | "evolve" => ()
+        case "delete" =>
+          rd(st.removed, v).foreach { old =>
+            // align by NAME before the bag-subtract: exceptAll is
+            // positional, and historical m/d files may carry the join
+            // keys first (older merge rewrites did)
+            val deleted = rd(st.added, v).fold(old)(k =>
+              old.exceptAll(k.select(old.columns.map(
+                org.apache.spark.sql.functions.col): _*)))
+            pieces += tag(deleted, "delete", v)
+          }
+        case "merge" =>
+          val (keptE, newE) =
+            st.added.partition(_._1.startsWith(s"m${v}_kept/"))
+          rd(st.removed, v).foreach { old =>
+            val pre = rd(keptE, v).fold(old)(k =>
+              old.exceptAll(k.select(old.columns.map(
+                org.apache.spark.sql.functions.col): _*)))
+            pieces += tag(pre, "delete", v)
+          }
+          rd(newE, v).foreach(df => pieces += tag(df, "insert", v))
+        case "restore" =>
+          rd(st.removed, v).foreach(df => pieces += tag(df, "delete", v))
+          rd(st.added, v).foreach(df => pieces += tag(df, "insert", v))
+        case other => throw new IllegalArgumentException(
+          s"version $v of $dir is an unclassifiable rewrite ($other) — " +
+            "row-level changes cannot be derived from it; rebuild " +
+            "downstream state (Mv.rebuild / Incremental.reset)")
+      }
+    }
+    if (pieces.isEmpty)
+      tag(readVersion(spark, dir, toV).limit(0), "insert", toV)
+    else pieces.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 }

@@ -31,26 +31,50 @@ class IncrementalSpec extends SparkSpec {
     assert(seen === Vector((0L until 10L).toSeq, (10L until 17L).toSeq))
   }
 
-  test("a compacted source gives a guided error; reset is the recovery") {
+  test("a compacted source is transparent to the cursor (zero-row delta)") {
     val root = java.nio.file.Files.createTempDirectory("incrcompact").toString
     val dir = s"$root/t"
     val cursor = s"$root/cursor"
     (0L until 10L).map(Tuple1(_)).toDF("id").write.parquet(dir)
     VersionLog.snapshot(spark, dir)
     Incremental.runOnce(spark, dir, cursor)(_ => ())
-    VersionLog.compact(spark, dir, files = 1)
+    VersionLog.compact(spark, dir, files = 1) // v2: zero logical change
+    (10L until 14L).map(Tuple1(_)).toDF("id").write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir) // v3
+    // the run crosses the compact and delivers ONLY the append's rows
+    var got = Seq.empty[Long]
+    assert(Incremental.runOnce(spark, dir, cursor) { d =>
+      got = d.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    } === Some((1, 3)))
+    assert(got === (10L until 14L).toSeq)
+  }
+
+  test("a DML source guides to runOnceFeed, which delivers signed rows") {
+    val root = java.nio.file.Files.createTempDirectory("incrdml").toString
+    val dir = s"$root/t"
+    val cursor = s"$root/cursor"
+    (0L until 10L).map(i => (i, i % 2)).toDF("id", "k").write.parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    Incremental.runOnce(spark, dir, cursor)(_ => ())
+    Dml.deleteWhere(spark, dir, col("id") >= 8L) // v2: a rewrite
     val e = intercept[IllegalArgumentException] {
       Incremental.runOnce(spark, dir, cursor)(_ => ())
     }
+    assert(e.getMessage.contains("runOnceFeed"))
     assert(e.getMessage.contains("Incremental.reset"))
-    // operator decision: skip ahead to the compacted version
-    Incremental.reset(spark, cursor, Some(VersionLog.latest(spark, dir)))
-    assert(Incremental.runOnce(spark, dir, cursor)(_ => ()) === None)
-    // or reprocess everything from scratch
+    // the feed variant consumes the delete as signed events
+    var dels = Seq.empty[Long]
+    assert(Incremental.runOnceFeed(spark, dir, cursor) { d =>
+      dels = d.filter(col("_change_type") === "delete")
+        .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    } === Some((1, 2)))
+    assert(dels === Seq(8L, 9L))
+    assert(Incremental.runOnceFeed(spark, dir, cursor)(_ => ()) === None)
+    // operator override still available: reprocess everything
     Incremental.reset(spark, cursor, None)
     var n = -1L
     assert(Incremental.runOnce(spark, dir, cursor)(d => n = d.count()).isDefined)
-    assert(n === 10L)
+    assert(n === 8L)
   }
 
   test("a crash before the cursor write replays the same delta (at-least-once)") {

@@ -187,4 +187,116 @@ class VersionLogSpec extends SparkSpec {
     assert(new java.io.File(dir).renameTo(new java.io.File(moved)))
     assert(VersionLog.readVersion(spark, moved, 1).count() === 100L)
   }
+
+  test("readChanges skips compaction versions (a logical no-op)") {
+    val dir = freshTable() // v1: 100 rows
+    VersionLog.snapshot(spark, dir)
+    (100L until 120L).map(i => (i, i % 10)).toDF("id", "k")
+      .repartition(2).write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir) // v2: +20
+    VersionLog.compact(spark, dir, files = 1) // v3: rewrite, zero change
+    (120L until 125L).map(i => (i, i % 10)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir) // v4: +5
+    // the compact contributes nothing; appends on both sides survive
+    assert(VersionLog.readChanges(spark, dir, 1, 4)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      (100L until 125L).toSeq)
+    assert(VersionLog.readChanges(spark, dir, 2, 3).count() === 0L)
+    assert(VersionLog.readChanges(spark, dir, 2, 4).count() === 5L)
+  }
+
+  test("readChanges across DML names the resumable boundary") {
+    val dir = freshTable()
+    VersionLog.snapshot(spark, dir)
+    (100L until 110L).map(i => (i, i % 10)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir) // v2
+    Dml.deleteWhere(spark, dir, col("id") < 5L) // v3: a delete rewrite
+    (110L until 115L).map(i => (i, i % 10)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir) // v4
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.readChanges(spark, dir, 1, 4)
+    }
+    assert(e.getMessage.contains("version 3 is a delete rewrite"))
+    assert(e.getMessage.contains("readChanges(1, 2)"))
+    assert(e.getMessage.contains("readChangeFeed(2, 4)"))
+    // the resumable path it names actually works
+    assert(VersionLog.readChanges(spark, dir, 1, 2).count() === 10L)
+    assert(VersionLog.readChangeFeed(spark, dir, 2, 4)
+      .filter(col("_change_type") === "insert").count() === 5L)
+  }
+
+  test("the change feed reproduces every version transition exactly") {
+    val dir = freshTable() // v1: ids 0..99
+    VersionLog.snapshot(spark, dir)
+    (100L until 110L).map(i => (i, i % 10)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir) // v2 append
+    Dml.deleteWhere(spark, dir, col("id") % 7 === 3L) // v3 delete
+    val ups = Seq((0L, 77L), (500L, 1L)).toDF("id", "k")
+    Dml.mergeInto(spark, dir, ups, Seq("id")) // v4 merge: 1 replace + 1 insert
+    VersionLog.compact(spark, dir, files = 2) // v5 compact: no-op
+    (600L until 605L).map(i => (i, 0L)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir) // v6 append
+    VersionLog.restore(spark, dir, 4) // v7 restore: drops v6 rows
+    // folding the feed into any FROM version reproduces every TO
+    // version bag-exactly: from + inserts - deletes == to
+    def bagEq(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L
+    for (from <- 1 to 7; to <- from to 7) {
+      val feed = VersionLog.readChangeFeed(spark, dir, from, to)
+      val ins = feed.filter(col("_change_type") === "insert")
+        .select("id", "k")
+      val del = feed.filter(col("_change_type") === "delete")
+        .select("id", "k")
+      val applied = VersionLog.readVersion(spark, dir, from)
+        .unionByName(ins).exceptAll(del)
+      assert(bagEq(applied, VersionLog.readVersion(spark, dir, to)),
+        s"feed $from -> $to did not reproduce the target version")
+    }
+    // feed events carry their commit version; the compact emits none
+    val full = VersionLog.readChangeFeed(spark, dir, 1, 7)
+    assert(full.filter(col("_commit_version") === 5).count() === 0L)
+    assert(full.filter(col("_commit_version") === 3)
+      .agg(count(lit(1))).collect()(0).getLong(0) > 0L)
+  }
+
+  test("restore re-points the head, keeps history, refuses vacuumed targets") {
+    val dir = freshTable()
+    VersionLog.snapshot(spark, dir) // v1
+    (100L until 110L).map(i => (i, i % 10)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir) // v2
+    Dml.deleteWhere(spark, dir, col("id") < 50L) // v3: the "bad" DML
+    assert(VersionLog.readVersion(spark, dir, 3).count() === 60L)
+    val v4 = VersionLog.restore(spark, dir, 2)
+    assert(v4 === 4)
+    // restored head == the pre-DML content, and the bad version still
+    // time-travels (auditable)
+    assert(VersionLog.readVersion(spark, dir, 4)
+      .select("id").orderBy("id").collect().toSeq ===
+      VersionLog.readVersion(spark, dir, 2)
+        .select("id").orderBy("id").collect().toSeq)
+    assert(VersionLog.readVersion(spark, dir, 3).count() === 60L)
+    assert(VersionLog.history(spark, dir).count() === 4L)
+    // idempotent: restoring the current head mints nothing
+    assert(VersionLog.restore(spark, dir, 2) === 4)
+    assert(VersionLog.restore(spark, dir, 4) === 4)
+    // a later snapshot does not resurrect the d3 rewrite files
+    (200L until 202L).map(i => (i, i)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    val v5 = VersionLog.snapshot(spark, dir)
+    assert(VersionLog.readVersion(spark, dir, v5).count() === 112L)
+    // vacuum to the head, then a restore into reclaimed history refuses
+    VersionLog.vacuum(spark, dir, keepLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      VersionLog.restore(spark, dir, 3)
+    }
+    assert(e.getMessage.contains("not recorded") ||
+      e.getMessage.contains("vacuumed"))
+  }
 }
