@@ -78,8 +78,12 @@ object Dml {
     val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
     val newEntries = (untouched ++ listDirEntries(spark, root, s"d$next"))
       .sortBy(_._1)
-    (VersionLog.writeEntries(spark, dir, next, newEntries, op = "delete"),
-      deleted)
+    (try VersionLog.writeEntries(spark, dir, next, newEntries, op = "delete")
+     catch {
+       case e: CommitConflictException => throw new IllegalStateException(
+         s"DELETE on $dir lost its commit race — the table changed " +
+           "under the rewrite; rerun it against the new head", e)
+     }, deleted)
   }
 
   /** MERGE (upsert): rows of `updates` REPLACE current rows sharing
@@ -158,7 +162,11 @@ object Dml {
     // that matched nothing — exact and non-negative even when the
     // table holds duplicate keys
     val inserted = upCount - matchedKeys
-    (VersionLog.writeEntries(spark, dir, next, newEntries, op = "merge"),
-      replaced, inserted)
+    (try VersionLog.writeEntries(spark, dir, next, newEntries, op = "merge")
+     catch {
+       case e: CommitConflictException => throw new IllegalStateException(
+         s"MERGE on $dir lost its commit race — the table changed " +
+           "under the rewrite; rerun it against the new head", e)
+     }, replaced, inserted)
   }
 }

@@ -17,14 +17,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the same bound every lakehouse commit log accepts).
   *
   * Guarantees and limits, stated plainly:
-  *  - single-writer discipline, like every maintenance path here
-  *    ([[PartitionedStore]], [[Layout.appendManifest]]): snapshots are
-  *    taken between batch writes, not raced against them;
-  *  - append-only tables time-travel for free; a compaction/delete
-  *    ([[PartitionedStore]] rewrites) INVALIDATES older versions —
-  *    [[readVersion]] verifies every listed file still exists with its
-  *    recorded length and fails LOUDLY otherwise (the vacuum horizon,
-  *    surfaced as an error instead of silently wrong rows);
+  *  - version commits are OPTIMISTIC-CONCURRENCY CAS operations
+  *    ([[snapshotDetailed]]): concurrent APPENDERS (ingest streams,
+  *    snapshot crons) rebase and retry automatically, so many may run
+  *    at once; at most one concurrent REWRITER (compact/DML/restore)
+  *    is supported — a rewriter losing its race aborts loudly
+  *    ([[CommitConflictException]]) instead of dropping the winner's
+  *    rows, and must rerun against the new head;
+  *  - older versions stay readable after [[compact]]/DML until
+  *    [[vacuum]] reclaims them — [[readVersion]] verifies every listed
+  *    file still exists with its recorded length and fails LOUDLY
+  *    otherwise (the vacuum horizon, surfaced as an error instead of
+  *    silently wrong rows);
+  *  - every version records the op that minted it (`#op=` header), so
+  *    incremental consumers ([[readChanges]], [[readChangeFeed]]) can
+  *    classify history: compactions skip as logical no-ops, DML yields
+  *    row-level events, unknown rewrites refuse loudly;
   *  - paths are stored relative to the table root, so a table moved or
   *    mounted elsewhere keeps its history.
   */
@@ -225,13 +233,41 @@ object VersionLog {
       .filter { case (rel, _) => committed(rel) }
   }
 
-  def snapshot(spark: SparkSession, dir: String): Int = {
-    val vs = versions(spark, dir)
-    val live = committedLiveEntries(spark, dir)
-    require(live.nonEmpty, s"refusing to snapshot an empty table at $dir")
-    if (vs.nonEmpty && readEntries(spark, dir, vs.last) == live)
-      return vs.last
-    writeEntries(spark, dir, vs.lastOption.getOrElse(0) + 1, live)
+  def snapshot(spark: SparkSession, dir: String): Int =
+    snapshotDetailed(spark, dir)._1
+
+  /** [[snapshot]] plus its OCC retry count — (version, retries).
+    *
+    * Optimistic concurrency: the version commit is a CAS (an atomic
+    * create-if-absent of the version file — see [[commitVersionFile]]),
+    * so two writers racing for the same version number produce exactly
+    * one winner; the loser REBASES — recomputes the committed live set
+    * against the new head (a pure function of disk state, so an
+    * append-only attempt can always rebase) and retries. This makes
+    * concurrent APPENDERS safe (the ingest stream + snapshot cron
+    * case); a REWRITER (compact/DML/restore) racing anyone aborts
+    * loudly instead — its file list was derived from a head that no
+    * longer exists, and silently committing it would drop the winner's
+    * rows. Retries are bounded; exhausting them surfaces the conflict.
+    */
+  def snapshotDetailed(spark: SparkSession, dir: String,
+      maxRetries: Int = 20): (Int, Int) = {
+    var retries = 0
+    while (retries <= maxRetries) {
+      val vs = versions(spark, dir)
+      val live = committedLiveEntries(spark, dir)
+      require(live.nonEmpty, s"refusing to snapshot an empty table at $dir")
+      if (vs.nonEmpty && readEntries(spark, dir, vs.last) == live)
+        return (vs.last, retries)
+      try return (writeEntries(spark, dir, vs.lastOption.getOrElse(0) + 1,
+        live), retries)
+      catch {
+        case _: CommitConflictException => retries += 1 // rebase + retry
+      }
+    }
+    throw new IllegalStateException(
+      s"snapshot of $dir lost $maxRetries consecutive commit races — " +
+        "a runaway writer is flooding the log")
   }
 
   private[core] def writeEntries(spark: SparkSession, dir: String, next: Int,
@@ -254,7 +290,12 @@ object VersionLog {
       if (removed.nonEmpty)
         writeSuperseded(spark, dir, readSuperseded(spark, dir) ++ removed)
     }
-    val tmp = new Path(target.getParent, s".v$next.tmp")
+    // attempt-UNIQUE temp name: two racers preparing the same version
+    // number must not clobber each other's staging file (the winner
+    // deletes its temp after linking — a shared name would leave the
+    // loser linking a vanished file instead of detecting the conflict)
+    val tmp = new Path(target.getParent,
+      s".v$next.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     // the op label travels INSIDE the version record (a `#op=` header
     // line), so classification commits atomically with the version —
@@ -265,9 +306,43 @@ object VersionLog {
     try out.write((header + entries.map { case (rel, len) => s"$len\t$rel\n" }
       .mkString).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    require(f.rename(tmp, target),
-      s"could not commit version $next at $target (concurrent writer?)")
+    beforeVersionCommit()
+    if (!commitVersionFile(spark, tmp, target)) {
+      f.delete(tmp, false)
+      throw new CommitConflictException(dir, next)
+    }
     next
+  }
+
+  /** Deterministic-interleave test hook: invoked between preparing a
+    * version record and its CAS commit (production no-op).
+    */
+  private[core] var beforeVersionCommit: () => Unit = () => ()
+
+  /** The CAS commit primitive: atomically install `tmp` as `target`
+    * FAILING (false) when `target` already exists — the mutual
+    * exclusion every log-structured table commit rests on. A plain
+    * rename is NOT that on local filesystems (POSIX rename(2) silently
+    * overwrites), so the local path goes through a hard link
+    * (create-if-absent is atomic); HDFS-like filesystems get rename,
+    * whose contract already refuses an existing destination.
+    */
+  private def commitVersionFile(
+      spark: SparkSession, tmp: Path, target: Path): Boolean = {
+    val scheme = Option(target.toUri.getScheme)
+      .orElse(Option(fs(spark, target.toString).getUri.getScheme))
+    if (scheme.forall(_ == "file")) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else fs(spark, target.toString).rename(tmp, target)
   }
 
   /** One recorded version TRANSITION (v-1 → v): the op that minted it,
@@ -338,7 +413,12 @@ object VersionLog {
         !st.getPath.getName.startsWith("."))
       .map(st => (s"c$next/${st.getPath.getName}", st.getLen))
       .sortBy(_._1)
-    writeEntries(spark, dir, next, entries, op = "compact")
+    try writeEntries(spark, dir, next, entries, op = "compact")
+    catch {
+      case e: CommitConflictException => throw new IllegalStateException(
+        s"OPTIMIZE of $dir lost its commit race — the table changed " +
+          "under the rewrite; rerun the compaction against the new head", e)
+    }
   }
 
   /** RESTORE: re-point the head at version `v`'s exact file list as a
@@ -366,7 +446,12 @@ object VersionLog {
         s"${entries.size} recorded files are missing or rewritten " +
         s"(e.g. ${bad.take(3).map(_._1).mkString(", ")}); that history " +
         "was vacuumed")
-    writeEntries(spark, dir, vs.last + 1, entries, op = "restore")
+    try writeEntries(spark, dir, vs.last + 1, entries, op = "restore")
+    catch {
+      case e: CommitConflictException => throw new IllegalStateException(
+        s"RESTORE of $dir lost its commit race — the table changed " +
+          "under it; re-check the target version and rerun", e)
+    }
   }
 
   /** VACUUM: drop all but the newest `keepLast` version records and
@@ -587,3 +672,15 @@ object VersionLog {
     else pieces.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 }
+
+/** A version commit lost its CAS race: another writer installed the
+  * same version number first. Appenders REBASE and retry
+  * ([[VersionLog.snapshotDetailed]] does this automatically — the live
+  * set is recomputed against the new head); rewriters (compact / DML /
+  * restore) must abort loudly — their file list was derived from a
+  * head that no longer exists, and committing it anyway would silently
+  * drop the winner's rows.
+  */
+class CommitConflictException(dir: String, v: Int)
+  extends RuntimeException(
+    s"version $v at $dir was committed by a concurrent writer")

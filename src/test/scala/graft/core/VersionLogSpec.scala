@@ -299,4 +299,87 @@ class VersionLogSpec extends SparkSpec {
     assert(e.getMessage.contains("not recorded") ||
       e.getMessage.contains("vacuumed"))
   }
+
+  test("a losing appender rebases onto the winner's head (OCC)") {
+    val dir = freshTable()
+    VersionLog.snapshot(spark, dir) // v1: 4 files, ids 0..99
+    // writer A lands its batch on disk...
+    (100L until 104L).map(i => (i, i % 10)).toDF("id", "k")
+      .write.mode("append").parquet(dir)
+    // ...and in the window between A preparing v2 and committing it,
+    // writer B (a compaction cron) commits v2 first — deterministic
+    // interleave via the pre-commit hook, one-shot so B's own commit
+    // does not recurse
+    var fired = false
+    VersionLog.beforeVersionCommit = () => if (!fired) {
+      fired = true
+      VersionLog.compact(spark, dir, files = 1)
+    }
+    try {
+      val (v, retries) = VersionLog.snapshotDetailed(spark, dir)
+      assert(fired, "the interleaved committer must have run")
+      assert(retries === 1, s"exactly one rebase expected: $retries")
+      assert(v === 3)
+    } finally VersionLog.beforeVersionCommit = () => ()
+    // both outcomes landed exactly once: the compacted base + A's batch
+    assert(VersionLog.readVersion(spark, dir, 3).count() === 104L)
+    assert(VersionLog.readVersion(spark, dir, 3)
+      .agg(countDistinct(col("id"))).collect()(0).getLong(0) === 104L)
+    assert(VersionLog.readVersion(spark, dir, 2).count() === 100L)
+  }
+
+  test("a losing rewriter aborts loudly instead of dropping the winner") {
+    val dir = freshTable()
+    VersionLog.snapshot(spark, dir)
+    var fired = false
+    VersionLog.beforeVersionCommit = () => if (!fired) {
+      fired = true
+      // a concurrent appender wins version 2 first
+      (100L until 102L).map(i => (i, i)).toDF("id", "k")
+        .write.mode("append").parquet(dir)
+      VersionLog.snapshot(spark, dir)
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        VersionLog.compact(spark, dir, files = 1)
+      }
+      assert(e.getMessage.contains("commit race"))
+      assert(e.getCause.isInstanceOf[CommitConflictException])
+    } finally VersionLog.beforeVersionCommit = () => ()
+    // nothing was lost: the winner's append is the head, the loser's
+    // orphan c-dir is invisible to snapshots
+    assert(VersionLog.readVersion(spark, dir, 2).count() === 102L)
+    assert(VersionLog.snapshot(spark, dir) === 2)
+  }
+
+  test("concurrent appenders all land exactly once under commit races") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("vlogocc").toString + "/t"
+    (0L until 10L).map(i => (i, 0L)).toDF("id", "k").write.parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    val futures = (0 until 4).map { w =>
+      Future {
+        (0 until 3).foreach { r =>
+          val base = 1000L * (w * 3 + r + 1)
+          (base until base + 5L).map(i => (i, i % 10)).toDF("id", "k")
+            .write.parquet(s"$dir/b${w * 3 + r}")
+          val fsx = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fsx.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_commits"))
+          try fsx.create(new org.apache.hadoop.fs.Path(
+            s"$dir/_commits/v${w * 3 + r}"), false).close()
+          catch { case _: java.io.IOException => () }
+          VersionLog.snapshot(spark, dir)
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    val v = VersionLog.snapshot(spark, dir)
+    // 10 base + 12 batches x 5 rows, every id exactly once
+    assert(VersionLog.readVersion(spark, dir, v).count() === 70L)
+    assert(VersionLog.readVersion(spark, dir, v)
+      .agg(countDistinct(col("id"))).collect()(0).getLong(0) === 70L)
+  }
 }
