@@ -100,14 +100,33 @@ object Dml {
     val root = VersionLog.rootUriPath(dir)
     val entries = VersionLog.readEntries(spark, dir, vs.last)
     val current = VersionLog.readVersion(spark, dir, vs.last)
-    // names AND types (nullability-insensitive): a name-only check
-    // would let an int32 updates column land beside int64 files — the
-    // silent parquet mix the ingest guard exists to prevent
-    def canon(df: DataFrame) = df.schema.fields.toSeq
-      .map(fd => s"${fd.name}:${fd.dataType.catalogString}")
-    require(canon(current) == canon(updates),
-      s"MERGE schema mismatch: table [${canon(current).mkString(",")}] " +
-        s"vs updates [${canon(updates).mkString(",")}]")
+    // drift matrix (names AND types, nullability-insensitive — a
+    // name-only check would let an int32 updates column land beside
+    // int64 files): DROPPED or RETYPED columns refuse loudly (they
+    // need a rewrite); EXTRA columns are ADDITIVE EVOLUTION — the new
+    // version's effective schema gains them (forced nullable), rows in
+    // untouched old files read back as NULL via the schema header, and
+    // no old file is rewritten for it.
+    val tTypes = current.schema.fields.map(f =>
+      f.name -> f.dataType.catalogString).toMap
+    val uTypes = updates.schema.fields.map(f =>
+      f.name -> f.dataType.catalogString).toMap
+    val dropped = current.schema.fields.filter(f => !uTypes.contains(f.name))
+    require(dropped.isEmpty,
+      s"MERGE updates DROP columns [${dropped.map(_.name).mkString(",")}] " +
+        "— schema evolution is additive only; rewrite the table instead")
+    val retyped = current.schema.fields.filter(f =>
+      uTypes.get(f.name).exists(_ != f.dataType.catalogString))
+    require(retyped.isEmpty,
+      s"MERGE updates RETYPE columns [${retyped.map(f =>
+        s"${f.name}: ${f.dataType.catalogString} -> ${uTypes(f.name)}")
+        .mkString(",")}] — not allowed; rewrite the table instead")
+    val extras = updates.schema.fields.filter(f => !tTypes.contains(f.name))
+    // evolved physical order: table columns first (old files' layout),
+    // new columns appended — every rewritten/new file shares it
+    val evolvedSchema = org.apache.spark.sql.types.StructType(
+      current.schema.fields ++ extras.map(_.copy(nullable = true)))
+    val outCols = evolvedSchema.fieldNames.toSeq
     val dupKeys = updates.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).count()
     require(dupKeys == 0L,
@@ -142,17 +161,21 @@ object Dml {
         val n = affected.join(broadcast(upKeys), keys, "left_semi").count()
         val mk = affected.join(broadcast(upKeys), keys, "left_semi")
           .select(keys.map(col): _*).distinct().count()
-        // re-select the table's column order before writing: a
+        // re-select the evolved column order before writing (a
         // using-column join moves the join keys to the FRONT, and the
-        // rewritten files must keep the same physical layout as the
-        // rest of the table (positional consumers — exceptAll in the
-        // change feed — depend on it)
+        // rewritten files must keep one physical layout — positional
+        // consumers like the change feed's exceptAll depend on it);
+        // kept rows NULL-fill any newly added columns
+        val keptCols = outCols.map(c =>
+          if (tTypes.contains(c)) col(c)
+          else lit(null).cast(evolvedSchema(c).dataType).as(c))
         affected.join(broadcast(upKeys), keys, "left_anti")
-          .select(current.columns.map(col): _*)
+          .select(keptCols: _*)
           .write.mode("overwrite").parquet(s"$root/$replacedDir")
         (n, mk)
       }
-    updates.write.mode("overwrite").parquet(s"$root/m${next}_new")
+    updates.select(outCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$root/m${next}_new")
     val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
     val newEntries = (untouched ++
       (if (affectedFiles.isEmpty) Seq.empty
@@ -162,7 +185,8 @@ object Dml {
     // that matched nothing — exact and non-negative even when the
     // table holds duplicate keys
     val inserted = upCount - matchedKeys
-    (try VersionLog.writeEntries(spark, dir, next, newEntries, op = "merge")
+    (try VersionLog.writeEntries(spark, dir, next, newEntries, op = "merge",
+       schemaJson = if (extras.isEmpty) None else Some(evolvedSchema.json))
      catch {
        case e: CommitConflictException => throw new IllegalStateException(
          s"MERGE on $dir lost its commit race — the table changed " +

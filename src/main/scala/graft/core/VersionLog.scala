@@ -233,8 +233,83 @@ object VersionLog {
       .filter { case (rel, _) => committed(rel) }
   }
 
+  /** The EFFECTIVE SCHEMA as of version `v`: the newest `#schema=`
+    * header at or below it (None when the table never evolved — reads
+    * then infer from the files, exactly the pre-evolution behavior).
+    * Reading a version with its effective schema NULL-backfills
+    * columns that files written before an additive evolution lack —
+    * the lakehouse read-side half of ALTER TABLE ADD COLUMNS, with no
+    * data rewritten.
+    */
+  def effectiveSchema(spark: SparkSession, dir: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] =
+    effectiveSchemaJson(spark, dir, v).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private[core] def effectiveSchemaJson(
+      spark: SparkSession, dir: String, v: Int): Option[String] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(s"$dir/$LogDir/has_schema"))) return None
+    // newest header at or below v wins; an EMPTY value is the explicit
+    // "inferred" sentinel (a restore back across an evolution boundary
+    // writes it so the walk stops there instead of finding the
+    // evolution it un-did)
+    versions(spark, dir).filter(_ <= v).reverse.iterator
+      .map(x => readVersionFile(spark, dir, x)._1.get("schema"))
+      .collectFirst { case Some(j) => j }
+      .filter(_.nonEmpty)
+  }
+
+  /** A schema-aware reader: explicit effective schema when the table
+    * has evolved (missing columns in older files read as NULL), plain
+    * inference otherwise.
+    */
+  private def readerFor(spark: SparkSession, dir: String,
+      v: Int): org.apache.spark.sql.DataFrameReader =
+    effectiveSchema(spark, dir, v) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+
+  /** ALTER TABLE ADD COLUMNS as a metadata-only version: the SAME file
+    * list re-recorded with a new effective schema. Strictly additive —
+    * every current column must survive with its type, and new columns
+    * are forced nullable (rows in existing files read as NULL). The
+    * "evolve" op is a logical no-op to every incremental consumer.
+    */
+  def evolveSchema(spark: SparkSession, dir: String,
+      newSchema: org.apache.spark.sql.types.StructType): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no versions at $dir — snapshot before evolving")
+    val current = readVersion(spark, dir, vs.last).schema
+    val newTypes = newSchema.fields.map(f =>
+      f.name -> f.dataType.catalogString).toMap
+    val dropped = current.fields.filter(f => !newTypes.contains(f.name))
+    require(dropped.isEmpty, "schema evolution is additive only — " +
+      s"dropping [${dropped.map(_.name).mkString(",")}] needs a rewrite")
+    val retyped = current.fields.filter(f =>
+      newTypes.get(f.name).exists(_ != f.dataType.catalogString))
+    require(retyped.isEmpty, "schema evolution is additive only — " +
+      s"retyping [${retyped.map(_.name).mkString(",")}] needs a rewrite")
+    if (newTypes.keySet == current.fields.map(_.name).toSet) return vs.last
+    val curNames = current.fields.map(_.name).toSet
+    val forced = org.apache.spark.sql.types.StructType(newSchema.fields.map(
+      f => if (curNames(f.name)) f else f.copy(nullable = true)))
+    writeEntries(spark, dir, vs.last + 1, readEntries(spark, dir, vs.last),
+      op = "evolve", schemaJson = Some(forced.json))
+  }
+
   def snapshot(spark: SparkSession, dir: String): Int =
     snapshotDetailed(spark, dir)._1
+
+  /** [[snapshot]] stamping a new effective schema with the version it
+    * mints (the ingest-evolution path — see
+    * [[graft.streaming.IngestStreams]]).
+    */
+  def snapshot(spark: SparkSession, dir: String,
+      schemaJson: Option[String]): Int =
+    snapshotDetailed(spark, dir, schemaJson = schemaJson)._1
 
   /** [[snapshot]] plus its OCC retry count — (version, retries).
     *
@@ -251,16 +326,17 @@ object VersionLog {
     * rows. Retries are bounded; exhausting them surfaces the conflict.
     */
   def snapshotDetailed(spark: SparkSession, dir: String,
-      maxRetries: Int = 20): (Int, Int) = {
+      maxRetries: Int = 20, schemaJson: Option[String] = None): (Int, Int) = {
     var retries = 0
     while (retries <= maxRetries) {
       val vs = versions(spark, dir)
       val live = committedLiveEntries(spark, dir)
       require(live.nonEmpty, s"refusing to snapshot an empty table at $dir")
-      if (vs.nonEmpty && readEntries(spark, dir, vs.last) == live)
+      if (schemaJson.isEmpty &&
+          vs.nonEmpty && readEntries(spark, dir, vs.last) == live)
         return (vs.last, retries)
       try return (writeEntries(spark, dir, vs.lastOption.getOrElse(0) + 1,
-        live), retries)
+        live, schemaJson = schemaJson), retries)
       catch {
         case _: CommitConflictException => retries += 1 // rebase + retry
       }
@@ -289,6 +365,17 @@ object VersionLog {
         entries.map(_._1).toSet
       if (removed.nonEmpty)
         writeSuperseded(spark, dir, readSuperseded(spark, dir) ++ removed)
+    }
+    // the has-schema marker short-circuits effectiveSchema's header
+    // walk for never-evolved tables (O(1) instead of O(versions) per
+    // read); monotonic, so writing it before the CAS is crash-safe —
+    // a lost race leaves the marker set and the walk finds nothing,
+    // which reads exactly like an unevolved table
+    if (schemaJson.isDefined) {
+      require(!schemaJson.get.contains('\n'),
+        "schema json must be single-line")
+      val marker = new Path(s"$dir/$LogDir/has_schema")
+      if (!f.exists(marker)) f.create(marker, true).close()
     }
     // attempt-UNIQUE temp name: two racers preparing the same version
     // number must not clobber each other's staging file (the winner
@@ -434,7 +521,12 @@ object VersionLog {
     val vs = versions(spark, dir)
     require(vs.contains(v), s"version $v is not recorded at $dir/$LogDir")
     val entries = readEntries(spark, dir, v)
-    if (readEntries(spark, dir, vs.last) == entries) return vs.last
+    // idempotence needs BOTH identities: an evolve version shares its
+    // predecessor's file list but not its read schema — restoring
+    // across it must still mint a version that re-pins the schema
+    if (readEntries(spark, dir, vs.last) == entries &&
+        effectiveSchemaJson(spark, dir, vs.last) ==
+          effectiveSchemaJson(spark, dir, v)) return vs.last
     val root = rootUriPath(dir)
     val f = fs(spark, dir)
     val bad = entries.filter { case (rel, len) =>
@@ -446,7 +538,17 @@ object VersionLog {
         s"${entries.size} recorded files are missing or rewritten " +
         s"(e.g. ${bad.take(3).map(_._1).mkString(", ")}); that history " +
         "was vacuumed")
-    try writeEntries(spark, dir, vs.last + 1, entries, op = "restore")
+    // the restored version's effective schema travels with it: a
+    // restore across an evolution boundary must read like the target —
+    // including BACK to a pre-evolution version, where the explicit
+    // empty sentinel pins "inferred" over the newer evolution header
+    val targetSchema = effectiveSchemaJson(spark, dir, v)
+    val headSchema = effectiveSchemaJson(spark, dir, vs.last)
+    val schemaJson =
+      if (targetSchema == headSchema) None
+      else Some(targetSchema.getOrElse(""))
+    try writeEntries(spark, dir, vs.last + 1, entries, op = "restore",
+      schemaJson = schemaJson)
     catch {
       case e: CommitConflictException => throw new IllegalStateException(
         s"RESTORE of $dir lost its commit race — the table changed " +
@@ -506,7 +608,8 @@ object VersionLog {
         s"${entries.size} recorded files are missing or rewritten " +
         s"(e.g. ${bad.take(3).map(_._1).mkString(", ")}); the history " +
         "was compacted past this version")
-    spark.read.parquet(entries.map { case (rel, _) => s"$root/$rel" }: _*)
+    readerFor(spark, dir, v)
+      .parquet(entries.map { case (rel, _) => s"$root/$rel" }: _*)
   }
 
   /** DESCRIBE HISTORY: one row per recorded version — file count,
@@ -594,8 +697,9 @@ object VersionLog {
       }
     }
     if (fresh.isEmpty) readVersion(spark, dir, toV).limit(0)
-    else spark.read.parquet(verifiedPaths(spark, dir, fresh.toSeq.sortBy(_._1),
-      s"the v$fromV→v$toV delta"): _*)
+    else readerFor(spark, dir, toV)
+      .parquet(verifiedPaths(spark, dir, fresh.toSeq.sortBy(_._1),
+        s"the v$fromV→v$toV delta"): _*)
   }
 
   /** Row-level CHANGE FEED between two versions — the CDC read that
@@ -626,7 +730,7 @@ object VersionLog {
     readEntries(spark, dir, toV)
     def rd(entries: Seq[(String, Long)], v: Int): Option[DataFrame] =
       if (entries.isEmpty) None
-      else Some(spark.read.parquet(
+      else Some(readerFor(spark, dir, v).parquet(
         verifiedPaths(spark, dir, entries, s"the v$v change feed"): _*))
     def tag(df: DataFrame, typ: String, v: Int): DataFrame =
       df.withColumn("_change_type", lit(typ))

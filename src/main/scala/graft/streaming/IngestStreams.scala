@@ -48,48 +48,104 @@ object IngestStreams {
     * standing ingest — fails with both schemas named instead of
     * writing files future readers can't reconcile.
     */
-  def ingestBatch(batch: DataFrame, batchId: Long, tablePath: String): Unit = {
+  def ingestBatch(batch: DataFrame, batchId: Long, tablePath: String,
+      evolveSchema: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val marker = new Path(s"$tablePath/_commits/v$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
-    checkSchema(batch, tablePath, fs)
-    batch.write.mode("overwrite").parquet(s"$tablePath/b$batchId")
+    val (aligned, schemaJson) = checkSchema(batch, tablePath, fs, evolveSchema)
+    aligned.write.mode("overwrite").parquet(s"$tablePath/b$batchId")
     fs.mkdirs(marker.getParent)
     fs.create(marker, false).close()
-    VersionLog.snapshot(spark, tablePath)
+    VersionLog.snapshot(spark, tablePath, schemaJson)
   }
 
   private def canonical(schema: org.apache.spark.sql.types.StructType): String =
     schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
       .mkString(",")
 
+  /** Validate — and, when `evolve` is set, ADDITIVELY EVOLVE — the
+    * batch against the pinned table schema. Returns (alignedBatch,
+    * newSchemaJson): the aligned batch carries the pinned/evolved
+    * column order with missing NULLABLE columns NULL-filled (a lagging
+    * producer that has not learned a new column yet keeps landing);
+    * newSchemaJson is set exactly when the pin WIDENED (extra columns
+    * in the batch) — the caller stamps it into the snapshot it mints,
+    * so rows in files written before the evolution read back as NULL
+    * (the reference's insert policy: extras widen, missing NULL-fill —
+    * clients/custom_clickhouse.py:130-150 — but opt-in here, and
+    * dropped/retyped columns always refuse).
+    */
   private def checkSchema(batch: DataFrame, tablePath: String,
-      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem,
+      evolve: Boolean): (DataFrame, Option[String]) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.{DataType, StructType}
     val p = new Path(s"$tablePath/_schema.json")
-    val mine = canonical(batch.schema)
-    if (!fs.exists(p)) {
-      // tmp+rename like every other commit file: a crash mid-write
-      // would otherwise pin a truncated schema and wedge every
-      // subsequent batch on a phantom "drift"
+    def pin(st: StructType): Unit = {
+      // tmp + atomic install like every other commit file: a crash
+      // mid-write must not pin a truncated schema and wedge the stream
       fs.mkdirs(p.getParent)
       val tmp = new Path(p.getParent, "._schema.json.tmp")
       val out = fs.create(tmp, true)
-      try out.write(mine.getBytes("UTF-8")) finally out.close()
-      require(fs.rename(tmp, p) || fs.exists(p),
-        s"could not pin the ingest schema at $p")
-    } else {
-      val in = fs.open(p)
-      val pinned =
-        try {
-          val bos = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-          new String(bos.toByteArray, "UTF-8")
-        } finally in.close()
-      require(pinned == mine,
-        s"schema drift on ingest into $tablePath — pinned [$pinned] vs " +
-          s"batch [$mine]; migrate the table explicitly instead of mixing " +
-          "file schemas")
+      try out.write(st.json.getBytes("UTF-8")) finally out.close()
+      VersionLog.atomicReplace(batch.sparkSession, tmp, p)
+    }
+    if (!fs.exists(p)) {
+      pin(batch.schema)
+      return (batch, None)
+    }
+    val in = fs.open(p)
+    val pinnedStr =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    val pinned: StructType =
+      if (pinnedStr.trim.startsWith("{"))
+        DataType.fromJson(pinnedStr).asInstanceOf[StructType]
+      else {
+        // legacy canonical-string pin: recover the full StructType
+        // from a committed data file (pre-evolution tables are
+        // single-schema by the old guard's guarantee)
+        val files = Layout.dataFiles(batch.sparkSession, tablePath)
+        require(files.nonEmpty,
+          s"legacy schema pin at $p but no committed data to recover " +
+            "the full schema from — re-pin explicitly")
+        batch.sparkSession.read.parquet(files.toSeq.min).schema
+      }
+    if (canonical(batch.schema) == canonical(pinned)) return (batch, None)
+    require(evolve,
+      s"schema drift on ingest into $tablePath — pinned " +
+        s"[${canonical(pinned)}] vs batch [${canonical(batch.schema)}]; " +
+        "pass evolveSchema=true for additive widening, or migrate the " +
+        "table explicitly instead of mixing file schemas")
+    val pTypes = pinned.fields.map(f =>
+      f.name -> f.dataType.catalogString).toMap
+    val bTypes = batch.schema.fields.map(f =>
+      f.name -> f.dataType.catalogString).toMap
+    val retyped = pinned.fields.filter(f =>
+      bTypes.get(f.name).exists(_ != f.dataType.catalogString))
+    require(retyped.isEmpty,
+      s"batch RETYPES columns [${retyped.map(_.name).mkString(",")}] on " +
+        s"ingest into $tablePath — evolution is additive only")
+    val missing = pinned.fields.filter(f => !bTypes.contains(f.name))
+    val nonNullMissing = missing.filter(!_.nullable)
+    require(nonNullMissing.isEmpty,
+      s"batch omits NON-NULLABLE columns " +
+        s"[${nonNullMissing.map(_.name).mkString(",")}] — cannot NULL-fill")
+    val extras = batch.schema.fields.filter(f => !pTypes.contains(f.name))
+    val evolved = StructType(pinned.fields ++ extras.map(_.copy(nullable = true)))
+    val aligned = batch.select(evolved.fields.toSeq.map { f =>
+      if (bTypes.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    if (extras.isEmpty) (aligned, None)
+    else {
+      pin(evolved)
+      (aligned, Some(evolved.json))
     }
   }
 
@@ -203,7 +259,10 @@ object IngestStreams {
     val landed = try {
       val n = fresh.count()
       if (n > 0) {
-        checkSchema(batch, tablePath, fs) // refuse drift BEFORE writing
+        // refuse drift BEFORE writing (the dedup path stays
+        // evolution-free: its bloom probes are keyed on one column
+        // and the batch must match the table exactly)
+        checkSchema(batch, tablePath, fs, evolve = false)
         fresh.write.mode("overwrite").parquet(s"$tablePath/b$batchId")
       }
       n

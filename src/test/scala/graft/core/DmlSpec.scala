@@ -84,7 +84,7 @@ class DmlSpec extends SparkSpec {
     val typeDrift = intercept[IllegalArgumentException] {
       Dml.mergeInto(spark, dir, Seq((1L, 1, "a")).toDF("id", "k", "v"), Seq("id"))
     }
-    assert(typeDrift.getMessage.contains("schema mismatch"))
+    assert(typeDrift.getMessage.contains("RETYPE"))
   }
 
   test("merge accounting stays sane when the TABLE holds duplicate keys") {
@@ -142,5 +142,41 @@ class DmlSpec extends SparkSpec {
     assert(VersionLog.versions(spark, dir) === before)
     val live = Layout.liveDataFiles(spark, dir)
     assert(live.forall(f => !f.contains("/m")), s"no m-dir files: $live")
+  }
+
+  test("additive MERGE evolution: new column NULL-backfills old files") {
+    val dir = freshTable() // (id, k, v), 4 range files, v1
+    // updates carry a NEW nullable column `tag`: replace id=0, insert 500
+    val ups = Seq((0L, 99L, "patched", "gold"), (500L, 1L, "new", "silver"))
+      .toDF("id", "k", "v", "tag")
+    val (v2, replaced, inserted) = Dml.mergeInto(spark, dir, ups, Seq("id"))
+    assert((v2, replaced, inserted) === ((2, 1L, 1L)))
+    val head = VersionLog.readVersion(spark, dir, 2)
+    assert(head.columns.toSeq === Seq("id", "k", "v", "tag"))
+    assert(head.count() === 101L)
+    // rows from UNTOUCHED old files read the new column as NULL
+    assert(head.filter(col("tag").isNull).count() === 99L)
+    assert(head.filter(col("tag") === "gold").count() === 1L)
+    // the pre-evolution version still reads with its own schema
+    assert(VersionLog.readVersion(spark, dir, 1).columns.toSeq ===
+      Seq("id", "k", "v"))
+    // readChanges across the boundary carries the evolved schema
+    (1000L until 1002L).map(i => (i, 0L, "x")).toDF("id", "k", "v")
+      .write.mode("append").parquet(dir)
+    VersionLog.snapshot(spark, dir) // v3: old-schema files post-evolution
+    val delta = VersionLog.readChanges(spark, dir, 2, 3)
+    assert(delta.columns.toSeq === Seq("id", "k", "v", "tag"))
+    assert(delta.count() === 2L)
+    assert(delta.filter(col("tag").isNull).count() === 2L)
+    // the change feed across the merge is signed and evolved
+    val feed = VersionLog.readChangeFeed(spark, dir, 1, 3)
+    assert(feed.filter(col("_change_type") === "delete").count() === 1L)
+    assert(feed.filter(col("_change_type") === "insert").count() === 4L)
+    // a second merge DROPPING the column refuses
+    val e = intercept[IllegalArgumentException] {
+      Dml.mergeInto(spark, dir, Seq((1L, 1L, "y")).toDF("id", "k", "v"),
+        Seq("id"))
+    }
+    assert(e.getMessage.contains("DROP"))
   }
 }

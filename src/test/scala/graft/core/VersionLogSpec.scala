@@ -382,4 +382,36 @@ class VersionLogSpec extends SparkSpec {
     assert(VersionLog.readVersion(spark, dir, v)
       .agg(countDistinct(col("id"))).collect()(0).getLong(0) === 70L)
   }
+
+  test("evolveSchema is a metadata-only ALTER; restore re-pins schemas") {
+    import org.apache.spark.sql.types._
+    val dir = freshTable() // (id, k), v1
+    VersionLog.snapshot(spark, dir)
+    val widened = StructType(
+      VersionLog.readVersion(spark, dir, 1).schema.fields :+
+        StructField("note", StringType, nullable = true))
+    val v2 = VersionLog.evolveSchema(spark, dir, widened)
+    assert(v2 === 2)
+    // same files, new read schema, NULL-backfilled
+    assert(VersionLog.readEntries(spark, dir, 2) ===
+      VersionLog.readEntries(spark, dir, 1))
+    assert(VersionLog.readVersion(spark, dir, 2).columns.toSeq ===
+      Seq("id", "k", "note"))
+    assert(VersionLog.readVersion(spark, dir, 2)
+      .filter(col("note").isNull).count() === 100L)
+    assert(VersionLog.readVersion(spark, dir, 1).columns.toSeq ===
+      Seq("id", "k"))
+    // idempotent + additive-only guard rails
+    assert(VersionLog.evolveSchema(spark, dir, widened) === 2)
+    intercept[IllegalArgumentException] {
+      VersionLog.evolveSchema(spark, dir,
+        StructType(Seq(StructField("id", LongType))))
+    }
+    // the evolve step is invisible to incremental consumers
+    assert(VersionLog.readChanges(spark, dir, 1, 2).count() === 0L)
+    // restore across the boundary re-pins the OLD effective schema
+    val v3 = VersionLog.restore(spark, dir, 1)
+    assert(VersionLog.readVersion(spark, dir, v3).columns.toSeq ===
+      Seq("id", "k"))
+  }
 }

@@ -205,4 +205,41 @@ class IngestStreamsSpec extends SparkSpec {
     assert(VersionLog.latest(spark, table) === latest)
     assert(VersionLog.readVersion(spark, table, latest).count() === 3L)
   }
+
+  test("additive ingest evolution: widening batches re-pin, laggards NULL-fill") {
+    val dir = Files.createTempDirectory("ingevo").toString + "/t"
+    IngestStreams.ingestBatch(
+      Seq((1L, "a")).toDF("id", "v"), 0L, dir)
+    // a widened batch without the opt-in refuses (the old guard)
+    val e = intercept[IllegalArgumentException] {
+      IngestStreams.ingestBatch(
+        Seq((2L, "b", 9L)).toDF("id", "v", "score"), 1L, dir)
+    }
+    assert(e.getMessage.contains("evolveSchema=true"))
+    // with the opt-in it widens the pin and stamps the version schema
+    IngestStreams.ingestBatch(
+      Seq((2L, "b", 9L)).toDF("id", "v", "score"), 1L, dir,
+      evolveSchema = true)
+    val head = VersionLog.readVersion(spark, dir, VersionLog.latest(spark, dir))
+    assert(head.columns.toSeq === Seq("id", "v", "score"))
+    assert(head.filter(col("id") === 1L)
+      .select("score").collect()(0).isNullAt(0)) // old file NULL-backfills
+    // a LAGGING producer still on the old schema keeps landing: the
+    // missing nullable column NULL-fills into the evolved layout
+    IngestStreams.ingestBatch(
+      Seq((3L, "c")).toDF("id", "v"), 2L, dir, evolveSchema = true)
+    val head2 = VersionLog.readVersion(spark, dir, VersionLog.latest(spark, dir))
+    assert(head2.count() === 3L)
+    assert(head2.filter(col("id") === 3L)
+      .select("score").collect()(0).isNullAt(0))
+    // retypes always refuse, opt-in or not
+    intercept[IllegalArgumentException] {
+      IngestStreams.ingestBatch(
+        Seq((4L, "d", 1)).toDF("id", "v", "score"), 3L, dir,
+        evolveSchema = true)
+    }
+    // time travel: the pre-evolution version reads its own two columns
+    assert(VersionLog.readVersion(spark, dir, 1).columns.toSeq ===
+      Seq("id", "v"))
+  }
 }
