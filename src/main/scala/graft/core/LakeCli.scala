@@ -65,17 +65,41 @@ class LakeCli(spark: SparkSession) {
   def restore(dir: String, version: Int): Int =
     VersionLog.restore(spark, dir, version)
 
-  def compact(dir: String, files: Int): Int =
-    VersionLog.compact(spark, dir, files)
+  def compact(dir: String, files: Int): Int = {
+    val v = VersionLog.compact(spark, dir, files)
+    healManifests(dir)
+    v
+  }
 
   def vacuum(dir: String, keepLast: Int): (Int, Int) =
     VersionLog.vacuum(spark, dir, keepLast)
 
-  def delete(dir: String, predicateSql: String): (Int, Long) =
-    Dml.deleteWhere(spark, dir, expr(predicateSql))
+  def delete(dir: String, predicateSql: String): (Int, Long) = {
+    val r = Dml.deleteWhere(spark, dir, expr(predicateSql))
+    healManifests(dir)
+    r
+  }
 
-  def merge(dir: String, updatesIn: String, keys: Seq[String]): (Int, Long, Long) =
-    Dml.mergeInto(spark, dir, spark.read.parquet(updatesIn), keys)
+  def merge(dir: String, updatesIn: String, keys: Seq[String]): (Int, Long, Long) = {
+    val r = Dml.mergeInto(spark, dir, spark.read.parquet(updatesIn), keys)
+    healManifests(dir)
+    r
+  }
+
+  /** Operator ergonomics: any zone-map/bloom manifest on a table this
+    * CLI just rewrote is healed incrementally in the same command —
+    * ghost rows drop, only the rewritten d/m/c files are scanned — so
+    * delete → pruned-read works without a manual rebuild. The core DML
+    * APIs stay side-effect-free; the CLI is where the workflow lives.
+    */
+  private def healManifests(dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${Layout.ManifestDir}")))
+      Layout.appendManifest(spark, dir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${Layout.BloomManifestDir}")))
+      Layout.appendBloomManifest(spark, dir)
+  }
 
   def mvRefresh(srcDir: String, mvDir: String,
       keys: Seq[String], sumCols: Seq[String]): Option[(Int, Int)] =

@@ -133,14 +133,18 @@ object Layout {
       .write.mode("overwrite").parquet(s"$path/$ManifestDir")
   }
 
-  /** Incremental manifest maintenance — the append path. A 100 TB
+  /** Incremental manifest maintenance — appends AND rewrites. A 100 TB
     * store takes appends daily; rebuilding the manifest from scratch
     * re-scans the WHOLE table for a batch that touched 0.1% of it.
     * This scans ONLY the data files the manifest does not know yet
-    * (read by explicit path list), computes their zone maps, and
-    * unions them in — rows for already-manifested files are carried
-    * over verbatim, so the incremental manifest is row-identical to a
-    * full rebuild (spec-asserted). No-op when nothing is new.
+    * (read by explicit path list), computes their zone maps, unions
+    * them in, and DROPS ghost rows for files no longer committed —
+    * which makes it the healing step after copy-on-write DELETE/MERGE
+    * and compact too: the work is bounded by the rewritten window
+    * (the d/m/c files scanned + the ghost filter), never the table,
+    * and the result is row-identical to a full rebuild
+    * (spec-asserted for append, DML, and compact). No-op when nothing
+    * changed.
     *
     * The column list is taken from the existing manifest's schema, so
     * an append can never silently manifest a different stat set.

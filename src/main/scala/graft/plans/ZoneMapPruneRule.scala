@@ -48,8 +48,13 @@ class ZoneMapPrunedIndex(
   * wrong answer).
   *
   * Scope guards, all required before firing:
-  *  - Filter directly over a V1 parquet `LogicalRelation` with a
-  *    single root path, no partition columns, no bucketing;
+  *  - Filter directly over a V1 parquet `LogicalRelation` with no
+  *    partition columns and no bucketing, whose root is EITHER a
+  *    single directory OR a [[graft.core.VersionLog]] committed view
+  *    (one root per data file, as `readVersion` plans it — recognized
+  *    by the `_graft_log` above them and a root set equal to the
+  *    committed live set, so an old-version read never prunes with
+  *    the head's manifest);
   *  - the root carries a zone-map manifest whose file set exactly
   *    matches the live listing;
   *  - at least one conjunct is a range/equality between a bare (or
@@ -172,14 +177,47 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** The table root of a VERSIONED committed-view scan, when that is
+    * what `files` is: [[graft.core.VersionLog.readVersion]] plans one
+    * root path PER DATA FILE, so a multi-root scan qualifies exactly
+    * when (a) a common ancestor within a few levels carries both a
+    * `_graft_log` and a zone-map manifest, (b) every root lies under
+    * it, and (c) the root set EQUALS the table's committed live set —
+    * an old-version read (a different file list) must NOT be pruned
+    * with the head's manifest, whose file universe it does not share.
+    */
+  private def versionedRootOf(
+      spark: SparkSession, files: Seq[Path]): Option[Path] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var cand = files.head.getParent
+    var found: Option[Path] = None
+    var depth = 0
+    while (cand != null && depth < 4 && found.isEmpty) {
+      val f = cand.getFileSystem(conf)
+      if (f.exists(new Path(cand, graft.core.VersionLog.LogDir)) &&
+          f.exists(new Path(cand, Layout.ManifestDir)))
+        found = Some(cand)
+      else { cand = cand.getParent; depth += 1 }
+    }
+    found.filter { root =>
+      val rootStr = root.toUri.getPath
+      files.forall(_.toUri.getPath.startsWith(rootStr + "/")) &&
+        files.map(_.toUri.getPath).toSet ==
+          Layout.dataFiles(spark, root.toString)
+    }
+  }
+
   private def rewrite(
       f: Filter, cond: Expression, rel: LogicalRelation): Option[LogicalPlan] = {
     val fs = rel.relation.asInstanceOf[HadoopFsRelation]
     if (fs.location.isInstanceOf[ZoneMapPrunedIndex]) return None
     if (!fs.fileFormat.isInstanceOf[ParquetFileFormat]) return None
     if (fs.partitionSchema.nonEmpty || fs.bucketSpec.nonEmpty) return None
-    if (fs.location.rootPaths.length != 1) return None
-    val root = fs.location.rootPaths.head
+    if (fs.location.rootPaths.isEmpty) return None
+    val root =
+      if (fs.location.rootPaths.length == 1) fs.location.rootPaths.head
+      else versionedRootOf(fs.sparkSession, fs.location.rootPaths)
+        .getOrElse(return None)
 
     // boxes per column: intersect repeated constraints (a >= 10 AND
     // a <= 50 → one [10, 50] box); a contradiction (lo > hi) keeps

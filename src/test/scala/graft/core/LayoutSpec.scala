@@ -180,4 +180,54 @@ class LayoutSpec extends SparkSpec {
     val n = Layout.prunedRead(spark, dir, Seq(("x", 100L, 104L))).count()
     assert(n === 200L)
   }
+
+  test("manifests heal incrementally through DELETE, MERGE, and compact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zmdml").toString + "/t"
+    (0L until 1000L).map(i => (i, i % 5)).toDF("x", "k")
+      .repartitionByRange(8, col("x")).write.parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    Layout.writeManifest(spark, dir, Seq("x"))
+    // DELETE rewrites one file's range; the manifest heals by scanning
+    // ONLY the rewritten d-files and dropping the ghost rows
+    Dml.deleteWhere(spark, dir, col("x") >= 900L)
+    intercept[IllegalArgumentException] { // stale until healed — loud
+      Layout.prunedFiles(spark, dir, Seq(("x", 0L, 10L)))
+    }
+    Layout.appendManifest(spark, dir)
+    val afterDelete = Layout.prunedRead(spark, dir, Seq(("x", 800L, 999L)))
+    assert(afterDelete.count() === 100L) // 800..899 survive
+    assert(Layout.countFromManifest(spark, dir) === 900L)
+    // MERGE (replace + insert) heals the same way
+    Dml.mergeInto(spark, dir,
+      Seq((0L, 99L), (5000L, 1L)).toDF("x", "k"), Seq("x"))
+    Layout.appendManifest(spark, dir)
+    assert(Layout.countFromManifest(spark, dir) === 901L)
+    assert(Layout.prunedRead(spark, dir, Seq(("x", 5000L, 5000L)))
+      .count() === 1L)
+    // compact supersedes EVERY file; the incremental path still heals
+    // (scans the c-files, drops all ghosts) without a full rebuild
+    VersionLog.compact(spark, dir, files = 2)
+    Layout.appendManifest(spark, dir)
+    assert(Layout.countFromManifest(spark, dir) === 901L)
+    assert(Layout.prunedRead(spark, dir, Seq(("x", 100L, 199L)))
+      .count() === 100L)
+  }
+
+  test("bloom manifests heal incrementally through DML and compact too") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bldml").toString + "/t"
+    (0L until 1000L).map(i => (i, i % 5)).toDF("x", "k")
+      .repartitionByRange(8, col("x")).write.parquet(dir)
+    VersionLog.snapshot(spark, dir)
+    Layout.writeBloomManifest(spark, dir, Seq("x"), 1024L)
+    Dml.deleteWhere(spark, dir, col("x") === 7L)
+    Layout.appendBloomManifest(spark, dir)
+    assert(Layout.bloomPrunedRead(spark, dir, "x", Seq("7")).count() === 0L)
+    assert(Layout.bloomPrunedRead(spark, dir, "x", Seq("8")).count() === 1L)
+    VersionLog.compact(spark, dir, files = 1)
+    Layout.appendBloomManifest(spark, dir)
+    assert(Layout.bloomPrunedRead(spark, dir, "x", Seq("8")).count() === 1L)
+    assert(Layout.bloomPrunedRead(spark, dir, "x", Seq("7")).count() === 0L)
+  }
 }

@@ -128,4 +128,40 @@ class ZoneMapPruneRuleSpec extends SparkSpec {
       assert(ids(q) === ids(q2))
     }
   }
+
+  test("a versioned committed-view scan prunes; old versions never do") {
+    import graft.core.VersionLog
+    import graft.streaming.IngestStreams
+    val root = java.nio.file.Files.createTempDirectory("zmv").toString
+    val t = s"$root/t"
+    // three versioned landings, each range-clustered on `a` so files
+    // carry tight boxes; the manifest is maintained incrementally
+    (0 until 3).foreach { b =>
+      val lo = b * 1000L
+      val df = (lo until lo + 1000L).map(i => (i, i % 7)).toDF("a", "k")
+        .repartitionByRange(4, col("a"))
+      IngestStreams.ingestBatch(df, b.toLong, t)
+      if (b == 0) Layout.writeManifest(spark, t, Seq("a"))
+      else Layout.appendManifest(spark, t)
+    }
+    val head = VersionLog.latest(spark, t)
+    withAuto {
+      // the DECLARED query: readVersion + a range filter — the rule
+      // must recognize the multi-root committed view and prune it
+      val q = VersionLog.readVersion(spark, t, head)
+        .filter(col("a") >= 2500L && col("a") <= 2600L)
+      val sizes = prunedSizes(q)
+      assert(sizes.nonEmpty, "the rule must fire on the committed view")
+      assert(sizes.head < 12, s"pruned ${sizes.head}/12 files")
+      assert(q.count() === 101L)
+      assert(q.agg(sum(col("a"))).collect()(0).getLong(0) ===
+        (2500L to 2600L).sum)
+      // an OLD version's scan (different file universe) never prunes
+      // with the head's manifest — fail-safe full scan
+      val old = VersionLog.readVersion(spark, t, 1)
+        .filter(col("a") >= 100L && col("a") <= 200L)
+      assert(prunedSizes(old).isEmpty)
+      assert(old.count() === 101L)
+    }
+  }
 }
