@@ -2360,6 +2360,37 @@ object TrainingQueries {
       Multimodal.mediaFingerprints(s, media).orderBy(col("media_id"))
     }),
 
+    // DECODABILITY REPORT — the honesty ledger for the documented
+    // compressed-media stub: a mixed fixture (real Y4M, AVI/DIB,
+    // AVI/MJPEG, WAV, PNG, plus raw-text payloads standing in for the
+    // H.264/VP9-class blobs no pure-JVM decoder exists for) classified
+    // by magic-byte container and by whether the SAME tryDecode gates
+    // every call site uses actually decoded it. A corpus owner reads
+    // exactly what the stub skips. Empty texts are filtered — every
+    // remaining row's decodability is a pure function of its id gate,
+    // which is what the oracle replays.
+    "q252_decodability" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      def shifted(off: Long) = docs
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val media = Multimodal.synthesizeY4mVideo(docs, "doc_id", "text")
+        .unionByName(Multimodal.synthesizeAviVideo(
+          shifted(1000000L), "doc_id", "text"))
+        .unionByName(Multimodal.synthesizeAviVideo(
+          shifted(2000000L), "doc_id", "text", mjpeg = true))
+        .unionByName(Multimodal.synthesizeWavAudio(
+          shifted(3000000L), "doc_id", "text"))
+        .unionByName(Multimodal.synthesizeGrayImages(
+          shifted(4000000L), "doc_id", "text"))
+        .unionByName(Multimodal.synthesizeFromText(
+          shifted(5000000L), "doc_id", "text"))
+      Multimodal.decodabilityReport(s, media)
+        .select(col("kind"), col("container"), col("decoded"), col("n"))
+        .orderBy(col("kind"), col("container"), col("decoded"))
+    }),
+
     // Audio NEAR-dup pairs: the acoustic twin of q126 — energy
     // fingerprints through the generic 64-bit hamming banding
     // (pigeonhole pieces, popcount verify). The corpus is every doc
@@ -3246,6 +3277,26 @@ object TrainingQueries {
            (CASE WHEN f >= 9223372036854775808 THEN f - 18446744073709551616
                  ELSE f END)::BIGINT AS fp
          FROM fph ORDER BY media_id""",
+
+    // q252: per-(kind, container, decoded) counts — every synthesized
+    // container decodes by construction; the raw-text payloads land in
+    // 'opaque' with decoded = false, split by the id%3 kind gate.
+    "q252_decodability" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE strlen(text) > 0),
+         rep AS (
+           SELECT 'video' AS kind, 'y4m' AS container, true AS decoded,
+             count(*) AS n FROM d
+           UNION ALL SELECT 'video', 'riff-avi', true, 2 * count(*) FROM d
+           UNION ALL SELECT 'audio', 'riff-wave', true, count(*) FROM d
+           UNION ALL SELECT 'image', 'png', true, count(*) FROM d
+           UNION ALL SELECT 'image', 'opaque', false, count(*) FROM d
+             WHERE (doc_id + 5000000) % 3 = 0
+           UNION ALL SELECT 'audio', 'opaque', false, count(*) FROM d
+             WHERE (doc_id + 5000000) % 3 = 1
+           UNION ALL SELECT 'video', 'opaque', false, count(*) FROM d
+             WHERE (doc_id + 5000000) % 3 = 2)
+         SELECT kind, container, decoded, n::BIGINT AS n FROM rep
+         WHERE n > 0 ORDER BY 1, 2, 3""",
 
     // q136: the corpus-plus-perturbed-variants fingerprint replay
     // (the audioFpCte machinery over the unioned table), then q126's

@@ -84,10 +84,13 @@ object IngestStreams {
     import org.apache.spark.sql.types.{DataType, StructType}
     val p = new Path(s"$tablePath/_schema.json")
     def pin(st: StructType): Unit = {
-      // tmp + atomic install like every other commit file: a crash
-      // mid-write must not pin a truncated schema and wedge the stream
+      // attempt-unique tmp + atomic install: a crash mid-write must
+      // not pin a truncated schema, and CONCURRENT first-batch workers
+      // (the OCC ingest shape) each need their own staging file —
+      // identical schemas make any replace winner correct
       fs.mkdirs(p.getParent)
-      val tmp = new Path(p.getParent, "._schema.json.tmp")
+      val tmp = new Path(p.getParent,
+        s"._schema.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = fs.create(tmp, true)
       try out.write(st.json.getBytes("UTF-8")) finally out.close()
       VersionLog.atomicReplace(batch.sparkSession, tmp, p)
