@@ -1,0 +1,93 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC APPLY — maintain a keyed DOWNSTREAM REPLICA from a source
+  * table's row-level change feed (the "APPLY CHANGES INTO" shape):
+  * the replica follows the source through appends, copy-on-write
+  * DELETE/MERGE, compactions (skipped no-ops), and restores, paying
+  * DELTA-sized work per sync instead of a full re-copy — the only
+  * replication shape that survives 100 TB.
+  *
+  * Key discipline (the same one every CDC apply imposes): the source
+  * must be UNIQUE per `keys` — the feed is reduced to the LAST event
+  * per key ([[lastEventPerKey]]), postimage winning over the preimage
+  * of the same commit, so applying is one MERGE (upserts) + one
+  * key-set DELETE. Applying is idempotent: re-applying a feed whose
+  * events already landed changes nothing, which pairs with the
+  * at-least-once cursor ([[Incremental.runOnceFeed]]) for
+  * exactly-once replica effects.
+  */
+object Cdc {
+
+  /** Reduce a change feed to the LAST event per key: highest
+    * `_commit_version` wins; within one commit an insert (postimage)
+    * outranks a delete (preimage) — a same-commit delete+insert pair
+    * is an UPDATE, and the surviving row is the postimage.
+    */
+  def lastEventPerKey(feed: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    feed.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Apply a change feed to the replica at `targetDir`. Bootstraps the
+    * table when it has no versions yet (upserts land as the base —
+    * deletes then target nothing by construction). Returns
+    * (upserted, deleted) row counts.
+    */
+  def applyChangeFeed(spark: SparkSession, feed: DataFrame,
+      targetDir: String, keys: Seq[String]): (Long, Long) = {
+    val last = lastEventPerKey(feed, keys)
+    val upserts = last.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version")
+    val deletes = last.filter(col("_change_type") === "delete")
+      .select(keys.map(col): _*)
+    val hasVersions = VersionLog.versions(spark, targetDir).nonEmpty
+    if (!hasVersions) {
+      // bootstrap: the first feed IS the table (no deletes can match)
+      val n = upserts.count()
+      if (n == 0L) return (0L, 0L)
+      upserts.write.mode("overwrite")
+        .parquet(VersionLog.rootUriPath(targetDir))
+      VersionLog.snapshot(spark, targetDir)
+      (n, 0L)
+    } else {
+      val (_, up, ins) = Dml.mergeInto(spark, targetDir, upserts, keys)
+      val nDel =
+        if (deletes.isEmpty) 0L
+        else Dml.deleteMatching(spark, targetDir, deletes, keys)._2
+      (up + ins, nDel)
+    }
+  }
+
+  /** One standing-replica sync step: consume the source's change feed
+    * since the cursor ([[Incremental.runOnceFeed]] — the first run
+    * delivers the full head as inserts) and apply it to `targetDir`.
+    * Returns the (fromVersion, toVersion) range applied, or None when
+    * the replica is already caught up. AT-LEAST-ONCE cursor +
+    * idempotent apply = exactly-once replica content.
+    */
+  def mirrorOnce(spark: SparkSession, srcDir: String, targetDir: String,
+      keys: Seq[String]): Option[(Int, Int)] = {
+    val cursor = s"$targetDir/${VersionLog.LogDir}/mirror.cursor"
+    Incremental.runOnceFeed(spark, srcDir, cursor) { feed =>
+      applyChangeFeed(spark, feed, targetDir, keys)
+      ()
+    }
+  }
+
+  /** The replica's current contents. */
+  def readMirror(spark: SparkSession, targetDir: String): DataFrame =
+    VersionLog.readVersion(spark, targetDir,
+      VersionLog.latest(spark, targetDir))
+
+  private[core] def cursorPath(targetDir: String): Path =
+    new Path(s"$targetDir/${VersionLog.LogDir}/mirror.cursor")
+}

@@ -86,6 +86,50 @@ object Dml {
      }, deleted)
   }
 
+  /** DELETE by KEY SET — the copy-on-write twin of [[deleteWhere]] for
+    * "remove these specific records" (a CDC delete batch, a takedown
+    * id list): rows whose `keys` values match ANY row of `keyDf` are
+    * removed. The key frame is delta-sized by nature ⇒ broadcast
+    * semi-join finds the affected files in one pruned scan; only those
+    * rewrite (key-anti-joined). NULL keys in `keyDf` match nothing
+    * (SQL semantics). Returns (newVersion, rowsDeleted); no matches →
+    * no new version.
+    */
+  def deleteMatching(spark: SparkSession, dir: String,
+      keyDf: DataFrame, keys: Seq[String]): (Int, Long) = {
+    require(keys.nonEmpty, "a key-set DELETE needs at least one key column")
+    val vs = VersionLog.versions(spark, dir)
+    require(vs.nonEmpty, s"no versions at $dir — snapshot before DML")
+    val root = VersionLog.rootUriPath(dir)
+    val entries = VersionLog.readEntries(spark, dir, vs.last)
+    val current = VersionLog.readVersion(spark, dir, vs.last)
+    val delKeys = keyDf.select(keys.map(col): _*)
+    val affectedFiles = current
+      .withColumn("__graft_file", input_file_name())
+      .join(broadcast(delKeys), keys, "left_semi")
+      .select(col("__graft_file"))
+      .distinct().collect().map(r => relOf(root, r.getString(0))).toSet
+    if (affectedFiles.isEmpty) return (vs.last, 0L)
+    val next = vs.last + 1
+    val affectedPaths = affectedFiles.toSeq.sorted.map(rel => s"$root/$rel")
+    val affected = spark.read.parquet(affectedPaths: _*)
+    val deleted = affected.join(broadcast(delKeys), keys, "left_semi").count()
+    require(deleted < current.count(),
+      s"DELETE would empty the table at $dir — drop the table instead")
+    affected.join(broadcast(delKeys), keys, "left_anti")
+      .select(current.columns.map(col): _*)
+      .write.mode("overwrite").parquet(s"$root/d$next")
+    val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
+    val newEntries = (untouched ++ listDirEntries(spark, root, s"d$next"))
+      .sortBy(_._1)
+    (try VersionLog.writeEntries(spark, dir, next, newEntries, op = "delete")
+     catch {
+       case e: CommitConflictException => throw new IllegalStateException(
+         s"DELETE on $dir lost its commit race — the table changed " +
+           "under the rewrite; rerun it against the new head", e)
+     }, deleted)
+  }
+
   /** MERGE (upsert): rows of `updates` REPLACE current rows sharing
     * their `keys` values; keys absent from the table INSERT. `updates`
     * must carry the table's schema and at most one row per key (both
@@ -158,9 +202,12 @@ object Dml {
       else {
         val affectedPaths = affectedFiles.toSeq.sorted.map(rel => s"$root/$rel")
         val affected = spark.read.parquet(affectedPaths: _*)
-        val n = affected.join(broadcast(upKeys), keys, "left_semi").count()
-        val mk = affected.join(broadcast(upKeys), keys, "left_semi")
-          .select(keys.map(col): _*).distinct().count()
+        // ONE job for both counters (replaced rows + distinct matched
+        // keys) — two separate actions would re-run the semi-join scan
+        val cnt = affected.join(broadcast(upKeys), keys, "left_semi")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(keys.head, keys.tail: _*).as("mk")).head()
+        val (n, mk) = (cnt.getLong(0), cnt.getLong(1))
         // re-select the evolved column order before writing (a
         // using-column join moves the join keys to the FRONT, and the
         // rewritten files must keep one physical layout — positional

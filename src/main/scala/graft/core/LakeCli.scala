@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *   changeFeed   materialize the row-level change feed (CDC)
   *   restore      re-point the head at an old version (un-DML)
   *   compact      OPTIMIZE the latest version into few files
+  *   optimizeZOrder  OPTIMIZE ZORDER BY 2-3 dims (prunable layout)
   *   vacuum       drop old versions + reclaim their files
   *   delete       copy-on-write DELETE by a SQL predicate string
+  *   deleteKeys   copy-on-write DELETE by a key-list parquet dir
   *   merge        copy-on-write upsert from an updates parquet dir
+  *   mirror       one CDC-apply sync step into a keyed replica
   *   mvRefresh    fold the source's new versions into a standing MV
   *   mvRead       materialize the MV's current state
   *   forget       delete + vacuum in one step (right-to-be-forgotten:
@@ -70,6 +73,28 @@ class LakeCli(spark: SparkSession) {
     healManifests(dir)
     v
   }
+
+  /** OPTIMIZE ZORDER BY (2 or 3 dimension columns): compaction that
+    * re-clusters rows on the Z-curve so zone maps prune the result.
+    */
+  def optimizeZOrder(dir: String, files: Int, dims: Seq[String]): Int = {
+    val v = VersionLog.compactZOrdered(spark, dir, files, dims)
+    healManifests(dir)
+    v
+  }
+
+  /** Copy-on-write DELETE by a key list (a CDC delete batch / takedown
+    * id list read from parquet) instead of a predicate.
+    */
+  def deleteKeys(dir: String, keysIn: String, keys: Seq[String]): (Int, Long) = {
+    val r = Dml.deleteMatching(spark, dir, spark.read.parquet(keysIn), keys)
+    healManifests(dir)
+    r
+  }
+
+  /** One keyed-replica sync step (CDC APPLY — see [[Cdc.mirrorOnce]]). */
+  def mirror(srcDir: String, targetDir: String, keys: Seq[String]): Option[(Int, Int)] =
+    Cdc.mirrorOnce(spark, srcDir, targetDir, keys)
 
   def vacuum(dir: String, keepLast: Int): (Int, Int) =
     VersionLog.vacuum(spark, dir, keepLast)

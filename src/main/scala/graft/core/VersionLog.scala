@@ -486,13 +486,45 @@ object VersionLog {
     * directory temporarily holds both copies, which [[snapshot]] and
     * [[vacuum]] both understand via the superseded-file rule.
     */
-  def compact(spark: SparkSession, dir: String, files: Int): Int = {
+  def compact(spark: SparkSession, dir: String, files: Int): Int =
+    compactWith(spark, dir)(_.repartition(files))
+
+  /** OPTIMIZE ZORDER: [[compact]] that also RE-CLUSTERS the rows on a
+    * 2-D or 3-D Z-curve ([[Layout.writeZOrdered]]'s layout, expressed
+    * as the compaction's partitioner), so the rewritten files carry
+    * tight bounding boxes in every listed dimension and zone-map /
+    * parquet-stat pruning works on the compacted table — Delta's
+    * OPTIMIZE ZORDER BY as one version-log rewrite. Rows are
+    * bit-identical; only placement changes, so the version is a
+    * logical no-op to every incremental consumer, exactly like a plain
+    * compact. Dimensions wider than 31 bits (2-D) / 21 bits (3-D)
+    * must be bucketed first ([[Layout]]'s documented contract).
+    */
+  def compactZOrdered(spark: SparkSession, dir: String, files: Int,
+      dims: Seq[String]): Int = {
+    require(dims.size == 2 || dims.size == 3,
+      s"Z-order needs 2 or 3 dimension columns, got ${dims.size}")
+    import org.apache.spark.sql.functions.col
+    val zv =
+      if (dims.size == 2)
+        graft.functions.GraftFunctions.z_interleave(col(dims(0)), col(dims(1)))
+      else graft.functions.GraftFunctions.z_interleave3(
+        col(dims(0)), col(dims(1)), col(dims(2)))
+    compactWith(spark, dir) { df =>
+      df.withColumn("__graft_zv", zv)
+        .repartitionByRange(files, col("__graft_zv"))
+        .sortWithinPartitions(col("__graft_zv"))
+        .drop("__graft_zv")
+    }
+  }
+
+  private def compactWith(spark: SparkSession, dir: String)(
+      layout: DataFrame => DataFrame): Int = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"nothing to compact: no versions at $dir")
     val next = vs.last + 1
     val root = rootUriPath(dir)
-    readVersion(spark, dir, vs.last)
-      .repartition(files)
+    layout(readVersion(spark, dir, vs.last))
       .write.mode("overwrite").parquet(s"$root/c$next")
     val f = fs(spark, dir)
     val entries = f.listStatus(new Path(s"$root/c$next")).toSeq

@@ -1956,6 +1956,80 @@ object RelationalQueries {
         .select(col("event_type"), col("n_rows"),
           col("user_id__sum").as("user_sum"))
         .orderBy(col("event_type"))
+    }),
+
+    // CDC APPLY / keyed replica (core/Cdc): a downstream mirror
+    // follows the source through append, DELETE, MERGE, and a compact
+    // it must skip — each sync consumes the row-level change feed
+    // since its cursor and applies it as one MERGE + one key-set
+    // DELETE (delta-sized work, the only replication shape that
+    // survives 100 TB). The oracle replays the final table algebra;
+    // replica == source head is the tripwire.
+    "q255_cdc_mirror" -> ((s, dir) => {
+      import graft.core.{Cdc, Dml, VersionLog}
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val root = java.nio.file.Files
+        .createTempDirectory("cdc_q").toString
+      val src = s"$root/src"; val rep = s"$root/rep"
+      ev.filter(col("g") < "8").drop("g")
+        .repartitionByRange(4, col("event_id")).write.parquet(src)
+      VersionLog.snapshot(s, src) // v1
+      Cdc.mirrorOnce(s, src, rep, Seq("event_id")) // bootstrap sync
+      ev.filter(col("g") >= "8").drop("g")
+        .write.mode("append").parquet(src)
+      VersionLog.snapshot(s, src) // v2
+      Dml.deleteWhere(s, src, col("user_id") % 6 === 1) // v3
+      val corr = ev.filter(col("g") === "c").drop("g")
+        .withColumn("user_id", col("user_id") + 4000L)
+      val back = ev.filter(col("g") === "2").drop("g")
+        .withColumn("event_id", col("event_id") + 40000000L)
+      Dml.mergeInto(s, src, corr.unionByName(back), Seq("event_id")) // v4
+      VersionLog.compact(s, src, files = 2) // v5: the mirror skips it
+      require(Cdc.mirrorOnce(s, src, rep, Seq("event_id")) ==
+        Some((1, 5)), "one catch-up sync must cover v2..v5")
+      Cdc.readMirror(s, rep)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("u_sum"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // OPTIMIZE ZORDER BY (VersionLog.compactZOrdered via the CLI):
+    // three hash-scattered ingests (every file spans nearly the full
+    // range of both dims — nothing prunes), then ONE optimize
+    // re-clusters the table on the (user_id, minute) Z-curve and heals
+    // the zone-map manifest in-command; the 2-D box prune then reads a
+    // strict subset of files. The oracle replays the declared box.
+    "q256_optimize_zorder" -> ((s, dir) => {
+      import graft.core.{LakeCli, Layout}
+      import graft.streaming.IngestStreams
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("minute"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("g"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("optz_q").toString + "/events_v"
+      val batches = Seq(
+        ev.filter(col("g") < "6"),
+        ev.filter(col("g") >= "6" && col("g") < "b"),
+        ev.filter(col("g") >= "b")).map(_.drop("g").repartition(4))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        IngestStreams.ingestBatch(b, i.toLong, tmp)
+      }
+      Layout.writeManifest(s, tmp, Seq("user_id", "minute"))
+      val cli = new LakeCli(s)
+      cli.optimizeZOrder(tmp, files = 8, dims = Seq("user_id", "minute"))
+      val m0 = ev.agg(min(col("minute"))).collect()(0).getLong(0)
+      val boxes = Seq(("user_id", 10L, 50L), ("minute", m0, m0 + 1439L))
+      val kept = Layout.prunedFiles(s, tmp, boxes)
+      require(kept.nonEmpty && kept.size < 8,
+        s"the z-ordered layout must prune the 2-D box: ${kept.size}/8")
+      Layout.prunedRead(s, tmp, boxes)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("minute")).as("minute_sum"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -2848,6 +2922,38 @@ object RelationalQueries {
            SELECT event_id, user_id, event_type FROM corr)
          SELECT event_type, count(*)::BIGINT AS n_rows,
            sum(user_id)::BIGINT AS user_sum
-         FROM fin GROUP BY 1 ORDER BY 1"""
+         FROM fin GROUP BY 1 ORDER BY 1""",
+    // q255: the replica after the catch-up sync == the source's final
+    // table algebra (append ∪ survivors-of-delete, merged).
+    "q255_cdc_mirror" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS g FROM events),
+         t3 AS (SELECT event_id, user_id, event_type FROM e
+                WHERE user_id % 6 <> 1),
+         corr AS (SELECT event_id, user_id + 4000 AS user_id, event_type
+                  FROM e WHERE g = 'c'),
+         back AS (SELECT event_id + 40000000 AS event_id, user_id, event_type
+                  FROM e WHERE g = '2'),
+         u AS (SELECT * FROM corr UNION ALL SELECT * FROM back),
+         fin AS (
+           SELECT event_id, user_id, event_type FROM t3
+           WHERE event_id NOT IN (SELECT event_id FROM u)
+           UNION ALL
+           SELECT event_id, user_id, event_type FROM u)
+         SELECT event_type, count(*)::BIGINT AS n,
+           sum(user_id)::BIGINT AS u_sum, sum(event_id)::BIGINT AS id_sum
+         FROM fin GROUP BY 1 ORDER BY 1""",
+    // q256: the optimize + prune is invisible — the oracle filters ALL
+    // events by the declared 2-D box.
+    "q256_optimize_zorder" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(ts) // 60000000 AS minute FROM events),
+         b AS (SELECT min(minute) AS m0 FROM e)
+         SELECT e.user_id, count(*)::BIGINT AS n,
+           sum(e.minute)::BIGINT AS minute_sum
+         FROM e, b
+         WHERE e.user_id BETWEEN 10 AND 50
+           AND e.minute BETWEEN b.m0 AND b.m0 + 1439
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -218,20 +218,26 @@ object IngestStreams {
     // the only possible INGEST orphan is this batch's own; compact/DML
     // orphans are excluded by Layout.dataFiles' committed view)
     fs.delete(new Path(s"$tablePath/b$batchId"), true)
-    // ONE validation pass: row count, null keys, duplicate keys
+    // ONE validation pass for EVERYTHING the probe needs: row count,
+    // null keys, duplicate keys, AND the candidate key set itself —
+    // the keys were previously a second batch-sized job
+    // (distinct().collect()); collect_set in the same aggregate folds
+    // it into this one (it drops NULLs, so null keys surface as
+    // n != nk, never as a silent shrink)
     val stats = batch.agg(count(lit(1)).as("n"),
       count(col(keyCol)).as("nk"),
-      countDistinct(col(keyCol)).as("nd")).head()
+      collect_set(col(keyCol).cast("string")).as("keys")).head()
     val batchRows = stats.getLong(0)
     if (batchRows == 0L) { // Spark runs no-data micro-batches by design
       fs.mkdirs(marker.getParent)
       fs.create(marker, false).close()
       return (0L, 0L)
     }
+    val candidateKeys = stats.getSeq[String](2)
     require(stats.getLong(0) == stats.getLong(1),
       s"batch $batchId carries NULL keys — they can never be deduplicated " +
         "(NULL = NULL never matches); clean or synthesize keys upstream")
-    require(stats.getLong(1) == stats.getLong(2),
+    require(stats.getLong(1) == candidateKeys.size,
       s"batch $batchId carries duplicate keys — ambiguous landing")
     // a table with COMMITTED data (versions, or marker-committed b-dirs
     // from a crash before the first snapshot) but no manifest gets one
@@ -248,9 +254,8 @@ object IngestStreams {
     val fresh =
       if (!manifested) batch
       else {
-        val keys = batch.select(col(keyCol).cast("string"))
-          .distinct().collect().map(_.getString(0)).toSeq
-        val hit = Layout.bloomPrunedFiles(spark, tablePath, keyCol, keys)
+        val hit = Layout.bloomPrunedFiles(spark, tablePath, keyCol,
+          candidateKeys)
         if (hit.isEmpty) batch
         else batch.join(
           spark.read.parquet(hit: _*).select(col(keyCol)),

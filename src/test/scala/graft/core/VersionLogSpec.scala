@@ -414,4 +414,34 @@ class VersionLogSpec extends SparkSpec {
     assert(VersionLog.readVersion(spark, dir, v3).columns.toSeq ===
       Seq("id", "k"))
   }
+
+  test("OPTIMIZE ZORDER re-clusters rows prunably and stays a no-op to feeds") {
+    val dir = java.nio.file.Files.createTempDirectory("vlogz").toString + "/t"
+    // two dims deliberately scattered: hash-partitioned writes give
+    // every file a near-full range in both columns
+    (0L until 4096L).map(i => (i % 64, i / 64, i)).toDF("a", "b", "id")
+      .repartition(8).write.parquet(dir)
+    VersionLog.snapshot(spark, dir) // v1
+    val before = Layout.filesTouched(
+      Layout.fileBoxes(spark, dir, "a", "b"), 0L, 7L, 0L, 7L)
+    val v2 = VersionLog.compactZOrdered(spark, dir, files = 8,
+      dims = Seq("a", "b"))
+    assert(v2 === 2)
+    // bit-identical rows, tighter boxes
+    assert(VersionLog.readVersion(spark, dir, 2)
+      .agg(count(lit(1)), sum(col("id"))).collect()(0).toSeq ===
+      Seq(4096L, (0L until 4096L).sum))
+    val boxesAfter = VersionLog.readVersion(spark, dir, 2)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("a")).as("x_min"), max(col("a")).as("x_max"),
+        min(col("b")).as("y_min"), max(col("b")).as("y_max"))
+    val after = Layout.filesTouched(boxesAfter, 0L, 7L, 0L, 7L)
+    assert(after < before,
+      s"the z-ordered layout must prune the corner box: $after vs $before")
+    // and the optimize is invisible to incremental consumers
+    assert(VersionLog.readChanges(spark, dir, 1, 2).count() === 0L)
+    intercept[IllegalArgumentException] {
+      VersionLog.compactZOrdered(spark, dir, 4, Seq("a"))
+    }
+  }
 }
