@@ -1,6 +1,5 @@
 package graft.core
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,27 +43,33 @@ object Cdc {
     */
   def applyChangeFeed(spark: SparkSession, feed: DataFrame,
       targetDir: String, keys: Seq[String]): (Long, Long) = {
-    val last = lastEventPerKey(feed, keys)
-    val upserts = last.filter(col("_change_type") === "insert")
-      .drop("_change_type", "_commit_version")
-    val deletes = last.filter(col("_change_type") === "delete")
-      .select(keys.map(col): _*)
-    val hasVersions = VersionLog.versions(spark, targetDir).nonEmpty
-    if (!hasVersions) {
-      // bootstrap: the first feed IS the table (no deletes can match)
-      val n = upserts.count()
-      if (n == 0L) return (0L, 0L)
-      upserts.write.mode("overwrite")
-        .parquet(VersionLog.rootUriPath(targetDir))
-      VersionLog.snapshot(spark, targetDir)
-      (n, 0L)
-    } else {
-      val (_, up, ins) = Dml.mergeInto(spark, targetDir, upserts, keys)
-      val nDel =
-        if (deletes.isEmpty) 0L
-        else Dml.deleteMatching(spark, targetDir, deletes, keys)._2
-      (up + ins, nDel)
-    }
+    // cache the REDUCED feed across the apply: the raw feed is an
+    // exceptAll/union pipeline over the source's rewrite files, and
+    // the merge + delete legs below run SEVERAL actions each — without
+    // the cache every action would recompute the whole feed
+    val last = lastEventPerKey(feed, keys).persist()
+    try {
+      val upserts = last.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")
+      val deletes = last.filter(col("_change_type") === "delete")
+        .select(keys.map(col): _*)
+      val hasVersions = VersionLog.versions(spark, targetDir).nonEmpty
+      if (!hasVersions) {
+        // bootstrap: the first feed IS the table (no deletes can match)
+        val n = upserts.count()
+        if (n == 0L) return (0L, 0L)
+        upserts.write.mode("overwrite")
+          .parquet(VersionLog.rootUriPath(targetDir))
+        VersionLog.snapshot(spark, targetDir)
+        (n, 0L)
+      } else {
+        val (_, up, ins) = Dml.mergeInto(spark, targetDir, upserts, keys)
+        val nDel =
+          if (deletes.isEmpty) 0L
+          else Dml.deleteMatching(spark, targetDir, deletes, keys)._2
+        (up + ins, nDel)
+      }
+    } finally { last.unpersist(); () }
   }
 
   /** One standing-replica sync step: consume the source's change feed
@@ -88,6 +93,4 @@ object Cdc {
     VersionLog.readVersion(spark, targetDir,
       VersionLog.latest(spark, targetDir))
 
-  private[core] def cursorPath(targetDir: String): Path =
-    new Path(s"$targetDir/${VersionLog.LogDir}/mirror.cursor")
 }

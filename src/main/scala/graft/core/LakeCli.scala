@@ -153,6 +153,10 @@ class LakeCli(spark: SparkSession) {
     VersionLog.snapshot(spark, dir)
     val (_, deleted) = Dml.deleteWhere(spark, dir, expr(predicateSql))
     VersionLog.vacuum(spark, dir, keepLast = 1)
+    // forget calls Dml directly (not this.delete), so it must heal any
+    // manifests itself — AFTER the vacuum, which reclaims the replaced
+    // files the heal would otherwise still ghost-list
+    healManifests(dir)
     deleted
   }
 }

@@ -86,4 +86,19 @@ class LakeCliSpec extends SparkSpec {
       .filter(col("id") >= 90L).count() === 0L)
     assert(VersionLog.readVersion(spark, dir, v2).count() === 20L)
   }
+
+  test("forget heals manifests on a manifested table") {
+    val cli = new LakeCli(spark)
+    val root = java.nio.file.Files.createTempDirectory("lakefzm").toString
+    val dir = s"$root/t"
+    (0L until 100L).map(i => (i, i % 5)).toDF("id", "k")
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    cli.snapshot(dir)
+    Layout.writeManifest(spark, dir, Seq("id"))
+    assert(cli.forget(dir, "id >= 75") === 25L)
+    // the manifest healed in-command: pruned reads work immediately,
+    // and the metadata-only count reflects the takedown
+    assert(Layout.countFromManifest(spark, dir) === 75L)
+    assert(Layout.prunedRead(spark, dir, Seq(("id", 0L, 9L))).count() === 10L)
+  }
 }
