@@ -27,6 +27,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // coalesce(1) is HARNESS-ONLY: the oracle dumps are sf0.01-sized
+      // and DuckDB reads one file per query — never copy this pattern
+      // into library sinks, where it would serialize a whole write
+      // through one task
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

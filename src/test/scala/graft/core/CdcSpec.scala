@@ -95,4 +95,31 @@ class CdcSpec extends SparkSpec {
     assert(Dml.deleteMatching(spark, dir,
       Seq(7777L).toDF("id"), Seq("id")) === ((2, 0L)))
   }
+
+  test("the mirror follows its source through additive schema evolution") {
+    val root = java.nio.file.Files.createTempDirectory("cdcevo").toString
+    val src = s"$root/src"; val rep = s"$root/rep"
+    (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v").write.parquet(src)
+    VersionLog.snapshot(spark, src) // v1: two columns
+    Cdc.mirrorOnce(spark, src, rep, Seq("id"))
+    // the source widens via an evolving MERGE (adds `score`)...
+    val ups = Seq((3L, "patched", 30L), (500L, "new", 1L))
+      .toDF("id", "v", "score")
+    Dml.mergeInto(spark, src, ups, Seq("id")) // v2: evolution
+    // ...and the replica follows: the feed carries the evolved schema
+    // (old inserts NULL-filled), and the replica's merge widens it too
+    assert(Cdc.mirrorOnce(spark, src, rep, Seq("id")) === Some((1, 2)))
+    val mirror = Cdc.readMirror(spark, rep)
+    assert(mirror.columns.toSeq === Seq("id", "v", "score"))
+    assert(mirror.count() === 21L)
+    assert(mirror.filter(col("id") === 3L)
+      .select("score").collect()(0).getLong(0) === 30L)
+    assert(mirror.filter(col("score").isNull).count() === 19L)
+    // post-evolution appends keep flowing
+    Seq((600L, "late", 9L)).toDF("id", "v", "score")
+      .write.mode("append").parquet(src)
+    VersionLog.snapshot(spark, src) // v3
+    assert(Cdc.mirrorOnce(spark, src, rep, Seq("id")) === Some((2, 3)))
+    assert(Cdc.readMirror(spark, rep).count() === 22L)
+  }
 }
