@@ -26,7 +26,9 @@ object ProfileQ {
     spark.sparkContext.setLogLevel("ERROR")
 
     case class Job(id: Int, desc: String, start: Long, var end: Long = 0L)
+    case class Stg(id: Int, name: String, tasks: Int, ms: Long, taskMs: Long)
     val jobs = scala.collection.mutable.LinkedHashMap[Int, Job]()
+    val stages = scala.collection.mutable.ArrayBuffer[Stg]()
     var shuffleRead = 0L; var shuffleWrite = 0L; var stageCount = 0
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -46,6 +48,13 @@ object ProfileQ {
           shuffleWrite += m.shuffleWriteMetrics.bytesWritten
         }
         stageCount += 1
+        val dur = (for (a <- e.stageInfo.completionTime;
+                        b <- e.stageInfo.submissionTime) yield a - b).getOrElse(0L)
+        stages.synchronized {
+          stages += Stg(e.stageInfo.stageId, e.stageInfo.name,
+            e.stageInfo.numTasks, dur,
+            if (m != null) m.executorRunTime else 0L)
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -54,6 +63,7 @@ object ProfileQ {
       SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       spark.catalog.clearCache()
       jobs.synchronized(jobs.clear())
+      stages.synchronized(stages.clear())
       shuffleRead = 0L; shuffleWrite = 0L; stageCount = 0
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
@@ -66,6 +76,12 @@ object ProfileQ {
       snap.sortBy(j => -(j.end - j.start)).take(12).foreach { j =>
         val d = (j.end - j.start).max(0L) / 1e3
         println(f"   job ${j.id}%3d  $d%7.3f s  ${j.desc.take(110)}")
+      }
+      if (sys.env.contains("PROFILE_STAGES")) {
+        val ss = stages.synchronized(stages.toSeq)
+        ss.sortBy(s => -s.ms).take(20).foreach { s =>
+          println(f"   stg ${s.id}%4d ${s.ms / 1e3}%7.3f s  ${s.tasks}%4d tasks  taskSum=${s.taskMs / 1e3}%7.3f s  ${s.name.take(100)}")
+        }
       }
       spark.catalog.clearCache()
     }

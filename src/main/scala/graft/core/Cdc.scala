@@ -58,7 +58,17 @@ object Cdc {
         // bootstrap: the first feed IS the table (no deletes can match)
         val n = upserts.count()
         if (n == 0L) return (0L, 0L)
-        upserts.write.mode("overwrite")
+        // right-size the bootstrap files from the known row count —
+        // the replica's file count otherwise inherits the feed plan's
+        // partitioning (one part file per shuffle partition for a
+        // delta-sized feed), and every later MERGE/DELETE pays per
+        // file (guide §6)
+        val rowsPerFile = spark.conf
+          .getOption("spark.graft.dml.insertFileRows")
+          .map(_.toLong).getOrElse(1L << 20)
+        upserts.coalesce(
+            math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt)
+          .write.mode("overwrite")
           .parquet(VersionLog.rootUriPath(targetDir))
         VersionLog.snapshot(spark, targetDir)
         (n, 0L)

@@ -57,25 +57,44 @@ object Dml {
     val root = VersionLog.rootUriPath(dir)
     val entries = VersionLog.readEntries(spark, dir, vs.last)
     val current = VersionLog.readVersion(spark, dir, vs.last)
-    // one pruned scan: which files hold any TRUE-matching row?
-    val affectedFiles = current
+    // ONE pruned scan answers BOTH planner questions — which files hold
+    // any TRUE-matching row AND how many rows delete per file (the
+    // total was previously a second scan of the affected files); the
+    // predicate still pushes into the parquet scan, untouched files
+    // cost a footer
+    val perFile = current
       .filter(coalesce(predicate, lit(false)))
-      .select(input_file_name().as("f"))
-      .distinct().collect().map(r => relOf(root, r.getString(0))).toSet
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val affectedFiles = perFile.map(r => relOf(root, r.getString(0))).toSet
     if (affectedFiles.isEmpty) return (vs.last, 0L)
+    val deleted = perFile.map(_.getLong(1)).sum
+    val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
     val next = vs.last + 1
     val affectedPaths = affectedFiles.toSeq.sorted.map(rel => s"$root/$rel")
-    val affected = spark.read.parquet(affectedPaths: _*)
-    val deleted = affected.filter(coalesce(predicate, lit(false))).count()
+    val affected = spark.read.schema(current.schema).parquet(affectedPaths: _*)
     // an all-rows delete is refused BEFORE any write — a versioned
-    // table never goes empty (row-based check: file counts lie when
-    // schema-only empty part files exist). Parquet count() is
-    // footer-metadata cheap.
-    require(deleted < current.count(),
+    // table never goes empty. The survivor probe is bounded work: a
+    // limit-1 read of the untouched files (one footer/row group, not
+    // the full-table count() this used to be — at corpus scale that
+    // count opens every footer). Untouched files can legitimately be
+    // ZERO-ROW part files (an anti-join with an empty partition writes
+    // one), so an empty untouched probe FALLS THROUGH to the kept-rows
+    // probe over the affected files — never straight to a refusal.
+    val survivors =
+      (untouched.nonEmpty &&
+        !spark.read.schema(current.schema)
+          .parquet(untouched.map(e => s"$root/${e._1}"): _*).isEmpty) ||
+      !affected.filter(!coalesce(predicate, lit(false))).isEmpty
+    require(survivors,
       s"DELETE would empty the table at $dir — drop the table instead")
+    // the rewrite keeps the table's file granularity: K affected files
+    // rewrite to <= K survivors-only files, never to one part file per
+    // scan split (small-file cascade under repeated DML — guide §6)
     affected.filter(!coalesce(predicate, lit(false)))
+      .coalesce(affectedFiles.size)
       .write.mode("overwrite").parquet(s"$root/d$next")
-    val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
     val newEntries = (untouched ++ listDirEntries(spark, root, s"d$next"))
       .sortBy(_._1)
     (try VersionLog.writeEntries(spark, dir, next, newEntries, op = "delete")
@@ -104,22 +123,36 @@ object Dml {
     val entries = VersionLog.readEntries(spark, dir, vs.last)
     val current = VersionLog.readVersion(spark, dir, vs.last)
     val delKeys = keyDf.select(keys.map(col): _*)
-    val affectedFiles = current
+    // ONE semi-joined scan answers both planner questions (affected
+    // file set + deleted rows per file) — the total was previously a
+    // second scan of the affected files
+    val perFile = current
       .withColumn("__graft_file", input_file_name())
       .join(broadcast(delKeys), keys, "left_semi")
-      .select(col("__graft_file"))
-      .distinct().collect().map(r => relOf(root, r.getString(0))).toSet
+      .groupBy(col("__graft_file"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val affectedFiles = perFile.map(r => relOf(root, r.getString(0))).toSet
     if (affectedFiles.isEmpty) return (vs.last, 0L)
+    val deleted = perFile.map(_.getLong(1)).sum
+    val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
     val next = vs.last + 1
     val affectedPaths = affectedFiles.toSeq.sorted.map(rel => s"$root/$rel")
-    val affected = spark.read.parquet(affectedPaths: _*)
-    val deleted = affected.join(broadcast(delKeys), keys, "left_semi").count()
-    require(deleted < current.count(),
+    val affected = spark.read.schema(current.schema).parquet(affectedPaths: _*)
+    // bounded survivor probe instead of a full-table count — see
+    // deleteWhere for the scale rationale and the zero-row-part-file
+    // fall-through
+    val survivors =
+      (untouched.nonEmpty &&
+        !spark.read.schema(current.schema)
+          .parquet(untouched.map(e => s"$root/${e._1}"): _*).isEmpty) ||
+      !affected.join(broadcast(delKeys), keys, "left_anti").isEmpty
+    require(survivors,
       s"DELETE would empty the table at $dir — drop the table instead")
     affected.join(broadcast(delKeys), keys, "left_anti")
       .select(current.columns.map(col): _*)
+      .coalesce(affectedFiles.size) // keep file granularity (guide §6)
       .write.mode("overwrite").parquet(s"$root/d$next")
-    val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
     val newEntries = (untouched ++ listDirEntries(spark, root, s"d$next"))
       .sortBy(_._1)
     (try VersionLog.writeEntries(spark, dir, next, newEntries, op = "delete")
@@ -171,15 +204,23 @@ object Dml {
     val evolvedSchema = org.apache.spark.sql.types.StructType(
       current.schema.fields ++ extras.map(_.copy(nullable = true)))
     val outCols = evolvedSchema.fieldNames.toSeq
-    val dupKeys = updates.groupBy(keys.map(col): _*)
-      .count().filter(col("count") > 1).count()
-    require(dupKeys == 0L,
-      s"MERGE updates carry $dupKeys duplicate keys — ambiguous upsert")
+    // ONE job validates AND sizes the batch: per-key counts roll up to
+    // (total rows, max per-key multiplicity) — the duplicate-key check
+    // and the empty-batch early return were previously two separate
+    // update-sized jobs. groupBy keeps NULL key groups, so the dup
+    // semantics are unchanged from the old groupBy-based check.
+    val sized = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        coalesce(max(col("c")), lit(0L)).as("mx")).head()
+    val (upCount, maxPerKey) = (sized.getLong(0), sized.getLong(1))
+    require(maxPerKey <= 1L,
+      s"MERGE updates carry duplicate keys (a key appears $maxPerKey " +
+        "times) — ambiguous upsert")
     // an empty updates frame is a no-op, not a new version: minting one
     // anyway would accumulate duplicate versions + empty part files
     // under repeated no-op merges (snapshot() is idempotent; MERGE
     // must be too)
-    val upCount = updates.count()
     if (upCount == 0L) return (vs.last, 0L, 0L)
     val upKeys = updates.select(keys.map(col): _*)
     // one semi-joined scan finds the files holding superseded rows;
@@ -201,7 +242,7 @@ object Dml {
       if (affectedFiles.isEmpty) (0L, 0L)
       else {
         val affectedPaths = affectedFiles.toSeq.sorted.map(rel => s"$root/$rel")
-        val affected = spark.read.parquet(affectedPaths: _*)
+        val affected = spark.read.schema(current.schema).parquet(affectedPaths: _*)
         // ONE job for both counters (replaced rows + distinct matched
         // keys) — two separate actions would re-run the semi-join scan
         val cnt = affected.join(broadcast(upKeys), keys, "left_semi")
@@ -218,10 +259,21 @@ object Dml {
           else lit(null).cast(evolvedSchema(c).dataType).as(c))
         affected.join(broadcast(upKeys), keys, "left_anti")
           .select(keptCols: _*)
+          .coalesce(affectedFiles.size) // keep file granularity (guide §6)
           .write.mode("overwrite").parquet(s"$root/$replacedDir")
         (n, mk)
       }
+    // size the inserted-rows dir from the batch itself (guide §6: aim
+    // for few right-sized files, not one part file per upstream scan
+    // split/shuffle partition — under chained DML those part files
+    // become the NEXT merge's "affected files" and the small-file count
+    // compounds). Rows-per-file is a conf with a production-sane
+    // default; coalesce never raises partition count.
+    val rowsPerFile = spark.conf.getOption("spark.graft.dml.insertFileRows")
+      .map(_.toLong).getOrElse(1L << 20)
+    val newFiles = math.max(1L, (upCount + rowsPerFile - 1) / rowsPerFile).toInt
     updates.select(outCols.map(col): _*)
+      .coalesce(newFiles)
       .write.mode("overwrite").parquet(s"$root/m${next}_new")
     val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
     val newEntries = (untouched ++

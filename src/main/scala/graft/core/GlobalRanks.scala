@@ -58,6 +58,14 @@ object GlobalRanks {
         .distinct.sorted.toArray
     // bucket = |{boundary beyond this row in sort direction}|: monotone
     // non-decreasing along the sort order in either direction.
+    // NOTE for callers (measured on q167): CollapseProject inlines
+    // rangeCol's FULL expression into every boundary comparison below
+    // (plus the counts pass and the window order) — an expensive range
+    // expression (an interpreted higher-order aggregate, a scoring
+    // pipeline) is then re-evaluated ~`buckets`+2 times per row
+    // (169 CPU-seconds in one q167 stage). Persist the input with the
+    // range value MATERIALIZED as a plain column first; comparisons
+    // against a cached double are codegen-cheap.
     val b = col("_grk_b")
     val bucketExpr = bounds.foldLeft(lit(0)) { (acc, bd) =>
       val beyond =

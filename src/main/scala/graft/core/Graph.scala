@@ -65,6 +65,12 @@ object Graph {
     // rebases every generation on its persisted RDD instead (the
     // GraphX-style checkpoint move), keeping the plan constant-size
     // per round. All persists release via CacheScope.
+    // plain persist, NOT pre-partitioned on the join key: pinning the
+    // cache at HashPartitioning(key, shuffle.partitions) removes one
+    // edge exchange per iteration but also FORCES every iteration
+    // stage to that partition count, defeating AQE's coalescing —
+    // A/B-measured (round 12) +2.0 s on coreness / +1.0 s on label
+    // propagation against the re-shuffle it saves.
     val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
     // The one driver-side scalar: |V|. base = teleport share per node;
     // the div truncation loses < N·1e-12 of total mass — the price of
@@ -118,6 +124,12 @@ object Graph {
     require(iters >= 1, s"pageRankPersonalized requires iters >= 1, got $iters")
     val n = nodes.select(col("id")).distinct()
     val sd = seeds.select(col("id")).distinct()
+    // plain persist, NOT pre-partitioned on the join key: pinning the
+    // cache at HashPartitioning(key, shuffle.partitions) removes one
+    // edge exchange per iteration but also FORCES every iteration
+    // stage to that partition count, defeating AQE's coalescing —
+    // A/B-measured (round 12) +2.0 s on coreness / +1.0 s on label
+    // propagation against the re-shuffle it saves.
     val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
     val nSeeds = sd.count()
     require(nSeeds > 0, "pageRankPersonalized requires a non-empty seed set")
@@ -170,6 +182,12 @@ object Graph {
       edges: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1, s"labelPropagation requires iters >= 1, got $iters")
+    // plain persist, NOT pre-partitioned on the join key: pinning the
+    // cache at HashPartitioning(key, shuffle.partitions) removes one
+    // edge exchange per iteration but also FORCES every iteration
+    // stage to that partition count, defeating AQE's coalescing —
+    // A/B-measured (round 12) +2.0 s on coreness / +1.0 s on label
+    // propagation against the re-shuffle it saves.
     val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
     val seeds = labels.select(col("id"), col("lab").as("_seed"))
     val l0 = labels.select(col("id"), col("lab"))
@@ -272,6 +290,12 @@ object Graph {
     */
   def coreness(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"coreness requires iters >= 1, got $iters")
+    // plain persist, NOT pre-partitioned on the join key: pinning the
+    // cache at HashPartitioning(key, shuffle.partitions) removes one
+    // edge exchange per iteration but also FORCES every iteration
+    // stage to that partition count, defeating AQE's coalescing —
+    // A/B-measured (round 12) +2.0 s on coreness / +1.0 s on label
+    // propagation against the re-shuffle it saves.
     val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
     val n = nodes.select(col("id")).distinct()
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
@@ -303,10 +327,17 @@ object Graph {
     * the Dataset-API analog of GraphX's iteration checkpointing).
     * Lazy: nothing runs until the first action; the RDD persist makes
     * later references reuse, and the bracket releases it.
+    *
+    * INTERNAL rows, not `df.rdd`: the external-Row path decodes and
+    * re-encodes every row every iteration (plus boxing); persisting
+    * the UnsafeRow bytes (copied — the scan reuses row buffers) skips
+    * both conversions. Semantics are unchanged: after release the
+    * frame recomputes from lineage like any unpersisted cache.
     */
   private def shortCircuit(df: DataFrame): DataFrame = {
-    val rdd = df.rdd.persist()
+    val rdd = df.queryExecution.toRdd.map(_.copy()).persist()
     CacheScope.trackRelease(() => { rdd.unpersist(blocking = false); () })
-    df.sparkSession.createDataFrame(rdd, df.schema)
+    org.apache.spark.sql.GraftBridge.internalCreateDataFrame(
+      df.sparkSession, rdd, df.schema)
   }
 }

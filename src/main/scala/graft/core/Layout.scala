@@ -221,15 +221,24 @@ object Layout {
     } else liveDataFiles(spark, path)
   }
 
-  private[graft] def liveDataFiles(spark: SparkSession, path: String): Set[String] = {
+  private[graft] def liveDataFiles(spark: SparkSession, path: String): Set[String] =
+    liveDataEntries(spark, path).map(_._1)
+
+  /** [[liveDataFiles]] with lengths, read off the same listStatus walk
+    * — no per-file getFileStatus round trips (the snapshot path's
+    * metadata cost is one listing per directory, not one RPC per
+    * file).
+    */
+  private[graft] def liveDataEntries(
+      spark: SparkSession, path: String): Set[(String, Long)] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def walk(p: org.apache.hadoop.fs.Path): Iterator[String] =
+    def walk(p: org.apache.hadoop.fs.Path): Iterator[(String, Long)] =
       fs.listStatus(p).iterator.flatMap { st =>
         val name = st.getPath.getName
         if (name.startsWith("_") || name.startsWith(".")) Iterator.empty
         else if (st.isDirectory) walk(st.getPath)
-        else Iterator.single(st.getPath.toUri.getPath)
+        else Iterator.single((st.getPath.toUri.getPath, st.getLen))
       }
     walk(root).toSet
   }

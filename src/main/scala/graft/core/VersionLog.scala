@@ -64,16 +64,18 @@ object VersionLog {
 
   /** The live data files as (relativePath, length), sorted — the
     * deterministic content a snapshot records and compares against.
+    * Lengths come straight out of the directory walk's FileStatus
+    * entries — a per-file getFileStatus round trip here would cost one
+    * extra namenode RPC per file per snapshot (millions at corpus
+    * scale).
     */
   private def liveEntries(
       spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val root = rootUriPath(dir)
-    val f = fs(spark, dir)
-    Layout.liveDataFiles(spark, dir).toSeq.map { p =>
+    Layout.liveDataEntries(spark, dir).toSeq.map { case (p, len) =>
       require(p.startsWith(root + "/"),
         s"data file $p escapes the table root $root")
-      val rel = p.stripPrefix(root + "/")
-      (rel, f.getFileStatus(new Path(p)).getLen)
+      (p.stripPrefix(root + "/"), len)
     }.sortBy(_._1)
   }
 
@@ -83,11 +85,37 @@ object VersionLog {
     * them (older logs) read back with an empty header and their op is
     * inferred from the reserved-dir naming contract — see [[step]].
     */
+  /** Memo of parsed version records. SAFE because a version file is
+    * IMMUTABLE once committed (the CAS primitive refuses an existing
+    * target, and nothing ever rewrites one in place); the only
+    * lifecycle event is deletion by [[vacuum]], which the existence
+    * check on every hit still surfaces as the same loud "not recorded"
+    * error. Without the memo every snapshot/step/changeFeed walk
+    * re-opened and re-parsed the same records — one RPC+parse per
+    * version per call, the dominant driver-side cost of a multi-step
+    * lifecycle scenario.
+    */
+  private val versionRecords = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (Map[String, String], Seq[(String, Long)])]()
+
   private[core] def readVersionFile(spark: SparkSession, dir: String,
       v: Int): (Map[String, String], Seq[(String, Long)]) = {
     val p = versionPath(dir, v)
     val f = fs(spark, dir)
     require(f.exists(p), s"version $v is not recorded at $dir/$LogDir")
+    val key = (rootUriPath(dir), v)
+    val hit = versionRecords.get(key)
+    if (hit != null) return hit
+    val parsed = readVersionFileUncached(f, p)
+    // crude bound so a long-lived service over many tables cannot
+    // accumulate records without end; a reset only costs re-reads
+    if (versionRecords.size > 4096) versionRecords.clear()
+    versionRecords.put(key, parsed)
+    parsed
+  }
+
+  private def readVersionFileUncached(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): (Map[String, String], Seq[(String, Long)]) = {
     val in = f.open(p)
     val bytes = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -261,15 +289,40 @@ object VersionLog {
       .filter(_.nonEmpty)
   }
 
+  /** Memoized inferred schema per (session, table root) for
+    * NEVER-EVOLVED versioned tables: the store enforces one physical
+    * schema across a table's files (ingest drift guard, MERGE drift
+    * matrix), so the first footer's schema serves every later read —
+    * without the memo each readVersion/readChanges/readChangeFeed call
+    * ran its own footer-inference job (a visible per-call job locally;
+    * a footer fetch per incremental read at corpus scale). Evolved
+    * tables never consult this (their schema travels in version
+    * headers). Entries for stopped sessions purge on the next lookup,
+    * mirroring [[graft.Tables]]'s memo hygiene.
+    */
+  private val inferredSchemas = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+
   /** A schema-aware reader: explicit effective schema when the table
-    * has evolved (missing columns in older files read as NULL), plain
-    * inference otherwise.
+    * has evolved (missing columns in older files read as NULL),
+    * memoized single-footer inference otherwise. `sampleFile` names
+    * any one data file of the version being read (single-schema store
+    * invariant — the same file default inference would sample).
     */
   private def readerFor(spark: SparkSession, dir: String,
-      v: Int): org.apache.spark.sql.DataFrameReader =
+      v: Int, sampleFile: => Option[String]): org.apache.spark.sql.DataFrameReader =
     effectiveSchema(spark, dir, v) match {
       case Some(st) => spark.read.schema(st)
-      case None => spark.read
+      case None =>
+        sampleFile match {
+          case Some(f) =>
+            inferredSchemas.keySet.removeIf(_._1.sparkContext.isStopped)
+            val st = inferredSchemas.computeIfAbsent(
+              (spark, rootUriPath(dir)),
+              _ => spark.read.parquet(f).schema)
+            spark.read.schema(st)
+          case None => spark.read
+        }
     }
 
   /** ALTER TABLE ADD COLUMNS as a metadata-only version: the SAME file
@@ -653,7 +706,8 @@ object VersionLog {
         s"${entries.size} recorded files are missing or rewritten " +
         s"(e.g. ${bad.take(3).map(_._1).mkString(", ")}); the history " +
         "was compacted past this version")
-    readerFor(spark, dir, v)
+    readerFor(spark, dir, v,
+        entries.headOption.map { case (rel, _) => s"$root/$rel" })
       .parquet(entries.map { case (rel, _) => s"$root/$rel" }: _*)
   }
 
@@ -742,9 +796,11 @@ object VersionLog {
       }
     }
     if (fresh.isEmpty) readVersion(spark, dir, toV).limit(0)
-    else readerFor(spark, dir, toV)
-      .parquet(verifiedPaths(spark, dir, fresh.toSeq.sortBy(_._1),
-        s"the v$fromV→v$toV delta"): _*)
+    else {
+      val paths = verifiedPaths(spark, dir, fresh.toSeq.sortBy(_._1),
+        s"the v$fromV→v$toV delta")
+      readerFor(spark, dir, toV, paths.headOption).parquet(paths: _*)
+    }
   }
 
   /** Row-level CHANGE FEED between two versions — the CDC read that
@@ -775,8 +831,10 @@ object VersionLog {
     readEntries(spark, dir, toV)
     def rd(entries: Seq[(String, Long)], v: Int): Option[DataFrame] =
       if (entries.isEmpty) None
-      else Some(readerFor(spark, dir, v).parquet(
-        verifiedPaths(spark, dir, entries, s"the v$v change feed"): _*))
+      else {
+        val paths = verifiedPaths(spark, dir, entries, s"the v$v change feed")
+        Some(readerFor(spark, dir, v, paths.headOption).parquet(paths: _*))
+      }
     def tag(df: DataFrame, typ: String, v: Int): DataFrame =
       df.withColumn("_change_type", lit(typ))
         .withColumn("_commit_version", lit(v))

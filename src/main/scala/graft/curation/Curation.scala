@@ -1402,7 +1402,14 @@ object Curation {
       idCol: String,
       sourceCol: String,
       scoreCol: String): DataFrame = {
-    val base = scored.select(col(idCol), col(sourceCol), col(scoreCol))
+    // persisted: the global numbering makes three passes (boundary
+    // sketch, per-bucket counts, the ranked output) and the per-source
+    // window two more — without the cache each pass re-evaluates the
+    // caller's score expression (q166 feeds a full quality-score
+    // pipeline), and the rank-bucket fold would inline it per boundary
+    // (the q167 duplication hazard, see GlobalRanks).
+    val base = graft.core.CacheScope.track(
+      scored.select(col(idCol), col(sourceCol), col(scoreCol)).persist())
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol))
       .orderBy(col(scoreCol).asc, col(idCol).asc)

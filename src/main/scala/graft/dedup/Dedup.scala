@@ -79,9 +79,15 @@ object Dedup {
       tau: Double,
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val eps = 1e-9
-    val arrs = df.select(col(idCol).as("doc"),
+    // persisted: referenced by BOTH sides of the prefix self-join, the
+    // hot-shingle df pass, and (plan-identical, CacheManager-deduped)
+    // the exact verify's two array joins — one tokenize+sort pass
+    // total instead of four
+    val arrs = graft.core.CacheScope.track(
+      df.select(col(idCol).as("doc"),
         graft.functions.SketchFunctions.sorted_shingle_hashes(col(textCol), n).as("shs"))
       .select(col("doc"), size(col("shs")).as("nsh"), col("shs"))
+      .persist())
     val prefixLen = (col("nsh") - ceil(col("nsh") * tau - eps) + 1).cast("int")
     // posexplode: the 1-based prefix position feeds PPJoin's positional
     // filter below
@@ -467,9 +473,12 @@ object Dedup {
       bands: Int = 16,
       maxBucketDocFreq: Option[Int] = None): DataFrame = {
     val sh = df.select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), n).as("sh"))
-    val buckets0 = sh.select(
+    // persisted: both sides of the bucket self-join derive from it —
+    // without the cache the corpus shingles + minhashes twice
+    val buckets0 = graft.core.CacheScope.track(sh.select(
       col("doc"),
       explode(lshBandKeys(col("sh"), numHashes, bands)).as("bucket"))
+      .persist())
     val buckets = graft.core.Skew.dropHotKeys(buckets0, "bucket", maxBucketDocFreq)
     val candidates = buckets.as("l")
       .join(buckets.as("r").hint("shuffle_hash"), col("l.bucket") === col("r.bucket"))
@@ -493,9 +502,17 @@ object Dedup {
       n: Int,
       tau: Double,
       candidates: DataFrame): DataFrame = {
-    val arrs = df.select(col(idCol).as("doc"),
+    // persisted: the verify joins the array table TWICE (a-side and
+    // b-side), and the candidate generators upstream already derive
+    // the same (doc, nsh, shs) plan — without the cache the corpus
+    // re-tokenizes + re-sorts once per reference (4× per jaccardPairs
+    // call). Spark's CacheManager dedups plan-identical caches, so a
+    // caller that persisted the same construction shares this entry.
+    val arrs = graft.core.CacheScope.track(
+      df.select(col(idCol).as("doc"),
         graft.functions.SketchFunctions.sorted_shingle_hashes(col(textCol), n).as("shs"))
       .select(col("doc"), size(col("shs")).as("nsh"), col("shs"))
+      .persist())
     candidates
       .join(arrs.select(col("doc").as("doc_a"), col("nsh").as("na"), col("shs").as("sa")), "doc_a")
       .join(arrs.select(col("doc").as("doc_b"), col("nsh").as("nb"), col("shs").as("sb")), "doc_b")
@@ -535,9 +552,14 @@ object Dedup {
       tau: Double,
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val eps = 1e-9
-    val arrs = df.select(col(idCol).as("doc"),
+    // persisted: prefix side, full side, and the df pass all derive
+    // from it (plus the verify's plan-identical joins) — see
+    // jaccardPairs
+    val arrs = graft.core.CacheScope.track(
+      df.select(col(idCol).as("doc"),
         graft.functions.SketchFunctions.sorted_shingle_hashes(col(textCol), n).as("shs"))
       .select(col("doc"), size(col("shs")).as("nsh"), col("shs"))
+      .persist())
     val prefixLen = (col("nsh") - ceil(col("nsh") * tau - eps) + 1).cast("int")
     val pfx0 = arrs.select(col("doc"), col("nsh"),
         posexplode(slice(col("shs"), lit(1), prefixLen)).as(Seq("p0", "sh")))
@@ -617,13 +639,16 @@ object Dedup {
     val mask = (1L << width) - 1
     val sh = df.select(col(idCol).as("doc"), TextFunctions.shingles(col(textCol), n).as("sh"))
       .withColumn("sim", simhash60(col("sh")))
-    val pieceKeys0 = sh.select(
+    val pieceKeys0 = graft.core.CacheScope.track(sh.select(
       col("doc"), col("sim"),
       explode(array((0 until pieces).map { p =>
         concat_ws(":", lit(p),
           shiftrightunsigned(col("sim"), p * width).bitwiseAND(mask))
       }: _*)).as("piece"))
       .select(col("doc"), col("sim"), col("piece"))
+      // persisted: both sides of the piece self-join derive from it —
+      // without the cache the corpus shingles + simhashes twice
+      .persist())
     val pieceKeys = graft.core.Skew.dropHotKeys(pieceKeys0, "piece", maxBucketDocFreq)
     val candidates = pieceKeys.as("l")
       .join(pieceKeys.as("r").hint("shuffle_hash"), col("l.piece") === col("r.piece"))
@@ -1101,8 +1126,13 @@ object Dedup {
         else shiftrightunsigned(col("fp"), lo).bitwiseAND(lit((1L << w) - 1L))
       concat_ws(":", lit(p), bitsv)
     }
-    val keyed = df.select(col(idCol).as("id"), col(fpCol).cast("long").as("fp"))
-      .select(col("id"), col("fp"), explode(array(pieceCols: _*)).as("bucket"))
+    // persisted: both sides of the piece self-join derive from the
+    // keyed rows — without the cache the caller's fingerprint pipeline
+    // (media decode, simhash) evaluates once per side
+    val keyed = graft.core.CacheScope.track(
+      df.select(col(idCol).as("id"), col(fpCol).cast("long").as("fp"))
+        .select(col("id"), col("fp"), explode(array(pieceCols: _*)).as("bucket"))
+        .persist())
     val b = graft.core.Skew.dropHotKeys(keyed, "bucket", maxBucketDocFreq)
     b.as("l")
       .join(b.as("r").hint("shuffle_hash"), col("l.bucket") === col("r.bucket"))

@@ -112,7 +112,11 @@ object Linkage {
     val (ranked, _) = graft.core.GlobalRanks.withGlobalRowNumber(
       u, col("__k"), descending = false,
       tieBreak = Seq(col("__side"), col("__id")), out = "__rn")
-    val withB = ranked.withColumn("__b", expr(s"__rn div ${window}L"))
+    // persisted: both join legs below derive from the ranked frame —
+    // without the cache the whole global-numbering pipeline (window
+    // included) runs once per leg
+    val withB = graft.core.CacheScope.track(
+      ranked.withColumn("__b", expr(s"__rn div ${window}L")).persist())
     val probe = withB
       .select(col("__id"), col("__side"), col("__rn"),
         explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__b"))

@@ -221,19 +221,35 @@ object LshIndex {
       n: Int, numHashes: Int, bands: Int, numPartitions: Int,
       overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
+    // persisted across the TWO writes below: shingling + minhashing +
+    // the sorted hash arrays are the expensive map work, and without
+    // the cache the sigs write re-tokenized the whole input a second
+    // time (measured ~2× the build cost at sf0.1). Spillable storage
+    // (MEMORY_AND_DISK default), released in the bracket.
     val sh = df.select(col(idCol).as("doc"),
       TextFunctions.shingles(col(textCol), n).as("sh"),
       graft.functions.SketchFunctions
         .sorted_shingle_hashes(col(textCol), n).as("shs"))
-    sh.select(col("doc"),
-        explode(Dedup.lshBandKeys(col("sh"), numHashes, bands)).as("bucket"))
-      .withColumn("pb", pb(col("bucket"), numPartitions))
-      .write.mode(mode).partitionBy("pb").parquet(s"$path/buckets")
-    // sb = id-hash partition key, STRING-cast so any orderable id type
-    // hashes consistently between write and probe
-    sh.select(col("doc"), size(col("shs")).as("nsh"), col("shs"))
-      .withColumn("sb", pb(col("doc").cast("string"), numPartitions))
-      .write.mode(mode).partitionBy("sb").parquet(s"$path/sigs")
+      .persist()
+    // repartition ON the layout key before each partitionBy write: a
+    // dynamic-partition write from K input tasks lands up to
+    // K × numPartitions part files (one per task per partition value —
+    // the small-file explosion every probe/delete pays per file
+    // forever); clustered by the key, each pb/sb directory gets files
+    // from exactly one task (Iceberg's hash write-distribution mode).
+    try {
+      sh.select(col("doc"),
+          explode(Dedup.lshBandKeys(col("sh"), numHashes, bands)).as("bucket"))
+        .withColumn("pb", pb(col("bucket"), numPartitions))
+        .repartition(col("pb"))
+        .write.mode(mode).partitionBy("pb").parquet(s"$path/buckets")
+      // sb = id-hash partition key, STRING-cast so any orderable id type
+      // hashes consistently between write and probe
+      sh.select(col("doc"), size(col("shs")).as("nsh"), col("shs"))
+        .withColumn("sb", pb(col("doc").cast("string"), numPartitions))
+        .repartition(col("sb"))
+        .write.mode(mode).partitionBy("sb").parquet(s"$path/sigs")
+    } finally { sh.unpersist(blocking = false); () }
   }
 
   /** The sketch parameters an index was built with (from `_meta/`). */

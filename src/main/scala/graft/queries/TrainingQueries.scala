@@ -1027,7 +1027,10 @@ object TrainingQueries {
     // iteration, not just the final ranking.
     "q141_neardup_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      // persisted: the symmetrized edge union references the pair
+      // pipeline twice — one candidate-join + verify instead of two
+      val pairs = graft.core.CacheScope.track(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5).persist())
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       graft.core.Graph.pageRank(docs.select(col("doc_id").as("id")), edges, iters = 5)
@@ -1266,7 +1269,10 @@ object TrainingQueries {
     // oracle as q141.
     "q153_ppr_related" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      // persisted: the symmetrized edge union references the pair
+      // pipeline twice — one candidate-join + verify instead of two
+      val pairs = graft.core.CacheScope.track(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5).persist())
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       graft.core.Graph.pageRankPersonalized(
@@ -1282,7 +1288,10 @@ object TrainingQueries {
     // for partially-annotated corpora.
     "q154_label_prop" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      // persisted: the symmetrized edge union references the pair
+      // pipeline twice — one candidate-join + verify instead of two
+      val pairs = graft.core.CacheScope.track(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5).persist())
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val labels = docs.select(col("doc_id").as("id"),
@@ -1445,9 +1454,14 @@ object TrainingQueries {
     // ranking is the partition-parallel exact numbering, not a
     // single-task window.
     "q171_curriculum_shards" -> ((s, dir) => {
-      val scored = t(s, dir, "documents")
+      // persisted: the exact global numbering makes three passes and
+      // its bucket fold references `quality` once per boundary — the
+      // cache evaluates the quality-score pipeline once per row
+      // instead of ~35 times (the q167 inlining hazard)
+      val scored = graft.core.CacheScope.track(t(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.qualityScore(col("text")).as("quality"))
+        .persist())
       val (ranked, _) = graft.core.GlobalRanks.withGlobalRowNumber(
         scored, col("quality"), descending = false,
         tieBreak = Seq(col("doc_id")), out = "rn")
@@ -1907,9 +1921,16 @@ object TrainingQueries {
       val scores = graft.text.LogisticRegression.fitScore(
         docs, "doc_id", "text", col("lang") === "en",
         buckets = 64, iters = 5, lr = 0.25)
-      val lab = scores
+      // persisted: the exact-ntile ranking references `score` once per
+      // bucket boundary (plus the counts pass and the window order),
+      // and without the cache CollapseProject inlines the FULL
+      // interpreted sigmoid pipeline into every reference — measured
+      // 169 CPU-seconds in one 32-task stage at sf0.1. Materialized
+      // once, the comparisons are codegen over a cached double.
+      val lab = graft.core.CacheScope.track(scores
         .join(docs.select(col("doc_id"),
           (col("lang") === "en").cast("long").as("y")), "doc_id")
+        .persist())
       graft.core.GlobalRanks.ntileExact(lab, 10, col("score"),
         descending = false, tieBreak = Seq(col("doc_id")), out = "bin")
         .groupBy(col("bin"))
@@ -2015,7 +2036,10 @@ object TrainingQueries {
     // identical 8).
     "q161_kcore" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      // persisted: the symmetrized edge union references the pair
+      // pipeline twice — one candidate-join + verify instead of two
+      val pairs = graft.core.CacheScope.track(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5).persist())
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       graft.core.Graph.coreness(
@@ -2195,8 +2219,11 @@ object TrainingQueries {
     // the full recompute, so q107's recursive-CTE oracle gates it
     // unchanged.
     "q123_components_incremental" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, tau = 0.5).select(col("doc_a"), col("doc_b"))
+      // persisted: the standing/batch split filters the pair pipeline
+      // twice — one candidate-join + verify instead of two
+      val pairs = graft.core.CacheScope.track(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, tau = 0.5).select(col("doc_a"), col("doc_b")).persist())
       val split = pmod(xxhash64(col("doc_a"), col("doc_b")), lit(2))
       val standing = Dedup.connectedComponents(pairs.filter(split === 0))
       Dedup.connectedComponentsIncremental(standing, pairs.filter(split === 1))

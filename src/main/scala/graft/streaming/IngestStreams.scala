@@ -271,7 +271,15 @@ object IngestStreams {
         // evolution-free: its bloom probes are keyed on one column
         // and the batch must match the table exactly)
         checkSchema(batch, tablePath, fs, evolve = false)
-        fresh.write.mode("overwrite").parquet(s"$tablePath/b$batchId")
+        // right-size the landing from the known survivor count: the
+        // batch dir otherwise carries one part file per upstream
+        // partition, and every file costs a bloom-manifest row + a
+        // probe candidate forever after (guide §6)
+        val rowsPerFile = spark.conf
+          .getOption("spark.graft.dml.insertFileRows")
+          .map(_.toLong).getOrElse(1L << 20)
+        fresh.coalesce(math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt)
+          .write.mode("overwrite").parquet(s"$tablePath/b$batchId")
       }
       n
     } finally { fresh.unpersist(); () }

@@ -29,6 +29,18 @@ object Tables {
       (k: (SparkSession, String)) => doLoad(k._1, k._2))
   }
 
+  // NOTE (round-12 optimization, measured and REJECTED): repartitioning
+  // narrow single-file scans to defaultParallelism right after the read
+  // (guide §2.5's "unsplittable input" remedy) was A/B-benched across
+  // 30 queries on an idle machine — it pays only where the first stage
+  // is genuinely CPU-bound per row (media synthesis/decode: q218 2.0 s
+  // → 0.55 s) and LOSES 0.3-0.5 s on ordinary tokenize/aggregate
+  // queries, because pre-spreading the scan defeats map-side partial
+  // aggregation (1 partition collapses duplicate keys before the
+  // exchange; 32 partitions ship ~32× the partials) and pins
+  // 32-task stages where AQE would coalesce. The guard now lives only
+  // at the media-synthesis entry points (graft.multimodal.Multimodal),
+  // where rows are independent and no aggregation follows.
   private def doLoad(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(path)

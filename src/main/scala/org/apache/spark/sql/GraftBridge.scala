@@ -21,6 +21,19 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Wrap an RDD of INTERNAL rows as a DataFrame — the seam an
+    * iterative operator's lineage short-circuit needs: `df.rdd` +
+    * `createDataFrame(rdd, schema)` round-trips every row through the
+    * external `Row` representation (decode + re-encode per row per
+    * iteration), while the internal-row path persists the UnsafeRow
+    * bytes as-is. `internalCreateDataFrame` is `private[sql]`, hence
+    * this re-export.
+    */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Eager ColumnNode → Expression conversion. `expression` defers the
     * conversion inside a `ColumnNodeExpression` placeholder, which only
     * the Dataset boundary unwraps — an expression returned from a

@@ -19,6 +19,41 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(back.toSeq == samples.toSeq)
   }
 
+  test("hand-rolled WAV writer is byte-identical to AudioSystem's (the lock-free swap guard)") {
+    import java.io.ByteArrayOutputStream
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    for ((n, rate) <- Seq((1, 4000), (13, 8000), (1000, 12000), (4097, 44100))) {
+      val samples = pcm(n)
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+        rate.toFloat, 8, 1, 1, rate.toFloat, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      assert(AudioCodec.encodePcmWav(samples, rate).toSeq == bos.toByteArray.toSeq,
+        s"n=$n rate=$rate")
+    }
+  }
+
+  test("the lock-free parse agrees with the registry decoder on registry-written WAVs") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit stereo signed PCM through the REGISTRY writer, decoded by
+    // the hand-rolled parser — format facts and bytes must agree
+    val frames = 64
+    val raw = Array.tabulate(frames * 4)(i => ((i * 31 + 5) % 256).toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      16000f, 16, 2, 4, 16000f, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val (f2, p2) = AudioCodec.tryDecode(bos.toByteArray).get
+    assert(f2.getSampleRate.toInt == 16000 && f2.getChannels == 2 &&
+      f2.getSampleSizeInBits == 16 && !f2.isBigEndian)
+    assert(f2.getEncoding == AudioFormat.Encoding.PCM_SIGNED)
+    assert(p2.toSeq == raw.toSeq)
+  }
+
   test("tryDecode rejects non-audio bytes (the fake-codec fallback gate)") {
     assert(AudioCodec.tryDecode("just some text payload".getBytes("UTF-8")).isEmpty)
     assert(AudioCodec.tryDecode(Array.empty[Byte]).isEmpty)
