@@ -102,14 +102,21 @@ object Layout {
     * staleness identity will demand. NULL stats prune correctly: no
     * box test passes on them, and zero rows match nothing.
     */
+  /** The stats aggregation runs ONCE: without the persist, the
+    * zero-row-file coverage check (a collect) and the caller's write
+    * each re-scanned every listed file (the expensive half of a
+    * manifest build, twice). Metadata-scale frame; released by the
+    * caller via [[writeSwapped]]'s bracket or the scope.
+    */
   private def zoneMapRows(spark: SparkSession, files: Seq[String],
       cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"${c}__min"),
       max(col(c).cast("long")).as(s"${c}__max")))
-    val agged = spark.read.parquet(files: _*)
+    val agged = graft.core.CacheScope.track(spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      .persist())
     val covered = agged.select(col("file")).collect()
       .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
       .toSet
@@ -164,6 +171,28 @@ object Layout {
       pairs.collect { case (o, n) if !data(n) => o })
   }
 
+  /** Replace a manifest dir with `rows` WITHOUT first materializing
+    * them driver/memory-side: write to a sibling scratch dir, then
+    * swap. The old path (eager `localCheckpoint` then overwrite) spent
+    * one extra Spark job per maintenance call just to sever the
+    * lineage reading the dir being overwritten; the scratch write
+    * reads the old dir and the swap is pure FS metadata. Single-writer
+    * maintenance discipline, same as before — readers racing an append
+    * already face the staleness tripwire either way.
+    */
+  private def writeSwapped(spark: SparkSession, rows: DataFrame,
+      manPath: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(manPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.swap")
+    fs.delete(tmp, true)
+    rows.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"manifest swap to $manPath failed")
+  }
+
   def appendManifest(spark: SparkSession, path: String): Unit = {
     val manPath = s"$path/$ManifestDir"
     val man = spark.read.parquet(manPath)
@@ -180,17 +209,12 @@ object Layout {
     // staleness identity hostage until a full rebuild
     val kept = if (ghosts.isEmpty) man
       else man.filter(!col("file").isin(ghosts: _*))
-    // union under the OLD manifest's column order, then swap: the
-    // manifest dir itself is replaced atomically enough for a
-    // single-writer maintenance job (same discipline as writeManifest's
-    // overwrite); readers racing an append already face the staleness
-    // tripwire either way.
+    // union under the OLD manifest's column order, then swap
     val merged =
-      (if (fresh.isEmpty) kept
-       else kept.unionByName(
-         zoneMapRows(spark, fresh, cols).select(man.columns.map(col): _*)))
-        .localCheckpoint(true) // sever the lineage reading the dir being overwritten
-    merged.write.mode("overwrite").parquet(manPath)
+      if (fresh.isEmpty) kept
+      else kept.unionByName(
+        zoneMapRows(spark, fresh, cols).select(man.columns.map(col): _*))
+    writeSwapped(spark, merged, manPath)
   }
 
   /** The table's live data files, scheme-normalized (`input_file_name`
@@ -261,17 +285,26 @@ object Layout {
   def prunedFiles(
       spark: SparkSession, path: String,
       boxes: Seq[(String, Long, Long)]): Seq[String] = {
+    // ONE collect serves both the staleness identity and the box
+    // filter (the manifest is metadata-scale — one short row per
+    // file); two separate collects were two Spark jobs per pruned read
     val man = spark.read.parquet(s"$path/$ManifestDir")
-    val manifested = man.select(col("file")).collect().map(_.getString(0))
-    val norm = manifested.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val cols = Seq("file") ++ boxes.flatMap { case (c, _, _) =>
+      Seq(s"${c}__min", s"${c}__max") }
+    val rows = man.select(cols.map(col): _*).collect()
+    val norm = rows.map(r =>
+      new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
     val live = dataFiles(spark, path)
     require(norm == live,
       s"zone-map manifest at $path/$ManifestDir is stale " +
         s"(${(live -- norm).size} unmanifested / ${(norm -- live).size} ghost " +
         "files) — rebuild it with Layout.writeManifest before pruned reads")
-    boxes.foldLeft(man) { case (m, (c, lo, hi)) =>
-      m.filter(col(s"${c}__max") >= lo && col(s"${c}__min") <= hi)
-    }.select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+    rows.filter { r =>
+      boxes.zipWithIndex.forall { case ((_, lo, hi), i) =>
+        !r.isNullAt(2 * i + 1) && !r.isNullAt(2 * i + 2) &&
+          r.getLong(2 * i + 2) >= lo && r.getLong(2 * i + 1) <= hi
+      }
+    }.map(_.getString(0)).toSeq.sorted
   }
 
   /** Metadata-only row count: `SELECT count(*)` answered from the
@@ -281,14 +314,15 @@ object Layout {
     * manifest would be silently wrong, so it is a hard error instead.
     */
   def countFromManifest(spark: SparkSession, path: String): Long = {
-    val man = spark.read.parquet(s"$path/$ManifestDir")
-    val manifested = man.select(col("file")).collect().map(_.getString(0))
-    val norm = manifested
-      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    // one collect: staleness identity + the sum (metadata-scale rows)
+    val rows = spark.read.parquet(s"$path/$ManifestDir")
+      .select(col("file"), col("n_rows")).collect()
+    val norm = rows
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
     require(norm == dataFiles(spark, path),
       s"zone-map manifest at $path/$ManifestDir is stale — rebuild it " +
         "with Layout.writeManifest before metadata-only counts")
-    man.agg(sum(col("n_rows"))).collect()(0).getLong(0)
+    rows.map(_.getLong(1)).sum
   }
 
   /** Per-file BLOOM manifest dir (hidden from table scans like
@@ -318,9 +352,12 @@ object Layout {
       graft.functions.AggregateFunctions.bloomAgg(col(c), expected, fpp)
         .as(s"${c}__bloom")) :+
       lit(expected).as("__expected") :+ lit(fpp).as("__fpp"))
-    val agged = spark.read.parquet(files: _*)
+    // persisted: the sketch aggregation runs once for the coverage
+    // check AND the caller's write (see zoneMapRows)
+    val agged = graft.core.CacheScope.track(spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      .persist())
     val covered = agged.select(col("file")).collect()
       .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
       .toSet
@@ -368,28 +405,30 @@ object Layout {
     val cols = man.columns.toSeq.collect {
       case c if c.endsWith("__bloom") => c.stripSuffix("__bloom")
     }
-    val head = man.select(col("__expected"), col("__fpp")).head()
-    val (expected, fpp) = (head.getLong(0), head.getDouble(1))
     val live = dataFiles(spark, path)
-    // ghost rows (manifested file no longer committed — vacuumed or
+    // ONE collect serves the sizing params AND the file identity (was
+    // a head() job plus a collect job per maintenance call). Ghost
+    // rows (manifested file no longer committed — vacuumed or
     // orphan-cleaned) drop in the same rewrite: a deleted file's sketch
     // can only cause false "exists" answers. The ghost list is SMALL by
     // construction (the rewritten window), so the filter is a short
     // NOT-IN over original strings — never a UDF or a live-set-sized
     // expression tree.
-    val (known, ghosts) = ghostSplit(
-      man.select(col("file")).collect().map(_.getString(0)).toSeq, live)
+    val idRows = man.select(col("file"), col("__expected"), col("__fpp"))
+      .collect()
+    require(idRows.nonEmpty, s"empty bloom manifest at $manPath")
+    val (expected, fpp) = (idRows(0).getLong(1), idRows(0).getDouble(2))
+    val (known, ghosts) = ghostSplit(idRows.map(_.getString(0)).toSeq, live)
     val kept = if (ghosts.isEmpty) man
       else man.filter(!col("file").isin(ghosts: _*))
     val fresh = (live -- known).toSeq.sorted
     if (fresh.isEmpty && ghosts.isEmpty) return
     val merged =
-      (if (fresh.isEmpty) kept
-       else kept.unionByName(
-         bloomRows(spark, fresh, cols, expected, fpp)
-           .select(man.columns.map(col): _*)))
-        .localCheckpoint(true) // sever lineage over the dir being replaced
-    merged.write.mode("overwrite").parquet(manPath)
+      if (fresh.isEmpty) kept
+      else kept.unionByName(
+        bloomRows(spark, fresh, cols, expected, fpp)
+          .select(man.columns.map(col): _*))
+    writeSwapped(spark, merged, manPath)
   }
 
   /** The files an `col IN (values)` point lookup must read, per the
@@ -463,14 +502,20 @@ object Layout {
       have(s"${c}__min") && have(s"${c}__max")
     }
     if (usable.isEmpty) return None
-    val manifested = man.select(col("file")).collect().map(_.getString(0))
-    val norm = manifested
-      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    // one collect: staleness identity + driver-side box filter
+    val cs = Seq("file") ++ usable.flatMap { case (c, _, _) =>
+      Seq(s"${c}__min", s"${c}__max") }
+    val rows = man.select(cs.map(col): _*).collect()
+    val norm = rows
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
     if (norm != dataFiles(spark, path)) return None
-    val kept = usable.foldLeft(man) { case (m, (c, lo, hi)) =>
-      m.filter(col(s"${c}__max") >= lo && col(s"${c}__min") <= hi)
-    }.select(col("file")).collect().map(_.getString(0)).toSeq.sorted
-    Some((kept, manifested.length.toLong))
+    val kept = rows.filter { r =>
+      usable.zipWithIndex.forall { case ((_, lo, hi), i) =>
+        !r.isNullAt(2 * i + 1) && !r.isNullAt(2 * i + 2) &&
+          r.getLong(2 * i + 2) >= lo && r.getLong(2 * i + 1) <= hi
+      }
+    }.map(_.getString(0)).toSeq.sorted
+    Some((kept, rows.length.toLong))
   }
 
   /** Manifest-pruned scan: read ONLY the files whose zone maps

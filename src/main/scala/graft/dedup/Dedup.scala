@@ -412,7 +412,11 @@ object Dedup {
     val wDec = col("w").cast("decimal(38,0)")
     val norms = weighted0.groupBy(col("doc"))
       .agg(sum(wDec * wDec).as("n2"))
-    val idx = weighted0.join(norms, Seq("doc"))
+    // persisted: both sides of the term self-join derive from it —
+    // without the cache the tokenize + tf/df aggregates + idf join run
+    // once per side
+    val idx = graft.core.CacheScope.track(
+      weighted0.join(norms, Seq("doc")).persist())
     idx.as("l").join(idx.as("r").hint("shuffle_hash"), col("l.t") === col("r.t"))
       .filter(col("l.doc") < col("r.doc"))
       .groupBy(col("l.doc").as("doc_a"), col("l.n2").as("na"),

@@ -675,16 +675,22 @@ object Similarity {
       candidates: Option[DataFrame] = None): DataFrame = {
     // tau applies to SUPPLIED candidates too (a list built once at a
     // loose threshold can be reused across stricter calls)
-    val pairs = candidates.map(_.filter(col("cos") >= tau))
-      .getOrElse(cosinePairsExact(df, idCol, embCol, tau))
+    // persisted: the symmetrized union references the pair pipeline
+    // twice, and the mutuality join references the kNN window twice —
+    // without the caches the candidate generation runs up to 4×
+    val pairs = graft.core.CacheScope.track(
+      candidates.map(_.filter(col("cos") >= tau))
+        .getOrElse(cosinePairsExact(df, idCol, embCol, tau)).persist())
     val directed = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionByName(pairs
         .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    val knn = directed.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("src"), col("dst"), col("cos"))
+    val knn = graft.core.CacheScope.track(
+      directed.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("src"), col("dst"), col("cos"))
+        .persist())
     val rev = knn.select(col("dst").as("src"), col("src").as("dst"))
     knn.join(rev, Seq("src", "dst"))
       .filter(col("src") < col("dst"))
@@ -840,10 +846,16 @@ object Similarity {
       planesPerBand: Int = 6,
       bands: Int = 16,
       maxBucketDocFreq: Option[Int] = None): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .withColumn("nrm", norm(col("emb")))
-    val keyed0 = base.select(col("id"),
+    // persisted: base feeds the bucket keying AND both verify joins
+    // (norms would recompute per reference), keyed0 feeds both sides
+    // of the bucket self-join (the hyperplane signatures would
+    // recompute per side)
+    val base = graft.core.CacheScope.track(
+      df.select(col(idCol).as("id"), col(embCol).as("emb"))
+        .withColumn("nrm", norm(col("emb"))).persist())
+    val keyed0 = graft.core.CacheScope.track(base.select(col("id"),
       explode(lshBandBuckets(col("emb"), planesPerBand, bands, dim)).as("bucket"))
+      .persist())
     // df-cap guard, same semantics as Dedup.minhashLshPairs: a dense
     // embedding region (boilerplate docs collapse to one point, so one
     // sign pattern) fills a bucket and its pair fan-out is |bucket|² —

@@ -61,10 +61,15 @@ object LogisticRegression {
       .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"),
         sum(col("c")).as("n"))
       .filter(col("n") > 0)
+      // explicit per-slot expressions, NOT transform(sequence(...)):
+      // higher-order lambdas are interpreted (CodegenFallback) and this
+      // projection is the hot map work of every fit/score — the
+      // unrolled element_at chain is whole-stage-codegen with the
+      // IDENTICAL per-element arithmetic (guide: eliminate non-codegen
+      // expressions in the hot path)
       .select(col("doc_id"), col("y"),
-        concat(array(lit(1.0)),
-          transform(sequence(lit(0L), lit(buckets - 1L)),
-            k => coalesce(element_at(col("m"), k), lit(0.0)) / col("n")))
+        array(lit(1.0) +: (0 until buckets).map(k =>
+          coalesce(element_at(col("m"), lit(k.toLong)), lit(0.0)) / col("n")): _*)
           .as("x"))
   }
 
@@ -73,7 +78,11 @@ object LogisticRegression {
 
   /** Order-free engine-exact dot product of the weight literals with
     * the feature array: per-term scaled-floor quantization, exact
-    * integer accumulation.
+    * integer accumulation. Unrolled as an explicit codegen sum — the
+    * previous `aggregate(zip_with(...))` form is an interpreted
+    * higher-order lambda (CodegenFallback) evaluated per row in every
+    * gradient step and every score; the unrolled chain computes the
+    * IDENTICAL q9-per-term values and (order-free) integer sum.
     */
   private def sdot(w: Array[Double]): Column = {
     val wCol = array(w.map(lit): _*)
@@ -108,10 +117,14 @@ object LogisticRegression {
     require(nDocs > 0, "cannot fit on an empty (or all-empty-text) corpus")
     var w = Array.fill(buckets + 1)(0.0)
     for (_ <- 1 to iters) {
+      // sigmoid once per ROW (a projection before the explode), the
+      // per-term quantization as plain codegen arithmetic after it —
+      // the previous transform(...) lambda was interpreted per row and
+      // also re-embedded the sigmoid inside the element function
       val p = sigmoid(w)
-      val g = f.select(posexplode(
-          transform(col("x"), v => q9((p - col("y")) * v)))
-          .as(Seq("k", "gv")))
+      val g = f.select(p.as("__p"), col("y"), posexplode(col("x")).as(Seq("k", "v")))
+        .select(col("k"), q9((col("__p") - col("y")) * col("v"))
+          .cast("long").as("gv"))
         .groupBy(col("k")).agg(sum(col("gv")).as("g"))
         .collect().map(r => r.getInt(0) -> r.getLong(1).toDouble)
         .toMap

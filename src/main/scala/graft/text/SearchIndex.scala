@@ -103,16 +103,26 @@ object SearchIndex {
     val mode = if (overwrite) "overwrite" else "append"
     val toks = df.filter(col(textCol).isNotNull).select(
       col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("__t"))
-    val withDl = toks.select(col("doc"),
-      size(col("__t")).cast("long").as("dl"), col("__t"))
-    withDl
-      .select(col("doc"), col("dl"), explode(col("__t")).as("term"))
-      .groupBy(col("doc"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .withColumn("tb", tb(col("term"), numPartitions))
-      .write.mode(mode).partitionBy("tb").parquet(s"$path/postings")
-    withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .coalesce(1).write.mode(mode).parquet(s"$path/stats")
+    // persisted across the TWO writes: postings and the corpus stats
+    // each consumed the tokenization — one pass instead of two
+    // (spillable, released in the bracket)
+    val withDl = graft.core.CacheScope.track(toks.select(col("doc"),
+      size(col("__t")).cast("long").as("dl"), col("__t")).persist())
+    try {
+      // cluster on the partition key before the dynamic-partition
+      // write: an unclustered write lands one part file per (task,
+      // tb value) — up to tasks × numPartitions small files whose
+      // open/footer cost every probe pays (the LshIndex lesson)
+      withDl
+        .select(col("doc"), col("dl"), explode(col("__t")).as("term"))
+        .groupBy(col("doc"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("long").as("tf"))
+        .withColumn("tb", tb(col("term"), numPartitions))
+        .repartition(col("tb"))
+        .write.mode(mode).partitionBy("tb").parquet(s"$path/postings")
+      withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .coalesce(1).write.mode(mode).parquet(s"$path/stats")
+    } finally { withDl.unpersist(blocking = false); () }
   }
 
   private def readMeta(spark: SparkSession, path: String): Int =

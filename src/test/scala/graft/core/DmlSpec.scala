@@ -53,6 +53,47 @@ class DmlSpec extends SparkSpec {
     }
   }
 
+  test("delete's bounded survivor probe: zero-row untouched part files fall through") {
+    // regression guard for the round-12 probe rewrite: a d-dir can
+    // legitimately hold ZERO-ROW part files (an anti-join with an
+    // empty partition writes one); a later delete whose only non-empty
+    // untouched files are those must still look at the kept rows of
+    // the affected files before refusing as "would empty the table"
+    val dir = java.nio.file.Files.createTempDirectory("dmlz").toString + "/t"
+    (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir) // 8 tasks, some may be tiny
+    VersionLog.snapshot(spark, dir)
+    // first delete touches EVERY file → all survivors live in d2/,
+    // written with the input's partitioning (zero-row parts possible)
+    val (v2, n2) = Dml.deleteWhere(spark, dir, col("id") % 2 === 0L)
+    assert(v2 === 2 && n2 === 20L)
+    // second delete again touches everything that has rows; survivors
+    // exist only INSIDE the affected files — must succeed, not refuse
+    val (v3, n3) = Dml.deleteWhere(spark, dir, col("id") % 4 === 1L)
+    assert(v3 === 3 && n3 === 10L)
+    assert(VersionLog.readVersion(spark, dir, 3).count() === 10L)
+    // and a genuine delete-all still refuses loudly
+    intercept[IllegalArgumentException] {
+      Dml.deleteWhere(spark, dir, lit(true))
+    }
+  }
+
+  test("copy-on-write rewrites keep file granularity (no small-file cascade)") {
+    val dir = freshTable() // 4 range files
+    val (v2, _) = Dml.deleteWhere(spark, dir, col("id") >= 50L)
+    val d2 = VersionLog.readEntries(spark, dir, v2)
+      .map(_._1).filter(_.startsWith("d2/"))
+    assert(d2.size <= 2, s"2 affected files must rewrite to <= 2: $d2")
+    val ups = (200L until 260L).map(i => (i, i % 10, s"n$i")).toDF("id", "k", "v")
+      .repartition(16) // a wide upstream must NOT become 16 part files
+    val (v3, _, ins) = Dml.mergeInto(spark, dir, ups, Seq("id"))
+    assert(ins === 60L)
+    val m3new = VersionLog.readEntries(spark, dir, v3)
+      .map(_._1).filter(_.startsWith("m3_new/"))
+    assert(m3new.size === 1,
+      s"60 inserted rows must land as ONE right-sized file: $m3new")
+  }
+
   test("merge replaces matched keys, inserts new ones, shares untouched files") {
     val dir = freshTable()
     val updates = Seq((5L, 99L, "patched"), (200L, 0L, "new"))
