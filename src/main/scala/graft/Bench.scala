@@ -71,11 +71,20 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-name per-query map goes to a FILE (committed with the repo).
+    // The default name is CPU-stamped: the driver benches at two core
+    // counts back to back, and with one shared default the second (8-
+    // core) run clobbered the 32-core per-query map — which is why
+    // PERF_r12's per-query comparison came back empty (n_common: 0).
+    // A plain bench_full.json copy is kept for anything parsing the
+    // old name. An explicit SPARK_GRAFT_BENCH_OUT still wins verbatim.
     val fullPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_full_c$cpus.json"))
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(fullPath, fullLine)
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"), fullLine)
     // stdout gets the result LAST, after spark.stop(), so no shutdown
     // log line can land behind it in the driver's bounded tail capture
     // (r9: WindowExec WARNs after the result line left parsed:null on

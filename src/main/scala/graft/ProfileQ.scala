@@ -73,7 +73,8 @@ object ProfileQ {
       println(f"== $name: $wall%.3f s wall, $n rows, ${snap.size} jobs, $stageCount stages, shuffleR=${shuffleRead / 1024}KB shuffleW=${shuffleWrite / 1024}KB")
       val jobTotal = snap.map(j => (j.end - j.start).max(0L)).sum / 1e3
       println(f"   sum of job walls: $jobTotal%.3f s (gap to wall = driver/metadata time)")
-      snap.sortBy(j => -(j.end - j.start)).take(12).foreach { j =>
+      val show = sys.env.get("PROFILE_JOBS").map(_.toInt).getOrElse(12)
+      snap.sortBy(j => -(j.end - j.start)).take(show).foreach { j =>
         val d = (j.end - j.start).max(0L) / 1e3
         println(f"   job ${j.id}%3d  $d%7.3f s  ${j.desc.take(110)}")
       }

@@ -43,21 +43,34 @@ object Cdc {
     */
   def applyChangeFeed(spark: SparkSession, feed: DataFrame,
       targetDir: String, keys: Seq[String]): (Long, Long) = {
-    // cache the REDUCED feed across the apply: the raw feed is an
-    // exceptAll/union pipeline over the source's rewrite files, and
-    // the merge + delete legs below run SEVERAL actions each — without
-    // the cache every action would recompute the whole feed
-    val last = lastEventPerKey(feed, keys).persist()
+    // checkpoint (cache + lineage-truncate) the REDUCED feed across the
+    // apply: the raw feed is an exceptAll/union pipeline over the
+    // source's rewrite files, and the merge + delete legs below run
+    // SEVERAL actions each — a plain persist would stop the recompute
+    // but every action would still RE-PLAN the full feed lineage
+    // (driver-side analysis/optimization per action dominated the
+    // measured wall of a mirror sync; ProfileQ r13), so the plan is cut
+    // to a flat scan of the cached internal rows
+    val (last, release) = Lineage.checkpointed(lastEventPerKey(feed, keys))
     try {
       val upserts = last.filter(col("_change_type") === "insert")
         .drop("_change_type", "_commit_version")
       val deletes = last.filter(col("_change_type") === "delete")
         .select(keys.map(col): _*)
+      // ONE action sizes BOTH legs off the checkpointed feed — it
+      // replaces the bootstrap's count, the deletes.isEmpty probe, and
+      // the merge's batch-sizing/dup-check job (the reduced feed is
+      // unique per key by construction — lastEventPerKey keeps exactly
+      // the row_number()==1 event)
+      val typeCounts = last.groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nUp = typeCounts.getOrElse("insert", 0L)
+      val nDel = typeCounts.getOrElse("delete", 0L)
       val hasVersions = VersionLog.versions(spark, targetDir).nonEmpty
       if (!hasVersions) {
         // bootstrap: the first feed IS the table (no deletes can match)
-        val n = upserts.count()
-        if (n == 0L) return (0L, 0L)
+        if (nUp == 0L) return (0L, 0L)
         // right-size the bootstrap files from the known row count —
         // the replica's file count otherwise inherits the feed plan's
         // partitioning (one part file per shuffle partition for a
@@ -67,19 +80,26 @@ object Cdc {
           .getOption("spark.graft.dml.insertFileRows")
           .map(_.toLong).getOrElse(1L << 20)
         upserts.coalesce(
-            math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt)
+            math.max(1L, (nUp + rowsPerFile - 1) / rowsPerFile).toInt)
           .write.mode("overwrite")
           .parquet(VersionLog.rootUriPath(targetDir))
         VersionLog.snapshot(spark, targetDir)
-        (n, 0L)
+        (nUp, 0L)
+      } else if (nUp == 0L) {
+        // pure-delete feed: the all-rows-delete guard must stay, so
+        // this keeps the guarded key-set DELETE path
+        if (nDel == 0L) (0L, 0L)
+        else (0L, Dml.deleteMatching(spark, targetDir, deletes, keys)._2)
       } else {
-        val (_, up, ins) = Dml.mergeInto(spark, targetDir, upserts, keys)
-        val nDel =
-          if (deletes.isEmpty) 0L
-          else Dml.deleteMatching(spark, targetDir, deletes, keys)._2
-        (up + ins, nDel)
+        // upserts + deletes land as ONE copy-on-write rewrite (shared
+        // probe, each affected file read+written once — see
+        // Dml.mergeApply); upserts are non-empty, so the table cannot
+        // empty and the delete leg needs no survivor guard
+        val (_, replaced, inserted, deleted) =
+          Dml.mergeApply(spark, targetDir, upserts, deletes, keys, nUp)
+        (replaced + inserted, deleted)
       }
-    } finally { last.unpersist(); () }
+    } finally release()
   }
 
   /** One standing-replica sync step: consume the source's change feed

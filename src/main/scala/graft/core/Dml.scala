@@ -163,27 +163,110 @@ object Dml {
      }, deleted)
   }
 
-  /** MERGE (upsert): rows of `updates` REPLACE current rows sharing
-    * their `keys` values; keys absent from the table INSERT. `updates`
-    * must carry the table's schema and at most one row per key (both
-    * checked loudly — a duplicate-key merge is ambiguous, not a race
-    * to resolve silently). Returns (newVersion, replaced, inserted).
+  /** MERGE + key-set DELETE as ONE copy-on-write rewrite — the CDC
+    * apply shape ([[Cdc.applyChangeFeed]]). The reduced feed keeps one
+    * LAST event per key, so upsert keys and delete keys are DISJOINT
+    * by construction; both legs then share one affected-file probe and
+    * ONE survivors-only rewrite of each affected file, where the
+    * two-pass form (mergeInto then deleteMatching) probed twice,
+    * rewrote a file holding both an upserted and a deleted key twice
+    * (the second rewrite reading the first's output), and minted two
+    * versions. The minted version is a standard "merge" step
+    * (m<N>_kept / m<N>_new dirs): deleted rows read back from the
+    * replica's own change feed as preimage deletes exactly as the
+    * two-pass form produced.
+    *
+    * Caller contract (private[core], enforced by [[Cdc]]'s reduction,
+    * not re-checked with a job): `upserts` carries at most one row per
+    * key and is NON-EMPTY with `upCount` rows already counted;
+    * `deleteKeys` may be empty; the key sets are disjoint; NULL keys in
+    * `deleteKeys` match nothing (join semantics). Returns
+    * (newVersion, replaced, inserted, deleted).
     */
-  def mergeInto(spark: SparkSession, dir: String,
-      updates: DataFrame, keys: Seq[String]): (Int, Long, Long) = {
+  private[core] def mergeApply(spark: SparkSession, dir: String,
+      upserts: DataFrame, deleteKeys: DataFrame, keys: Seq[String],
+      upCount: Long): (Int, Long, Long, Long) = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
+    require(upCount > 0L, "mergeApply needs a non-empty upsert batch")
     val vs = VersionLog.versions(spark, dir)
     require(vs.nonEmpty, s"no versions at $dir — snapshot before DML")
     val root = VersionLog.rootUriPath(dir)
     val entries = VersionLog.readEntries(spark, dir, vs.last)
     val current = VersionLog.readVersion(spark, dir, vs.last)
-    // drift matrix (names AND types, nullability-insensitive — a
-    // name-only check would let an int32 updates column land beside
-    // int64 files): DROPPED or RETYPED columns refuse loudly (they
-    // need a rewrite); EXTRA columns are ADDITIVE EVOLUTION — the new
-    // version's effective schema gains them (forced nullable), rows in
-    // untouched old files read back as NULL via the schema header, and
-    // no old file is rewritten for it.
+    val (evolvedSchema, extras, tTypes) = driftMatrix(current, upserts)
+    val outCols = evolvedSchema.fieldNames.toSeq
+    // one flagged key set drives the shared probe: +1 rows are upsert
+    // keys (their table hits are REPLACED rows), 0 rows delete keys
+    // (their hits are DELETED rows)
+    val keyFlags = upserts.select(keys.map(col): _*)
+      .withColumn("__graft_up", lit(1))
+      .unionByName(deleteKeys.select(keys.map(col): _*)
+        .withColumn("__graft_up", lit(0)))
+    // ONE scan answers every planner question: affected file set
+    // (metadata-scale collect_set), replaced rows, deleted rows, and
+    // the distinct upsert keys that hit (keyFlags is unique per key,
+    // so the inner join preserves table-row multiplicity)
+    val probeRow = current
+      .withColumn("__graft_file", input_file_name())
+      .join(broadcast(keyFlags), keys)
+      .agg(collect_set(col("__graft_file")).as("files"),
+        count(when(col("__graft_up") === 1, lit(1))).as("n_rep"),
+        count(when(col("__graft_up") === 0, lit(1))).as("n_del"),
+        countDistinct(when(col("__graft_up") === 1,
+          struct(keys.map(col): _*))).as("mk")).head()
+    val affectedFiles =
+      probeRow.getSeq[String](0).map(f => relOf(root, f)).toSet
+    val (replaced, deleted, matchedKeys) =
+      (probeRow.getLong(1), probeRow.getLong(2), probeRow.getLong(3))
+    val next = vs.last + 1
+    val replacedDir = s"m${next}_kept"
+    if (affectedFiles.nonEmpty) {
+      val affectedPaths = affectedFiles.toSeq.sorted.map(rel => s"$root/$rel")
+      val affected = spark.read.schema(current.schema).parquet(affectedPaths: _*)
+      val keptCols = outCols.map(c =>
+        if (tTypes.contains(c)) col(c)
+        else lit(null).cast(evolvedSchema(c).dataType).as(c))
+      // survivors = rows matching NO flagged key (upserted-away and
+      // deleted rows drop in the same anti join)
+      affected.join(broadcast(keyFlags.select(keys.map(col): _*)),
+          keys, "left_anti")
+        .select(keptCols: _*)
+        .coalesce(affectedFiles.size) // keep file granularity (guide §6)
+        .write.mode("overwrite").parquet(s"$root/$replacedDir")
+    }
+    val rowsPerFile = spark.conf.getOption("spark.graft.dml.insertFileRows")
+      .map(_.toLong).getOrElse(1L << 20)
+    val newFiles = math.max(1L, (upCount + rowsPerFile - 1) / rowsPerFile).toInt
+    upserts.select(outCols.map(col): _*)
+      .coalesce(newFiles)
+      .write.mode("overwrite").parquet(s"$root/m${next}_new")
+    val untouched = entries.filterNot { case (rel, _) => affectedFiles(rel) }
+    val newEntries = (untouched ++
+      (if (affectedFiles.isEmpty) Seq.empty
+       else listDirEntries(spark, root, replacedDir)) ++
+      listDirEntries(spark, root, s"m${next}_new")).sortBy(_._1)
+    val inserted = upCount - matchedKeys
+    (try VersionLog.writeEntries(spark, dir, next, newEntries, op = "merge",
+       schemaJson = if (extras.isEmpty) None else Some(evolvedSchema.json))
+     catch {
+       case e: CommitConflictException => throw new IllegalStateException(
+         s"CDC apply on $dir lost its commit race — the table changed " +
+           "under the rewrite; rerun it against the new head", e)
+     }, replaced, inserted, deleted)
+  }
+
+  /** The additive-evolution drift matrix shared by [[mergeInto]] and
+    * [[mergeApply]]: names AND types compared nullability-insensitively
+    * (a name-only check would let an int32 updates column land beside
+    * int64 files); DROPPED or RETYPED columns refuse loudly (they need
+    * a rewrite); EXTRA columns are ADDITIVE EVOLUTION. Returns (the
+    * evolved physical schema — table columns first, new columns
+    * appended nullable — the extra fields, and the table's name→type
+    * map).
+    */
+  private def driftMatrix(current: DataFrame, updates: DataFrame):
+      (org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.types.StructField], Map[String, String]) = {
     val tTypes = current.schema.fields.map(f =>
       f.name -> f.dataType.catalogString).toMap
     val uTypes = updates.schema.fields.map(f =>
@@ -199,10 +282,28 @@ object Dml {
         s"${f.name}: ${f.dataType.catalogString} -> ${uTypes(f.name)}")
         .mkString(",")}] — not allowed; rewrite the table instead")
     val extras = updates.schema.fields.filter(f => !tTypes.contains(f.name))
-    // evolved physical order: table columns first (old files' layout),
-    // new columns appended — every rewritten/new file shares it
-    val evolvedSchema = org.apache.spark.sql.types.StructType(
-      current.schema.fields ++ extras.map(_.copy(nullable = true)))
+    (org.apache.spark.sql.types.StructType(
+      current.schema.fields ++ extras.map(_.copy(nullable = true))),
+      extras, tTypes)
+  }
+
+  /** MERGE (upsert): rows of `updates` REPLACE current rows sharing
+    * their `keys` values; keys absent from the table INSERT. `updates`
+    * must carry the table's schema and at most one row per key (both
+    * checked loudly — a duplicate-key merge is ambiguous, not a race
+    * to resolve silently). Returns (newVersion, replaced, inserted).
+    */
+  def mergeInto(spark: SparkSession, dir: String,
+      updates: DataFrame, keys: Seq[String]): (Int, Long, Long) = {
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    val vs = VersionLog.versions(spark, dir)
+    require(vs.nonEmpty, s"no versions at $dir — snapshot before DML")
+    val root = VersionLog.rootUriPath(dir)
+    val entries = VersionLog.readEntries(spark, dir, vs.last)
+    val current = VersionLog.readVersion(spark, dir, vs.last)
+    // drift matrix + evolved physical order (table columns first, new
+    // columns appended) — see [[driftMatrix]]
+    val (evolvedSchema, extras, tTypes) = driftMatrix(current, updates)
     val outCols = evolvedSchema.fieldNames.toSeq
     // ONE job validates AND sizes the batch: per-key counts roll up to
     // (total rows, max per-key multiplicity) — the duplicate-key check
@@ -223,32 +324,34 @@ object Dml {
     // must be too)
     if (upCount == 0L) return (vs.last, 0L, 0L)
     val upKeys = updates.select(keys.map(col): _*)
-    // one semi-joined scan finds the files holding superseded rows;
-    // the key set is updates-sized — broadcast-friendly by nature.
-    // input_file_name is captured BEFORE the join: after it the plan
-    // has two file sources and the function refuses to bind.
-    val affectedFiles = current
+    // ONE semi-joined scan answers ALL THREE planner questions: the
+    // files holding superseded rows (collect_set — the file list is
+    // metadata-scale by the same bound every lakehouse planner
+    // accepts), the replaced ROW count (semi rows live only in those
+    // files, so the global count equals the old affected-file count),
+    // and the distinct matched keys. Previously the counters were a
+    // SECOND scan of the affected files with a second build of the
+    // same key-set broadcast. The key set is updates-sized —
+    // broadcast-friendly by nature. input_file_name is captured BEFORE
+    // the join: after it the plan has two file sources and the
+    // function refuses to bind. replaced and matchedKeys differ when
+    // the table holds duplicate keys, where one update row
+    // legitimately replaces several table rows.
+    val probeRow = current
       .withColumn("__graft_file", input_file_name())
       .join(broadcast(upKeys), keys, "left_semi")
-      .select(col("__graft_file"))
-      .distinct().collect().map(r => relOf(root, r.getString(0))).toSet
+      .agg(collect_set(col("__graft_file")).as("files"),
+        count(lit(1)).as("n"),
+        countDistinct(keys.head, keys.tail: _*).as("mk")).head()
+    val affectedFiles =
+      probeRow.getSeq[String](0).map(f => relOf(root, f)).toSet
     val next = vs.last + 1
     val replacedDir = s"m${next}_kept"
-    // replaced = table ROWS removed; matchedKeys = distinct update keys
-    // that hit (counted over the affected files, never a second table
-    // scan) — they differ when the table holds duplicate keys, where
-    // one update row legitimately replaces several table rows
     val (replaced, matchedKeys) =
       if (affectedFiles.isEmpty) (0L, 0L)
       else {
         val affectedPaths = affectedFiles.toSeq.sorted.map(rel => s"$root/$rel")
         val affected = spark.read.schema(current.schema).parquet(affectedPaths: _*)
-        // ONE job for both counters (replaced rows + distinct matched
-        // keys) — two separate actions would re-run the semi-join scan
-        val cnt = affected.join(broadcast(upKeys), keys, "left_semi")
-          .agg(count(lit(1)).as("n"),
-            countDistinct(keys.head, keys.tail: _*).as("mk")).head()
-        val (n, mk) = (cnt.getLong(0), cnt.getLong(1))
         // re-select the evolved column order before writing (a
         // using-column join moves the join keys to the FRONT, and the
         // rewritten files must keep one physical layout — positional
@@ -261,7 +364,7 @@ object Dml {
           .select(keptCols: _*)
           .coalesce(affectedFiles.size) // keep file granularity (guide §6)
           .write.mode("overwrite").parquet(s"$root/$replacedDir")
-        (n, mk)
+        (probeRow.getLong(1), probeRow.getLong(2))
       }
     // size the inserted-rows dir from the batch itself (guide §6: aim
     // for few right-sized files, not one part file per upstream scan

@@ -335,9 +335,8 @@ object Graph {
     * frame recomputes from lineage like any unpersisted cache.
     */
   private def shortCircuit(df: DataFrame): DataFrame = {
-    val rdd = df.queryExecution.toRdd.map(_.copy()).persist()
-    CacheScope.trackRelease(() => { rdd.unpersist(blocking = false); () })
-    org.apache.spark.sql.GraftBridge.internalCreateDataFrame(
-      df.sparkSession, rdd, df.schema)
+    val (out, release) = Lineage.checkpointed(df)
+    CacheScope.trackRelease(release)
+    out
   }
 }

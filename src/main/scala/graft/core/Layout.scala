@@ -105,8 +105,11 @@ object Layout {
   /** The stats aggregation runs ONCE: without the persist, the
     * zero-row-file coverage check (a collect) and the caller's write
     * each re-scanned every listed file (the expensive half of a
-    * manifest build, twice). Metadata-scale frame; released by the
-    * caller via [[writeSwapped]]'s bracket or the scope.
+    * manifest build, twice). Metadata-scale frame; every public caller
+    * ([[writeManifest]]/[[appendManifest]] and the bloom twins) opens
+    * its own [[CacheScope.withReleased]] bracket around build+write, so
+    * the persist releases when the maintenance call returns even when
+    * the application runs outside any scope (LakeCli, ingest loops).
     */
   private def zoneMapRows(spark: SparkSession, files: Seq[String],
       cols: Seq[String]): DataFrame = {
@@ -136,8 +139,10 @@ object Layout {
     // manifest must cover exactly what liveDataFiles sees
     val files = dataFiles(spark, path).toSeq.sorted
     require(files.nonEmpty, s"no data files to manifest at $path")
-    zoneMapRows(spark, files, cols)
-      .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+    CacheScope.withReleased {
+      zoneMapRows(spark, files, cols)
+        .write.mode("overwrite").parquet(s"$path/$ManifestDir")
+    }
   }
 
   /** Incremental manifest maintenance — appends AND rewrites. A 100 TB
@@ -180,21 +185,46 @@ object Layout {
     * maintenance discipline, same as before — readers racing an append
     * already face the staleness tripwire either way.
     */
+  private def swapPath(target: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(target.getParent, s".${target.getName}.swap")
+
+  /** Heal a crashed [[writeSwapped]]: the swap's only loss window is
+    * "target deleted, complete `.swap` not yet renamed in" — if that is
+    * the on-disk state (swap dir complete per its `_SUCCESS` marker and
+    * no target), rename the swap into place so the next maintenance
+    * call or pruned read proceeds instead of failing until a manual
+    * rebuild. Called before every manifest read in the maintenance
+    * paths; one getFileStatus when the target exists (the normal case).
+    */
+  private def healSwap(spark: SparkSession, manPath: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(manPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) return
+    val tmp = swapPath(target)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      fs.rename(tmp, target)
+    ()
+  }
+
   private def writeSwapped(spark: SparkSession, rows: DataFrame,
       manPath: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(manPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.swap")
+    val tmp = swapPath(target)
     fs.delete(tmp, true)
     rows.write.mode("overwrite").parquet(tmp.toString)
+    // the delete→rename window is two metadata ops back to back (the
+    // distributed write happened above, into the scratch dir); a crash
+    // inside it leaves the complete .swap dir, which healSwap renames
+    // into place on the next maintenance call
     fs.delete(target, true)
     if (!fs.rename(tmp, target))
       throw new IllegalStateException(s"manifest swap to $manPath failed")
   }
 
-  def appendManifest(spark: SparkSession, path: String): Unit = {
+  def appendManifest(spark: SparkSession, path: String): Unit = CacheScope.withReleased {
     val manPath = s"$path/$ManifestDir"
+    healSwap(spark, manPath)
     val man = spark.read.parquet(manPath)
     val cols = man.columns.toSeq.collect {
       case c if c.endsWith("__min") => c.stripSuffix("__min")
@@ -288,6 +318,7 @@ object Layout {
     // ONE collect serves both the staleness identity and the box
     // filter (the manifest is metadata-scale — one short row per
     // file); two separate collects were two Spark jobs per pruned read
+    healSwap(spark, s"$path/$ManifestDir")
     val man = spark.read.parquet(s"$path/$ManifestDir")
     val cols = Seq("file") ++ boxes.flatMap { case (c, _, _) =>
       Seq(s"${c}__min", s"${c}__max") }
@@ -315,6 +346,7 @@ object Layout {
     */
   def countFromManifest(spark: SparkSession, path: String): Long = {
     // one collect: staleness identity + the sum (metadata-scale rows)
+    healSwap(spark, s"$path/$ManifestDir")
     val rows = spark.read.parquet(s"$path/$ManifestDir")
       .select(col("file"), col("n_rows")).collect()
     val norm = rows
@@ -388,8 +420,10 @@ object Layout {
     // liveDataFiles sees — the staleness contract's identity
     val files = dataFiles(spark, path).toSeq.sorted
     require(files.nonEmpty, s"no data files to manifest at $path")
-    bloomRows(spark, files, cols, expectedPerFile, fpp)
-      .write.mode("overwrite").parquet(s"$path/$BloomManifestDir")
+    CacheScope.withReleased {
+      bloomRows(spark, files, cols, expectedPerFile, fpp)
+        .write.mode("overwrite").parquet(s"$path/$BloomManifestDir")
+    }
   }
 
   /** Incremental bloom-manifest maintenance — the append path, the
@@ -399,8 +433,9 @@ object Layout {
     * columns, so an append can never silently change the fpp), and
     * unions them in. Idempotent no-op when nothing is new.
     */
-  def appendBloomManifest(spark: SparkSession, path: String): Unit = {
+  def appendBloomManifest(spark: SparkSession, path: String): Unit = CacheScope.withReleased {
     val manPath = s"$path/$BloomManifestDir"
+    healSwap(spark, manPath)
     val man = spark.read.parquet(manPath)
     val cols = man.columns.toSeq.collect {
       case c if c.endsWith("__bloom") => c.stripSuffix("__bloom")
@@ -439,20 +474,36 @@ object Layout {
     * with one ~KB sketch per file — metadata scale.
     */
   def bloomPrunedFiles(spark: SparkSession, path: String,
-      column: String, values: Seq[String]): Seq[String] = {
+      column: String, values: Seq[String]): Seq[String] =
+    bloomPrunedFilesIfFresh(spark, path, column, values).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: bloom manifest at $path/$BloomManifestDir " +
+          "is stale — rebuild it with Layout.writeBloomManifest before " +
+          "pruned point lookups"))
+
+  /** [[bloomPrunedFiles]] without the hard staleness error — None when
+    * the manifest's file set no longer matches the committed live set.
+    * The probe-first shape for maintenance loops that can HEAL and
+    * retry ([[graft.streaming.IngestStreams.ingestBatchDedup]]): the
+    * freshness test needs the same manifest collect + live listing the
+    * probe itself needs, so probing first and healing only on a None
+    * saves one manifest read per call on the (overwhelmingly common)
+    * already-fresh path.
+    */
+  private[graft] def bloomPrunedFilesIfFresh(spark: SparkSession, path: String,
+      column: String, values: Seq[String]): Option[Seq[String]] = {
     require(values.nonEmpty, "a point-lookup prune needs probe values")
+    healSwap(spark, s"$path/$BloomManifestDir")
     val man = spark.read.parquet(s"$path/$BloomManifestDir")
       .select(col("file"), col(s"${column}__bloom")).collect()
     val norm = man.map(r =>
       new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
-    require(norm == dataFiles(spark, path),
-      s"bloom manifest at $path/$BloomManifestDir is stale — rebuild it " +
-        "with Layout.writeBloomManifest before pruned point lookups")
-    man.filter { r =>
+    if (norm != dataFiles(spark, path)) return None
+    Some(man.filter { r =>
       val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
       values.exists(bloom.mightContainString)
-    }.map(_.getString(0)).toSeq.sorted
+    }.map(_.getString(0)).toSeq.sorted)
   }
 
   /** Bloom-pruned point lookup: read only the files whose sketches
@@ -495,6 +546,7 @@ object Layout {
       boxes: Seq[(String, Long, Long)]): Option[(Seq[String], Long)] = {
     val manPath = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val fs = manPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healSwap(spark, manPath.toString)
     if (!fs.exists(manPath)) return None
     val man = spark.read.parquet(manPath.toString)
     val have = man.columns.toSet

@@ -87,29 +87,44 @@ object VersionLog {
     */
   /** Memo of parsed version records. SAFE because a version file is
     * IMMUTABLE once committed (the CAS primitive refuses an existing
-    * target, and nothing ever rewrites one in place); the only
-    * lifecycle event is deletion by [[vacuum]], which the existence
-    * check on every hit still surfaces as the same loud "not recorded"
-    * error. Without the memo every snapshot/step/changeFeed walk
-    * re-opened and re-parsed the same records — one RPC+parse per
+    * target, and nothing ever rewrites one in place); deletion by
+    * [[vacuum]] surfaces as the same loud "not recorded" error via the
+    * getFileStatus below, and a table REMOVED AND RE-CREATED at the
+    * same path (version numbering restarts at v1) misses the memo
+    * because the key carries the version FILE's content identity
+    * (modificationTime, length) — read off the same getFileStatus the
+    * existence check already pays, so the hardening costs zero extra
+    * RPCs. Bounded LRU (access-order, 4096 records) so a long-lived
+    * service over many tables evicts cold records instead of dumping
+    * the whole memo. Without the memo every snapshot/step/changeFeed
+    * walk re-opened and re-parsed the same records — one RPC+parse per
     * version per call, the dominant driver-side cost of a multi-step
     * lifecycle scenario.
     */
-  private val versionRecords = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), (Map[String, String], Seq[(String, Long)])]()
+  private val versionRecords = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int, Long, Long),
+        (Map[String, String], Seq[(String, Long)])](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, Long, Long),
+            (Map[String, String], Seq[(String, Long)])]): Boolean =
+        size() > 4096
+    })
 
   private[core] def readVersionFile(spark: SparkSession, dir: String,
       v: Int): (Map[String, String], Seq[(String, Long)]) = {
     val p = versionPath(dir, v)
     val f = fs(spark, dir)
-    require(f.exists(p), s"version $v is not recorded at $dir/$LogDir")
-    val key = (rootUriPath(dir), v)
+    val st =
+      try f.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"requirement failed: version $v is not recorded at $dir/$LogDir")
+      }
+    val key = (rootUriPath(dir), v, st.getModificationTime, st.getLen)
     val hit = versionRecords.get(key)
     if (hit != null) return hit
     val parsed = readVersionFileUncached(f, p)
-    // crude bound so a long-lived service over many tables cannot
-    // accumulate records without end; a reset only costs re-reads
-    if (versionRecords.size > 4096) versionRecords.clear()
     versionRecords.put(key, parsed)
     parsed
   }
@@ -289,19 +304,22 @@ object VersionLog {
       .filter(_.nonEmpty)
   }
 
-  /** Memoized inferred schema per (session, table root) for
-    * NEVER-EVOLVED versioned tables: the store enforces one physical
-    * schema across a table's files (ingest drift guard, MERGE drift
-    * matrix), so the first footer's schema serves every later read —
-    * without the memo each readVersion/readChanges/readChangeFeed call
-    * ran its own footer-inference job (a visible per-call job locally;
-    * a footer fetch per incremental read at corpus scale). Evolved
-    * tables never consult this (their schema travels in version
-    * headers). Entries for stopped sessions purge on the next lookup,
-    * mirroring [[graft.Tables]]'s memo hygiene.
+  /** Memoized inferred schema per (session, table root, sampled file)
+    * for NEVER-EVOLVED versioned tables: the store enforces one
+    * physical schema across a table's files (ingest drift guard, MERGE
+    * drift matrix), so the first footer's schema serves every later
+    * read — without the memo each readVersion/readChanges/
+    * readChangeFeed call ran its own footer-inference job (a visible
+    * per-call job locally; a footer fetch per incremental read at
+    * corpus scale). Evolved tables never consult this (their schema
+    * travels in version headers). The SAMPLED FILE is part of the key:
+    * a table removed and re-created at the same path lands fresh
+    * part-file names (writer UUIDs), so a stale schema can never serve
+    * a replacement table. Entries for stopped sessions purge on the
+    * next lookup, mirroring [[graft.Tables]]'s memo hygiene.
     */
   private val inferredSchemas = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+    (SparkSession, String, String), org.apache.spark.sql.types.StructType]()
 
   /** A schema-aware reader: explicit effective schema when the table
     * has evolved (missing columns in older files read as NULL),
@@ -317,9 +335,14 @@ object VersionLog {
         sampleFile match {
           case Some(f) =>
             inferredSchemas.keySet.removeIf(_._1.sparkContext.isStopped)
+            // driver-side footer read, NOT spark.read.parquet(f).schema:
+            // the Spark-side inference launches one (small) JOB per
+            // memo miss, and the sample-file-keyed memo misses once per
+            // version family (append/compact/DML dirs) — eight visible
+            // jobs in one CDC-mirror scenario
             val st = inferredSchemas.computeIfAbsent(
-              (spark, rootUriPath(dir)),
-              _ => spark.read.parquet(f).schema)
+              (spark, rootUriPath(dir), f),
+              _ => org.apache.spark.sql.GraftBridge.parquetFileSchema(spark, f))
             spark.read.schema(st)
           case None => spark.read
         }

@@ -337,4 +337,23 @@ object SketchOps {
     }
     acc
   }
+
+  /** Squared L2 distance of two double arrays, strict left-to-right
+    * fold — bit-identical to
+    * `aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, _+_)` (each term
+    * is a square, so the fold's `0.0 + t1` start adds nothing IEEE-
+    * visible) and to DuckDB's `list_sum(list_transform(...))` replay
+    * the PQ oracles rely on.
+    */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }

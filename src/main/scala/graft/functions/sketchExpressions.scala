@@ -224,6 +224,25 @@ case class ArrayDot(left: Expression, right: Expression)
   override def prettyName: String = "array_dot"
 }
 
+/** `array_l2sq(a, b)` → Double, strict left fold of squared element
+  * differences (oracle-deterministic — see SketchOps.l2sq). The
+  * compiled replacement for the PQ plane's `aggregate(zip_with(...))`
+  * block distance, which as a higher-order lambda ran interpreted
+  * (CodegenFallback) in the encode hot path.
+  */
+case class ArrayL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchOps.l2sq($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "array_l2sq"
+}
+
 /** Column-API entry points for the sketch kernels. */
 object SketchFunctions {
   import GraftBridge.{column => toCol, expression => toExpr}
@@ -246,6 +265,8 @@ object SketchFunctions {
     toCol(SimHash60(toExpr(shingles)))
   def array_dot(a: Column, b: Column): Column =
     toCol(ArrayDot(toExpr(a), toExpr(b)))
+  def array_l2sq(a: Column, b: Column): Column =
+    toCol(ArrayL2Sq(toExpr(a), toExpr(b)))
   def scrub_spans(text: Column, sortedStarts: Column, n: Int): Column =
     toCol(ScrubSpans(toExpr(text), toExpr(sortedStarts), n))
   def scrub_lines(text: Column, sortedPositions: Column, sep: String): Column =

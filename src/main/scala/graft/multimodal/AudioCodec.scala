@@ -102,10 +102,13 @@ object AudioCodec {
         if (len < 16) return None
         val code = readLe16(payload, pos + 8)
         if (code != 1) return None // float/extensible → registry fallback
-        val channels = math.max(1, readLe16(payload, pos + 10))
+        val channels = readLe16(payload, pos + 10)
         val rate = readLe32(payload, pos + 12)
         val bits = readLe16(payload, pos + 22)
-        if (rate <= 0 || bits <= 0) return None
+        // 0-channel fmt chunks are malformed: fall through to the
+        // registry (which rejects them) rather than coercing to mono —
+        // the fast path must never decode headers the JDK reader refuses
+        if (channels <= 0 || rate <= 0 || bits <= 0) return None
         val frameSize = channels * ((bits + 7) / 8)
         // WAV convention: <= 8-bit PCM is unsigned, wider is signed LE
         fmt = new AudioFormat(

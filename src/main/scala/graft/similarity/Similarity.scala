@@ -1066,10 +1066,16 @@ object Similarity {
 
   /** Exact squared L2 between two equal-length blocks, folded
     * left-to-right (matches DuckDB's list_sum order — the cross-engine
-    * float contract the cosine kernels already rely on).
+    * float contract the cosine kernels already rely on). Compiled
+    * kernel, not `aggregate(zip_with(...))`: the HOF form is an
+    * interpreted lambda (CodegenFallback) and this distance runs
+    * m·ksub times per corpus vector in [[pqEncode]] — the PQ plane's
+    * hot loop. Bit-identical fold (each term is a square, so the
+    * missing `0.0 +` start is IEEE-invisible); asserted in
+    * SimilaritySpec.
     */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    graft.functions.SketchFunctions.array_l2sq(a, b)
 
   /** PQ-encode the corpus: per (vector, block) the codeword index
     * minimizing rounded block L2², smaller i on ties. Output

@@ -248,14 +248,21 @@ object IngestStreams {
       fs.exists(new Path(s"$tablePath/${Layout.BloomManifestDir}"))
     if (hasData && !preManifested)
       Layout.writeBloomManifest(spark, tablePath, Seq(keyCol), expectedPerFile, fpp)
-    else if (preManifested)
-      Layout.appendBloomManifest(spark, tablePath) // heal append lag
     val manifested = hasData || preManifested
     val fresh =
       if (!manifested) batch
       else {
-        val hit = Layout.bloomPrunedFiles(spark, tablePath, keyCol,
-          candidateKeys)
+        // probe FIRST, heal only when the probe reports staleness: the
+        // freshness test IS the probe's own manifest collect + live
+        // listing, and in the normal loop (the previous batch's
+        // post-landing append ran) the manifest is already fresh — the
+        // old unconditional pre-probe appendBloomManifest paid one
+        // no-op manifest read + listing per batch to discover that
+        val hit = Layout.bloomPrunedFilesIfFresh(
+          spark, tablePath, keyCol, candidateKeys).getOrElse {
+            Layout.appendBloomManifest(spark, tablePath) // heal append lag
+            Layout.bloomPrunedFiles(spark, tablePath, keyCol, candidateKeys)
+          }
         if (hit.isEmpty) batch
         else batch.join(
           spark.read.parquet(hit: _*).select(col(keyCol)),

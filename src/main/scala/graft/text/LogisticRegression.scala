@@ -78,11 +78,12 @@ object LogisticRegression {
 
   /** Order-free engine-exact dot product of the weight literals with
     * the feature array: per-term scaled-floor quantization, exact
-    * integer accumulation. Unrolled as an explicit codegen sum — the
-    * previous `aggregate(zip_with(...))` form is an interpreted
-    * higher-order lambda (CodegenFallback) evaluated per row in every
-    * gradient step and every score; the unrolled chain computes the
-    * IDENTICAL q9-per-term values and (order-free) integer sum.
+    * integer accumulation. DELIBERATELY the compact
+    * `aggregate(zip_with(...))` lambda: unrolling it into 65 explicit
+    * `q9(w_k·x[k])` terms was A/B-measured in round 12 and ran the
+    * gradient jobs ~2× SLOWER (the giant expression tree falls out of
+    * the efficient codegen paths) — do not re-attempt the unroll; see
+    * OPTIMIZATION_r12.md §LogisticRegression.
     */
   private def sdot(w: Array[Double]): Column = {
     val wCol = array(w.map(lit): _*)

@@ -34,6 +34,33 @@ object GraftBridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 
+  /** Driver-side parquet schema of ONE file — footer read + the same
+    * parquet→Spark type conversion the scan uses, honoring the
+    * session's SQL settings (nanosAsLong, int96AsTimestamp, …) via the
+    * SQLConf constructor. `spark.read.parquet(f).schema` launches a
+    * (tiny but real) Spark JOB per inference; a versioned store that
+    * infers per incremental read pays that job on every consumer call,
+    * while this is one footer RPC on the driver. `sessionState` is
+    * `private[sql]`, hence the re-export lives here.
+    */
+  def parquetFileSchema(spark: SparkSession,
+      file: String): org.apache.spark.sql.types.StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in,
+      org.apache.parquet.ParquetReadOptions.builder()
+        .withMetadataFilter(
+          org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
+        .build())
+    val message =
+      try reader.getFooter.getFileMetaData.getSchema
+      finally reader.close()
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(
+      spark.asInstanceOf[classic.SparkSession].sessionState.conf)
+      .convert(message)
+  }
+
   /** Eager ColumnNode → Expression conversion. `expression` defers the
     * conversion inside a `ColumnNodeExpression` placeholder, which only
     * the Dataset boundary unwraps — an expression returned from a

@@ -230,4 +230,26 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.bloomPrunedRead(spark, dir, "x", Seq("8")).count() === 1L)
     assert(Layout.bloomPrunedRead(spark, dir, "x", Seq("7")).count() === 0L)
   }
+
+  test("a crashed manifest swap heals from the complete .swap dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("swapheal").toString + "/t"
+    val df = (0 until 200).map(i => (i.toLong, i.toLong % 8, i.toLong % 5))
+      .toDF("id", "x", "y")
+    Layout.writeZOrdered(df, dir, col("x"), col("y"), files = 4)
+    Layout.writeManifest(spark, dir, Seq("x", "y"))
+    // simulate the writeSwapped crash window: the complete manifest has
+    // been staged at .swap but the target is gone (delete happened, the
+    // rename-in did not)
+    val man = new org.apache.hadoop.fs.Path(s"$dir/${Layout.ManifestDir}")
+    val f = man.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swap = new org.apache.hadoop.fs.Path(
+      man.getParent, s".${man.getName}.swap")
+    assert(f.rename(man, swap))
+    // both the maintenance path and the pruned read heal and proceed
+    Layout.appendManifest(spark, dir) // no-op append, but must not throw
+    val kept = Layout.prunedFiles(spark, dir, Seq(("x", 0L, 7L)))
+    assert(kept.nonEmpty)
+    assert(f.exists(man) && !f.exists(swap))
+  }
 }

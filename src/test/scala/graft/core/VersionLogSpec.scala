@@ -444,4 +444,25 @@ class VersionLogSpec extends SparkSpec {
       VersionLog.compactZOrdered(spark, dir, 4, Seq("a"))
     }
   }
+
+  test("a table removed and re-created at the same path reads its new v1") {
+    // the version-record memo is keyed on the version FILE's content
+    // identity (modTime+length): rm -rf + rebuild restarts numbering at
+    // v1 at the SAME path, and a (root, version)-keyed memo would serve
+    // the OLD parse for the new v00001.list — silently reading the old
+    // file set (or erroring on the entry-length check)
+    val dir = freshTable()
+    assert(VersionLog.snapshot(spark, dir) === 1)
+    assert(VersionLog.readVersion(spark, dir, 1).count() === 100L)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // re-create with DIFFERENT content and a DIFFERENT schema
+    (0L until 37L).map(i => (i, s"s$i")).toDF("id", "label")
+      .repartition(2).write.parquet(dir)
+    assert(VersionLog.snapshot(spark, dir) === 1)
+    val re = VersionLog.readVersion(spark, dir, 1)
+    assert(re.count() === 37L)
+    assert(re.columns.toSeq === Seq("id", "label"))
+  }
 }

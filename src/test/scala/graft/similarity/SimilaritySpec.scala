@@ -804,4 +804,29 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaLsh === exact)
   }
+
+  test("array_l2sq kernel is bit-identical to the aggregate(zip_with) fold") {
+    val s = spark
+    import s.implicits._
+    // deterministic awkward doubles: negatives, zeros, denormal-ish
+    // magnitudes, non-representable decimals — the kernel must match
+    // the HOF fold BIT-FOR-BIT, not within epsilon (the PQ encode
+    // argmin compares rounded values derived from these)
+    val rows = (0 until 200).map { i =>
+      val a = Array.tabulate(8)(j => math.sin(i * 8 + j) * math.pow(10, (i % 7) - 3))
+      val b = Array.tabulate(8)(j => math.cos(i * 8 + j + 1) * math.pow(10, (j % 5) - 2))
+      (i.toLong, a.toSeq, b.toSeq)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.SketchFunctions.array_l2sq(col("a"), col("b")).as("k"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"row ${r.getLong(0)}: kernel ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+  }
 }
