@@ -32,6 +32,41 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Target edge rows per cached partition for the iterative
+    * operators' scans (see [[sizedEdgeCache]]).
+    */
+  private val EdgeRowsPerPartition = 1L << 18
+
+  /** Size-adaptive edge cache for the iterative operators. The edge
+    * frame is scanned 1-3× PER ROUND, so its cached partition count
+    * multiplies into every iteration's task count: an upstream pair
+    * list that was verify-parallelized hands us 32+ byte-tiny
+    * partitions, and 8 H-index rounds then schedule ~1000 near-empty
+    * tasks (measured +0.6 s on q161 locally). Persist + one count (the
+    * first round would materialize the cache anyway), then — only when
+    * the row count says the inherited layout overshoots — re-lay the
+    * cache as ceil(n / 2^18) ROUND-ROBIN partitions. Round-robin, not
+    * keyed: pinning HashPartitioning(join key, N) on the cache was
+    * A/B-measured in round 12 at +2.0 s on coreness (it forces every
+    * iteration stage to that count, defeating AQE's coalescing); a
+    * compact unkeyed cache leaves each round's shuffles free to
+    * AQE-coalesce while the scans stay proportional to the data.
+    */
+  private def sizedEdgeCache(edges: DataFrame): DataFrame = {
+    val cached = edges.persist()
+    val n = cached.count()
+    val maxP = edges.sparkSession.sparkContext.defaultParallelism.toLong
+    val want = math.min(n / EdgeRowsPerPartition + 1, math.max(1L, maxP)).toInt
+    if (want >= maxP) { CacheScope.track(cached); cached }
+    else {
+      val re = cached.repartition(want).persist()
+      re.count()
+      cached.unpersist(blocking = false)
+      CacheScope.track(re)
+      re
+    }
+  }
+
   /** Fixed-point scale: ranks are int64 multiples of 1e-12. */
   val Scale: Long = 1000000000000L
 
@@ -65,13 +100,9 @@ object Graph {
     // rebases every generation on its persisted RDD instead (the
     // GraphX-style checkpoint move), keeping the plan constant-size
     // per round. All persists release via CacheScope.
-    // plain persist, NOT pre-partitioned on the join key: pinning the
-    // cache at HashPartitioning(key, shuffle.partitions) removes one
-    // edge exchange per iteration but also FORCES every iteration
-    // stage to that partition count, defeating AQE's coalescing —
-    // A/B-measured (round 12) +2.0 s on coreness / +1.0 s on label
-    // propagation against the re-shuffle it saves.
-    val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
+    // size-adaptive round-robin cache — see [[sizedEdgeCache]] (keyed
+    // pre-partitioning was A/B-rejected in round 12: +2.0 s coreness)
+    val e = sizedEdgeCache(edges.select(col("src"), col("dst")))
     // The one driver-side scalar: |V|. base = teleport share per node;
     // the div truncation loses < N·1e-12 of total mass — the price of
     // integer exactness.
@@ -124,13 +155,9 @@ object Graph {
     require(iters >= 1, s"pageRankPersonalized requires iters >= 1, got $iters")
     val n = nodes.select(col("id")).distinct()
     val sd = seeds.select(col("id")).distinct()
-    // plain persist, NOT pre-partitioned on the join key: pinning the
-    // cache at HashPartitioning(key, shuffle.partitions) removes one
-    // edge exchange per iteration but also FORCES every iteration
-    // stage to that partition count, defeating AQE's coalescing —
-    // A/B-measured (round 12) +2.0 s on coreness / +1.0 s on label
-    // propagation against the re-shuffle it saves.
-    val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
+    // size-adaptive round-robin cache — see [[sizedEdgeCache]] (keyed
+    // pre-partitioning was A/B-rejected in round 12: +2.0 s coreness)
+    val e = sizedEdgeCache(edges.select(col("src"), col("dst")))
     val nSeeds = sd.count()
     require(nSeeds > 0, "pageRankPersonalized requires a non-empty seed set")
     val base = Scale / nSeeds
@@ -182,13 +209,9 @@ object Graph {
       edges: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1, s"labelPropagation requires iters >= 1, got $iters")
-    // plain persist, NOT pre-partitioned on the join key: pinning the
-    // cache at HashPartitioning(key, shuffle.partitions) removes one
-    // edge exchange per iteration but also FORCES every iteration
-    // stage to that partition count, defeating AQE's coalescing —
-    // A/B-measured (round 12) +2.0 s on coreness / +1.0 s on label
-    // propagation against the re-shuffle it saves.
-    val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
+    // size-adaptive round-robin cache — see [[sizedEdgeCache]] (keyed
+    // pre-partitioning was A/B-rejected in round 12: +2.0 s coreness)
+    val e = sizedEdgeCache(edges.select(col("src"), col("dst")))
     val seeds = labels.select(col("id"), col("lab").as("_seed"))
     val l0 = labels.select(col("id"), col("lab"))
     val result = (1 to iters).foldLeft(shortCircuit(l0)) { (l, _) =>
@@ -290,13 +313,9 @@ object Graph {
     */
   def coreness(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"coreness requires iters >= 1, got $iters")
-    // plain persist, NOT pre-partitioned on the join key: pinning the
-    // cache at HashPartitioning(key, shuffle.partitions) removes one
-    // edge exchange per iteration but also FORCES every iteration
-    // stage to that partition count, defeating AQE's coalescing —
-    // A/B-measured (round 12) +2.0 s on coreness / +1.0 s on label
-    // propagation against the re-shuffle it saves.
-    val e = CacheScope.track(edges.select(col("src"), col("dst")).persist())
+    // size-adaptive round-robin cache — see [[sizedEdgeCache]] (keyed
+    // pre-partitioning was A/B-rejected in round 12: +2.0 s coreness)
+    val e = sizedEdgeCache(edges.select(col("src"), col("dst")))
     val n = nodes.select(col("id")).distinct()
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
     val c0 = n.join(deg, Seq("id"), "left")

@@ -52,6 +52,26 @@ object Skew {
     * fallback shuffle is on the same key the downstream pair join
     * shuffles on anyway.
     */
+  /** Distinct over a candidate-PAIR list, pinned at real parallelism.
+    * The pair list is BYTES-small (two ids per row) but every
+    * surviving pair pays a CPU-dense verify downstream (a compiled
+    * merge walk over shingle arrays, an exact-distance check), and
+    * AQE's byte-based partition coalescing sees a few hundred KB of
+    * shuffle output and folds the entire verify stage into ONE task —
+    * a straggler by construction (guide §2.5: the coalesce targets
+    * bytes and cannot see per-row CPU). An explicit repartition on the
+    * pair key keeps the exchange COUNT identical — the dedup
+    * aggregation reuses the partitioning (same keys, user-pinned
+    * count, which AQE honors) — while the verify stage inherits
+    * `defaultParallelism` tasks. At cluster scale the pair list is
+    * byte-large and AQE would not have coalesced it; the pinned count
+    * equals the cores the stage would get anyway.
+    */
+  def parallelPairDistinct(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(p, keys.map(col): _*).dropDuplicates()
+  }
+
   def dropHotKeys(df: DataFrame, keyCol: String, cap: Option[Int]): DataFrame =
     cap match {
       case Some(c) =>

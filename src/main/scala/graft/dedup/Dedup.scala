@@ -121,8 +121,11 @@ object Dedup {
           (lit(1) + least(col("l.nsh") - col("l.p"), col("r.nsh") - col("r.p")))
             .cast("double") >= alpha)
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
-      .distinct()
-    verifyByExactJaccard(df, idCol, textCol, n, tau, candidates)
+    verifyByExactJaccard(df, idCol, textCol, n, tau,
+      // pair-key-pinned distinct: keeps the verify stage at real
+      // parallelism (AQE would coalesce the byte-small pair list to
+      // one task and serialize the merge-walk verify — guide §2.5)
+      graft.core.Skew.parallelPairDistinct(candidates, Seq("doc_a", "doc_b")))
   }
 
   /** Match-evidence report: for each near-dup pair, the `topK` RAREST
@@ -241,7 +244,7 @@ object Dedup {
     // positional (PPJoin) filter, same lossless bound as jaccardPairs:
     // overlap <= 1 + min(remaining-after-match on each side)
     val alpha = (col("nsh_ref_id") + col("nsh_new_id")) * lit(tau / (1.0 + tau)) - eps
-    val candidates = refPfx
+    val candidates0 = refPfx
       .join(batchPfx.hint("shuffle_hash"),
         refPfx("sh") === batchPfx("sh") &&
           col("nsh_new_id").cast("double") >= col("nsh_ref_id") * tau - eps &&
@@ -249,7 +252,8 @@ object Dedup {
           (lit(1) + least(col("nsh_ref_id") - col("p_ref_id"),
             col("nsh_new_id") - col("p_new_id"))).cast("double") >= alpha)
       .select(col("ref_id"), col("new_id"))
-      .distinct()
+    val candidates = graft.core.Skew.parallelPairDistinct(
+      candidates0, Seq("ref_id", "new_id")) // verify parallelism (§2.5)
     val refArrs = ref.select(col(refIdCol).as("ref_id"),
         graft.functions.SketchFunctions.sorted_shingle_hashes(col(refTextCol), n).as("sa"))
       .withColumn("na", size(col("sa")))
@@ -488,6 +492,11 @@ object Dedup {
       .join(buckets.as("r").hint("shuffle_hash"), col("l.bucket") === col("r.bucket"))
       .filter(col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      // plain distinct, NOT the pinned parallelPairDistinct: banded
+      // candidates are bucket-co-residency-bounded (a small fraction of
+      // the prefix join's volume), and pinning 32 partitions on them
+      // was A/B-measured ~0.15-0.3 s SLOWER here (scheduling overhead
+      // with no CPU to spread) where the jaccard prefix path wins 1.3×+
       .distinct()
     verifyByExactJaccard(df, idCol, textCol, n, tau, candidates)
   }
@@ -588,8 +597,8 @@ object Dedup {
           (lit(1) + least(col("l.nsh") - col("l.p"), col("r.nsh") - col("r.p")))
             .cast("double") >= needed)
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
-      .distinct()
-    candidates
+    graft.core.Skew.parallelPairDistinct( // verify parallelism (§2.5)
+        candidates, Seq("doc_a", "doc_b"))
       .join(arrs.select(col("doc").as("doc_a"), col("nsh").as("na"), col("shs").as("sa")), "doc_a")
       .join(arrs.select(col("doc").as("doc_b"), col("shs").as("sb")), "doc_b")
       .withColumn("c",
@@ -659,6 +668,7 @@ object Dedup {
       .filter(col("l.doc") < col("r.doc"))
       .filter(bit_count(col("l.sim").bitwiseXOR(col("r.sim"))) <= maxHamming)
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      // plain distinct — banded candidate volume, see minhashLshPairs
       .distinct()
     verifyByExactJaccard(df, idCol, textCol, n, tau, candidates)
   }

@@ -338,6 +338,25 @@ object SketchOps {
     acc
   }
 
+  /** Quantized dot product: Σ floor(a_i·b_i·1e9 + 0.5) as an exact
+    * int64 — bit-identical to the HOF chain
+    * `aggregate(zip_with(a,b,(x,y)=>floor(x*y*1e9+0.5)), 0L, _+_)`
+    * (Spark's floor on a double is math.floor(...).toLong; long
+    * addition is exact and order-free), which as an interpreted lambda
+    * (CodegenFallback) was the per-row hot loop of every logistic-
+    * regression gradient step and score.
+    */
+  def dotQ9(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(a.getDouble(i) * b.getDouble(i) * 1e9 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** Squared L2 distance of two double arrays, strict left-to-right
     * fold — bit-identical to
     * `aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, _+_)` (each term

@@ -243,6 +243,23 @@ case class ArrayL2Sq(left: Expression, right: Expression)
   override def prettyName: String = "array_l2sq"
 }
 
+/** `array_dot_q9(a, b)` → Long: Σ floor(a_i·b_i·1e9 + 0.5), the exact
+  * fixed-point dot the logistic-regression plane ranks and trains on
+  * (see SketchOps.dotQ9 for the bit-identity argument).
+  */
+case class ArrayDotQ9(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.dotQ9(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchOps.dotQ9($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "array_dot_q9"
+}
+
 /** Column-API entry points for the sketch kernels. */
 object SketchFunctions {
   import GraftBridge.{column => toCol, expression => toExpr}
@@ -267,6 +284,8 @@ object SketchFunctions {
     toCol(ArrayDot(toExpr(a), toExpr(b)))
   def array_l2sq(a: Column, b: Column): Column =
     toCol(ArrayL2Sq(toExpr(a), toExpr(b)))
+  def array_dot_q9(a: Column, b: Column): Column =
+    toCol(ArrayDotQ9(toExpr(a), toExpr(b)))
   def scrub_spans(text: Column, sortedStarts: Column, n: Int): Column =
     toCol(ScrubSpans(toExpr(text), toExpr(sortedStarts), n))
   def scrub_lines(text: Column, sortedPositions: Column, sep: String): Column =

@@ -78,19 +78,19 @@ object LogisticRegression {
 
   /** Order-free engine-exact dot product of the weight literals with
     * the feature array: per-term scaled-floor quantization, exact
-    * integer accumulation. DELIBERATELY the compact
-    * `aggregate(zip_with(...))` lambda: unrolling it into 65 explicit
-    * `q9(w_k·x[k])` terms was A/B-measured in round 12 and ran the
-    * gradient jobs ~2× SLOWER (the giant expression tree falls out of
-    * the efficient codegen paths) — do not re-attempt the unroll; see
-    * OPTIMIZATION_r12.md §LogisticRegression.
+    * integer accumulation — as ONE compiled kernel
+    * ([[graft.functions.SketchOps.dotQ9]], bit-identical to the
+    * `aggregate(zip_with(...))` HOF chain, asserted in TextSpec). The
+    * HOF form was an interpreted lambda (CodegenFallback) evaluated
+    * per row in every gradient step and every score; UNROLLING it into
+    * 65 explicit `q9(w_k·x[k])` terms was A/B-measured in round 12 and
+    * ran ~2× slower still (the giant expression tree falls out of the
+    * efficient codegen paths) — the binary kernel avoids both the
+    * interpretation and the tree.
     */
   private def sdot(w: Array[Double]): Column = {
     val wCol = array(w.map(lit): _*)
-    aggregate(
-      zip_with(wCol, col("x"), (a, b) => q9(a * b)),
-      lit(0L),
-      (acc, v) => acc + v)
+    graft.functions.SketchFunctions.array_dot_q9(wCol, col("x"))
       .cast("double") / lit(1e9)
   }
 

@@ -61,4 +61,24 @@ class LogisticRegressionSpec extends SparkSpec {
     }
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("array_dot_q9 kernel is bit-identical to the aggregate(zip_with) q9 fold") {
+    val s = spark
+    import s.implicits._
+    // awkward deterministic doubles incl. negatives and magnitudes that
+    // straddle the 1e9 quantizer — the fit/score dot must match the HOF
+    // replay EXACTLY (the weights it trains are compared by the oracle)
+    val rows = (0 until 100).map { i =>
+      val a = Array.tabulate(65)(k => math.sin(i * 65 + k) * math.pow(10, (k % 9) - 4))
+      val b = Array.tabulate(65)(k => math.cos(i + k) * math.pow(10, (i % 5) - 2))
+      (i.toLong, a.toSeq, b.toSeq)
+    }
+    val got = rows.toDF("id", "a", "b").select(col("id"),
+        graft.functions.SketchFunctions.array_dot_q9(col("a"), col("b")).as("k"),
+        aggregate(zip_with(col("a"), col("b"),
+            (x, y) => floor(x * y * lit(1e9) + lit(0.5))),
+          lit(0L), (acc, v) => acc + v).as("h"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2), s"row ${r.getLong(0)}"))
+  }
 }
