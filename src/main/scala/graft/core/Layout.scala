@@ -541,9 +541,15 @@ object Layout {
     * stats are ignored (pruning on a conjunct SUBSET is sound — every
     * matching row satisfies all conjuncts).
     */
+  /** @param knownLive the committed live set when the CALLER already
+    *   listed it (the auto-prune rule's versioned-root recognition does
+    *   — one listing serves both the root identity and the staleness
+    *   identity instead of two walks per pruned scan).
+    */
   private[graft] def prunedFilesIfFresh(
       spark: SparkSession, path: String,
-      boxes: Seq[(String, Long, Long)]): Option[(Seq[String], Long)] = {
+      boxes: Seq[(String, Long, Long)],
+      knownLive: Option[Set[String]] = None): Option[(Seq[String], Long)] = {
     val manPath = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
     val fs = manPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     healSwap(spark, manPath.toString)
@@ -560,7 +566,7 @@ object Layout {
     val rows = man.select(cs.map(col): _*).collect()
     val norm = rows
       .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
-    if (norm != dataFiles(spark, path)) return None
+    if (norm != knownLive.getOrElse(dataFiles(spark, path))) return None
     val kept = rows.filter { r =>
       usable.zipWithIndex.forall { case ((_, lo, hi), i) =>
         !r.isNullAt(2 * i + 1) && !r.isNullAt(2 * i + 2) &&

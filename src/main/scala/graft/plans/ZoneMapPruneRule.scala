@@ -187,7 +187,7 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     * with the head's manifest, whose file universe it does not share.
     */
   private def versionedRootOf(
-      spark: SparkSession, files: Seq[Path]): Option[Path] = {
+      spark: SparkSession, files: Seq[Path]): Option[(Path, Set[String])] = {
     val conf = spark.sparkContext.hadoopConfiguration
     var cand = files.head.getParent
     var found: Option[Path] = None
@@ -199,11 +199,16 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
         found = Some(cand)
       else { cand = cand.getParent; depth += 1 }
     }
-    found.filter { root =>
+    // the live set computed here is RETURNED so the staleness identity
+    // inside prunedFilesIfFresh reuses it — one committed-live listing
+    // per pruned scan, not two (r12 verdict stretch ask #10)
+    found.flatMap { root =>
       val rootStr = root.toUri.getPath
-      files.forall(_.toUri.getPath.startsWith(rootStr + "/")) &&
-        files.map(_.toUri.getPath).toSet ==
-          Layout.dataFiles(spark, root.toString)
+      val live = Layout.dataFiles(spark, root.toString)
+      if (files.forall(_.toUri.getPath.startsWith(rootStr + "/")) &&
+          files.map(_.toUri.getPath).toSet == live)
+        Some((root, live))
+      else None
     }
   }
 
@@ -214,10 +219,13 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     if (!fs.fileFormat.isInstanceOf[ParquetFileFormat]) return None
     if (fs.partitionSchema.nonEmpty || fs.bucketSpec.nonEmpty) return None
     if (fs.location.rootPaths.isEmpty) return None
-    val root =
-      if (fs.location.rootPaths.length == 1) fs.location.rootPaths.head
-      else versionedRootOf(fs.sparkSession, fs.location.rootPaths)
-        .getOrElse(return None)
+    val (root, knownLive) =
+      if (fs.location.rootPaths.length == 1)
+        (fs.location.rootPaths.head, None)
+      else versionedRootOf(fs.sparkSession, fs.location.rootPaths) match {
+        case Some((r, live)) => (r, Some(live))
+        case None => return None
+      }
 
     // boxes per column: intersect repeated constraints (a >= 10 AND
     // a <= 50 → one [10, 50] box); a contradiction (lo > hi) keeps
@@ -245,7 +253,7 @@ object ZoneMapPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     pruning.set(true)
     val pruned =
-      try Layout.prunedFilesIfFresh(spark, root.toString, boxes)
+      try Layout.prunedFilesIfFresh(spark, root.toString, boxes, knownLive)
       catch {
         case e: Exception =>
           logWarning(s"zone-map pruning failed for $root; " +
