@@ -53,18 +53,22 @@ object Graph {
     * AQE-coalesce while the scans stay proportional to the data.
     */
   private def sizedEdgeCache(edges: DataFrame): DataFrame = {
-    val cached = edges.persist()
-    val n = cached.count()
-    val maxP = edges.sparkSession.sparkContext.defaultParallelism.toLong
+    val spark = edges.sparkSession
+    // INTERNAL-row cache (the shortCircuit representation): the count
+    // below materializes it — work the first iteration would have paid
+    // anyway — and a NARROW coalesce over the cached blocks re-lays the
+    // scan without a second cache or any shuffle: each of the `want`
+    // tasks reads its share of cached partitions from local memory.
+    val rdd = edges.queryExecution.toRdd.map(_.copy()).persist()
+    CacheScope.trackRelease(() => { rdd.unpersist(blocking = false); () })
+    val n = rdd.count()
+    val maxP = spark.sparkContext.defaultParallelism.toLong
     val want = math.min(n / EdgeRowsPerPartition + 1, math.max(1L, maxP)).toInt
-    if (want >= maxP) { CacheScope.track(cached); cached }
-    else {
-      val re = cached.repartition(want).persist()
-      re.count()
-      cached.unpersist(blocking = false)
-      CacheScope.track(re)
-      re
-    }
+    val laid =
+      if (want >= maxP || rdd.getNumPartitions <= want) rdd
+      else rdd.coalesce(want)
+    org.apache.spark.sql.GraftBridge.internalCreateDataFrame(
+      spark, laid, edges.schema)
   }
 
   /** Fixed-point scale: ranks are int64 multiples of 1e-12. */
